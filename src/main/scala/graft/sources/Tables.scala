@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the driver's test data layout
+  * (`TESTDATA.md`: one parquet per table under each scale-factor dir).
+  *
+  * Reference equivalent: the reference loads test fixtures eagerly into a
+  * dict (reference tests/__init__.py:24-36); here we stay lazy — a Spark
+  * scan node with column pruning and predicate pushdown handled by
+  * Catalyst, so at 100 TB only the needed columns/row-groups are read.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table carries a parquet TIMESTAMP(NANOS) column, which
+    * Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long
+    * (legacy conf) and surface a proper TimestampType truncated to
+    * microseconds — the generator emits microsecond-precision values, so
+    * the truncation is lossless and matches the DuckDB oracle's view.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    import org.apache.spark.sql.functions._
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+}
