@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{LoadQueries, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,10 @@ object SparkEntry {
     "q12_event_props"      -> (Relational.q12EventProps _),
     "q13_hourly_events"    -> (Relational.q13HourlyEvents _),
     "q14_rollup"           -> (Relational.q14Rollup _),
+    "q15_upsert_cells"     -> (LoadQueries.q15UpsertCells _),
+    "q16_upsert_rows"      -> (LoadQueries.q16UpsertRows _),
+    "q17_append"           -> (LoadQueries.q17Append _),
+    "q18_schema_infer"     -> (LoadQueries.q18SchemaInfer _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -127,5 +131,49 @@ object SparkEntry {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q15_upsert_cells" ->
+      s"""WITH $upsertFrames
+        |SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey ELSE n.o_custkey END AS o_custkey,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice ELSE COALESCE(n.o_totalprice, o.o_totalprice) END AS o_totalprice,
+        |  COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus
+        |FROM new_f n FULL OUTER JOIN old_f o ON n.o_orderkey = o.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q16_upsert_rows" ->
+      s"""WITH $upsertFrames
+        |SELECT * FROM new_f
+        |UNION ALL
+        |SELECT o.* FROM old_f o
+        |WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM new_f)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q17_append" ->
+      s"""WITH $upsertFrames
+        |SELECT * FROM old_f UNION ALL SELECT * FROM new_f
+        |ORDER BY o_orderkey, o_orderstatus, o_totalprice""".stripMargin,
+    "q18_schema_infer" ->
+      """WITH mx AS (SELECT max(length(text)) AS n FROM documents),
+        |rng AS (SELECT min(n_chars * 10000000) AS lo, max(n_chars * 10000000) AS hi FROM documents)
+        |SELECT col_name, sql_type FROM (
+        |  SELECT 'doc_id' AS col_name, 'INT' AS sql_type
+        |  UNION ALL
+        |  SELECT 'text', CASE WHEN n > 8000 THEN 'VARCHAR(MAX)'
+        |    WHEN n > 255 THEN 'VARCHAR(' || n || ')' ELSE 'VARCHAR(255)' END FROM mx
+        |  UNION ALL
+        |  SELECT 'big_id', CASE WHEN lo < -2147483648 OR hi > 2147483647
+        |    THEN 'BIGINT' ELSE 'INT' END FROM rng
+        |  UNION ALL SELECT 'score', 'NUMERIC(18,2)'
+        |  UNION ALL SELECT 'is_long', 'BIT') t
+        |ORDER BY col_name""".stripMargin,
   )
+
+  /** Shared old/new frame definitions for the upsert-family oracles —
+    * must stay in lockstep with LoadQueries.{oldFrame,newFrame}. */
+  private val upsertFrames: String =
+    """old_f AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 4 <> 3),
+      |new_f AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice,
+      |    CASE WHEN o_orderkey % 8 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus
+      |  FROM orders WHERE o_orderkey % 2 = 0)""".stripMargin
 }
