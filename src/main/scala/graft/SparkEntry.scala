@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{LoadQueries, Relational}
+import graft.operators.{Dedup, LoadQueries, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -38,6 +38,17 @@ object SparkEntry {
     "q16_upsert_rows"      -> (LoadQueries.q16UpsertRows _),
     "q17_append"           -> (LoadQueries.q17Append _),
     "q18_schema_infer"     -> (LoadQueries.q18SchemaInfer _),
+    "q20_token_stats"      -> (TextAnalysis.q20TokenStats _),
+    "q21_quality"          -> (TextAnalysis.q21Quality _),
+    "q22_lang_profile"     -> (TextAnalysis.q22LangProfile _),
+    "q23_fingerprint"      -> (TextAnalysis.q23Fingerprint _),
+    "q30_exact_dedup"      -> (Dedup.q30ExactDedup _),
+    "q31_minhash_dedup"    -> (Dedup.q31MinHashDedup _),
+    "q32_simhash_dedup"    -> (Dedup.q32SimHashDedup _),
+    "q33_source_jaccard"   -> (Dedup.q33SourceJaccard _),
+    "q34_cosine_pairs"     -> (Similarity.q34CosinePairs _),
+    "q35_knn_brute"        -> (Similarity.q35KnnBrute _),
+    "q36_knn_lsh"          -> (Similarity.q36KnnLsh _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -164,7 +175,132 @@ object SparkEntry {
         |  UNION ALL SELECT 'score', 'NUMERIC(18,2)'
         |  UNION ALL SELECT 'is_long', 'BIT') t
         |ORDER BY col_name""".stripMargin,
+    "q20_token_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len($toksSql)) AS BIGINT) AS sum_tokens,
+        |  CAST(MAX(len($toksSql)) AS INT) AS max_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE)/COUNT(*) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q21_quality" ->
+      s"""WITH s AS (SELECT doc_id,
+        |    CAST(len($toksSql) AS INT) AS tok_cnt,
+        |    CAST(length(replace($normSql, ' ', '')) AS DOUBLE)/len($toksSql) AS avg_token_len,
+        |    CAST(len(list_filter($toksSql, t -> t IN ('a','the','and','of','in'))) AS DOUBLE)
+        |      /len($toksSql) AS stop_ratio
+        |  FROM documents)
+        |SELECT doc_id, tok_cnt, avg_token_len, stop_ratio,
+        |  CAST(tok_cnt AS DOUBLE)*(1.0 - stop_ratio) AS score
+        |FROM s ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "q22_lang_profile" ->
+      s"""WITH c AS (SELECT lang,
+        |    len(list_filter($toksSql, t -> t IN ('the','a','and','of'))) AS c_en,
+        |    len(list_filter($toksSql, t -> t IN ('der','die','und','das'))) AS c_de,
+        |    len(list_filter($toksSql, t -> t IN ('el','la','que','de'))) AS c_es,
+        |    len(list_filter($toksSql, t -> t IN ('le','la','les','et'))) AS c_fr
+        |  FROM documents),
+        |p AS (SELECT lang,
+        |    CASE WHEN greatest(c_en,c_de,c_es,c_fr) = 0 THEN 'und'
+        |      WHEN c_en = greatest(c_en,c_de,c_es,c_fr) THEN 'en'
+        |      WHEN c_de = greatest(c_en,c_de,c_es,c_fr) THEN 'de'
+        |      WHEN c_es = greatest(c_en,c_de,c_es,c_fr) THEN 'es'
+        |      ELSE 'fr' END AS pred_lang
+        |  FROM c)
+        |SELECT lang, pred_lang, COUNT(*) AS n FROM p
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "q23_fingerprint" ->
+      s"""SELECT doc_id, md5($normSql) AS fp,
+        |  COUNT(*) OVER (PARTITION BY md5($normSql)) AS n_same
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q30_exact_dedup" ->
+      s"""SELECT doc_id, md5($normSql) AS fp, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q31_minhash_dedup" ->
+      s"""WITH $shingleCte,
+        |e AS (SELECT doc_id, unnest(s) AS sg FROM shx),
+        |sz AS (SELECT doc_id, len(s) AS n FROM shx),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) AS jaccard
+        |FROM inter
+        |JOIN sz sa ON sa.doc_id = doc_a
+        |JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q32_simhash_dedup" -> simhashOracle,
+    "q33_source_jaccard" ->
+      s"""WITH d AS (SELECT source, doc_id, list_distinct($toksSql) AS ts FROM documents)
+        |SELECT l.source AS source, l.doc_id AS doc_a, r.doc_id AS doc_b,
+        |  CAST(len(list_intersect(l.ts, r.ts)) AS DOUBLE)
+        |    /(len(l.ts) + len(r.ts) - len(list_intersect(l.ts, r.ts))) AS jaccard
+        |FROM d l JOIN d r ON l.source = r.source AND l.doc_id < r.doc_id
+        |WHERE CAST(len(list_intersect(l.ts, r.ts)) AS DOUBLE)
+        |    /(len(l.ts) + len(r.ts) - len(list_intersect(l.ts, r.ts))) >= 0.9
+        |ORDER BY source, doc_a, doc_b""".stripMargin,
+    "q34_cosine_pairs" ->
+      s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+        |  ${cosSql("l", "r")} AS cosine
+        |FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+        |WHERE ${cosSql("l", "r")} >= 0.42
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q35_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |    ${cosSql2("qe", "e.embedding")} AS cosine
+        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
   )
+
+  /** DuckDB SQL fragments shared by the text/dedup/similarity oracles —
+    * must stay in lockstep with graft.functions.TextFunctions. DuckDB's
+    * regexp_replace needs the 'g' flag to match Spark's replace-all. */
+  private val normSql =
+    """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+  private val toksSql =
+    s"""regexp_extract_all($normSql, '\\S+')"""
+  private val shingleCte =
+    s"""tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+      |shx AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(t)-1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM tok WHERE len(t) >= 3)""".stripMargin
+
+  /** Cosine over DuckDB float lists, double math, left fold — bitwise
+    * equal to Similarity.cosine. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a)+1),
+      |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+  private def cosSql(l: String, r: String): String =
+    cosSql2(s"$l.embedding", s"$r.embedding")
+  private def cosSql2(a: String, b: String): String =
+    s"""(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"""
+
+  /** Generated 60-bit SimHash oracle (majority vote per bit, banding is
+    * exact so the oracle can use the plain all-pairs form). */
+  private def simhashOracle: String = {
+    val bitSums = (0 until 60).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val hashExpr = (0 until 60).map(b =>
+      s"CASE WHEN b$b > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""WITH $shingleCte,
+      |ex AS (SELECT doc_id, unnest(s) AS sg FROM shx),
+      |eh AS (SELECT doc_id, CAST(concat('0x', substr(md5(sg), 1, 15)) AS BIGINT) AS h FROM ex),
+      |bits AS (SELECT doc_id, $bitSums FROM eh GROUP BY doc_id),
+      |sh2 AS (SELECT doc_id, $hashExpr AS simhash FROM bits)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Shared old/new frame definitions for the upsert-family oracles —
     * must stay in lockstep with LoadQueries.{oldFrame,newFrame}. */

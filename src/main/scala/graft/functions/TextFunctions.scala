@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Column-level text primitives for the training-data pipeline operators
+  * (dedup, quality scoring, language ID, fingerprinting).
+  *
+  * Everything here is a composition of codegen'd built-in functions —
+  * no UDFs — so the whole document pipeline stays inside whole-stage
+  * codegen and scales linearly with input size. Where a DuckDB oracle
+  * recomputes the same value, the expression is chosen so both engines
+  * produce bit-identical results (single IEEE double ops, md5 hex,
+  * integer arithmetic).
+  */
+object TextFunctions {
+
+  /** Whitespace-collapsed, trimmed, lower-cased normal form. */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Non-whitespace token list of the normal form. */
+  def tokens(c: Column): Column =
+    regexp_extract_all(normText(c), lit("\\S+"), lit(0))
+
+  /** Deterministic document fingerprint: md5 of the normal form (both
+    * Spark and DuckDB emit lowercase hex). */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Distinct 3-word shingles over a token array (empty when < 3 tokens). */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ",
+          element_at(toks, i),
+          element_at(toks, i + 1),
+          element_at(toks, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** 60-bit stable hash of a string: first 15 hex chars of md5, parsed
+    * base-16. Engine-portable (DuckDB: CAST('0x'||substr(md5(s),1,15)
+    * AS BIGINT)) unlike murmur3/xxhash which differ per engine. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays, as one
+    * double division so both engines agree bitwise. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
+
+  /** Token count of raw text. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Ratio of tokens belonging to `words`, one double division. */
+  def wordRatio(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+      .cast("double") / size(toks)
+}

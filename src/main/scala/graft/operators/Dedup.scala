@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Deduplication operators for a training-data pipeline: exact
+  * (fingerprint hash), MinHash+LSH near-dup, SimHash near-dup, and
+  * token-set Jaccard similarity join.
+  *
+  * Scale design (the point of every choice here):
+  *  - **no all-pairs cross join anywhere** — candidate pairs come from
+  *    equality joins on LSH band signatures (MinHash) or simhash bands,
+  *    which shuffle on a high-cardinality key and stay linear-ish in
+  *    corpus size; the quadratic step runs only inside tiny buckets;
+  *  - exact verification (true Jaccard / true Hamming) prunes LSH false
+  *    positives, so results are exact w.r.t. the declared threshold;
+  *  - the SimHash banding (10 bands × 6 bits over a 60-bit hash) is a
+  *    *guarantee*, not a heuristic: Hamming ≤ 9 implies at least one of
+  *    10 bands is identical (pigeonhole), so at threshold 8 there are no
+  *    false negatives;
+  *  - MinHash banding (16 bands × 4 rows, 64 permutations) misses a
+  *    Jaccard-0.9 pair with probability (1−0.9⁴)¹⁶ ≈ 4e-8;
+  *  - all hashing is codegen'd built-ins (xxhash64 / md5-derived), no
+  *    UDFs.
+  */
+object Dedup {
+
+  // --- exact -------------------------------------------------------------
+
+  /** Exact dedup with a deterministic keeper: first row per fingerprint
+    * ordered by the tie-break columns. groupBy+min would only return the
+    * keys; row_number keeps the whole surviving row. */
+  def exactDedup(df: DataFrame, fp: Column, tieBreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(fp).orderBy(tieBreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** q30: exact-dedup survivors of `documents` by content fingerprint. */
+  def q30ExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .withColumn("fp", fingerprint(col("text")))
+    exactDedup(d, col("fp"), Seq(col("doc_id")))
+      .select(col("doc_id"), col("fp"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --- MinHash + LSH -------------------------------------------------------
+
+  /** Prime just above 2^32 for the universal-hash family. */
+  private val P = 4294967311L
+  val numHashes = 64
+  val numBands = 16
+  val rowsPerBand = 4
+
+  /** Deterministic (a, b) coefficients; a*x+b stays < 2^62 for x < 2^32. */
+  private val coeffs: Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(numHashes)((1L + rng.nextInt((1 << 30) - 1).toLong,
+      rng.nextInt(1 << 30).toLong))
+  }
+
+  /** (doc_id, sh) with distinct 3-word shingles; docs with < 3 tokens
+    * cannot be near-dups and are dropped. */
+  private def shingled(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** LSH band signatures: (doc_id, band, sig), numBands rows per doc. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val withXs = docs.withColumn("xs",
+      transform(col("sh"), s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL))))
+    val mh: Seq[Column] = coeffs.map { case (a, b) =>
+      array_min(transform(col("xs"), x => (x * a + b) % P))
+    }
+    val bands: Seq[Column] = (0 until numBands).map { j =>
+      xxhash64((lit(j) +: mh.slice(rowsPerBand * j, rowsPerBand * (j + 1))): _*)
+    }
+    withXs.select(col("doc_id"), posexplode(array(bands: _*)))
+      .toDF("doc_id", "band", "sig")
+  }
+
+  /** Candidate pairs from any shared band bucket (equality join — the
+    * only shuffle key is (band, sig)). */
+  def lshCandidates(sig: DataFrame): DataFrame =
+    sig.as("l")
+      .join(sig.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+
+  /** q31: MinHash-LSH near-duplicate pairs, exact-verified at
+    * Jaccard ≥ 0.5 over 3-word shingles. */
+  def q31MinHashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = shingled(spark, sfDir)
+    val cand = lshCandidates(minhashBands(docs))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sha"), col("shb")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- SimHash -------------------------------------------------------------
+
+  val simhashBits = 60
+  val simhashBands = 10 // 6 bits each; guarantees recall for Hamming <= 9
+  val hammingThreshold = 8
+
+  /** (doc_id, simhash): majority vote per bit over the 60-bit md5-derived
+    * shingle hashes — one explode + one 60-column aggregate. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h", h60(col("s")))
+    val bitAggs = (0 until simhashBits).map { bIdx =>
+      sum(when(shiftright(col("h"), bIdx).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$bIdx")
+    }
+    val agg = ex.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val hash = (0 until simhashBits).map { bIdx =>
+      when(col(s"b$bIdx") > 0, lit(1L << bIdx)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), hash.as("simhash"))
+  }
+
+  /** q32: SimHash near-duplicate pairs at Hamming ≤ 8, banded candidate
+    * generation (exact — see class doc), verified with bit_count. */
+  def q32SimHashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = simhashes(shingled(spark, sfDir))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until simhashBands).map { j =>
+        shiftright(col("simhash"), 6 * j).bitwiseAND(63)
+      }: _*)))
+      .toDF("doc_id", "simhash", "band", "bval")
+    val pairs = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bval") === col("r.bval") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.simhash").as("ha"), col("r.simhash").as("hb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= hammingThreshold)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- token-set Jaccard join ---------------------------------------------
+
+  /** q33: within-source unigram-token Jaccard similarity join (≥ 0.9).
+    * The join key is `source` — the partition-scoped dedup pattern: at
+    * 100 TB the quadratic pair generation is bounded per source shard,
+    * never global. */
+  def q33SourceJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        array_distinct(tokens(col("text"))).as("ts"))
+    d.as("l")
+      .join(d.as("r"),
+        col("l.source") === col("r.source") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.source").as("source"),
+        col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        jaccard(col("l.ts"), col("r.ts")).as("jaccard"))
+      .filter(col("jaccard") >= 0.9)
+      .orderBy(col("source"), col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float] column).
+  *
+  * Two paths, as a 100 TB pipeline needs both:
+  *  - **brute-force cosine** ([[q34CosinePairs]], [[q35KnnBrute]]): the
+  *    exact baseline. Fine when one side is small (a query batch) —
+  *    the candidate side streams through codegen'd array math, no state.
+  *  - **LSH-bucketed ANN** ([[q36KnnLsh]]): random-hyperplane signatures,
+  *    multiple tables OR'd together; candidate generation is an equality
+  *    join on (table, bucket) so it scales like the dedup LSH joins
+  *    instead of quadratically.
+  *
+  * All vector math is built-in higher-order functions (zip_with /
+  * aggregate) over the array column — codegen'd, no UDF, no
+  * driver-side collect. Dot products accumulate in DOUBLE left-to-right,
+  * so results are bit-stable and match the DuckDB oracle exactly.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double.
+    * Written as single IEEE ops (fold left, one division) so any engine
+    * evaluating the same tree bit-agrees. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  val pairThreshold = 0.42
+  val knnQueries = 10 // vec_id < 10 are the query batch
+  val k = 5
+
+  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+
+  /** q34: embedding near-duplicate pairs — all pairs with cosine ≥ 0.42.
+    * Brute-force exact baseline (self-join); the scale path for the same
+    * predicate is [[q36KnnLsh]]-style bucketing. */
+  def q34CosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        cosine(col("l.embedding"), col("r.embedding")).as("cosine"))
+      .filter(col("cosine") >= pairThreshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** q35: brute-force top-k cosine neighbors for the query batch
+    * (vec_id < 10), deterministic tie-break on neighbor id. */
+  def q35KnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val q = e.filter(col("vec_id") < knnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // --- LSH ANN --------------------------------------------------------------
+
+  val lshTables = 6
+  val lshBitsPerTable = 4
+  val dim = 64
+
+  /** Deterministic random hyperplanes: lshTables × lshBitsPerTable planes
+    * of `dim` gaussians, seeded — same planes every run. */
+  private lazy val planes: Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(7)
+    Array.fill(lshTables, lshBitsPerTable, dim)(rng.nextGaussian())
+  }
+
+  /** Sign-bucket id of an embedding under table t's hyperplanes. */
+  private def bucket(v: Column, t: Int): Column =
+    (0 until lshBitsPerTable).map { j =>
+      val plane = array(planes(t)(j).map(lit): _*)
+      val proj = aggregate(
+        zip_with(v, plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** (vec_id, embedding, table, bucket) — lshTables rows per vector. */
+  def lshBuckets(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until lshTables).map(t =>
+        bucket(col("embedding"), t)): _*)))
+      .toDF("vec_id", "embedding", "table", "bucket")
+
+  /** q36: ANN top-k — candidates share an LSH bucket in ≥ 1 table with
+    * the query, then exact cosine re-rank. Approximate (recall measured
+    * against q35 in the test suite), but candidate generation is an
+    * equality join — the 100 TB path. */
+  def q36KnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val buckets = lshBuckets(e)
+    val qb = buckets.filter(col("vec_id") < knnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("table"), col("bucket"))
+    val cand = broadcast(qb)
+      .join(buckets, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qv"),
+        col("vec_id").as("neighbor_id"), col("embedding"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

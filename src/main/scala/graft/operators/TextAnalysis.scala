@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * quality scoring, n-gram-heuristic language ID, and content
+  * fingerprinting — the per-document scalar layer a training-data
+  * pipeline runs before dedup/filtering.
+  *
+  * All expressions are codegen'd built-ins (no UDFs); each query is a
+  * single scan + one aggregation/window, so the shape holds at 100 TB:
+  * the scan reads only the referenced columns and the per-doc math is
+  * embarrassingly parallel.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] = Seq("a", "the", "and", "of", "in")
+
+  /** Marker-word sets for the n-gram language-ID heuristic; precedence
+    * on ties is the declaration order (en, de, es, fr). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "es" -> Seq("el", "la", "que", "de"),
+    "fr" -> Seq("le", "la", "les", "et"))
+
+  /** q20: per-language corpus statistics (docs, tokens, char sizes). */
+  def q20TokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("sum_tokens"),
+        max(tokenCount(col("text"))).cast("int").as("max_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  /** q21: per-document quality score = tokens × (1 − stopword ratio);
+    * top 50, deterministic tie-break on doc_id. */
+  def q21Quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .withColumn("toks", tokens(col("text")))
+    d.select(
+        col("doc_id"),
+        size(col("toks")).as("tok_cnt"),
+        (length(regexp_replace(normText(col("text")), " ", "")).cast("double")
+          / size(col("toks"))).as("avg_token_len"),
+        wordRatio(col("toks"), stopwords).as("stop_ratio"))
+      .withColumn("score",
+        col("tok_cnt").cast("double") * (lit(1.0) - col("stop_ratio")))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  /** q22: language-ID confusion profile — heuristic marker-word argmax
+    * vs the labeled `lang` column. */
+  def q22LangProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .withColumn("toks", tokens(col("text")))
+    val counts: Seq[(String, Column)] = langMarkers.map { case (l, ws) =>
+      l -> size(filter(col("toks"), t => t.isin(ws.map(w => w: Any): _*)))
+    }
+    val withCounts = counts.foldLeft(d) { case (acc, (l, c)) =>
+      acc.withColumn(s"c_$l", c)
+    }
+    val m = greatest(counts.map { case (l, _) => col(s"c_$l") }: _*)
+    val pred = counts.init.foldLeft(when(m === 0, lit("und"))) {
+      case (acc, (l, _)) => acc.when(col(s"c_$l") === m, lit(l))
+    }.otherwise(lit(counts.last._1))
+    withCounts.withColumn("pred_lang", pred)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** q23: content fingerprint (md5 of the normal form) + per-fingerprint
+    * cardinality via a window — the primitive exact dedup builds on. */
+  def q23Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .withColumn("fp", fingerprint(col("text")))
+    d.withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .select(col("doc_id"), col("fp"), col("n_same"))
+      .orderBy(col("doc_id"))
+  }
+}
