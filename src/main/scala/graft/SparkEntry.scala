@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, LoadQueries, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, LoadQueries, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +49,7 @@ object SparkEntry {
     "q34_cosine_pairs"     -> (Similarity.q34CosinePairs _),
     "q35_knn_brute"        -> (Similarity.q35KnnBrute _),
     "q36_knn_lsh"          -> (Similarity.q36KnnLsh _),
+    "q40_media_meta"       -> (Multimodal.q40MediaMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -255,6 +256,13 @@ object SparkEntry {
         |      ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
         |  FROM scored) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q40_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) * 3) % 480 AS INT) AS height,
+        |  substr(md5(text), 1, 16) AS content_hash
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 
   /** DuckDB SQL fragments shared by the text/dedup/similarity oracles —

@@ -14,6 +14,10 @@ sealed trait Dialect {
     s"${quote(schema)}.${quote(name)}"
   /** MERGE "no match on target" clause keyword. */
   def notMatchedClause: String
+  /** Left-hand side of a MERGE UPDATE SET assignment. SQL Server allows
+    * (and the reference emits) the target-qualified form `t.[c]`;
+    * Derby requires the unqualified column name. */
+  def setLhs(quotedIdent: String): String = s"t.$quotedIdent"
   /** Idempotent CREATE SCHEMA statement(s). */
   def createSchemaSql(schema: String): Seq[String]
   /** DROP TABLE IF EXISTS equivalent (Derby has no IF EXISTS). */
@@ -39,6 +43,7 @@ case object SqlServerDialect extends Dialect {
 case object DerbyDialect extends Dialect {
   def quote(ident: String): String = "\"" + ident.strip() + "\""
   def notMatchedClause: String = "WHEN NOT MATCHED"
+  override def setLhs(quotedIdent: String): String = quotedIdent
   def createSchemaSql(schema: String): Seq[String] =
     Seq(s"CREATE SCHEMA ${quote(schema)}")
   def dropTableSql(schema: String, name: String): String =

@@ -1,0 +1,38 @@
+package graft.sql
+
+import java.sql.{Connection, DriverManager}
+
+/** Raw-connection JDBC helpers (SURVEY.md §2 O9/O10/O21/O22): DDL,
+  * CREATE SCHEMA, MERGE — the statements Spark's JDBC writer cannot
+  * express. One connection per logical operation, driver-side only;
+  * bulk row traffic goes through the distributed JDBC writer instead.
+  */
+object JdbcOps {
+
+  def withConnection[A](url: String)(f: Connection => A): A = {
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+
+  /** Execute one statement, autocommit (reference db.py:104-119). */
+  def execute(url: String, stmt: String): Unit =
+    withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try st.execute(stmt) finally st.close()
+    }
+
+  /** Execute a statement, swallowing failures — for drops/creates that
+    * are idempotent by intent but whose engine lacks IF EXISTS (Derby). */
+  def executeIgnore(url: String, stmt: String): Unit =
+    try execute(url, stmt) catch { case _: java.sql.SQLException => () }
+
+  def queryCount(url: String, sql: String): Long =
+    withConnection(url) { conn =>
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(sql)
+        rs.next()
+        rs.getLong(1)
+      } finally st.close()
+    }
+}

@@ -33,7 +33,7 @@ final case class MergeBuilder(
 
   def updateClause: String =
     cols.filterNot(keys.contains)
-      .map(c => s"t.${dialect.quote(c)} = s.${dialect.quote(c)}")
+      .map(c => s"${dialect.setLhs(dialect.quote(c))} = s.${dialect.quote(c)}")
       .mkString(", ")
 
   def insertColumns: String = cols.map(dialect.quote).mkString("(", ", ", ")")

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming surface (SURVEY.md §2.2); these are
+  * the extension operators a live training-data feed needs. Each
+  * transform takes/returns a streaming DataFrame so the same code runs
+  * on `readStream` sources in production and on MemoryStream in tests;
+  * the batch twins in graft.operators.Relational (q13) compute the same
+  * answers over bounded data — the test suite cross-checks them.
+  *
+  * Scale notes: every stateful op below carries a watermark so state is
+  * bounded and evicted (no unbounded key growth at 100 TB/day);
+  * aggregations are keyed on (window, event_type) or user_id, which
+  * shuffle-partitions cleanly across 1000 executors.
+  */
+object StreamOps {
+
+  /** Tumbling one-hour windowed counts/sums per event type, 2h watermark
+    * for late data — the streaming twin of Relational.q13HourlyEvents. */
+  def hourlyEventStats(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Exactly-once event stream: drops duplicate event_ids that arrive
+    * within the watermark horizon (state auto-evicted past it). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Session windows per user: gap-based (30 min inactivity closes the
+    * session), built-in session_window keeps state bounded via the
+    * watermark. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long,
+      total_value: Double, burst: Boolean)
+  /** Public: the state encoder's codegen needs an accessible ctor. */
+  final case class RunningState(n: Long, total: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user
+    * totals with a "burst" flag when one micro-batch delivers more than
+    * `burstThreshold` events for a user.
+    *
+    * Pass `GroupStateTimeout.ProcessingTimeTimeout()` in production to
+    * evict idle users' state (bounded state at 100 TB/day). The default
+    * is NoTimeout because a processing-time timeout makes the
+    * micro-batch engine schedule continuous empty batches — fine on a
+    * cluster, but it never quiesces under test harnesses that wait for
+    * processAllAvailable. */
+  def runningUserTotals(events: Dataset[UserEvent],
+      burstThreshold: Int = 10,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout())
+      : Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    val evictIdle = timeout == GroupStateTimeout.ProcessingTimeTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunningState, UserRunning](
+        OutputMode.Append(), timeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[RunningState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = batch.toSeq
+            val prev = state.getOption.getOrElse(RunningState(0L, 0.0))
+            val next = RunningState(prev.n + evs.size,
+              prev.total + evs.map(_.value).sum)
+            state.update(next)
+            if (evictIdle) state.setTimeoutDuration("1 hour")
+            Iterator.single(UserRunning(userId, next.n, next.total,
+              evs.size > burstThreshold))
+          }
+      }
+  }
+}

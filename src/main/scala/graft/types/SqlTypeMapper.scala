@@ -52,8 +52,10 @@ object SqlTypeMapper {
     df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
         case _: DayTimeIntervalType =>
-          // DayTimeIntervalType is microseconds internally; cast via long.
-          acc.withColumn(f.name, col(f.name).cast(LongType).cast(DoubleType) / 1e6)
+          // Cast interval → decimal yields seconds with fractional micros
+          // (cast → long would truncate to whole seconds).
+          acc.withColumn(f.name,
+            col(f.name).cast(DecimalType(24, 6)).cast(DoubleType))
         case _ => acc
       }
     }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+
+/** Dedup operator behavior on the real documents fixture (sf0.001) plus
+  * synthetic planted cases. The LSH paths must agree with the exact
+  * brute-force computation — MinHash banding at these parameters has a
+  * ~4e-8 miss probability per true pair; SimHash banding is exact by
+  * pigeonhole. */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("exactDedup keeps exactly one deterministic row per fingerprint") {
+    val df = Seq(
+      (1L, "the cat  sat"), (2L, "THE CAT SAT"), (3L, "other text here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDedup(
+      df.withColumn("fp", fingerprint(col("text"))),
+      col("fp"), Seq(col("doc_id")))
+    // normalization collapses case+whitespace → docs 1,2 collide; keeper
+    // is the smallest doc_id
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+  }
+
+  test("minhash LSH pairs == exact-Jaccard pairs at threshold 0.5") {
+    val exact = {
+      val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+        .filter(size(col("sh")) > 0)
+      docs.as("l").join(docs.as("r"), col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          jaccard(col("l.sh"), col("r.sh")).as("j"))
+        .filter(col("j") >= 0.5)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    }
+    val lsh = Dedup.q31MinHashDedup(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh === exact)
+    assert(lsh.nonEmpty) // the fixture has planted near-dups
+  }
+
+  test("simhash banded pairs == exact-Hamming pairs at threshold 8") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sh = Dedup.simhashes(docs)
+    val exact = sh.as("l").join(sh.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("h"))
+      .filter(col("h") <= Dedup.hammingThreshold)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val banded = Dedup.q32SimHashDedup(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(banded === exact)
+    assert(banded.nonEmpty)
+  }
+
+  test("minhash and simhash both surface the strong planted near-dups") {
+    val mh = Dedup.q31MinHashDedup(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sh = Dedup.q32SimHashDedup(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // Different similarity spaces need not agree pair-for-pair on
+    // borderline cases, but both must find a substantial overlap of the
+    // planted strong near-dups.
+    assert(mh.nonEmpty && sh.nonEmpty)
+    val overlap = (mh intersect sh).size.toDouble / math.min(mh.size, sh.size)
+    info(f"minhash=${mh.size} simhash=${sh.size} overlap=$overlap%.2f")
+    assert(overlap >= 0.8)
+  }
+
+  test("source-scoped jaccard join only pairs within a source") {
+    val rows = Dedup.q33SourceJaccard(spark, sfDir).collect()
+    val bySource = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      assert(bySource(r.getLong(1)) === r.getString(0))
+      assert(bySource(r.getLong(2)) === r.getString(0))
+      assert(r.getDouble(3) >= 0.9)
+    }
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("cosine of a vector with itself is 1") {
+    val df = Seq(Tuple1(Array(1.0f, 2.0f, 3.0f))).toDF("v")
+    val got = df.select(Similarity.cosine(col("v"), col("v"))).head().getDouble(0)
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("cosine matches a hand computation") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(got - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("brute-force knn returns k ranked neighbors per query") {
+    val knn = Similarity.q35KnnBrute(spark, sfDir).collect()
+    val byQuery = knn.groupBy(_.getLong(0))
+    assert(byQuery.size === Similarity.knnQueries)
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to Similarity.k))
+      // ranks ordered by non-increasing cosine
+      val cos = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN recall@5 against brute force is usable") {
+    val brute = Similarity.q35KnnBrute(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.q36KnnLsh(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    info(f"LSH ANN recall@5 = $recall%.2f")
+    // 6 tables × 4 bits on weakly-similar gaussian vectors: expect ~0.5+;
+    // assert a conservative floor so the test is stable.
+    assert(recall >= 0.3)
+  }
+
+  test("cosine-pair join is symmetric-free (a < b) and thresholded") {
+    val rows = Similarity.q34CosinePairs(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= Similarity.pairThreshold)
+    }
+  }
+}

@@ -1,0 +1,54 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-text tests for MERGE synthesis — semantics of reference
+  * db.py:36-53 (match on all id cols, matched → UPDATE non-id cols,
+  * not matched → INSERT all cols, never delete), including the
+  * bracket-quoted spaces-in-names case (reference
+  * tests/test_upsert.py:137-169). */
+class MergeBuilderSpec extends AnyFunSuite {
+
+  test("single-key MERGE against SQL Server dialect") {
+    val m = MergeBuilder("sample", "dbo", Seq("id"), Seq("id", "name", "val"))
+    assert(m.mergeStatement ===
+      "MERGE INTO [dbo].[sample] t USING [staging].[sample] s " +
+        "ON s.[id] = t.[id] " +
+        "WHEN MATCHED THEN UPDATE SET t.[name] = s.[name], t.[val] = s.[val] " +
+        "WHEN NOT MATCHED BY TARGET THEN INSERT ([id], [name], [val]) " +
+        "VALUES (s.[id], s.[name], s.[val])")
+  }
+
+  test("multi-column key joins on the conjunction of all keys") {
+    val m = MergeBuilder("t", "s", Seq("k1", "k2"), Seq("k1", "k2", "v"))
+    assert(m.onClause === "s.[k1] = t.[k1] AND s.[k2] = t.[k2]")
+    assert(m.updateClause === "t.[v] = s.[v]")
+  }
+
+  test("spaces in column names stay bracket-quoted") {
+    val m = MergeBuilder("t", "s", Seq("id"), Seq("id", "col a"))
+    assert(m.updateClause === "t.[col a] = s.[col a]")
+    assert(m.insertColumns === "([id], [col a])")
+  }
+
+  test("column-name whitespace is stripped (reference db.py:18)") {
+    val m = MergeBuilder("t", "s", Seq(" id "), Seq(" id ", " v "))
+    assert(m.onClause === "s.[id] = t.[id]")
+  }
+
+  test("all-key table emits no UPDATE clause") {
+    val m = MergeBuilder("t", "s", Seq("id"), Seq("id"))
+    assert(!m.mergeStatement.contains("WHEN MATCHED"))
+  }
+
+  test("Derby dialect: unqualified SET lhs, double-quote idents") {
+    val m = MergeBuilder("t", "s", Seq("id"), Seq("id", "v"),
+      dialect = DerbyDialect)
+    assert(m.mergeStatement ===
+      "MERGE INTO \"s\".\"t\" t USING \"staging\".\"t\" s " +
+        "ON s.\"id\" = t.\"id\" " +
+        "WHEN MATCHED THEN UPDATE SET \"v\" = s.\"v\" " +
+        "WHEN NOT MATCHED THEN INSERT (\"id\", \"v\") " +
+        "VALUES (s.\"id\", s.\"v\")")
+  }
+}

@@ -1,0 +1,85 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.checks.Validations.Method
+
+/** Hermetic JDBC round-trip against embedded Derby — the stand-in for
+  * the reference's live-Azure integration suite (SURVEY.md §5): write
+  * via the sink, read back over JDBC, compare with goldens. Exercises
+  * O9/O10/O12/O13/O14/O21/O22 in one path. */
+class SqlSinkDerbySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  private def cfg(table: String, method: Method,
+      ids: Seq[String] = Nil) =
+    SqlSink.Config(url, table, "app_s", method, ids,
+      dialect = DerbyDialect, numPartitions = Some(2))
+
+  private def readBack(table: String, schema: String = "app_s") =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", s""""$schema"."$table"""")
+      .load()
+
+  test("create: DDL-replace + distributed append, round-trips") {
+    val df = Seq((1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5))
+      .toDF("id", "name", "val")
+    assert(SqlSink.write(df, cfg("t_create", Method.Create)))
+    val got = readBack("t_create").orderBy("id")
+      .as[(Int, String, java.math.BigDecimal)].collect()
+    assert(got.map(_._1).toSeq === Seq(1, 2, 3))
+    // doubles land as NUMERIC(18,2) — server-side rounding is the
+    // reference contract (SURVEY.md §7.4 trap 8)
+    assert(got.map(_._3.doubleValue).toSeq === Seq(1.5, 2.5, 3.5))
+  }
+
+  test("create replaces the table on every call (reference export.py:169)") {
+    val df1 = Seq((1, "x")).toDF("id", "v")
+    val df2 = Seq((7, "y"), (8, "z")).toDF("id", "v")
+    SqlSink.write(df1, cfg("t_replace", Method.Create))
+    SqlSink.write(df2, cfg("t_replace", Method.Create))
+    assert(readBack("t_replace").as[(Int, String)].collect().map(_._1)
+      .sorted.toSeq === Seq(7, 8))
+  }
+
+  test("append inserts without DDL") {
+    val df1 = Seq((1, "x")).toDF("id", "v")
+    val df2 = Seq((2, "y")).toDF("id", "v")
+    SqlSink.write(df1, cfg("t_app", Method.Create))
+    SqlSink.write(df2, cfg("t_app", Method.Append))
+    assert(readBack("t_app").count() === 2)
+  }
+
+  test("upsert golden: {1,3,4} merge {1,3,5,6} → {1,3,4,5,6}, row 1 " +
+    "replaced (reference tests/test_upsert.py:17-48)") {
+    val target = Seq((1, "o1", 10), (3, "o3", 30), (4, "o4", 40))
+      .toDF("id", "v", "n")
+    val source = Seq((1, "n1", 11), (3, "n3", 33), (5, "n5", 55),
+      (6, "n6", 66)).toDF("id", "v", "n")
+    SqlSink.write(target, cfg("t_up", Method.Create))
+    SqlSink.write(source, cfg("t_up", Method.Upsert, Seq("id")))
+    val got = readBack("t_up").orderBy("id")
+      .as[(Int, String, Int)].collect().toSeq
+    assert(got === Seq((1, "n1", 11), (3, "n3", 33), (4, "o4", 40),
+      (5, "n5", 55), (6, "n6", 66)))
+    // staging cleaned up (cleanStaging = true default)
+    assertThrows[Exception] { readBack("t_up", "staging").collect() }
+  }
+
+  test("upsert with duplicate keys in the source is rejected") {
+    val target = Seq((1, "a")).toDF("id", "v")
+    val source = Seq((1, "b"), (1, "c")).toDF("id", "v")
+    SqlSink.write(target, cfg("t_dup", Method.Create))
+    assertThrows[graft.checks.UpsertError] {
+      SqlSink.write(source, cfg("t_dup", Method.Upsert, Seq("id")))
+    }
+  }
+
+  test("empty input is a no-op (reference export.py:96-99)") {
+    val empty = Seq.empty[(Int, String)].toDF("id", "v")
+    assert(!SqlSink.write(empty, cfg("t_empty", Method.Create)))
+  }
+}

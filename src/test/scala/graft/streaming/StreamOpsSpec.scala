@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.StreamOps.UserEvent
+
+/** Streaming ops driven through MemoryStream; the windowed aggregation is
+  * cross-checked against the equivalent batch computation (same
+  * expressions as Relational.q13HourlyEvents). */
+class StreamOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String,
+      value: Double): UserEvent =
+    UserEvent(id, new Timestamp(minute * 60000L), user, typ, value)
+
+  test("hourly windowed stats match the batch twin") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[UserEvent]
+    val q = StreamOps.hourlyEventStats(ms.toDF())
+      .writeStream.format("memory").queryName("hourly_t")
+      .outputMode("complete").start()
+    try {
+      val events = Seq(
+        ev(1, 10, 1, "click", 1.0), ev(2, 20, 1, "click", 2.0),
+        ev(3, 70, 2, "view", 3.0), ev(4, 80, 2, "click", 4.0),
+        ev(5, 130, 3, "view", 5.0))
+      ms.addData(events)
+      q.processAllAvailable()
+      val got = spark.table("hourly_t")
+        .select("hour_start", "event_type", "n_events", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val want = events.toDF()
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(got === want)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes same-id events") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[UserEvent]
+    val q = StreamOps.dedupEvents(ms.toDF())
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(ev(1, 10, 1, "a", 1.0), ev(2, 11, 1, "b", 1.0)))
+      q.processAllAvailable()
+      // same event_id arrives again (retry/replay) → dropped
+      ms.addData(Seq(ev(1, 12, 1, "a", 1.0), ev(3, 13, 2, "c", 1.0)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_t").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("session windows close after the 30-minute gap") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[UserEvent]
+    val q = StreamOps.userSessions(ms.toDF())
+      .writeStream.format("memory").queryName("sess_t")
+      .outputMode("append").start()
+    try {
+      // user 1: events at t=0,10 (one session), then t=120 (a second)
+      ms.addData(Seq(ev(1, 0, 1, "a", 1.0), ev(2, 10, 1, "a", 2.0),
+        ev(3, 120, 1, "a", 4.0)))
+      q.processAllAvailable()
+      // watermark pusher: a much later event finalizes everything above
+      ms.addData(Seq(ev(9, 600, 9, "z", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("sess_t")
+        .filter(col("user_id") === 1)
+        .select("n_events", "sum_value")
+        .as[(Long, Double)].collect().sortBy(_._1)
+      assert(got.toSeq === Seq((1L, 4.0), (2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user totals") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[UserEvent]
+    val q = StreamOps.runningUserTotals(ms.toDS(), burstThreshold = 2)
+      .writeStream.format("memory").queryName("run_t")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(ev(1, 1, 1, "a", 1.0), ev(2, 2, 1, "a", 2.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(3, 3, 1, "a", 3.0), ev(4, 4, 2, "b", 4.0)))
+      q.processAllAvailable()
+      val got = spark.table("run_t")
+        .select("user_id", "n_events", "total_value", "burst")
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      assert(got === Set(
+        (1L, 2L, 3.0, false),  // first batch: 2 events (== threshold, no burst)
+        (1L, 3L, 6.0, false),  // running total carries state
+        (2L, 1L, 4.0, false)))
+    } finally q.stop()
+  }
+}
