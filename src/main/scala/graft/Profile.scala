@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Scratch profiling main (not part of the driver contract). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    t("shingled.count")(docs.count())
+    t("shingled.again")(docs.count())
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    t("exploded.count")(ex.count())
+    val bands = Dedup.minhashBands(docs)
+    t("minhashBands.count")(bands.count())
+    val cand = Dedup.lshCandidates(bands)
+    t("lshCandidates.count")(cand.count())
+    t("q31 full")(Dedup.q31MinHashDedup(spark, sfDir).count())
+    val sh = Dedup.simhashes(docs)
+    t("simhashes.count")(sh.count())
+    t("q32 full")(Dedup.q32SimHashDedup(spark, sfDir).count())
+    spark.stop()
+  }
+}

@@ -28,15 +28,16 @@ object TextFunctions {
     * Spark and DuckDB emit lowercase hex). */
   def fingerprint(c: Column): Column = md5(normText(c))
 
-  /** Distinct 3-word shingles over a token array (empty when < 3 tokens). */
-  def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
-        concat_ws(" ",
-          element_at(toks, i),
-          element_at(toks, i + 1),
-          element_at(toks, i + 2)))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct 3-word shingles of raw text (empty when < 3 tokens) —
+    * single-pass native expression over the normal form; equivalent to
+    * array_distinct over concat'd token windows but ~100× faster (see
+    * [[WordShingles]]). */
+  def shingles3(text: Column): Column = wordShingles(text, 3)
+
+  def wordShingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(WordShingles(Bridge.expression(normText(text)), n))
+  }
 
   /** 60-bit stable hash of a string: first 15 hex chars of md5, parsed
     * base-16. Engine-portable (DuckDB: CAST('0x'||substr(md5(s),1,15)

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word n-gram shingles of a pre-normalized (single-spaced)
+  * string, as one pass over the bytes.
+  *
+  * Replaces the `transform(sequence(...), i -> concat_ws(...))` +
+  * `array_distinct` higher-order pipeline: HOFs evaluate an interpreted
+  * lambda per element with boxed indices (measured ~3 ms/doc at 1k
+  * tokens — the entire cost of the dedup queries). This expression is
+  * CodegenFallback too, but its eval is a single tight Scala loop with
+  * a hash set — no per-element expression-tree walking, ~100× cheaper,
+  * and one expression node instead of a five-deep HOF stack.
+  *
+  * Output order is first occurrence, matching array_distinct; element
+  * strings are identical to the HOF form (tokens joined by one space),
+  * so DuckDB oracles reproduce them exactly.
+  */
+final case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val toks = s.split(' ')
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -69,20 +69,28 @@ object Dedup {
     * cannot be near-dups and are dropped. */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** LSH band signatures: (doc_id, band, sig), numBands rows per doc. */
+  /** LSH band signatures: (doc_id, band, sig), numBands rows per doc.
+    *
+    * Shape: explode shingles → 64 permuted hashes per (doc, shingle) row
+    * as plain projections → 64-way min hash-aggregate on doc_id. All
+    * codegen'd arithmetic — the higher-order-function form
+    * (array_min over transform) is CodegenFallback and was measured 30×
+    * slower at sf0.1. One shuffle on doc_id, then bands explode. */
   def minhashBands(docs: DataFrame): DataFrame = {
-    val withXs = docs.withColumn("xs",
-      transform(col("sh"), s => xxhash64(s).bitwiseAND(lit(0xFFFFFFFFL))))
-    val mh: Seq[Column] = coeffs.map { case (a, b) =>
-      array_min(transform(col("xs"), x => (x * a + b) % P))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("x", xxhash64(col("s")).bitwiseAND(lit(0xFFFFFFFFL)))
+    val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min((col("x") * a + b) % P).as(s"mh$i")
     }
+    val mh = ex.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val bands: Seq[Column] = (0 until numBands).map { j =>
-      xxhash64((lit(j) +: mh.slice(rowsPerBand * j, rowsPerBand * (j + 1))): _*)
+      xxhash64((lit(j) +: (rowsPerBand * j until rowsPerBand * (j + 1))
+        .map(i => col(s"mh$i"))): _*)
     }
-    withXs.select(col("doc_id"), posexplode(array(bands: _*)))
+    mh.select(col("doc_id"), posexplode(array(bands: _*)))
       .toDF("doc_id", "band", "sig")
   }
 
@@ -157,21 +165,33 @@ object Dedup {
 
   // --- token-set Jaccard join ---------------------------------------------
 
-  /** q33: within-source unigram-token Jaccard similarity join (≥ 0.9).
-    * The join key is `source` — the partition-scoped dedup pattern: at
-    * 100 TB the quadratic pair generation is bounded per source shard,
-    * never global. */
+  /** q33: within-source unigram-token Jaccard similarity join (≥ 0.9),
+    * via the inverted index: explode distinct tokens, equality-join on
+    * (source, token), count shared tokens per pair, then Jaccard from
+    * the per-doc set sizes. No array-vs-array work in the pair loop —
+    * everything is codegen'd joins/aggregates (the array_intersect
+    * formulation measured 20 s at sf0.1; this runs in ~2 s). Pairs
+    * sharing zero tokens never materialize, which is the whole point at
+    * 100 TB where real vocabularies make the index sparse. */
   def q33SourceJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("source"), col("doc_id"),
         array_distinct(tokens(col("text"))).as("ts"))
-    d.as("l")
-      .join(d.as("r"),
-        col("l.source") === col("r.source") &&
+    val sizes = d.select(col("doc_id"), size(col("ts")).as("n"))
+    val inv = d.select(col("source"), col("doc_id"), explode(col("ts")).as("tok"))
+    val inter = inv.as("l")
+      .join(inv.as("r"),
+        col("l.source") === col("r.source") && col("l.tok") === col("r.tok") &&
           col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.source").as("source"),
-        col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        jaccard(col("l.ts"), col("r.ts")).as("jaccard"))
+      .groupBy(col("l.source").as("source"),
+        col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
+          .as("jaccard"))
       .filter(col("jaccard") >= 0.9)
       .orderBy(col("source"), col("doc_a"), col("doc_b"))
   }

@@ -24,15 +24,11 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double.
-    * Written as single IEEE ops (fold left, one division) so any engine
-    * evaluating the same tree bit-agrees. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity of two float-array columns, computed in double
+    * via the codegen'd [[graft.functions.VectorFunctions.dotD]] (single
+    * IEEE ops, left-to-right fold — bit-stable across engines). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineD(a, b)
 
   val pairThreshold = 0.42
   val knnQueries = 10 // vec_id < 10 are the query batch
@@ -41,14 +37,27 @@ object Similarity {
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "embeddings")
 
+  import graft.functions.VectorFunctions.dotD
+
+  /** (vec_id, v: array<double>, nrm): norms are computed ONCE per vector
+    * before any pairwise join — the pair-level work drops to a single
+    * codegen'd dot product + one division. Bit-identical to computing
+    * the norm per pair (same expression over the same data). */
+  private def prepped(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    emb(spark, sfDir).select(col("vec_id"), v.as("v"),
+      sqrt(dotD(v, v)).as("nrm"))
+  }
+
   /** q34: embedding near-duplicate pairs — all pairs with cosine ≥ 0.42.
     * Brute-force exact baseline (self-join); the scale path for the same
     * predicate is [[q36KnnLsh]]-style bucketing. */
   def q34CosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = emb(spark, sfDir)
+    val e = prepped(spark, sfDir)
     e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-        cosine(col("l.embedding"), col("r.embedding")).as("cosine"))
+        (dotD(col("l.v"), col("r.v")) / (col("l.nrm") * col("r.nrm")))
+          .as("cosine"))
       .filter(col("cosine") >= pairThreshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -56,12 +65,14 @@ object Similarity {
   /** q35: brute-force top-k cosine neighbors for the query batch
     * (vec_id < 10), deterministic tie-break on neighbor id. */
   def q35KnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = emb(spark, sfDir)
+    val e = prepped(spark, sfDir)
     val q = e.filter(col("vec_id") < knnQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
     val scored = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("embedding")).as("cosine"))
+        (dotD(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -82,22 +93,21 @@ object Similarity {
     Array.fill(lshTables, lshBitsPerTable, dim)(rng.nextGaussian())
   }
 
-  /** Sign-bucket id of an embedding under table t's hyperplanes. */
+  /** Sign-bucket id of a double-array embedding under table t's
+    * hyperplanes (codegen'd dot per plane). */
   private def bucket(v: Column, t: Int): Column =
     (0 until lshBitsPerTable).map { j =>
       val plane = array(planes(t)(j).map(lit): _*)
-      val proj = aggregate(
-        zip_with(v, plane, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, lit(1 << j)).otherwise(lit(0))
+      when(dotD(v, plane) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** (vec_id, embedding, table, bucket) — lshTables rows per vector. */
-  def lshBuckets(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until lshTables).map(t =>
-        bucket(col("embedding"), t)): _*)))
+  def lshBuckets(e: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    e.select(col("vec_id"), v.as("embedding"),
+      posexplode(array((0 until lshTables).map(t => bucket(v, t)): _*)))
       .toDF("vec_id", "embedding", "table", "bucket")
+  }
 
   /** q36: ANN top-k — candidates share an LSH bucket in ≥ 1 table with
     * the query, then exact cosine re-rank. Approximate (recall measured

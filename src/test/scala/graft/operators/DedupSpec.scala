@@ -29,7 +29,7 @@ class DedupSpec extends SparkSpec {
   test("minhash LSH pairs == exact-Jaccard pairs at threshold 0.5") {
     val exact = {
       val docs = graft.sources.Tables.load(spark, sfDir, "documents")
-        .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+        .select(col("doc_id"), shingles3(col("text")).as("sh"))
         .filter(size(col("sh")) > 0)
       docs.as("l").join(docs.as("r"), col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
@@ -45,7 +45,7 @@ class DedupSpec extends SparkSpec {
 
   test("simhash banded pairs == exact-Hamming pairs at threshold 8") {
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), shingles3(tokens(col("text"))).as("sh"))
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
     val sh = Dedup.simhashes(docs)
     val exact = sh.as("l").join(sh.as("r"), col("l.doc_id") < col("r.doc_id"))
