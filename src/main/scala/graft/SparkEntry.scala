@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, LoadQueries, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Advanced, Dedup, LoadQueries, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,9 @@ object SparkEntry {
     "q35_knn_brute"        -> (Similarity.q35KnnBrute _),
     "q36_knn_lsh"          -> (Similarity.q36KnnLsh _),
     "q40_media_meta"       -> (Multimodal.q40MediaMeta _),
+    "q24_top_tokens"       -> (Advanced.q24TopTokens _),
+    "q37_label_centroids"  -> (Advanced.q37LabelCentroids _),
+    "q38_asof_join"        -> (Advanced.q38AsofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -263,6 +266,32 @@ object SparkEntry {
         |  CAST((octet_length(encode(text)) * 3) % 480 AS INT) AS height,
         |  substr(md5(text), 1, 16) AS content_hash
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q24_top_tokens" ->
+      s"""SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest($toksSql) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q37_label_centroids" ->
+      """WITH e AS (SELECT label,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |    unnest(embedding) AS v
+        |  FROM embeddings)
+        |SELECT label, pos,
+        |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / 1000000.0 / COUNT(*) AS centroid,
+        |  COUNT(*) AS n_vecs
+        |FROM e GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
+    "q38_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey FROM orders
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey) = 1)
+        |SELECT e.event_id, e.user_id, date_trunc('microseconds', e.ts) AS ts,
+        |  r.o_orderkey AS asof_orderkey, r.o_orderdate AS asof_orderdate
+        |FROM events e
+        |ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
+        |ORDER BY event_id""".stripMargin,
   )
 
   /** DuckDB SQL fragments shared by the text/dedup/similarity oracles —

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Corpus statistics, vector aggregation, and the as-of join — operators
+  * beyond the reference surface that a training-data pipeline needs.
+  */
+object Advanced {
+
+  /** q24: heavy hitters — top-20 tokens by occurrence (with duplicates,
+    * i.e. term frequency). One explode + one hash aggregate; at 100 TB
+    * this is the map-side-combinable shape (partial counts per
+    * partition, tiny shuffle on the token key). */
+  def q24TopTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+
+  /** q37: per-label embedding centroids as (label, pos, centroid) rows.
+    *
+    * Elements are quantized to fixed point (floor(v·1e6), at the float
+    * noise floor) and summed as LONGs, so the aggregation is exact and
+    * order-independent — double sums would differ per partitioning and
+    * never hash-match an oracle, and engines disagree on float→DECIMAL
+    * casts. The exact-fixed-point-sum pattern is also the right one for
+    * a 1000-executor cluster: bit-identical results at any parallelism. */
+  def q37LabelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        (sum(floor(col("v").cast("double") * 1e6).cast("long"))
+          .cast("double") / 1000000.0 / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("pos"))
+
+  /** q38: as-of join — each event picks the latest order of the same
+    * customer with o_orderdate <= ts (LEFT semantics: events without
+    * any qualifying order keep nulls).
+    *
+    * Spark has no ASOF JOIN operator; the scalable composition is the
+    * union trick: tag order rows R and event rows L, sort each customer
+    * partition by (time, tag) so an R at time t precedes an L at the
+    * same t (inclusive <=), and carry the last seen order forward with
+    * last(..., ignoreNulls) over an unbounded-preceding window. One
+    * shuffle + one sort per key — no range cross join, no per-row probe;
+    * this is how the pattern survives 100 TB. The right side is deduped
+    * per (custkey, orderdate) with a deterministic keeper first, because
+    * as-of tie-breaks would otherwise be engine-defined. */
+  def q38AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val events = Tables.load(spark, sfDir, "events")
+
+    val keeper = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+    val r = orders
+      .withColumn("__rn", row_number().over(keeper))
+      .filter(col("__rn") === 1)
+      .select(
+        col("o_custkey").as("key"),
+        col("o_orderdate").as("t"),
+        lit(0).as("tag"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("timestamp").as("ts"),
+        col("o_orderkey"),
+        col("o_orderdate"))
+    val l = events.select(
+      col("user_id").as("key"),
+      col("ts").as("t"),
+      lit(1).as("tag"),
+      col("event_id"),
+      col("ts"),
+      lit(null).cast("long").as("o_orderkey"),
+      lit(null).cast("timestamp").as("o_orderdate"))
+
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("t"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_orderdate", last(col("o_orderdate"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("key").as("user_id"), col("ts"),
+        col("asof_orderkey"), col("asof_orderdate"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -18,8 +18,9 @@ object Tables {
   /** The events table carries a parquet TIMESTAMP(NANOS) column, which
     * Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long
     * (legacy conf) and surface a proper TimestampType truncated to
-    * microseconds — the generator emits microsecond-precision values, so
-    * the truncation is lossless and matches the DuckDB oracle's view.
+    * microseconds. Some rows carry sub-microsecond digits, so the
+    * truncation MUST be integer floor (`DIV 1000`) — `/ 1000` is double
+    * division whose rounding disagrees with an oracle that truncates.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -27,7 +28,7 @@ object Tables {
     import org.apache.spark.sql.functions._
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ => raw
     }
   }
