@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+class FunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("normText collapses whitespace, trims, lowercases") {
+    val got = Seq("  A  b\t\nC ").toDF("t")
+      .select(normText(col("t"))).head().getString(0)
+    assert(got === "a b c")
+  }
+
+  test("tokens splits the normal form on non-whitespace runs") {
+    val got = Seq("the  QUICK\nfox").toDF("t")
+      .select(tokens(col("t"))).head().getSeq[String](0)
+    assert(got === Seq("the", "quick", "fox"))
+  }
+
+  test("WordShingles matches the HOF formulation exactly") {
+    val df = Seq(
+      "a b c d e",
+      "x y",                  // < 3 tokens → empty
+      "a b c a b c a b c",    // repeats → distinct shingles
+      "").toDF("t")
+    val native = df.select(shingles3(col("t"))).collect()
+      .map(_.getSeq[String](0))
+    val hof = df.select(
+      when(size(tokens(col("t"))) >= 3,
+        array_distinct(transform(
+          sequence(lit(1), size(tokens(col("t"))) - 2), i =>
+            concat_ws(" ",
+              element_at(tokens(col("t")), i),
+              element_at(tokens(col("t")), i + 1),
+              element_at(tokens(col("t")), i + 2)))))
+        .otherwise(array().cast("array<string>"))).collect()
+      .map(_.getSeq[String](0))
+    native.zip(hof).foreach { case (n, h) => assert(n === h) }
+    assert(native(0) === Seq("a b c", "b c d", "c d e"))
+    assert(native(1) === Seq.empty)
+    assert(native(2) === Seq("a b c", "b c a", "c a b"))
+  }
+
+  test("dotD matches the interpreted fold bit-for-bit") {
+    val df = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val both = df.select(
+      dotD(col("v"), col("v")).as("native"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ===
+        java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
+  test("h60 parses the first 15 md5 hex chars") {
+    val got = Seq("abc").toDF("t").select(h60(col("t"))).head().getLong(0)
+    val want = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("abc".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    assert(got === want)
+  }
+
+  test("jaccard: identical, disjoint, and partial overlap") {
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b")),
+      (Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val got = df.select(jaccard(col("x"), col("y"))).as[Double].collect()
+    assert(got(0) === 1.0)
+    assert(got(1) === 0.0)
+    assert(got(2) === 0.5)
+  }
+}
