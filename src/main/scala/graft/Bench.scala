@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT/codegen paths and parquet footers, so the
+    // first measured query doesn't absorb session startup.
+    spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    graft.sources.Tables.all.foreach { t =>
+      try graft.sources.Tables.load(spark, sfDir, t).limit(1).collect()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write materializes every row through the FULL plan —

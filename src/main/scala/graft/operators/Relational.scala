@@ -63,9 +63,12 @@ object Relational {
       .filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.load(spark, sfDir, "orders")
     val li = Tables.load(spark, sfDir, "lineitem")
-    // customer is ~1/100 of lineitem → broadcast both dim joins; the
-    // lineitem side never shuffles.
-    li.join(broadcast(ord), li("l_orderkey") === ord("o_orderkey"))
+    // customer (filtered to one segment) is the only true dim here —
+    // broadcast it. orders is a FACT table: at 100 TB broadcasting it
+    // would OOM every executor, so lineitem⋈orders stays a shuffle
+    // (sort-merge/shuffled-hash) join on the order key; AQE upgrades it
+    // to broadcast at small scale factors on its own.
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("o_date"))
       .agg(sum(d(col("l_extendedprice")) * (lit(1).cast(dec) - d(col("l_discount"))))
