@@ -51,6 +51,7 @@ object SparkEntry {
     "q36_knn_lsh"          -> (Similarity.q36KnnLsh _),
     "q40_media_meta"       -> (Multimodal.q40MediaMeta _),
     "q24_top_tokens"       -> (Advanced.q24TopTokens _),
+    "q39_sessions"         -> (Advanced.q39Sessions _),
     "q37_label_centroids"  -> (Advanced.q37LabelCentroids _),
     "q38_asof_join"        -> (Advanced.q38AsofJoin _),
   )
@@ -292,6 +293,24 @@ object SparkEntry {
         |ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND r.o_orderdate <= e.ts
         |ORDER BY event_id""".stripMargin,
+    "q39_sessions" ->
+      """WITH o AS (SELECT event_id, user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS ns
+        |  FROM o),
+        |s AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_id
+        |  FROM f)
+        |SELECT user_id, session_id,
+        |  date_trunc('microseconds', min(ts)) AS session_start,
+        |  date_trunc('microseconds', max(ts)) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
   )
 
   /** DuckDB SQL fragments shared by the text/dedup/similarity oracles —

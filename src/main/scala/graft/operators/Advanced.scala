@@ -42,6 +42,35 @@ object Advanced {
         count(lit(1)).as("n_vecs"))
       .orderBy(col("label"), col("pos"))
 
+  /** q39: batch sessionization — gaps-and-islands. Sessions split at a
+    * 30-minute inactivity gap; session id is the running count of gap
+    * flags per user. Two windows over the same (user_id, ts, event_id)
+    * sort order — Spark reuses the sort — then one aggregate. This is
+    * the batch twin of [[graft.streaming.StreamOps.userSessions]]
+    * (session ends here are max(ts), not max(ts)+gap).
+    */
+  def q39Sessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = ev.withColumn("prev_ts", lag(col("ts"), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 30L * 60 * 1000000,
+          1).otherwise(0))
+    flagged
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** q38: as-of join — each event picks the latest order of the same
     * customer with o_orderdate <= ts (LEFT semantics: events without
     * any qualifying order keep nulls).

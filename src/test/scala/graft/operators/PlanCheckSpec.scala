@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan-shape regression checks — the properties that keep these
+  * operators viable at 100 TB, asserted against the physical plan so a
+  * refactor can't silently reintroduce a cross join or lose pushdown. */
+class PlanCheckSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.sparkPlan.toString
+
+  private def scanInfo(df: org.apache.spark.sql.DataFrame): String =
+    // physical plan only — the analyzed logical plan would list every
+    // relation column and defeat the pruning assertion
+    df.queryExecution.executedPlan.toString
+
+  test("q6: filters reach the parquet scan and columns are pruned") {
+    val df = Relational.q6ForecastRevenue(spark, sfDir)
+    val s = scanInfo(df)
+    assert(s.contains("PushedFilters:"))
+    // pruned read schema: only the 4 referenced columns, no returnflag
+    assert(s.contains("l_shipdate") && !s.contains("l_returnflag"))
+  }
+
+  test("q4: dimension chain joins are broadcast, fact side never shuffles") {
+    val p = plan(Relational.q4RegionSuppliers(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("LSH dedup queries contain no cartesian/nested-loop join") {
+    Seq(
+      Dedup.q31MinHashDedup(spark, sfDir),
+      Dedup.q32SimHashDedup(spark, sfDir),
+      Dedup.q33SourceJaccard(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p.linesIterator.next())
+      assert(!p.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
+  test("q34/q35 use the native dot product, not interpreted HOFs") {
+    Seq(
+      Similarity.q34CosinePairs(spark, sfDir),
+      Similarity.q35KnnBrute(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("dot_f64"))
+      assert(!p.contains("aggregate(zip_with"))
+    }
+  }
+
+  test("q38 as-of join is one window pass — no range join anywhere") {
+    val p = plan(Advanced.q38AsofJoin(spark, sfDir))
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q1 aggregates run map-side partial first") {
+    val p = plan(Relational.q1PricingSummary(spark, sfDir))
+    assert(p.contains("partial_sum") || p.contains("partial"))
+  }
+}

@@ -86,6 +86,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: hourly stats over real event parquet match batch") {
+    // exercise the real readStream wiring (schema-locked parquet source),
+    // not just MemoryStream
+    val batchDf = graft.sources.Tables.events(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    batchDf.write.mode("overwrite").parquet(dir)
+    val streamDf = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val q = StreamOps.hourlyEventStats(streamDf)
+      .writeStream.format("memory").queryName("hourly_file")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_file")
+        .select("hour_start", "event_type", "n_events", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val want = batchDf
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[UserEvent]
