@@ -49,6 +49,7 @@ object SparkEntry {
     "q34_cosine_pairs"     -> (Similarity.q34CosinePairs _),
     "q35_knn_brute"        -> (Similarity.q35KnnBrute _),
     "q36_knn_lsh"          -> (Similarity.q36KnnLsh _),
+    "q41_knn_ivf"          -> (Similarity.q41KnnIvf _),
     "q40_media_meta"       -> (Multimodal.q40MediaMeta _),
     "q24_top_tokens"       -> (Advanced.q24TopTokens _),
     "q39_sessions"         -> (Advanced.q39Sessions _),

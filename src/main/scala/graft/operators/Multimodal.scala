@@ -58,6 +58,40 @@ object Multimodal {
     }
   }
 
+  /** Resized media (STUB codec, real plumbing): new payload is a
+    * deterministic slice, dimensions scaled — schema mirrors what a real
+    * image `resize(w, h)` produces. */
+  final case class ResizedMedia(media_id: Long, kind: String,
+      width: Int, height: Int, payload: Array[Byte])
+
+  def resizeStub(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        // STUB: a real codec would decode + scale; the fake keeps a
+        // deterministic prefix proportional to the requested area.
+        val len = math.min(r.payload.length, math.max(1, (w * h) / 64))
+        ResizedMedia(r.media_id, r.kind, w, h, r.payload.take(len))
+      }
+    }
+  }
+
+  /** Frame sampling (STUB codec, real plumbing): every k-th "frame" of
+    * the payload, one output row per sampled frame — the row-exploding
+    * shape a video pipeline produces (flatMap, constant memory). */
+  final case class MediaFrame(media_id: Long, frame_no: Int,
+      frame: Array[Byte])
+
+  def frameSampleStub(media: Dataset[MediaRecord], frameBytes: Int,
+      every: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex.collect {
+        case (bytes, i) if i % every == 0 => MediaFrame(r.media_id, i, bytes)
+      }
+    }
+  }
+
   /** Documents rendered as a media table (payload = UTF-8 bytes) — the
     * testdata has no binary column, so the text bytes stand in; the
     * plumbing downstream is payload-agnostic. */

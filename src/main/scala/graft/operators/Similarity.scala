@@ -109,6 +109,62 @@ object Similarity {
       .toDF("vec_id", "embedding", "table", "bucket")
   }
 
+  /** q41: IVF-style ANN — a coarse quantizer (per-label centroids, the
+    * stand-in for k-means cells) assigns every vector to its nearest
+    * centroid; a query probes only the `nprobe` nearest cells and
+    * re-ranks candidates exactly. The centroid table is tiny and rides
+    * along as literal arrays (a real build would broadcast it); the
+    * candidate join is an equality join on the cell id — the second
+    * classic ANN scale path next to [[q36KnnLsh]]'s hyperplane LSH. */
+  val nprobe = 3
+
+  def q41KnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = prepped(spark, sfDir)
+    // coarse quantizer: label centroids (10 × 64 doubles, driver-side)
+    val cents: Array[(Int, Array[Double])] =
+      Advanced.q37LabelCentroids(spark, sfDir)
+        .select(col("label"), col("pos"), col("centroid"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (l, rows) =>
+          l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }.toArray.sortBy(_._1)
+    def cellOf(v: Column): Column = {
+      // argmax over centroid dots with deterministic tie-break (first)
+      val dots = cents.map { case (l, c) =>
+        (l, dotD(v, array(c.map(lit): _*)))
+      }
+      val best = dots.map(_._2).reduce((a, b) => greatest(a, b))
+      dots.foldRight(lit(-1)) { case ((l, d), acc) =>
+        when(d === best, lit(l)).otherwise(acc)
+      }
+    }
+    def cellsOf(v: Column, n: Int): Column = {
+      // top-n cells by dot: rank via count of strictly-greater dots
+      val dots = cents.map { case (l, c) =>
+        struct(dotD(v, array(c.map(lit): _*)).as("d"), lit(l).as("l"))
+      }
+      slice(reverse(array_sort(array(dots: _*))), 1, n).getField("l")
+    }
+    val indexed = e.withColumn("cell", cellOf(col("v")))
+    val queries = e.filter(col("vec_id") < knnQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"),
+        explode(cellsOf(col("v"), nprobe)).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(queries)
+      .join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotD(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          .as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q36: ANN top-k — candidates share an LSH bucket in ≥ 1 table with
     * the query, then exact cosine re-rank. Approximate (recall measured
     * against q35 in the test suite), but candidate generation is an

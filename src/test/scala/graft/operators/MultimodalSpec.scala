@@ -23,6 +23,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize stub keeps ids and scales payload deterministically") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    val resized = Multimodal.resizeStub(media, 64, 64).collect()
+    assert(resized.length === media.count())
+    resized.foreach { r =>
+      assert(r.width === 64 && r.height === 64)
+      assert(r.payload.length <= 64) // (64*64)/64 cap
+      assert(r.payload.nonEmpty)
+    }
+  }
+
+  test("frame sampling explodes every k-th frame with constant memory shape") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    val frames = Multimodal.frameSampleStub(media, frameBytes = 16, every = 2)
+      .collect()
+    // every doc yields ceil(len/16) frames, indices 0,2,4,...
+    assert(frames.forall(_.frame_no % 2 === 0))
+    assert(frames.forall(f => f.frame.length <= 16 && f.frame.nonEmpty))
+    val byDoc = frames.groupBy(_.media_id)
+    assert(byDoc.size === media.count())
+  }
+
   test("mapPartitions decode matches the column-function q40 metadata") {
     val feats = Multimodal.decodeFeatures(
         Multimodal.mediaFromDocuments(spark, sfDir))

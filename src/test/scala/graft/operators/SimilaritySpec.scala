@@ -44,6 +44,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3)
   }
 
+  test("IVF ANN recall@5 against brute force is usable") {
+    val brute = Similarity.q35KnnBrute(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.q41KnnIvf(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    info(f"IVF ANN recall@5 = $recall%.2f")
+    // 3 of 10 cells probed; label-clustered gaussians → expect well
+    // above the 30% random floor
+    assert(recall >= 0.3)
+  }
+
   test("cosine-pair join is symmetric-free (a < b) and thresholded") {
     val rows = Similarity.q34CosinePairs(spark, sfDir).collect()
     rows.foreach { r =>
