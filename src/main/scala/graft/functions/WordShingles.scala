@@ -33,7 +33,9 @@ final case class WordShingles(child: Expression, n: Int)
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
     if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
-    val toks = s.split(' ')
+    // whitespace-robust: callers normally feed the normal form (single
+    // spaces), but SQL users may not — split on runs, drop empties
+    val toks = s.split("\\s+").filter(_.nonEmpty)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)
     val sb = new java.lang.StringBuilder(64)

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities.
+  *
+  * First line of defense at runtime is AQE's skew-join splitting
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default). Salting is
+  * the static fallback for planners that must not rely on runtime
+  * re-planning — e.g. a hot user_id owning 10% of a 100 TB event log,
+  * joined against a per-user dimension too big to broadcast.
+  */
+object Skew {
+
+  /** Salted equi-join, result-identical to
+    * `left.join(right, leftKey === rightKey, "inner")`.
+    *
+    * The left (skewed) side spreads each hot key over `salts` shuffle
+    * partitions via a deterministic hash of `leftSaltSource` (any
+    * column set that varies within a key — e.g. the event id); the
+    * right side is replicated `salts` times so every (key, salt) bucket
+    * finds its match. Shuffle volume: right side × salts — the price of
+    * removing the hot-key straggler. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      leftSaltSource: Column,
+      salts: Int): DataFrame = {
+    val l = left.withColumn("__salt", pmod(hash(leftSaltSource), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, leftKey === rightKey && l("__salt") === r("__salt"))
+      .drop("__salt")
+  }
+
+  /** Two-stage salted aggregation: count + decimal sum per key with the
+    * reduce state spread over `salts` partial groups first. Use when a
+    * single key dominates and the per-key reduce would straggle (for
+    * plain algebraic aggregates Spark's map-side combine usually
+    * suffices; this is for the long tail where it doesn't). */
+  def saltedSumCount(
+      df: DataFrame,
+      key: Column,
+      value: Column,
+      saltSource: Column,
+      salts: Int): DataFrame =
+    df.select(key.as("key"),
+        pmod(hash(saltSource), lit(salts)).as("__salt"),
+        value.cast("decimal(18,2)").as("v"))
+      .groupBy(col("key"), col("__salt"))
+      .agg(count(lit(1)).as("pc"), sum(col("v")).as("ps"))
+      .groupBy(col("key"))
+      .agg(sum(col("pc")).as("n"),
+        sum(col("ps")).cast("double").as("sum_value"))
+}

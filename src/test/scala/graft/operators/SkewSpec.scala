@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SkewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("saltedJoin is result-identical to the plain equi-join") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val users = graft.sources.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val plain = events.join(users, col("user_id") === col("c_custkey"))
+      .select("event_id", "c_mktsegment")
+      .as[(Long, String)].collect().toSet
+    val salted = Skew.saltedJoin(events, users,
+        col("user_id"), col("c_custkey"), col("event_id"), salts = 8)
+      .select("event_id", "c_mktsegment")
+      .as[(Long, String)].collect().toSet
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("saltedSumCount matches the direct aggregation exactly") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val direct = events.groupBy(col("user_id").as("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .as[(Long, Long, Double)].collect().toSet
+    val salted = Skew.saltedSumCount(events, col("user_id"),
+        col("value"), col("event_id"), salts = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    // DECIMAL partials → bit-identical merge in any grouping
+    assert(salted === direct)
+  }
+}
