@@ -125,19 +125,14 @@ object Dedup {
   val hammingThreshold = 8
 
   /** (doc_id, simhash): majority vote per bit over the 60-bit md5-derived
-    * shingle hashes — one explode + one 60-column aggregate. */
+    * shingle hashes — one explode + ONE custom aggregate
+    * ([[graft.functions.SimHashAgg]]: a TypedImperativeAggregate with a
+    * 60-vote buffer, partial-aggregated map-side like any sum). */
   def simhashes(docs: DataFrame): DataFrame = {
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("h", h60(col("s")))
-    val bitAggs = (0 until simhashBits).map { bIdx =>
-      sum(when(shiftright(col("h"), bIdx).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$bIdx")
-    }
-    val agg = ex.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
-    val hash = (0 until simhashBits).map { bIdx =>
-      when(col(s"b$bIdx") > 0, lit(1L << bIdx)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agg.select(col("doc_id"), hash.as("simhash"))
+    ex.groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhashAgg(col("h")).as("simhash"))
   }
 
   /** q32: SimHash near-duplicate pairs at Hamming ≤ 8, banded candidate
@@ -178,11 +173,16 @@ object Dedup {
       .select(col("source"), col("doc_id"),
         array_distinct(tokens(col("text"))).as("ts"))
     val sizes = d.select(col("doc_id"), size(col("ts")).as("n"))
-    val inv = d.select(col("source"), col("doc_id"), explode(col("ts")).as("tok"))
+    val inv = d.select(col("source"), col("doc_id"), size(col("ts")).as("n"),
+      explode(col("ts")).as("tok"))
+    // Exact length prune: J >= 0.9 forces 9*(na+nb) <= 19*min(na,nb)
+    // (integer arithmetic, no float boundary) — cuts the candidate
+    // stream before the aggregate.
     val inter = inv.as("l")
       .join(inv.as("r"),
         col("l.source") === col("r.source") && col("l.tok") === col("r.tok") &&
-          col("l.doc_id") < col("r.doc_id"))
+          col("l.doc_id") < col("r.doc_id") &&
+          lit(9) * (col("l.n") + col("r.n")) <= lit(19) * least(col("l.n"), col("r.n")))
       .groupBy(col("l.source").as("source"),
         col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("ni"))

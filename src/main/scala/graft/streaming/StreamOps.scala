@@ -51,6 +51,26 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming keyed upsert into a parquet table: every micro-batch is
+    * applied with the engine's O15 semantics (new rows win, old rows
+    * survive) via foreachBatch — the streaming form of the reference's
+    * upsert path, giving an always-current materialized table from a
+    * change stream. Exactly-once per batch comes from the checkpointed
+    * batch id + the sink's atomic shadow-swap. */
+  def streamingUpsert(
+      events: org.apache.spark.sql.DataFrame,
+      base: String, table: String, schema: String,
+      keys: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.checks.Validations.Method
+    import graft.sources.ParquetSink
+    events.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ParquetSink.write(batch,
+          ParquetSink.Config(base, table, schema, Method.Upsert, keys))
+        ()
+    }
+  }
+
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long,

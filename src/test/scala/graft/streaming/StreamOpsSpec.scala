@@ -115,6 +115,25 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingUpsert materializes a current table across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_supsert").toString
+    val ms = MemoryStream[UserEvent]
+    val q = StreamOps.streamingUpsert(ms.toDF(), base, "state", "s",
+      Seq("event_id")).start()
+    try {
+      ms.addData(Seq(ev(1, 1, 1, "a", 1.0), ev(2, 2, 1, "a", 2.0)))
+      q.processAllAvailable()
+      // batch 2 replaces event 2 and inserts event 3
+      ms.addData(Seq(ev(2, 3, 1, "b", 20.0), ev(3, 4, 2, "c", 3.0)))
+      q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/s/state.parquet")
+        .select("event_id", "event_type", "value")
+        .as[(Long, String, Double)].collect().sortBy(_._1)
+      assert(got.toSeq === Seq((1L, "a", 1.0), (2L, "b", 20.0), (3L, "c", 3.0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user totals") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[UserEvent]
