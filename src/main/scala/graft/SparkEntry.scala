@@ -53,6 +53,9 @@ object SparkEntry {
     "q40_media_meta"       -> (Multimodal.q40MediaMeta _),
     "q24_top_tokens"       -> (Advanced.q24TopTokens _),
     "q39_sessions"         -> (Advanced.q39Sessions _),
+    "q25_percentiles"      -> (Advanced.q25Percentiles _),
+    "q26_edit_distance"    -> (Advanced.q26EditDistance _),
+    "q27_seasonality"      -> (Advanced.q27Seasonality _),
     "q37_label_centroids"  -> (Advanced.q37LabelCentroids _),
     "q38_asof_join"        -> (Advanced.q38AsofJoin _),
   )
@@ -312,6 +315,32 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q25_percentiles" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS INT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, p, l_extendedprice AS value FROM (
+        |  SELECT r.*, p.p FROM ranked r,
+        |    (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p) p
+        |  WHERE rn = greatest(1, CAST(ceil(p.p * n) AS BIGINT))) t
+        |ORDER BY l_returnflag, p""".stripMargin,
+    "q26_edit_distance" ->
+      """WITH probes AS (
+        |  SELECT doc_id AS probe_id, source, text AS probe_text
+        |  FROM documents WHERE doc_id < 10)
+        |SELECT probe_id, CAST(MIN(levenshtein(probe_text, d.text)) AS INT) AS min_dist
+        |FROM probes p JOIN documents d USING (source)
+        |WHERE d.doc_id <> p.probe_id
+        |GROUP BY probe_id ORDER BY probe_id""".stripMargin,
+    "q27_seasonality" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
   )
 
   /** DuckDB SQL fragments shared by the text/dedup/similarity oracles —

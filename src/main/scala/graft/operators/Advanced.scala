@@ -42,6 +42,55 @@ object Advanced {
         count(lit(1)).as("n_vecs"))
       .orderBy(col("label"), col("pos"))
 
+  /** q25: discrete percentiles (p50/p90/p99 of extended price per return
+    * flag) computed via window rank — `value at rank ceil(p*n)`, i.e.
+    * percentile_disc semantics, in pure integer logic over exact values.
+    * Built-in continuous percentiles interpolate in double and engines
+    * disagree at 1 ulp, so the discrete form is the portable one. */
+  def q25Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val ranked = li
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    val ps = Seq(0.5, 0.9, 0.99)
+    ps.map { p =>
+      ranked.filter(col("rn") === greatest(lit(1), ceil(lit(p) * col("n"))))
+        .select(col("l_returnflag"), lit(p).as("p"),
+          col("l_extendedprice").as("value"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("l_returnflag"), col("p"))
+  }
+
+  /** q26: minimum edit distance per probe document (doc_id < 10) to any
+    * other same-source document — exact Levenshtein (integer result,
+    * engine-portable), quadratic only within the probe × source-shard
+    * block. */
+  def q26EditDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val probes = d.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), col("source"),
+        col("text").as("probe_text"))
+    probes.join(d, Seq("source"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"))
+      .agg(min(levenshtein(col("probe_text"), col("text"))).as("min_dist"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** q27: calendar seasonality — order counts and decimal totals by
+    * (year, month). */
+  def q27Seasonality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("yr"), col("mo"))
+
   /** q39: batch sessionization — gaps-and-islands. Sessions split at a
     * 30-minute inactivity gap; session id is the running count of gap
     * flags per user. Two windows over the same (user_id, ts, event_id)
