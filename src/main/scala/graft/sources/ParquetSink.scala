@@ -23,12 +23,16 @@ import graft.operators.Upsert
   */
 object ParquetSink {
 
+  /** @param partitionBy hive-style partition columns — at 100 TB a
+    *   date/tenant partition layout is what makes downstream scans
+    *   prune whole directories (PartitionFilters in the plan). */
   final case class Config(
       base: String,
       table: String,
       schema: String,
       method: Method,
-      idField: Seq[String] = Nil)
+      idField: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil)
 
   def tablePath(cfg: Config): String =
     s"${cfg.base}/${cfg.schema}/${cfg.table}.parquet"
@@ -39,22 +43,26 @@ object ParquetSink {
     if (Validations.isEmpty(df)) return false
     val spark = df.sparkSession
     val path = tablePath(cfg)
+    def writer(d: org.apache.spark.sql.DataFrame, mode: SaveMode) = {
+      val w = d.write.mode(mode)
+      (if (cfg.partitionBy.nonEmpty) w.partitionBy(cfg.partitionBy: _*) else w)
+    }
     cfg.method match {
       case Method.Create =>
-        df.write.mode(SaveMode.Overwrite).parquet(path)
+        writer(df, SaveMode.Overwrite).parquet(path)
       case Method.Append =>
-        df.write.mode(SaveMode.Append).parquet(path)
+        writer(df, SaveMode.Append).parquet(path)
       case Method.Upsert =>
         Validations.requireUniqueKeys(df, cfg.idField)
         val fs = new Path(path).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(new Path(path))) {
-          df.write.mode(SaveMode.Overwrite).parquet(path)
+          writer(df, SaveMode.Overwrite).parquet(path)
         } else {
           val old = spark.read.parquet(path)
           val merged = Upsert.upsert(df, old, cfg.idField)
           val shadow = new Path(path + "__swap")
-          merged.write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+          writer(merged, SaveMode.Overwrite).parquet(shadow.toString)
           fs.delete(new Path(path), true)
           fs.rename(shadow, new Path(path))
         }

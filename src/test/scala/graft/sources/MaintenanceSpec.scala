@@ -1,0 +1,59 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.checks.Validations.Method
+
+class MaintenanceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("partitioned sink writes hive layout and scans prune partitions") {
+    val base = Files.createTempDirectory("graft_part").toString
+    val orders = Tables.load(spark, sfDir, "orders")
+    ParquetSink.write(orders,
+      ParquetSink.Config(base, "orders", "s", Method.Create,
+        partitionBy = Seq("o_orderstatus")))
+    val path = s"$base/s/orders.parquet"
+    // hive-style dirs exist
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("o_orderstatus="))
+    assert(dirs.length >= 2)
+    // a status filter becomes a PartitionFilter, not a data filter
+    val q = spark.read.parquet(path).filter(col("o_orderstatus") === "O")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("o_orderstatus"), plan)
+    assert(q.count() ===
+      orders.filter(col("o_orderstatus") === "O").count())
+  }
+
+  test("compaction collapses small files, preserves data exactly") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+    df.repartition(16).write.parquet(dir)
+    val checksumBefore = spark.read.parquet(dir)
+      .agg(sum(col("id")), sum(col("v")), count(lit(1)))
+      .head().toSeq
+    val (before, after) = Maintenance.compact(spark, dir, 600)
+    assert(before === 16)
+    assert(after === 2)
+    val checksumAfter = spark.read.parquet(dir)
+      .agg(sum(col("id")), sum(col("v")), count(lit(1)))
+      .head().toSeq
+    assert(checksumAfter === checksumBefore)
+  }
+
+  test("approx_count_distinct (HLL++) lands within 5% of exact") {
+    val ev = Tables.events(spark, sfDir)
+    val (approx, exact) = ev.agg(
+      approx_count_distinct(col("user_id")),
+      countDistinct(col("user_id")))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
