@@ -22,10 +22,15 @@ import graft.functions.{DotProductF64, WordShingles}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registrations.foreach { case (id, info, b) =>
       ext.injectFunction((id, info, b))
     }
+    // HOF dot-product pattern → native codegen'd expression. For an
+    // already-running session use
+    // spark.experimental.extraOptimizations :+= DotProductRule instead.
+    ext.injectOptimizerRule(_ => graft.functions.DotProductRule)
+  }
 }
 
 object GraftExtensions {

@@ -161,38 +161,60 @@ object Dedup {
   // --- token-set Jaccard join ---------------------------------------------
 
   /** q33: within-source unigram-token Jaccard similarity join (≥ 0.9),
-    * via the inverted index: explode distinct tokens, equality-join on
-    * (source, token), count shared tokens per pair, then Jaccard from
-    * the per-doc set sizes. No array-vs-array work in the pair loop —
-    * everything is codegen'd joins/aggregates (the array_intersect
-    * formulation measured 20 s at sf0.1; this runs in ~2 s). Pairs
-    * sharing zero tokens never materialize, which is the whole point at
-    * 100 TB where real vocabularies make the index sparse. */
+    * PPjoin-style:
+    *
+    *  1. **prefix filter** — under a global rarest-first token order,
+    *     two sets with Jaccard ≥ t MUST share a token inside their
+    *     first `|d| − ceil(t·|d|) + 1` tokens (else the remaining
+    *     suffixes are too short to overlap enough). Only that prefix is
+    *     indexed, so the inverted-index join sees ~t-fraction fewer
+    *     postings on BOTH sides;
+    *  2. **length filter** — J ≥ 0.9 forces 9·(na+nb) ≤ 19·min(na,nb),
+    *     checked in exact integer arithmetic inside the join;
+    *  3. **exact verify** — surviving candidate pairs (near-planted
+    *     only) rejoin their full token arrays and compute true Jaccard.
+    *
+    * No false negatives at the declared threshold, no array-vs-array
+    * work outside the tiny candidate set, and every join is an equality
+    * join. (History: naive all-pairs array_intersect 20 s at sf0.1 →
+    * plain inverted index ~6 s → this.) */
   def q33SourceJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = 0.9
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("source"), col("doc_id"),
         array_distinct(tokens(col("text"))).as("ts"))
-    val sizes = d.select(col("doc_id"), size(col("ts")).as("n"))
-    val inv = d.select(col("source"), col("doc_id"), size(col("ts")).as("n"),
-      explode(col("ts")).as("tok"))
-    // Exact length prune: J >= 0.9 forces 9*(na+nb) <= 19*min(na,nb)
-    // (integer arithmetic, no float boundary) — cuts the candidate
-    // stream before the aggregate.
-    val inter = inv.as("l")
-      .join(inv.as("r"),
+    // global rarest-first order: (frequency, token) rank per token
+    val rank = d.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("freq"), col("tok"))))
+      .select(col("tok"), col("rnk"))
+    val posting = d
+      .select(col("source"), col("doc_id"), size(col("ts")).as("n"),
+        explode(col("ts")).as("tok"))
+      .join(broadcast(rank), "tok")
+    // keep each doc's prefix: the (n - ceil(t*n) + 1) rarest tokens
+    val prefixLen = (col("n") - ceil(lit(t) * col("n")) + 1).cast("int")
+    val prefix = posting
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("rnk"))))
+      .filter(col("pos") <= prefixLen)
+      .select(col("source"), col("doc_id"), col("n"), col("tok"))
+    val cand = prefix.as("l")
+      .join(prefix.as("r"),
         col("l.source") === col("r.source") && col("l.tok") === col("r.tok") &&
           col("l.doc_id") < col("r.doc_id") &&
           lit(9) * (col("l.n") + col("r.n")) <= lit(19) * least(col("l.n"), col("r.n")))
-      .groupBy(col("l.source").as("source"),
+      .select(col("l.source").as("source"),
         col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("ni"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .distinct()
+    val full = d.select(col("doc_id"), col("ts"))
+    cand
+      .join(full.select(col("doc_id").as("doc_a"), col("ts").as("ta")), "doc_a")
+      .join(full.select(col("doc_id").as("doc_b"), col("ts").as("tb")), "doc_b")
       .select(col("source"), col("doc_a"), col("doc_b"),
-        (col("ni").cast("double") / (col("na") + col("nb") - col("ni")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.9)
+        jaccard(col("ta"), col("tb")).as("jaccard"))
+      .filter(col("jaccard") >= t)
       .orderBy(col("source"), col("doc_a"), col("doc_b"))
   }
 }

@@ -16,4 +16,22 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getSeq[String](0)
     assert(sh === Seq("a B c", "B c d"))
   }
+
+  test("DotProductRule rewrites the HOF dot product to dot_f64") {
+    import org.apache.spark.sql.functions._
+    val s = spark.newSession()
+    s.experimental.extraOptimizations =
+      Seq(graft.functions.DotProductRule)
+    // non-foldable input (derived from id) or constant folding would
+    // evaluate the whole expression before the rule can fire
+    val df = s.range(1).select(
+        array((col("id") + 1).cast("double"), lit(2.0), lit(3.0)).as("a"),
+        array(lit(4.0), lit(5.0), lit(6.0)).as("b"))
+      .select(aggregate(
+        zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("dot_f64"),
+      df.queryExecution.optimizedPlan.toString)
+    assert(df.head().getDouble(0) === 32.0)
+  }
 }
