@@ -56,6 +56,8 @@ object SparkEntry {
     "q25_percentiles"      -> (Advanced.q25Percentiles _),
     "q26_edit_distance"    -> (Advanced.q26EditDistance _),
     "q27_seasonality"      -> (Advanced.q27Seasonality _),
+    "q28_cube"             -> (Advanced.q28Cube _),
+    "q29_pivot"            -> (Advanced.q29Pivot _),
     "q37_label_centroids"  -> (Advanced.q37LabelCentroids _),
     "q38_asof_join"        -> (Advanced.q38AsofJoin _),
   )
@@ -341,6 +343,18 @@ object SparkEntry {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin,
+    "q28_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q29_pivot" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
   )
 
   /** DuckDB SQL fragments shared by the text/dedup/similarity oracles —

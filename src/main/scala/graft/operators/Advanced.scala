@@ -80,6 +80,28 @@ object Advanced {
       .orderBy(col("probe_id"))
   }
 
+  /** q28: full cube over (returnflag, linestatus) — every grouping-set
+    * combination including grand total. */
+  def q28Cube(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** q29: pivot — yearly order counts spread across status columns.
+    * The pivot values are declared (no extra distinct scan) and the
+    * oracle expresses the same thing as portable CASE aggregation. */
+  def q29Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("yr"))
+
   /** q27: calendar seasonality — order counts and decimal totals by
     * (year, month). */
   def q27Seasonality(spark: SparkSession, sfDir: String): DataFrame =
