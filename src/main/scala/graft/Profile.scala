@@ -38,6 +38,21 @@ object Profile {
     val sh = Dedup.simhashes(docs)
     t("simhashes.count")(sh.count())
     t("q32 full")(Dedup.q32SimHashDedup(spark, sfDir).count())
+
+    // shuffle audit: physical Exchange count per query
+    println("[prof] --- exchange counts ---")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        // executedPlan: after EnsureRequirements (exchanges present)
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val exchanges = "Exchange".r.findAllIn(p).length
+        val nested = if (p.contains("BroadcastNestedLoopJoin")) " NESTEDLOOP" else ""
+        val cart = if (p.contains("CartesianProduct")) " CARTESIAN" else ""
+        println(f"[prof] $name%-28s exchanges=$exchanges%2d$nested$cart")
+      } catch { case e: Throwable =>
+        println(s"[prof] $name FAILED: ${e.getMessage.take(80)}")
+      }
+    }
     spark.stop()
   }
 }
