@@ -58,6 +58,8 @@ object SparkEntry {
     "q27_seasonality"      -> (Advanced.q27Seasonality _),
     "q28_cube"             -> (Advanced.q28Cube _),
     "q29_pivot"            -> (Advanced.q29Pivot _),
+    "q42_salient_terms"    -> (TextAnalysis.q42SalientTerms _),
+    "q43_split_assign"     -> (TextAnalysis.q43SplitAssign _),
     "q37_label_centroids"  -> (Advanced.q37LabelCentroids _),
     "q38_asof_join"        -> (Advanced.q38AsofJoin _),
   )
@@ -355,6 +357,31 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
         |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+    "q42_salient_terms" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, token FROM tok) t GROUP BY token),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |  WHERE doc_id < 20 GROUP BY doc_id, token),
+        |scored AS (SELECT tf.doc_id, tf.token,
+        |    CAST(tf.tf AS DOUBLE) * (SELECT COUNT(*) FROM documents) / dfreq.df
+        |      AS salience
+        |  FROM tf JOIN dfreq USING (token))
+        |SELECT doc_id, rnk, token, salience FROM (
+        |  SELECT doc_id, token, salience,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY salience DESC, token) AS INT) AS rnk
+        |  FROM scored) t
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q43_split_assign" ->
+      """WITH b AS (SELECT lang, n_chars,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':split')), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin,
   )
 
   /** DuckDB SQL fragments shared by the text/dedup/similarity oracles —

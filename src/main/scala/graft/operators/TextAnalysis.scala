@@ -78,6 +78,47 @@ object TextAnalysis {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** q42: salient terms — top-3 tokens per probe doc by tf × N / df
+    * (linear-idf salience; log-idf would rank identically per doc for
+    * fixed N but ln() is not bit-portable across engines). Small probe
+    * set joins a corpus-wide document-frequency aggregate. */
+  def q42SalientTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nDocs = docs.count() // tiny driver scalar, deterministic
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val df_ = tok.distinct().groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val tf = tok.filter(col("doc_id") < 20)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("salience").desc, col("token"))
+    tf.join(df_, "token")
+      .withColumn("salience",
+        col("tf").cast("double") * nDocs / col("df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("token"), col("salience"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** q43: reproducible train/val/test split — the md5-derived portable
+    * hash of the doc id assigns 80/10/10 buckets; any engine, any
+    * partitioning, any run produces the same assignment (the property a
+    * training pipeline needs from its splits). */
+  def q43SplitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(h60(concat(col("doc_id").cast("string"), lit(":split"))),
+      lit(100))
+    Tables.load(spark, sfDir, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   /** q23: content fingerprint (md5 of the normal form) + per-fingerprint
     * cardinality via a window — the primitive exact dedup builds on. */
   def q23Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
