@@ -60,6 +60,20 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native expressions propagate nulls like built-ins") {
+    val df = Seq((null.asInstanceOf[String], null.asInstanceOf[Seq[Double]]))
+      .toDF("t", "v")
+    val shRow = df.select(shingles3(col("t"))).head()
+    assert(shRow.isNullAt(0)) // null text → null shingles
+    val dotRow = df.select(dotD(col("v"), col("v"))).head()
+    assert(dotRow.isNullAt(0)) // null array → null dot
+  }
+
+  test("dotD handles length mismatch by truncating to the shorter array") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 10.0))).toDF("a", "b")
+    assert(df.select(dotD(col("a"), col("b"))).head().getDouble(0) === 30.0)
+  }
+
   test("h60 parses the first 15 md5 hex chars") {
     val got = Seq("abc").toDF("t").select(h60(col("t"))).head().getLong(0)
     val want = java.lang.Long.parseLong(

@@ -64,6 +64,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped from append output") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[UserEvent]
+    val q = StreamOps.hourlyEventStats(ms.toDF())
+      .writeStream.format("memory").queryName("late_t")
+      .outputMode("append").start()
+    try {
+      // hour 0 events, then an event far enough ahead (hour 5) to move
+      // the watermark (2h delay) past hour 0's window end
+      ms.addData(Seq(ev(1, 10, 1, "a", 1.0), ev(2, 20, 1, "a", 2.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(3, 300, 1, "a", 3.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(9, 330, 9, "z", 0.0))) // trigger another batch
+      q.processAllAvailable()
+      // hour-0 window finalized with exactly the on-time events
+      val hour0 = spark.table("late_t")
+        .filter(col("hour_start") === new Timestamp(0L))
+        .select("n_events").as[Long].collect()
+      assert(hour0.toSeq === Seq(2L))
+      // a straggler for hour 0 now arrives — watermark already passed:
+      // it must NOT re-emit or update the closed window
+      ms.addData(Seq(ev(4, 15, 1, "a", 99.0)))
+      q.processAllAvailable()
+      val hour0After = spark.table("late_t")
+        .filter(col("hour_start") === new Timestamp(0L))
+        .select("n_events").as[Long].collect()
+      assert(hour0After.toSeq === Seq(2L))
+    } finally q.stop()
+  }
+
   test("session windows close after the 30-minute gap") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[UserEvent]
