@@ -51,6 +51,23 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: each view event pairs with click
+    * events of the same user from the preceding 10 minutes. Both sides
+    * carry watermarks and the join condition bounds event time on both
+    * ends, so the join state store is bounded and evicted as the
+    * watermark advances — the requirements for stream-stream joins to
+    * run indefinitely. */
+  def viewsWithRecentClicks(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "1 hour").alias("v")
+    val c = clicks.withWatermark("ts", "1 hour").alias("c")
+    v.join(c, expr(
+        """v.user_id = c.user_id AND
+          |c.ts >= v.ts - INTERVAL 10 MINUTES AND c.ts <= v.ts""".stripMargin))
+      .select(col("v.event_id").as("view_id"),
+        col("c.event_id").as("click_id"),
+        col("v.user_id").as("user_id"))
+  }
+
   /** Streaming keyed upsert into a parquet table: every micro-batch is
     * applied with the engine's O15 semantics (new rows win, old rows
     * survive) via foreachBatch — the streaming form of the reference's

@@ -78,6 +78,28 @@ class SqlSinkDerbySpec extends SparkSpec {
     }
   }
 
+  test("column names with spaces survive create + MERGE upsert " +
+    "(reference tests/test_upsert.py:137-169)") {
+    val target = Seq((1, "a"), (2, "b")).toDF("id", "col a")
+    val source = Seq((2, "B"), (3, "c")).toDF("id", "col a")
+    SqlSink.write(target, cfg("t_sp", Method.Create))
+    SqlSink.write(source, cfg("t_sp", Method.Upsert, Seq("id")))
+    val got = readBack("t_sp").orderBy("id")
+      .as[(Int, String)].collect().toSeq
+    assert(got === Seq((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("interval column lands as float seconds (reference O4 ordering)") {
+    import java.time.Duration
+    val df = Seq((1, Duration.ofSeconds(90)), (2, Duration.ofMinutes(2)))
+      .toDF("id", "td")
+    SqlSink.write(df, cfg("t_td", Method.Create))
+    val got = readBack("t_td").orderBy("id")
+      .as[(Int, java.math.BigDecimal)].collect()
+    // NUMERIC(18,2) of 90.0 and 120.0 seconds
+    assert(got.map(_._2.doubleValue).toSeq === Seq(90.0, 120.0))
+  }
+
   test("empty input is a no-op (reference export.py:96-99)") {
     val empty = Seq.empty[(Int, String)].toDF("id", "v")
     assert(!SqlSink.write(empty, cfg("t_empty", Method.Create)))

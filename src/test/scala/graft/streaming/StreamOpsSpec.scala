@@ -146,6 +146,27 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs views with recent clicks only") {
+    implicit val ctx = spark.sqlContext
+    val views = MemoryStream[UserEvent]
+    val clicks = MemoryStream[UserEvent]
+    val q = StreamOps.viewsWithRecentClicks(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssj_t")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Seq(ev(100, 5, 1, "click", 1.0),
+        ev(101, 18, 1, "click", 1.0), ev(102, 6, 2, "click", 1.0)))
+      views.addData(Seq(
+        ev(200, 8, 1, "view", 1.0),   // 3 min after click 100 → match
+        ev(201, 20, 1, "view", 1.0),  // 2 min after click 101 (15 after 100)
+        ev(202, 30, 2, "view", 1.0))) // 24 min after click 102 → no match
+      q.processAllAvailable()
+      val got = spark.table("ssj_t")
+        .select("view_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(got === Set((200L, 100L), (201L, 101L)))
+    } finally q.stop()
+  }
+
   test("streamingUpsert materializes a current table across micro-batches") {
     implicit val ctx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_supsert").toString
