@@ -390,7 +390,7 @@ object SparkEntry {
   private val normSql =
     """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
   private val toksSql =
-    s"""regexp_extract_all($normSql, '\\S+')"""
+    s"""string_split($normSql, ' ')"""
   private val shingleCte =
     s"""tok AS (SELECT doc_id, $toksSql AS t FROM documents),
       |shx AS (SELECT doc_id,
