@@ -60,6 +60,7 @@ object SparkEntry {
     "q29_pivot"            -> (Advanced.q29Pivot _),
     "q42_salient_terms"    -> (TextAnalysis.q42SalientTerms _),
     "q43_split_assign"     -> (TextAnalysis.q43SplitAssign _),
+    "q44_corpus_clean"     -> (Dedup.q44CorpusClean _),
     "q37_label_centroids"  -> (Advanced.q37LabelCentroids _),
     "q38_asof_join"        -> (Advanced.q38AsofJoin _),
   )
@@ -382,6 +383,35 @@ object SparkEntry {
         |    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM b GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "q44_corpus_clean" ->
+      s"""WITH quality AS (
+        |  SELECT doc_id, lang, n_chars, text, len($toksSql) AS tok_cnt
+        |  FROM documents WHERE len($toksSql) >= 15),
+        |uniq AS (
+        |  SELECT * FROM quality
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY md5($normSql) ORDER BY doc_id) = 1),
+        |tok2 AS (SELECT doc_id, $toksSql AS t FROM uniq),
+        |shx AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t)-1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tok2 WHERE len(t) >= 3),
+        |e AS (SELECT doc_id, unnest(s) AS sg FROM shx),
+        |sz AS (SELECT doc_id, len(s) AS n FROM shx),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM pairs
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.5)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok_cnt) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
   )
 
   /** DuckDB SQL fragments shared by the text/dedup/similarity oracles —

@@ -104,18 +104,49 @@ object Dedup {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
 
-  /** q31: MinHash-LSH near-duplicate pairs, exact-verified at
-    * Jaccard ≥ 0.5 over 3-word shingles. */
-  def q31MinHashDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = shingled(spark, sfDir)
+  /** MinHash-LSH candidate pairs exact-verified at `threshold` over the
+    * given (doc_id, sh) frame — the reusable core of q31/q44. */
+  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val cand = lshCandidates(minhashBands(docs))
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
     cand.join(a, "doc_a").join(b, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         jaccard(col("sha"), col("shb")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** q31: MinHash-LSH near-duplicate pairs, exact-verified at
+    * Jaccard ≥ 0.5 over 3-word shingles. */
+  def q31MinHashDedup(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupPairs(shingled(spark, sfDir), 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** q44: the composed corpus-cleaning pipeline a training run actually
+    * executes — quality filter (≥ 15 tokens) → exact dedup
+    * (deterministic keeper per fingerprint) → near-dup removal (drop
+    * the larger doc_id of every verified MinHash pair among survivors)
+    * → per-language corpus stats. Every stage is one of this engine's
+    * operators; the whole thing is still just equality joins + windows
+    * + aggregates. */
+  def q44CorpusClean(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .withColumn("tok_cnt", size(tokens(col("text"))))
+    val quality = d.filter(col("tok_cnt") >= 15)
+    val unique = exactDedup(
+      quality.withColumn("fp", fingerprint(col("text"))),
+      col("fp"), Seq(col("doc_id")))
+    val survivors = unique
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val drop = nearDupPairs(survivors, 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    unique.join(drop, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_cnt")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
   }
 
   // --- SimHash -------------------------------------------------------------
