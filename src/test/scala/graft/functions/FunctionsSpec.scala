@@ -83,6 +83,26 @@ class FunctionsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("WordShingles fuzz: matches a reference implementation on " +
+    "seeded random token streams") {
+    val rng = new scala.util.Random(99)
+    val vocab = Vector("aa", "b", "ccc", "dd", "e")
+    val cases = (1 to 30).map { _ =>
+      (0 until rng.nextInt(12)).map(_ => vocab(rng.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    def reference(s: String, n: Int): Seq[String] = {
+      val t = s.split("\\s+").filter(_.nonEmpty)
+      if (t.length < n) Seq.empty
+      else t.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    }
+    val got = cases.toDF("t")
+      .select(wordShingles(col("t"), 3)).collect().map(_.getSeq[String](0))
+    got.zip(cases).foreach { case (g, s) =>
+      assert(g === reference(s, 3), s"input: '$s'")
+    }
+  }
+
   test("jaccard: identical, disjoint, and partial overlap") {
     val df = Seq(
       (Seq("a", "b"), Seq("a", "b")),

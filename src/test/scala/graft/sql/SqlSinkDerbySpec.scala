@@ -100,6 +100,17 @@ class SqlSinkDerbySpec extends SparkSpec {
     assert(got.map(_._2.doubleValue).toSeq === Seq(90.0, 120.0))
   }
 
+  test("JDBC read pushes filters into the database scan") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    SqlSink.write(df, cfg("t_push", Method.Create))
+    val q = readBack("t_push").filter(col("id") > 1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      plan)
+    assert(q.count() === 2)
+  }
+
   test("empty input is a no-op (reference export.py:96-99)") {
     val empty = Seq.empty[(Int, String)].toDF("id", "v")
     assert(!SqlSink.write(empty, cfg("t_empty", Method.Create)))
