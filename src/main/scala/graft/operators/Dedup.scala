@@ -65,12 +65,23 @@ object Dedup {
       rng.nextInt(1 << 30).toLong))
   }
 
+  /** Materialize a (small) derived frame once. The dedup operators all
+    * self-join their tokenized corpus: without this, every join branch
+    * re-scans the parquet and re-tokenizes (measured: 6 scans, zero
+    * ReusedExchange in q33). localCheckpoint computes it one time into
+    * the block manager and cuts the lineage — the standard pattern for
+    * a reused intermediate that is tiny relative to its input (here:
+    * token/shingle arrays vs the raw corpus). */
+  private[operators] def materialize(df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
+
   /** (doc_id, sh) with distinct 3-word shingles; docs with < 3 tokens
     * cannot be near-dups and are dropped. */
   private def shingled(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+    materialize(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), shingles3(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0))
 
   /** LSH band signatures: (doc_id, band, sig), numBands rows per doc.
     *
@@ -136,9 +147,9 @@ object Dedup {
     val unique = exactDedup(
       quality.withColumn("fp", fingerprint(col("text"))),
       col("fp"), Seq(col("doc_id")))
-    val survivors = unique
+    val survivors = materialize(unique
       .select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .filter(size(col("sh")) > 0))
     val drop = nearDupPairs(survivors, 0.5)
       .select(col("doc_b").as("doc_id")).distinct()
     unique.join(drop, Seq("doc_id"), "left_anti")
@@ -211,9 +222,10 @@ object Dedup {
     * plain inverted index ~6 s → this.) */
   def q33SourceJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val t = 0.9
-    val d = Tables.load(spark, sfDir, "documents")
-      .select(col("source"), col("doc_id"),
-        array_distinct(tokens(col("text"))).as("ts"))
+    val d = materialize(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("source"), col("doc_id"),
+          array_distinct(tokens(col("text"))).as("ts")))
     // global rarest-first order: (frequency, token) rank per token
     val rank = d.select(explode(col("ts")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
