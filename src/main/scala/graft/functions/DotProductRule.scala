@@ -21,6 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * possibly under a no-op double cast), the zero must be literal 0.0,
   * the merge lambda must be `acc + v`, and the finish lambda must be
   * identity — anything else is left untouched.
+  *
+  * The rewrite is exact for ALL array<double> inputs, including
+  * containsNull=true element types and unequal-length arrays:
+  * [[DotProductF64]] null-propagates on length mismatch and null
+  * elements, precisely matching the zip_with/aggregate null semantics
+  * (pinned by GraftExtensionsSpec). A session-wide rule must never
+  * change results for any input it matches.
   */
 object DotProductRule extends Rule[LogicalPlan] {
 

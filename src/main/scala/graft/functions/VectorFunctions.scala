@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for the vector hot path.
   *
@@ -20,6 +20,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * summation order is the same left-to-right fold as both the HOF form
   * and DuckDB's list_reduce, so results stay bit-identical to the
   * oracle.
+  *
+  * Null semantics MATCH the higher-order form exactly (this matters
+  * because [[DotProductRule]] rewrites user HOF expressions into this
+  * one session-wide): `aggregate(zip_with(a,b,(x,y)->x*y),0.0,+)`
+  * yields NULL when the arrays differ in length (zip_with pads the
+  * shorter side with null, null*y -> null, acc+null -> null) or when
+  * any element is null. The length check is one comparison; the
+  * per-element null check is emitted only when an input's element type
+  * is actually nullable, so the common containsNull=false hot loop
+  * stays branch-free.
   */
 final case class DotProductF64(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -30,13 +40,23 @@ final case class DotProductF64(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f64"
 
+  // Even with non-null inputs the result can be null (length mismatch).
+  override def nullable: Boolean = true
+
+  private def elementsNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -48,13 +68,22 @@ final case class DotProductF64(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (elementsNullable(left) || elementsNullable(right))
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -43,17 +43,45 @@ object Advanced {
       .orderBy(col("label"), col("pos"))
 
   /** q25: discrete percentiles (p50/p90/p99 of extended price per return
-    * flag) computed via window rank — `value at rank ceil(p*n)`, i.e.
-    * percentile_disc semantics, in pure integer logic over exact values.
-    * Built-in continuous percentiles interpolate in double and engines
-    * disagree at 1 ulp, so the discrete form is the portable one. */
+    * flag) — `value at rank ceil(p*n)`, i.e. percentile_disc semantics,
+    * in pure integer logic over exact values. Built-in continuous
+    * percentiles interpolate in double and engines disagree at 1 ulp,
+    * so the discrete form is the portable one.
+    *
+    * The rank is RANGE-PARTITIONED, not a per-flag window: the group
+    * key has ~3 values, so `Window.partitionBy(flag)` would sort a
+    * third of the table in ONE task — fine at sf0.1, a wall at 100×.
+    * Instead: range-repartition on (flag, price) so every partition
+    * holds a contiguous slice of one flag's sort order, rank locally
+    * within (partition, flag), and offset by the cumulative row counts
+    * of the flag's earlier partitions (a P×|flags|-row side table,
+    * broadcast back). Parallelism scales with the partition count
+    * instead of the group-key cardinality; the result is the identical
+    * global rank. */
   def q25Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
-    val ranked = li
       .select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    // pin the sampled range-partition ids into the data (materialize:
+    // boundaries come from sampling, so compute them exactly once)
+    val rp = Dedup.materialize(
+      li.repartitionByRange(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("pid", spark_partition_id()))
+    val counts = rp.groupBy(col("pid"), col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"))
+    val wOff = Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("n",
+        sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
+      .select(col("pid"), col("l_returnflag"), col("off"), col("n"))
+    // local rank within (pid, flag): the window key now has P×|flags|
+    // values, so every task sorts only its own range slice
+    val wLocal = Window.partitionBy(col("pid"), col("l_returnflag"))
+      .orderBy(col("l_extendedprice"))
+    val ranked = rp.withColumn("rn_local", row_number().over(wLocal))
+      .join(broadcast(offs), Seq("pid", "l_returnflag"))
+      .withColumn("rn", col("off") + col("rn_local"))
     val ps = Seq(0.5, 0.9, 0.99)
     // one explode instead of a 3-way union of filters — the union form
     // re-ran the whole window per percentile (visible as 3× the

@@ -218,7 +218,17 @@ object Dedup {
     *
     * No false negatives at the declared threshold, no array-vs-array
     * work outside the tiny candidate set, and every join is an equality
-    * join. (History: naive all-pairs array_intersect 20 s at sf0.1 →
+    * join. The prefix filter only needs a consistent TOTAL ORDER on
+    * tokens, and `(freq, tok)` already is one — the per-doc prefix
+    * window sorts by that pair directly. (An earlier revision first
+    * densified it into a global `row_number` rank, which funnels the
+    * whole token dictionary through ONE partition-less WindowExec — a
+    * single-task bottleneck at scale, for zero semantic gain.
+    * PlanCheckSpec now pins the absence of partition-less windows.)
+    * The doc-frequency side is a plain map-side-combinable aggregate;
+    * its join back onto postings is left to AQE, which broadcasts it
+    * when small and shuffles on the (high-cardinality) token key when
+    * not. (History: naive all-pairs array_intersect 20 s at sf0.1 →
     * plain inverted index ~6 s → this.) */
   def q33SourceJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val t = 0.9
@@ -226,21 +236,19 @@ object Dedup {
       Tables.load(spark, sfDir, "documents")
         .select(col("source"), col("doc_id"),
           array_distinct(tokens(col("text"))).as("ts")))
-    // global rarest-first order: (frequency, token) rank per token
-    val rank = d.select(explode(col("ts")).as("tok"))
+    // per-token document frequency — no global rank, just the count
+    val freq = d.select(explode(col("ts")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy(col("freq"), col("tok"))))
-      .select(col("tok"), col("rnk"))
     val posting = d
       .select(col("source"), col("doc_id"), size(col("ts")).as("n"),
         explode(col("ts")).as("tok"))
-      .join(broadcast(rank), "tok")
+      .join(freq, "tok")
     // keep each doc's prefix: the (n - ceil(t*n) + 1) rarest tokens
+    // under the (freq, tok) total order
     val prefixLen = (col("n") - ceil(lit(t) * col("n")) + 1).cast("int")
     val prefix = posting
       .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("rnk"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("tok"))))
       .filter(col("pos") <= prefixLen)
       .select(col("source"), col("doc_id"), col("n"), col("tok"))
     val cand = prefix.as("l")

@@ -9,18 +9,20 @@ import graft.sources.Tables
 /** Similarity search over the `embeddings` table (Array[Float] column).
   *
   * Two paths, as a 100 TB pipeline needs both:
-  *  - **brute-force cosine** ([[q34CosinePairs]], [[q35KnnBrute]]): the
-  *    exact baseline. Fine when one side is small (a query batch) —
-  *    the candidate side streams through codegen'd array math, no state.
-  *  - **LSH-bucketed ANN** ([[q36KnnLsh]]): random-hyperplane signatures,
-  *    multiple tables OR'd together; candidate generation is an equality
-  *    join on (table, bucket) so it scales like the dedup LSH joins
-  *    instead of quadratically.
+  *  - **exact cosine** ([[q34CosinePairs]], [[q35KnnBrute]]): q35
+  *    broadcasts the bounded query batch; q34 distributes the O(N²)
+  *    all-pairs work as a balanced block-pair equality join (see its
+  *    doc for why exactness at this threshold can't be sub-quadratic).
+  *  - **ANN** ([[q36KnnLsh]] hyperplane LSH + multiprobe,
+  *    [[q41KnnIvf]] IVF cells): candidate generation is an equality
+  *    join on (table, bucket) / cell id, so it scales like the dedup
+  *    LSH joins instead of quadratically.
   *
-  * All vector math is built-in higher-order functions (zip_with /
-  * aggregate) over the array column — codegen'd, no UDF, no
-  * driver-side collect. Dot products accumulate in DOUBLE left-to-right,
-  * so results are bit-stable and match the DuckDB oracle exactly.
+  * All vector math runs through the codegen'd native dot product
+  * ([[graft.functions.DotProductF64]]) — no UDF, no interpreted HOFs,
+  * no driver-side collect anywhere. Dot products accumulate in DOUBLE
+  * left-to-right, so results are bit-stable and match the DuckDB
+  * oracle exactly.
   */
 object Similarity {
 
@@ -49,14 +51,58 @@ object Similarity {
       sqrt(dotD(v, v)).as("nrm"))
   }
 
-  /** q34: embedding near-duplicate pairs — all pairs with cosine ≥ 0.42.
-    * Brute-force exact baseline (self-join); the scale path for the same
-    * predicate is [[q36KnnLsh]]-style bucketing. */
+  /** Pair-block fan-out for the exact all-pairs join: B blocks give
+    * B·(B+1)/2 equal-sized independent tasks. */
+  val pairBlocks = 8
+
+  /** q34: embedding near-duplicate pairs — all pairs with cosine ≥ 0.42,
+    * EXACT.
+    *
+    * An exact dense threshold join at t = 0.42 is inherently O(N²)
+    * compute: with ±-signed 64-dim features there is no prefix/length
+    * pruning (Bayardo-style bounds need non-negative weights), and
+    * angular LSH can't carry the oracle either — at cosine 0.42 the
+    * per-hyperplane collision probability is 0.638 vs 0.5 for random
+    * pairs (ρ ≈ 0.65), so no finite table count makes misses *zero*,
+    * and this query's contract is the exact result set. The question
+    * is therefore not how to skip work but how to DISTRIBUTE it:
+    *
+    *  - each vector gets a hash block id g ∈ [0, B);
+    *  - block pair (i ≤ j) becomes one join group: a vector plays
+    *    "left" for groups (g, j≥g) and "right" for groups (i≤g, g);
+    *  - the join is a plain equality join on the group id — B·(B+1)/2
+    *    balanced tasks of |block|² pair evaluations, each needing only
+    *    two blocks in memory, replication factor (B+1) per side.
+    *
+    * That replaces the old broadcast nested-loop self-join (whole table
+    * broadcast to every executor — capped by executor memory, zero
+    * scale-out) with a shape where parallelism and per-task memory are
+    * tuned by B alone. The sub-quadratic ANSWER for this predicate
+    * remains LSH candidates + exact verify ([[q36KnnLsh]]); this is the
+    * exact baseline done as well as exact can be done.
+    *
+    * Cosine stays bit-identical under operand swap (per-element
+    * products commute, the fold order over positions is unchanged), so
+    * emitting pairs as (least, greatest) matches the oracle hash. */
   def q34CosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = pairBlocks
     val e = prepped(spark, sfDir)
-    e.as("l").join(e.as("r"), col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
-        (dotD(col("l.v"), col("r.v")) / (col("l.nrm") * col("r.nrm")))
+      .withColumn("g", pmod(xxhash64(col("vec_id")), lit(b)).cast("int"))
+    val lhs = e.select(col("vec_id").as("id_l"), col("v").as("vl"),
+      col("nrm").as("nl"), col("g").as("gl"),
+      // groups (g, j) for j = g..B-1, encoded g*B + j
+      explode(sequence(col("g") * b + col("g"),
+        col("g") * b + lit(b - 1))).as("task"))
+    val rhs = e.select(col("vec_id").as("id_r"), col("v").as("vr"),
+      col("nrm").as("nr"), col("g").as("gr"),
+      // groups (i, g) for i = 0..g, encoded i*B + g (step B)
+      explode(sequence(col("g"), col("g") * b + col("g"), lit(b)))
+        .as("task"))
+    lhs.join(rhs, Seq("task"))
+      .filter(col("gl") =!= col("gr") || col("id_l") < col("id_r"))
+      .select(least(col("id_l"), col("id_r")).as("vec_a"),
+        greatest(col("id_l"), col("id_r")).as("vec_b"),
+        (dotD(col("vl"), col("vr")) / (col("nl") * col("nr")))
           .as("cosine"))
       .filter(col("cosine") >= pairThreshold)
       .orderBy(col("vec_a"), col("vec_b"))
@@ -82,7 +128,7 @@ object Similarity {
 
   // --- LSH ANN --------------------------------------------------------------
 
-  val lshTables = 6
+  val lshTables = 16
   val lshBitsPerTable = 4
   val dim = 64
 
@@ -112,45 +158,41 @@ object Similarity {
   /** q41: IVF-style ANN — a coarse quantizer (per-label centroids, the
     * stand-in for k-means cells) assigns every vector to its nearest
     * centroid; a query probes only the `nprobe` nearest cells and
-    * re-ranks candidates exactly. The centroid table is tiny and rides
-    * along as literal arrays (a real build would broadcast it); the
-    * candidate join is an equality join on the cell id — the second
+    * re-ranks candidates exactly. The centroid table stays a DataFrame
+    * end to end: cell assignment is a broadcast join against the (tiny)
+    * centroid side plus a window argmax per vector — no `.collect()`,
+    * no driver bottleneck, and the plan size is independent of `nlist`
+    * (an earlier revision folded collected centroids into expression
+    * literals, which explodes the plan at a realistic √N-cell count).
+    * The candidate join is an equality join on the cell id — the second
     * classic ANN scale path next to [[q36KnnLsh]]'s hyperplane LSH. */
   val nprobe = 3
 
   def q41KnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = prepped(spark, sfDir)
-    // coarse quantizer: label centroids (10 × 64 doubles, driver-side)
-    val cents: Array[(Int, Array[Double])] =
-      Advanced.q37LabelCentroids(spark, sfDir)
-        .select(col("label"), col("pos"), col("centroid"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (l, rows) =>
-          l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-        }.toArray.sortBy(_._1)
-    def cellOf(v: Column): Column = {
-      // argmax over centroid dots with deterministic tie-break (first)
-      val dots = cents.map { case (l, c) =>
-        (l, dotD(v, array(c.map(lit): _*)))
-      }
-      val best = dots.map(_._2).reduce((a, b) => greatest(a, b))
-      dots.foldRight(lit(-1)) { case ((l, d), acc) =>
-        when(d === best, lit(l)).otherwise(acc)
-      }
-    }
-    def cellsOf(v: Column, n: Int): Column = {
-      // top-n cells by dot: rank via count of strictly-greater dots
-      val dots = cents.map { case (l, c) =>
-        struct(dotD(v, array(c.map(lit): _*)).as("d"), lit(l).as("l"))
-      }
-      slice(reverse(array_sort(array(dots: _*))), 1, n).getField("l")
-    }
-    val indexed = e.withColumn("cell", cellOf(col("v")))
-    val queries = e.filter(col("vec_id") < knnQueries)
+    // coarse quantizer as data: (label, centroid array<double>)
+    val cents = Advanced.q37LabelCentroids(spark, sfDir)
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid"))))
+        .as("pc"))
+      .select(col("label"), col("pc").getField("centroid").as("cv"))
+    // score every vector against every centroid (broadcast nested-loop
+    // over a BOUNDED nlist-row side — the standard dim-table shape),
+    // then window-argmax per vec_id: rank 1 = home cell for indexing,
+    // rank <= nprobe = probe cells for the query batch
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cd").desc, col("label"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("label"),
+        dotD(col("v"), col("cv")).as("cd"))
+      .withColumn("cr", row_number().over(wCell))
+    val indexed = scored.filter(col("cr") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("label").as("cell"))
+    val queries = scored
+      .filter(col("vec_id") < knnQueries && col("cr") <= nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"),
-        explode(cellsOf(col("v"), nprobe)).as("cell"))
+        col("nrm").as("qnrm"), col("label").as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(queries)
@@ -167,14 +209,30 @@ object Similarity {
 
   /** q36: ANN top-k — candidates share an LSH bucket in ≥ 1 table with
     * the query, then exact cosine re-rank. Approximate (recall measured
-    * against q35 in the test suite), but candidate generation is an
-    * equality join — the 100 TB path. */
+    * against q35 in the test suite, asserted ≥ 0.9 at the fixture SF),
+    * but candidate generation is an equality join — the 100 TB path.
+    *
+    * Recall comes from two dials, both on the QUERY side only (the
+    * indexed side stays one row per vector per table):
+    *  - 16 OR'd tables: a true neighbor is missed only if it collides
+    *    in none;
+    *  - multiprobe-1: each query also probes the `bitsPerTable` buckets
+    *    at Hamming distance 1, the standard trick to buy recall without
+    *    more tables. Per-table hit probability for a neighbor at
+    *    per-plane agreement p rises from p⁴ to p⁴ + 4p³(1−p) — e.g. at
+    *    cosine ≈ 0.59 (p = 0.7) the 16-table miss rate drops below
+    *    1e-7. The price is a denser candidate set (weakly-similar
+    *    vectors collide more too) — the knob to turn back for harder
+    *    recall/cost points is bits-per-table. */
   def q36KnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
     val buckets = lshBuckets(e)
+    val probes: Seq[Column] =
+      (lit(0) +: (0 until lshBitsPerTable).map(j => lit(1 << j)))
+        .map(m => col("bucket").bitwiseXOR(m))
     val qb = buckets.filter(col("vec_id") < knnQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("table"), col("bucket"))
+        col("table"), explode(array(probes: _*)).as("bucket"))
     val cand = broadcast(qb)
       .join(buckets, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("vec_id"))

@@ -17,6 +17,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sh === Seq("a B c", "B c d"))
   }
 
+  test("dot_f64 null semantics exactly match the HOF form") {
+    // The session-wide rewrite must be invisible: length mismatch and
+    // null elements yield NULL in the zip_with/aggregate form (null
+    // padding / null element poisons the fold), so dot_f64 must too.
+    import org.apache.spark.sql.functions._
+    val s = spark.newSession()
+    import s.implicits._
+    val rows = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),    // 11.0
+      (Seq[java.lang.Double](1.0, 2.0, 9.0), Seq[java.lang.Double](3.0, 4.0)), // null: lengths differ
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)))   // null: null element
+    val df = rows.toDF("a", "b").select(
+      graft.functions.VectorFunctions.dotD(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("hof"))
+    val got = df.collect()
+    assert(got(0).getDouble(0) === 11.0 && got(0).getDouble(1) === 11.0)
+    (1 to 2).foreach { i =>
+      assert(got(i).isNullAt(0) === got(i).isNullAt(1))
+      assert(got(i).isNullAt(0), s"row $i should be null")
+    }
+  }
+
   test("DotProductRule rewrites the HOF dot product to dot_f64") {
     import org.apache.spark.sql.functions._
     val s = spark.newSession()

@@ -69,9 +69,12 @@ class FunctionsSpec extends SparkSpec {
     assert(dotRow.isNullAt(0)) // null array → null dot
   }
 
-  test("dotD handles length mismatch by truncating to the shorter array") {
+  test("dotD null-propagates on length mismatch, like the HOF form") {
+    // zip_with pads the shorter side with null → null element poisons
+    // the fold → NULL. dotD must agree exactly, since DotProductRule
+    // rewrites user HOF expressions into it session-wide.
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(10.0, 10.0))).toDF("a", "b")
-    assert(df.select(dotD(col("a"), col("b"))).head().getDouble(0) === 30.0)
+    assert(df.select(dotD(col("a"), col("b"))).head().isNullAt(0))
   }
 
   test("h60 parses the first 15 md5 hex chars") {

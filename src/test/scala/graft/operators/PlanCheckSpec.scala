@@ -50,6 +50,20 @@ class PlanCheckSpec extends SparkSpec {
     }
   }
 
+  test("q34 exact pair join is a block equality join, not a nested loop") {
+    val p = plan(Similarity.q34CosinePairs(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.next())
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q41 builds no driver-side centroid literals") {
+    // the centroid table must stay a (broadcast) DataFrame: the plan
+    // should contain no array literal of centroid doubles
+    val df = Similarity.q41KnnIvf(spark, sfDir)
+    val p = df.queryExecution.analyzed.toString
+    assert(!p.contains("array(-"), "centroids appear folded into literals")
+  }
+
   test("q38 as-of join is one window pass — no range join anywhere") {
     val p = plan(Advanced.q38AsofJoin(spark, sfDir))
     assert(p.contains("Window"))
@@ -60,5 +74,18 @@ class PlanCheckSpec extends SparkSpec {
   test("q1 aggregates run map-side partial first") {
     val p = plan(Relational.q1PricingSummary(spark, sfDir))
     assert(p.contains("partial_sum") || p.contains("partial"))
+  }
+
+  test("no query plans a partition-less WindowExec (single-task funnel)") {
+    // A Window with an empty partitionSpec moves EVERY row through one
+    // task — the classic silent scale-killer. Sweep the entire driver
+    // surface so no refactor can reintroduce one.
+    import org.apache.spark.sql.execution.window.WindowExec
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val global = fn(spark, sfDir).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(global.isEmpty, s"$name plans a partition-less Window")
+    }
   }
 }
