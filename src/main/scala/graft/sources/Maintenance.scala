@@ -6,8 +6,9 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 /** Table maintenance: small-file compaction. Long-running append
   * pipelines accumulate part files until scan planning and footer reads
   * dominate; compaction rewrites the directory to ~`targetRowsPerFile`
-  * rows per file through a shadow directory + atomic swap (same pattern
-  * as the upsert sink — the table is never half-rewritten in place).
+  * rows per file through a shadow directory + recoverable swap (same
+  * pattern as the upsert sink — a crash at any instant leaves a
+  * complete copy of the table on disk, live or at `<path>__old`).
   */
 object Maintenance {
 
@@ -25,8 +26,7 @@ object Maintenance {
     val shadow = new Path(path + "__compact")
     df.repartition(files).write.mode(SaveMode.Overwrite)
       .parquet(shadow.toString)
-    fs.delete(new Path(path), true)
-    fs.rename(shadow, new Path(path))
+    ParquetSink.swapInto(fs, shadow, new Path(path))
     (before, parquetFiles())
   }
 }

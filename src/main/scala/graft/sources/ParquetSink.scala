@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import graft.checks.Validations
@@ -8,38 +8,88 @@ import graft.checks.Validations.Method
 import graft.operators.Upsert
 
 /** Parquet sink — the reference's pure-storage path (SURVEY.md §3.3,
-  * O11/O15/O16/O17). Layout: `<base>/<schema>/<table>.parquet` as a
-  * directory of part files (the distributed replacement for the
-  * reference's single blob object; readers glob the directory).
+  * O11/O15/O16/O17).
   *
-  *  - **create**: overwrite the directory;
+  * Two layouts:
+  *
+  *  - **directory (default)**: `<base>/<schema>/<table>.parquet` as a
+  *    directory of part files — the distributed-native layout (readers
+  *    glob the directory, writers scale out).
+  *  - **single-file** (`Config.singleFile = true`): byte-compatible
+  *    with the reference's blob layout (export.py:354-360) —
+  *    create/upsert produce ONE object `<schema>/<table>.parquet`,
+  *    append lands `<schema>/<table>/<table>_<millis>.parquet` per
+  *    call. This funnels the write through one task (`coalesce(1)`),
+  *    which is the point: it exists so a reference-era consumer can
+  *    read the output unchanged, not for 100 TB tables. Incompatible
+  *    with `partitionBy`.
+  *
+  * Methods:
+  *  - **create**: overwrite;
   *  - **append**: land additional part files (the reference's
   *    timestamp-suffixed per-call file becomes Spark's unique part
   *    files — same contract: never rewrites existing data);
   *  - **upsert**: read existing, apply [[Upsert.upsert]] (the
   *    reference's two-branch combine_first/row-replace semantics),
-  *    write to a shadow directory, then atomically swap — never
-  *    overwrite a directory that is still an input to the running job.
+  *    write to a shadow directory, then swap via [[swapInto]] — the
+  *    live directory is never an input and an output of the same job,
+  *    and a crash mid-swap always leaves a complete copy on disk.
   */
 object ParquetSink {
 
   /** @param partitionBy hive-style partition columns — at 100 TB a
     *   date/tenant partition layout is what makes downstream scans
-    *   prune whole directories (PartitionFilters in the plan). */
+    *   prune whole directories (PartitionFilters in the plan).
+    * @param singleFile reference-compatible single-object layout; see
+    *   class doc. */
   final case class Config(
       base: String,
       table: String,
       schema: String,
       method: Method,
       idField: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      singleFile: Boolean = false)
 
   def tablePath(cfg: Config): String =
     s"${cfg.base}/${cfg.schema}/${cfg.table}.parquet"
 
+  /** Replace directory `path` with `shadow`, leaving a complete copy on
+    * disk at every instant: the live dir is renamed aside first, so a
+    * crash between steps strands either the old data (recoverable at
+    * `<path>__old`) or finds the swap already complete — never a
+    * missing table. NOT atomic for concurrent readers (HDFS-like
+    * stores have no multi-op transactions); the unreadable window is
+    * two renames, versus delete-then-rewrite's full write duration. */
+  private[sources] def swapInto(fs: FileSystem, shadow: Path, path: Path): Unit = {
+    val old = new Path(path.toString + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(path, old)
+    fs.rename(shadow, path)
+    fs.delete(old, true)
+  }
+
+  /** Write `df` as ONE parquet object at `dest` (a file path, not a
+    * directory): single-task shadow write, then move the part file into
+    * place. Overwrite of an existing object is the reference's blob
+    * semantics (upload_blob overwrite=True). */
+  private def writeSingleFile(df: DataFrame, dest: Path): Unit = {
+    val spark = df.sparkSession
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dest.getParent, "." + dest.getName + "__tmp")
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val part = fs.globStatus(new Path(tmp, "part-*.parquet"))(0).getPath
+    fs.mkdirs(dest.getParent)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(tmp, true)
+  }
+
   def write(df: DataFrame, cfg: Config): Boolean = {
     Validations.requireUniqueColumnNames(df)
     Validations.requireIdField(cfg.method, cfg.idField)
+    require(!(cfg.singleFile && cfg.partitionBy.nonEmpty),
+      "singleFile layout cannot carry hive partition directories")
     if (Validations.isEmpty(df)) return false
     val spark = df.sparkSession
     val path = tablePath(cfg)
@@ -47,24 +97,36 @@ object ParquetSink {
       val w = d.write.mode(mode)
       (if (cfg.partitionBy.nonEmpty) w.partitionBy(cfg.partitionBy: _*) else w)
     }
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     cfg.method match {
+      case Method.Create if cfg.singleFile =>
+        writeSingleFile(df, new Path(path))
       case Method.Create =>
         writer(df, SaveMode.Overwrite).parquet(path)
+      case Method.Append if cfg.singleFile =>
+        // reference append layout: schema/table/table_<stamp>.parquet
+        writeSingleFile(df, new Path(
+          s"${cfg.base}/${cfg.schema}/${cfg.table}/${cfg.table}_${System.currentTimeMillis()}.parquet"))
       case Method.Append =>
         writer(df, SaveMode.Append).parquet(path)
       case Method.Upsert =>
         Validations.requireUniqueKeys(df, cfg.idField)
-        val fs = new Path(path).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
         if (!fs.exists(new Path(path))) {
-          writer(df, SaveMode.Overwrite).parquet(path)
+          if (cfg.singleFile) writeSingleFile(df, new Path(path))
+          else writer(df, SaveMode.Overwrite).parquet(path)
         } else {
           val old = spark.read.parquet(path)
           val merged = Upsert.upsert(df, old, cfg.idField)
-          val shadow = new Path(path + "__swap")
-          writer(merged, SaveMode.Overwrite).parquet(shadow.toString)
-          fs.delete(new Path(path), true)
-          fs.rename(shadow, new Path(path))
+          if (cfg.singleFile) {
+            // writeSingleFile stages into a tmp dir first, so the read
+            // of `path` completes before the one-file replace
+            writeSingleFile(merged, new Path(path))
+          } else {
+            val shadow = new Path(path + "__swap")
+            writer(merged, SaveMode.Overwrite).parquet(shadow.toString)
+            swapInto(fs, shadow, new Path(path))
+          }
         }
     }
     true

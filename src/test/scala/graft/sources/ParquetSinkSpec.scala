@@ -55,4 +55,53 @@ class ParquetSinkSpec extends SparkSpec {
       ParquetSink.Config(base, "t", "s", Method.Upsert, Seq("id")))
     assert(spark.read.parquet(s"$base/s/t.parquet").count() === 1)
   }
+
+  // --- reference-compatible single-object layout (export.py:354-360) ---
+
+  test("singleFile create writes ONE object at schema/table.parquet") {
+    val base = tmpBase()
+    val cfg = ParquetSink.Config(base, "t", "s", Method.Create,
+      singleFile = true)
+    ParquetSink.write(Seq((1, "a"), (2, "b")).toDF("id", "v"), cfg)
+    val f = new java.io.File(s"$base/s/t.parquet")
+    assert(f.isFile, "expected a plain file, not a part-file directory")
+    // read-back golden: a reference-era consumer sees one parquet object
+    val got = spark.read.parquet(f.toString)
+      .orderBy("id").as[(Int, String)].collect().toSeq
+    assert(got === Seq((1, "a"), (2, "b")))
+  }
+
+  test("singleFile upsert round-trips through the one-object layout") {
+    val base = tmpBase()
+    ParquetSink.write(Seq((1, "A"), (2, "B")).toDF("id", "x"),
+      ParquetSink.Config(base, "t", "s", Method.Create, singleFile = true))
+    ParquetSink.write(Seq((2, "X"), (3, "C")).toDF("id", "x"),
+      ParquetSink.Config(base, "t", "s", Method.Upsert, Seq("id"),
+        singleFile = true))
+    val f = new java.io.File(s"$base/s/t.parquet")
+    assert(f.isFile)
+    val got = spark.read.parquet(f.toString)
+      .orderBy("id").as[(Int, String)].collect().toSeq
+    assert(got === Seq((1, "A"), (2, "X"), (3, "C")))
+  }
+
+  test("singleFile append lands table/table_<stamp>.parquet per call") {
+    val base = tmpBase()
+    ParquetSink.write(Seq((1, "a")).toDF("id", "v"),
+      ParquetSink.Config(base, "t", "s", Method.Append, singleFile = true))
+    ParquetSink.write(Seq((2, "b")).toDF("id", "v"),
+      ParquetSink.Config(base, "t", "s", Method.Append, singleFile = true))
+    val dir = new java.io.File(s"$base/s/t")
+    val files = dir.listFiles().filter(_.getName.matches("t_\\d+\\.parquet"))
+    assert(files.length === 2, dir.listFiles().map(_.getName).mkString(","))
+    assert(spark.read.parquet(files.map(_.toString): _*).count() === 2)
+  }
+
+  test("singleFile rejects hive partitioning") {
+    intercept[IllegalArgumentException] {
+      ParquetSink.write(Seq((1, "a")).toDF("id", "v"),
+        ParquetSink.Config(tmpBase(), "t", "s", Method.Create,
+          partitionBy = Seq("v"), singleFile = true))
+    }
+  }
 }
