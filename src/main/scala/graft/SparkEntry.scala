@@ -22,6 +22,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"   -> (Relational.q1PricingSummary _),
+    "q2_cheapest_supplier" -> (Relational.q2CheapestSupplier _),
     "q6_forecast_revenue"  -> (Relational.q6ForecastRevenue _),
     "q3_top_orders"        -> (Relational.q3TopOrders _),
     "q4_region_suppliers"  -> (Relational.q4RegionSuppliers _),
@@ -38,6 +39,7 @@ object SparkEntry {
     "q16_upsert_rows"      -> (LoadQueries.q16UpsertRows _),
     "q17_append"           -> (LoadQueries.q17Append _),
     "q18_schema_infer"     -> (LoadQueries.q18SchemaInfer _),
+    "q19_source_digest"    -> (TextAnalysis.q19SourceDigest _),
     "q20_token_stats"      -> (TextAnalysis.q20TokenStats _),
     "q21_quality"          -> (TextAnalysis.q21Quality _),
     "q22_lang_profile"     -> (TextAnalysis.q22LangProfile _),
@@ -77,6 +79,25 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_cheapest_supplier" ->
+      """WITH best AS (
+        |  SELECT l_partkey, l_suppkey, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_extendedprice, l_suppkey) AS rn
+        |  FROM lineitem)
+        |SELECT p_partkey, p_name, s_name, l_extendedprice AS best_price
+        |FROM best
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1
+        |ORDER BY p_partkey""".stripMargin,
+    "q19_source_digest" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 5), ',')
+        |    AS sample_ids
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

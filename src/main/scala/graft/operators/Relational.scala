@@ -176,4 +176,25 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
   }
+
+  /** q2: TPC-H Q2-flavored argmin-per-group — for every part, the
+    * supplier that has shipped it cheapest (min extended price,
+    * supplier key as deterministic tie-break). The window partitions on
+    * the high-cardinality part key (one shuffle, parallel per part) and
+    * the part/supplier dims broadcast onto the winner rows. */
+  def q2CheapestSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val part = Tables.load(spark, sfDir, "part")
+    val supp = Tables.load(spark, sfDir, "supplier")
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("l_extendedprice"), col("l_suppkey"))
+    li.select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("l_extendedprice").as("best_price"))
+      .orderBy(col("p_partkey"))
+  }
 }

@@ -119,6 +119,23 @@ object TextAnalysis {
       .orderBy(col("lang"), col("split"))
   }
 
+  /** q19: per-(source, lang) corpus digest with a grouped string
+    * aggregation — the sorted head of each group's doc ids rendered as
+    * a CSV sample column. collect_list alone is order-nondeterministic;
+    * sort_array pins it, slice bounds it (the collected list is only
+    * ever per-group, never global). */
+  def q19SourceDigest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        concat_ws(",",
+          slice(sort_array(collect_list(col("doc_id"))), 1, 5)
+            .cast("array<string>")).as("sample_ids"))
+      .orderBy(col("source"), col("lang"))
+
   /** q23: content fingerprint (md5 of the normal form) + per-fingerprint
     * cardinality via a window — the primitive exact dedup builds on. */
   def q23Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {

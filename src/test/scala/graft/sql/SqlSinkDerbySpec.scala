@@ -115,4 +115,30 @@ class SqlSinkDerbySpec extends SparkSpec {
     val empty = Seq.empty[(Int, String)].toDF("id", "v")
     assert(!SqlSink.write(empty, cfg("t_empty", Method.Create)))
   }
+
+  test("stale staging from cleanStaging=false never poisons a later " +
+    "upsert (reference tests/test_upsert.py:172-238 scenario)") {
+    // Reference sequence: create `sample`, upsert with clean_staging
+    // False (staging.sample left behind), re-create `sample` with
+    // RENAMED columns, upsert again → the reference reuses the stale
+    // staging table and raises UpsertError. This sink DDL-replaces
+    // staging on every upsert, so the same sequence must SUCCEED with
+    // the renamed shape — strictly stronger, pinned here.
+    def up(ids: Seq[String]) =
+      cfg("t_stale", Method.Upsert, ids).copy(cleanStaging = false)
+    SqlSink.write(Seq((1, "a"), (2, "b")).toDF("col_a", "col_b"),
+      cfg("t_stale", Method.Create))
+    SqlSink.write(Seq((2, "B"), (3, "c")).toDF("col_a", "col_b"),
+      up(Seq("col_a")))
+    // stale staging with the OLD column names is really there
+    assert(readBack("t_stale", "staging").columns.toSeq ===
+      Seq("col_a", "col_b"))
+    // re-create + upsert under renamed columns — reference throws here
+    SqlSink.write(Seq((1, "a"), (2, "b")).toDF("test_a", "test_b"),
+      cfg("t_stale", Method.Create))
+    SqlSink.write(Seq((2, "B"), (3, "c")).toDF("test_a", "test_b"),
+      up(Seq("test_a")))
+    assert(readBack("t_stale").orderBy("test_a").as[(Int, String)]
+      .collect().toSeq === Seq((1, "a"), (2, "B"), (3, "c")))
+  }
 }
