@@ -246,11 +246,13 @@ object Dedup {
     // keep each doc's prefix: the (n - ceil(t*n) + 1) rarest tokens
     // under the (freq, tok) total order
     val prefixLen = (col("n") - ceil(lit(t) * col("n")) + 1).cast("int")
-    val prefix = posting
+    // materialized: the prefix index is self-joined below, and without
+    // this the freq-join + per-doc window would run once per branch
+    val prefix = materialize(posting
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("tok"))))
       .filter(col("pos") <= prefixLen)
-      .select(col("source"), col("doc_id"), col("n"), col("tok"))
+      .select(col("source"), col("doc_id"), col("n"), col("tok")))
     val cand = prefix.as("l")
       .join(prefix.as("r"),
         col("l.source") === col("r.source") && col("l.tok") === col("r.tok") &&

@@ -231,17 +231,27 @@ object Similarity {
       (lit(0) +: (0 until lshBitsPerTable).map(j => lit(1 << j)))
         .map(m => col("bucket").bitwiseXOR(m))
     val qb = buckets.filter(col("vec_id") < knnQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+      .select(col("vec_id").as("query_id"),
         col("table"), explode(array(probes: _*)).as("bucket"))
+    // dedupe candidates as BARE ID PAIRS (a vector colliding in many
+    // tables/probes must be scored once) — the embeddings join back on
+    // AFTER the distinct, so the shuffle carries two longs per row, not
+    // two 64-float arrays
     val cand = broadcast(qb)
-      .join(buckets, Seq("table", "bucket"))
+      .join(buckets.select(col("vec_id"), col("table"), col("bucket")),
+        Seq("table", "bucket"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("qv"),
-        col("vec_id").as("neighbor_id"), col("embedding"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
+    val qv = e.filter(col("vec_id") < knnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.select(col("query_id"), col("neighbor_id"),
+    cand
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("embedding")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
