@@ -28,6 +28,9 @@ object Graft {
     * @param idField  key columns, required for upsert
     * @param parquet  true → parquet route (`target` is the base dir);
     *                 false → JDBC route (`target` is the JDBC URL)
+    * @param singleFile parquet route only: reference-compatible
+    *                 single-object layout (`schema/table.parquet` as ONE
+    *                 file — see [[graft.sources.ParquetSink]])
     * @return true if data was written; false = empty-input no-op
     */
   def dfToTable(
@@ -44,11 +47,13 @@ object Graft {
       cleanStaging: Boolean = true,
       dialect: Dialect = SqlServerDialect,
       batchSize: Int = 10000,
-      numPartitions: Option[Int] = None): Boolean = {
+      numPartitions: Option[Int] = None,
+      singleFile: Boolean = false): Boolean = {
     val m = Method.parse(method)
     if (parquet)
       ParquetSink.write(df,
-        ParquetSink.Config(target, tablename, schema, m, idField))
+        ParquetSink.Config(target, tablename, schema, m, idField,
+          singleFile = singleFile))
     else
       SqlSink.write(df, SqlSink.Config(target, tablename, schema, m,
         idField, textLength, decimalPrecision, dtypes, cleanStaging,

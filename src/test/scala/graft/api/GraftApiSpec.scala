@@ -31,6 +31,14 @@ class GraftApiSpec extends SparkSpec {
     assert(got === 2)
   }
 
+  test("parquet route honors singleFile (reference blob layout)") {
+    val base = Files.createTempDirectory("graft_api_sf").toString
+    val df = Seq((1, "a")).toDF("id", "v")
+    assert(Graft.dfToTable(df, "t", "s", base, parquet = true,
+      singleFile = true))
+    assert(new java.io.File(s"$base/s/t.parquet").isFile)
+  }
+
   test("invalid method is rejected") {
     val df = Seq((1, "x")).toDF("id", "v")
     assertThrows[IllegalArgumentException] {
