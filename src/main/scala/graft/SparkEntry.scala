@@ -63,6 +63,12 @@ object SparkEntry {
     "q42_salient_terms"    -> (TextAnalysis.q42SalientTerms _),
     "q43_split_assign"     -> (TextAnalysis.q43SplitAssign _),
     "q44_corpus_clean"     -> (Dedup.q44CorpusClean _),
+    "q45_embed_dedup"      -> (Similarity.q45EmbedDedup _),
+    "q46_winnow_pairs"     -> (Dedup.q46WinnowPairs _),
+    "q47_bpe_tokens"       -> (TextAnalysis.q47BpeTokens _),
+    "q48_salted_hotkeys"   -> (graft.operators.Skew.q48SaltedHotkeys _),
+    "q49_range_join"       -> (Advanced.q49RangeJoin _),
+    "q50_dedup_clusters"   -> (Dedup.q50DedupClusters _),
     "q37_label_centroids"  -> (Advanced.q37LabelCentroids _),
     "q38_asof_join"        -> (Advanced.q38AsofJoin _),
   )
@@ -433,7 +439,95 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q45_embed_dedup" ->
+      s"""WITH dropped AS (
+        |  SELECT DISTINCT r.vec_id FROM embeddings l
+        |  JOIN embeddings r ON l.vec_id < r.vec_id
+        |  WHERE ${cosSql("l", "r")} >= 0.42)
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
+    "q46_winnow_pairs" -> winnowOracle,
+    "q47_bpe_tokens" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all($normSql,
+        |    '${TextAnalysis.bpePattern.replace("'", "''")}'))) AS BIGINT)
+        |    AS sum_bpe_tokens,
+        |  CAST(SUM(len($toksSql)) AS BIGINT) AS sum_ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all($normSql,
+        |    '${TextAnalysis.bpePattern.replace("'", "''")}'))) AS DOUBLE)
+        |    / SUM(len($toksSql)) AS tokens_per_word
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q48_salted_hotkeys" ->
+      """SELECT l_returnflag AS key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM lineitem GROUP BY 1 ORDER BY key""".stripMargin,
+    "q49_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us FROM events),
+        |p AS (
+        |  SELECT a.user_id, b.us - a.us AS gap
+        |  FROM ev a JOIN ev b ON a.user_id = b.user_id
+        |    AND (a.us < b.us OR (a.us = b.us AND a.event_id < b.event_id))
+        |    AND b.us - a.us <= 3600000000)
+        |SELECT user_id, COUNT(*) AS n_pairs,
+        |  CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+        |  CAST(SUM(gap) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_gap_s
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q50_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |e AS (SELECT doc_id, unnest(s) AS sg FROM shx),
+        |sz AS (SELECT doc_id, len(s) AS n FROM shx),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT doc_a, doc_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.5),
+        |ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        |  UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM ed
+        |  UNION
+        |  SELECT ed.a, reach.r FROM ed JOIN reach ON ed.b = reach.v),
+        |c AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+        |SELECT doc_id, cluster_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
+
+  /** Winnowing-fingerprint oracle: recomputes the Karp–Rabin polynomial
+    * per k-gram directly (the rolling reuse is a Spark-side efficiency
+    * detail, not a semantic one) with the same base/modulus, then
+    * window minima, df-cap and overlap threshold — constants in
+    * lockstep with Dedup.winnow*. */
+  private def winnowOracle: String = {
+    val k = graft.operators.Dedup.winnowK
+    val w = graft.operators.Dedup.winnowW
+    val m = graft.functions.WinnowFingerprints.M
+    // term j (0-based) weights B^(k-1-j)
+    val terms = (0 until k).map { j =>
+      val p = graft.functions.WinnowFingerprints.pow(k - 1 - j)
+      s"CAST(ascii(t[i+$j]) AS BIGINT)*${p}"
+    }.mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, $normSql AS t FROM documents),
+      |kg AS (SELECT doc_id,
+      |  list_transform(range(1, length(t)-$k+2), i -> ($terms) % $m) AS hs
+      |  FROM h),
+      |wn AS (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(hs)-$w+2),
+      |    i -> list_aggregate(hs[i:i+${w - 1}], 'min'))) AS fps
+      |  FROM kg),
+      |ex AS (SELECT doc_id, unnest(fps) AS fp FROM wn),
+      |keep AS (SELECT fp FROM ex GROUP BY fp
+      |  HAVING count(*) BETWEEN 2 AND ${graft.operators.Dedup.winnowDfCap}),
+      |exf AS (SELECT ex.doc_id, ex.fp FROM ex JOIN keep USING (fp))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |FROM exf a JOIN exf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= ${graft.operators.Dedup.winnowMinShared}
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** DuckDB SQL fragments shared by the text/dedup/similarity oracles —
     * must stay in lockstep with graft.functions.TextFunctions. DuckDB's

@@ -42,6 +42,14 @@ object TextFunctions {
     Bridge.column(WordShingles(Bridge.expression(normText(text)), n))
   }
 
+  /** Winnowing fingerprint set of raw text: sorted distinct window-min
+    * rolling hashes over character k-grams of the normal form — see
+    * [[WinnowFingerprints]] for the scheme and portability contract. */
+  def winnow(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(WinnowFingerprints(Bridge.expression(normText(text)), k, w))
+  }
+
   /** 60-bit stable hash of a string: first 15 hex chars of md5, parsed
     * base-16. Engine-portable (DuckDB: CAST('0x'||substr(md5(s),1,15)
     * AS BIGINT)) unlike murmur3/xxhash which differ per engine. */

@@ -222,4 +222,42 @@ object Advanced {
         col("asof_orderkey"), col("asof_orderdate"))
       .orderBy(col("event_id"))
   }
+
+  /** Range-join bucket width: 1 hour in microseconds. */
+  val rangeJoinBucketUs: Long = 3600L * 1000000L
+
+  /** q49: bounded-range self-join — per-user pairs of events at most
+    * one hour apart (ordered by time, event-id tie-break), aggregated
+    * per user. A naive `a.ts < b.ts AND b.ts - a.ts <= 1h` predicate
+    * plans a per-key nested loop (quadratic in each user's history);
+    * instead both sides bucket time by the range width and the earlier
+    * side fans out to {its bucket, bucket+1} — every qualifying pair
+    * lands in exactly ONE (user, bucket) equality-join group (the
+    * later event's own bucket), so there is no post-join dedup, the
+    * shuffle key is high-cardinality, and the residual range predicate
+    * only runs inside matching buckets. This is the standard bucketized
+    * range-join shape (what Databricks' range-join hints do under the
+    * hood), the time-interval analogue of q34's block pairing. */
+  def q49RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+    val bucket = expr(s"us DIV ${rangeJoinBucketUs}L")
+    val a = ev.select(col("user_id"), col("event_id").as("id_a"),
+        col("us").as("us_a"),
+        explode(array(bucket, bucket + 1)).as("bkt"))
+    val b = ev.select(col("user_id"), col("event_id").as("id_b"),
+        col("us").as("us_b"), bucket.as("bkt"))
+    a.join(b, Seq("user_id", "bkt"))
+      .filter(col("us_b") - col("us_a") >= 0 &&
+        col("us_b") - col("us_a") <= rangeJoinBucketUs &&
+        (col("us_a") < col("us_b") ||
+          (col("us_a") === col("us_b") && col("id_a") < col("id_b"))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("us_b") - col("us_a")).as("sum_gap_us"))
+      .withColumn("avg_gap_s",
+        col("sum_gap_us").cast("double") / col("n_pairs") / 1000000.0)
+      .orderBy(col("user_id"))
+  }
 }

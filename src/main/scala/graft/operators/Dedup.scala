@@ -270,4 +270,105 @@ object Dedup {
       .filter(col("jaccard") >= t)
       .orderBy(col("source"), col("doc_a"), col("doc_b"))
   }
+
+  // --- winnowing fingerprint overlap ---------------------------------------
+
+  val winnowK = 8 // character k-gram width
+  val winnowW = 4 // winnowing window (guarantee: any match >= k+w-1 chars shares a fingerprint)
+  val winnowDfCap = 20 // drop "stop fingerprints" seen in more docs
+  val winnowMinShared = 5 // pair overlap threshold
+
+  /** q46: containment-style near-dup pairs from winnowing fingerprints
+    * (MOSS scheme) — docs sharing ≥ [[winnowMinShared]] selected
+    * k-gram rolling hashes. Finds COPIED SPANS (plagiarism/boilerplate
+    * containment), which set-similarity over whole-doc shingles (q31)
+    * misses when the rest of the doc differs.
+    *
+    * Scale shape mirrors q33's inverted index: per-doc fingerprints are
+    * ~n/w selected minima (the winnowing guarantee: every substring
+    * match of length ≥ k+w−1 shares at least one SELECTED hash, so
+    * recall for long clones is structural, not probabilistic); the
+    * candidate join is an equality join on the fingerprint value; and
+    * the df-cap drops boilerplate "stop fingerprints" FIRST — the
+    * inverted-index analogue of q33's prefix filter — which caps every
+    * posting-list bucket at [[winnowDfCap]]² pair emissions, keeping
+    * the join linear-ish in corpus size instead of quadratic in the
+    * hottest bucket. The per-doc fingerprinting itself is the O(n)
+    * rolling-hash pass of [[graft.functions.WinnowFingerprints]]. */
+  def q46WinnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = materialize(
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.winnow(col("text"), winnowK, winnowW)
+            .as("fps"))
+        .filter(size(col("fps")) > 0))
+    val ex = d.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // document frequency per fingerprint: df = 1 pairs with nothing,
+    // df > cap is boilerplate — both leave the index before the join
+    val keep = ex.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= winnowDfCap)
+    val exf = materialize(ex.join(keep.select(col("fp")), "fp"))
+    exf.as("a")
+      .join(exf.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= winnowMinShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // --- duplicate clusters (connected components) ---------------------------
+
+  /** Connected components over an undirected edge list by distributed
+    * min-label propagation: every vertex starts as its own component
+    * and repeatedly adopts the smallest component id among itself and
+    * its neighbors, until a fixpoint. Each round is one equality join +
+    * one map-side-combinable min-aggregate; the loop runs on the
+    * driver but touches only a per-round CHANGED-COUNT scalar, and each
+    * round's labels are localCheckpoint'ed so the plan doesn't grow
+    * with the iteration count. Rounds needed = graph diameter — fine
+    * for dedup graphs (tight clumps of near-identical docs); for
+    * adversarial long-chain graphs the alternating large-star/
+    * small-star variant (Kiveris et al.) drops it to O(log n) with the
+    * same per-round join shape. */
+  def connectedComponents(pairs: DataFrame, src: String, dst: String): DataFrame = {
+    val edges = materialize(
+      pairs.select(col(src).as("u"), col(dst).as("v"))
+        .union(pairs.select(col(dst).as("u"), col(src).as("v"))))
+    var labels = materialize(
+      edges.select(col("u").as("vtx")).distinct()
+        .withColumn("comp", col("vtx")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val nb = edges
+        .join(labels.select(col("vtx").as("v"), col("comp").as("ncomp")), "v")
+        .groupBy(col("u").as("vtx")).agg(min(col("ncomp")).as("best"))
+      val next = materialize(
+        labels.join(nb, Seq("vtx"), "left")
+          .select(col("vtx"),
+            least(col("comp"), coalesce(col("best"), col("comp"))).as("comp"),
+            (col("best") < col("comp")).as("moved")))
+      changed = next.filter(col("moved")).count()
+      labels = next.drop("moved")
+      rounds += 1
+    }
+    labels
+  }
+
+  /** q50: duplicate CLUSTERS — the transitive closure the pairwise
+    * near-dup queries stop short of. Edges are q31's exact-verified
+    * MinHash pairs (Jaccard ≥ 0.5); output is every clustered doc with
+    * its canonical (minimum) member id and the cluster size. A corpus
+    * clean that keeps one doc per CLUSTER (rather than dropping the
+    * larger id of each pair) needs exactly this. */
+  def q50DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = nearDupPairs(shingled(spark, sfDir), 0.5)
+    val w = Window.partitionBy(col("cluster_id"))
+    connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("vtx").as("doc_id"), col("comp").as("cluster_id"))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
 }

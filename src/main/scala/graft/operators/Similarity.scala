@@ -108,6 +108,25 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** q45: embedding-cosine near-duplicate DEDUP — survivors after
+    * dropping every vector that has a lower-id partner at cosine ≥
+    * [[pairThreshold]] (the same keeper rule as the MinHash corpus
+    * clean in q44). Pair generation reuses [[q34CosinePairs]]'s
+    * balanced block-pair equality join, so the semantics stay EXACT at
+    * the declared threshold; at a true near-dup threshold (cosine ≥
+    * 0.9, where real duplicate embeddings live) the banded-LSH
+    * candidate path of [[q36KnnLsh]] substitutes with a per-pair miss
+    * probability below 1e-5 — at this fixture's near-orthogonal
+    * random embeddings (max pairwise cosine ≈ 0.51) only the exact
+    * path is meaningful. */
+  def q45EmbedDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dropped = q34CosinePairs(spark, sfDir)
+      .select(col("vec_b").as("vec_id")).distinct()
+    emb(spark, sfDir).select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
   /** q35: brute-force top-k cosine neighbors for the query batch
     * (vec_id < 10), deterministic tie-break on neighbor id. */
   def q35KnnBrute(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
 
 /** Skew mitigation utilities.
   *
@@ -55,4 +57,19 @@ object Skew {
       .groupBy(col("key"))
       .agg(sum(col("pc")).as("n"),
         sum(col("ps")).cast("double").as("sum_value"))
+
+  /** q48: revenue per return flag through the SALTED two-stage
+    * aggregate — an extreme-skew key (3 values over the whole fact
+    * table) deliberately routed through [[saltedSumCount]] so the
+    * mitigation itself is oracle-checked: the decimal partial sums make
+    * the result bit-identical to a plain GROUP BY at any parallelism,
+    * which is exactly the property that lets a planner salt a hot key
+    * without changing answers. (For ordinary skew Spark's map-side
+    * combine + AQE already handle this; the salt is the static fallback
+    * the class doc describes.) */
+  def q48SaltedHotkeys(spark: SparkSession, sfDir: String): DataFrame =
+    saltedSumCount(
+      Tables.load(spark, sfDir, "lineitem"),
+      col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"), 16)
+      .orderBy(col("key"))
 }

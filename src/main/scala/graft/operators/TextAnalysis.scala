@@ -103,6 +103,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** GPT-2-style pretokenizer pattern over the (lowercased) normal
+    * form: contraction suffixes, space-prefixed letter runs, digit
+    * runs, and punctuation/symbol runs. No lookarounds, so Java regex
+    * (Spark) and RE2 (DuckDB) match it identically. */
+  val bpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+"
+
+  /** q47: token counting under a BPE-ish pretokenizer regex next to the
+    * whitespace count — the ratio is the "tokens per word" statistic a
+    * training-data budget is planned with. One scan, one aggregate;
+    * the regex runs once per doc and stays inside codegen. */
+  def q47BpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("lang"),
+        size(regexp_extract_all(normText(col("text")), lit(bpePattern), lit(0)))
+          .as("bpe"),
+        tokenCount(col("text")).as("ws"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("bpe")).as("sum_bpe_tokens"),
+        sum(col("ws")).as("sum_ws_tokens"))
+      .withColumn("tokens_per_word",
+        col("sum_bpe_tokens").cast("double") / col("sum_ws_tokens"))
+      .orderBy(col("lang"))
+
   /** q43: reproducible train/val/test split — the md5-derived portable
     * hash of the doc id assigns 80/10/10 buckets; any engine, any
     * partitioning, any run produces the same assignment (the property a

@@ -73,6 +73,39 @@ class DedupSpec extends SparkSpec {
     assert(overlap >= 0.8)
   }
 
+  test("connected components: chains converge to the minimum member id") {
+    import spark.implicits._
+    // two components: a 6-vertex CHAIN (needs multi-round propagation —
+    // one round only moves labels one hop) and a disjoint pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(got(_) == 1L))
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(got.size == 8)
+  }
+
+  test("q50 clusters agree with q31 pairs (every pair lands in one cluster)") {
+    import spark.implicits._
+    val cluster = Dedup.q50DedupClusters(spark, sfDir)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val pairs = Dedup.q31MinHashDedup(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(cluster(a) == cluster(b)) }
+    // canonical id is a member, and is minimal in its cluster
+    cluster.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keySet.min == cid)
+    }
+  }
+
+  test("winnow pairs respect the df cap and overlap threshold") {
+    val rows = Dedup.q46WinnowPairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= Dedup.winnowMinShared))
+  }
+
   test("source-scoped jaccard join only pairs within a source") {
     val rows = Dedup.q33SourceJaccard(spark, sfDir).collect()
     val bySource = graft.sources.Tables.load(spark, sfDir, "documents")

@@ -64,6 +64,19 @@ class PlanCheckSpec extends SparkSpec {
     assert(!p.contains("array(-"), "centroids appear folded into literals")
   }
 
+  test("q46/q49 candidate joins are equality joins, not nested loops") {
+    // winnow-overlap joins on the fingerprint value; the range join
+    // buckets time so the interval predicate never plans a per-key
+    // nested loop
+    Seq(
+      Dedup.q46WinnowPairs(spark, sfDir),
+      Advanced.q49RangeJoin(spark, sfDir)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), p.linesIterator.next())
+      assert(!p.contains("BroadcastNestedLoopJoin"))
+    }
+  }
+
   test("q38 as-of join is one window pass — no range join anywhere") {
     val p = plan(Advanced.q38AsofJoin(spark, sfDir))
     assert(p.contains("Window"))
