@@ -51,9 +51,12 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect ivf).size.toDouble / brute.size
     info(f"IVF ANN recall@5 = $recall%.2f")
-    // 3 of 10 cells probed; label-clustered gaussians → expect well
-    // above the 30% random floor
-    assert(recall >= 0.3)
+    // 5 of 16 k-means cells probed (~31% of the corpus scanned);
+    // geometric cells beat the old label-cell 0.56 at the same scan
+    // fraction. The trained index is bit-deterministic (fixed-point
+    // centroid sums, hash seeds), so this is a stable floor, not a
+    // flaky sample.
+    assert(recall >= 0.7)
   }
 
   test("cosine-pair join is symmetric-free (a < b) and thresholded") {
