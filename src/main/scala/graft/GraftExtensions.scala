@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF64, WordShingles}
+import graft.functions.{DotProductF64, WinnowFingerprints, WordShingles}
 
 /** SparkSessionExtensions hook: registers the engine's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -55,6 +55,21 @@ object GraftExtensions {
               s"word_shingles width must be a literal, got $other")
         }
         WordShingles(args.head, n)
+      }),
+    (FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName,
+        "winnow_fingerprints"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "winnow_fingerprints(text, k, w) takes three args")
+        val Seq(k, w) = args.tail.map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other =>
+            throw new IllegalArgumentException(
+              s"winnow_fingerprints sizes must be literals, got $other")
+        }
+        WinnowFingerprints(args.head, k, w)
       }))
 
   /** Install into an already-running session (config-based extensions

@@ -15,6 +15,16 @@ class GraftExtensionsSpec extends SparkSpec {
     val sh = s.sql("SELECT word_shingles('a  B\tc d', 3) AS s")
       .head().getSeq[String](0)
     assert(sh === Seq("a B c", "B c d"))
+    // winnowing fingerprints agree with the DataFrame-side helper
+    val sql = s.sql(
+      "SELECT winnow_fingerprints('the quick brown fox jumps', 8, 4) AS f")
+      .head().getSeq[Long](0)
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val df = Seq("the quick brown fox jumps").toDF("text")
+      .select(graft.functions.TextFunctions.winnow(col("text"), 8, 4))
+      .head().getSeq[Long](0)
+    assert(sql === df && sql.nonEmpty)
   }
 
   test("dot_f64 null semantics exactly match the HOF form") {
