@@ -69,6 +69,9 @@ object SparkEntry {
     "q48_salted_hotkeys"   -> (graft.operators.Skew.q48SaltedHotkeys _),
     "q49_range_join"       -> (Advanced.q49RangeJoin _),
     "q50_dedup_clusters"   -> (Dedup.q50DedupClusters _),
+    "q51_quantize_embed"   -> (Advanced.q51QuantizeEmbed _),
+    "q52_stratified_sample" -> (TextAnalysis.q52StratifiedSample _),
+    "q53_contamination"    -> (Dedup.q53Contamination _),
     "q37_label_centroids"  -> (Advanced.q37LabelCentroids _),
     "q38_asof_join"        -> (Advanced.q38AsofJoin _),
   )
@@ -495,6 +498,43 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q51_quantize_embed" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT label,
+        |    greatest(list_aggregate(v, 'max'), -list_aggregate(v, 'min'))/127.0
+        |      AS scale, v
+        |  FROM e),
+        |ex AS (SELECT label, scale, unnest(v) AS x FROM s),
+        |er AS (SELECT label, scale, x - round(x/scale)*scale AS err FROM ex)
+        |SELECT label, COUNT(*) AS n_dims,
+        |  CAST(SUM(CAST(floor(err*err*1e12) AS BIGINT)) AS DOUBLE)/1e12/COUNT(*) AS mse,
+        |  CAST(SUM(CAST(floor(scale*1e9) AS BIGINT)) AS DOUBLE)/1e9/COUNT(*) AS avg_scale
+        |FROM er GROUP BY label ORDER BY label""".stripMargin,
+    "q52_stratified_sample" -> {
+      val rateCase = TextAnalysis.sampleRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""WITH b AS (SELECT lang, n_chars,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':sample')), 1, 15)) AS BIGINT) % 100 AS bucket,
+        |    CASE lang $rateCase ELSE ${TextAnalysis.defaultSampleRate} END AS rate
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "q53_contamination" ->
+      s"""WITH $shingleCte,
+        |pe AS (SELECT doc_id AS probe_id, unnest(s) AS sg FROM shx
+        |  WHERE doc_id < ${graft.operators.Dedup.contamProbes}),
+        |ce AS (SELECT doc_id, unnest(s) AS sg FROM shx
+        |  WHERE doc_id >= ${graft.operators.Dedup.contamProbes})
+        |SELECT ce.doc_id,
+        |  COUNT(DISTINCT ce.sg) AS n_shingles,
+        |  COUNT(DISTINCT pe.probe_id) AS n_probes
+        |FROM ce JOIN pe ON ce.sg = pe.sg
+        |GROUP BY ce.doc_id
+        |HAVING COUNT(DISTINCT ce.sg) >= ${graft.operators.Dedup.contamMinShingles}
+        |ORDER BY doc_id""".stripMargin,
   )
 
   /** Winnowing-fingerprint oracle: recomputes the Karp–Rabin polynomial

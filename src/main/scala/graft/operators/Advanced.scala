@@ -223,6 +223,39 @@ object Advanced {
       .orderBy(col("event_id"))
   }
 
+  /** q51: int8 embedding quantization quality — symmetric per-vector
+    * scaling (scale = max|x|/127, the faiss/GGML-style Q8 scheme) and
+    * the reconstruction-error profile per label. Storing 100 TB of
+    * float32 embeddings as int8 + one scale is a 4× footprint cut;
+    * this query is the acceptance check that the error stays where the
+    * scheme predicts (mse ≈ scale²/12 per dimension).
+    *
+    * Shape: one scan, one explode, one map-side-combinable aggregate
+    * (the q37 pattern). scale uses array_max/array_min (plain codegen'd
+    * collection ops, not lambda HOFs); the squared errors and scales
+    * aggregate in exact fixed point (floor(x·1e12) LONGs), so the
+    * result is bit-identical at any parallelism AND to the DuckDB
+    * oracle; round() ties break away from zero in both engines. */
+  def q51QuantizeEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val e = Tables.load(spark, sfDir, "embeddings")
+      .select(col("label"), v.as("v"))
+      .withColumn("scale",
+        greatest(array_max(col("v")), -array_min(col("v"))) / 127.0)
+    val err = e.select(col("label"), col("scale"), posexplode(col("v")))
+      .withColumn("err",
+        col("col") - round(col("col") / col("scale")) * col("scale"))
+    err.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum(floor(col("err") * col("err") * 1e12).cast("long")).as("sse_fp"),
+        sum(floor(col("scale") * 1e9).cast("long")).as("scale_fp"))
+      .select(col("label"), col("n_dims"),
+        (col("sse_fp").cast("double") / 1e12 / col("n_dims")).as("mse"),
+        (col("scale_fp").cast("double") / 1e9 / col("n_dims")).as("avg_scale"))
+      .orderBy(col("label"))
+  }
+
   /** Range-join bucket width: 1 hour in microseconds. */
   val rangeJoinBucketUs: Long = 3600L * 1000000L
 

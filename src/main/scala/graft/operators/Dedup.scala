@@ -318,6 +318,37 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // --- contamination screen ------------------------------------------------
+
+  val contamProbes = 10 // doc_id < 10 play the held-out benchmark set
+  val contamMinShingles = 5 // distinct shared shingles to flag a doc
+
+  /** q53: train/benchmark contamination screen — which corpus docs
+    * overlap a (small) held-out evaluation set at the n-gram level,
+    * the decontamination pass every serious training-data pipeline
+    * runs before training. A corpus doc is flagged when it shares ≥
+    * [[contamMinShingles]] distinct 3-word shingles with the benchmark;
+    * the report carries the shingle count and how many distinct
+    * benchmark docs it collides with.
+    *
+    * Scale shape: the benchmark side is tiny and the corpus side
+    * explodes to (shingle, doc) postings, so the collision test is an
+    * equality join on the shingle string against a broadcast-able probe
+    * index — linear in corpus size, never pairwise in the corpus. */
+  def q53Contamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingled(spark, sfDir)
+    val probes = sh.filter(col("doc_id") < contamProbes)
+      .select(col("doc_id").as("probe_id"), explode(col("sh")).as("sg"))
+    val corpus = sh.filter(col("doc_id") >= contamProbes)
+      .select(col("doc_id"), explode(col("sh")).as("sg"))
+    corpus.join(broadcast(probes), "sg")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sg")).as("n_shingles"),
+        countDistinct(col("probe_id")).as("n_probes"))
+      .filter(col("n_shingles") >= contamMinShingles)
+      .orderBy(col("doc_id"))
+  }
+
   // --- duplicate clusters (connected components) ---------------------------
 
   /** Connected components over an undirected edge list by distributed

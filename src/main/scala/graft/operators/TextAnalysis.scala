@@ -127,6 +127,34 @@ object TextAnalysis {
         col("sum_bpe_tokens").cast("double") / col("sum_ws_tokens"))
       .orderBy(col("lang"))
 
+  /** Per-language sampling rates (percent): downsample the dominant
+    * language, keep more of the low-resource ones — the data-mixing
+    * step of corpus assembly. */
+  val sampleRates: Seq[(String, Int)] = Seq(
+    "en" -> 20, "de" -> 60, "es" -> 60, "fr" -> 60, "zh" -> 60)
+  val defaultSampleRate = 50
+
+  /** q52: deterministic stratified sampling — each doc's md5-derived
+    * bucket decides membership at its language's rate, so the sample
+    * is reproducible on any engine/partitioning/run (same property as
+    * q43's splits) and needs no global count or sort: one scan, one
+    * aggregate, embarrassingly parallel. Emits per-language totals
+    * next to the sampled counts so the realized rate is auditable. */
+  def q52StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(h60(concat(col("doc_id").cast("string"), lit(":sample"))),
+      lit(100))
+    val rate = sampleRates.foldLeft(lit(defaultSampleRate)) {
+      case (acc, (l, r)) => when(col("lang") === l, r).otherwise(acc)
+    }
+    val in = bucket < rate
+    Tables.load(spark, sfDir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(in, 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(in, col("n_chars")).otherwise(0L)).as("sampled_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** q43: reproducible train/val/test split — the md5-derived portable
     * hash of the doc id assigns 80/10/10 buckets; any engine, any
     * partitioning, any run produces the same assignment (the property a
