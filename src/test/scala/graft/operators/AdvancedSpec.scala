@@ -57,4 +57,36 @@ class AdvancedSpec extends SparkSpec {
       assert(gotMap(eid) === expect(user, ts), s"event $eid")
     }
   }
+
+  test("q51: int8 quantization error sits in the predicted band") {
+    // symmetric Q8: per-dim error is uniform-ish in [-scale/2, scale/2],
+    // so mse ≈ avg_scale²/12; assert the order of magnitude, not the
+    // constant (the data need not be uniform)
+    val rows = Advanced.q51QuantizeEmbed(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mse = r.getDouble(2)
+      val s = r.getDouble(3)
+      assert(mse > 0 && mse < s * s / 2, s"label ${r.get(0)}: mse=$mse scale=$s")
+    }
+  }
+
+  test("q49: bucketized range join equals the naive inequality join") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val naive = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          (col("b.us") - col("a.us")).between(0, Advanced.rangeJoinBucketUs) &&
+          (col("a.us") < col("b.us") ||
+            (col("a.us") === col("b.us") &&
+              col("a.event_id") < col("b.event_id"))))
+      .groupBy(col("a.user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Advanced.q49RangeJoin(spark, sfDir)
+      .select("user_id", "n_pairs")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naive && got.nonEmpty)
+  }
 }

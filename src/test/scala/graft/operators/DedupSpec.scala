@@ -100,6 +100,48 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components on an empty edge list terminates empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() === 0)
+  }
+
+  test("q52: realized sample rates track the nominal per-language rates") {
+    val rows = graft.operators.TextAnalysis
+      .q52StratifiedSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val rates = graft.operators.TextAnalysis.sampleRates.toMap
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val n = r.getLong(1).toDouble
+      val sampled = r.getLong(2).toDouble
+      val nominal = rates.getOrElse(lang,
+        graft.operators.TextAnalysis.defaultSampleRate) / 100.0
+      // md5 buckets over a 2-digit grid: allow wide tolerance on the
+      // tiny fixture; the DETERMINISM (exact same set every run) is
+      // what the oracle hash pins — this just sanity-checks the rate
+      assert(math.abs(sampled / n - nominal) < 0.35,
+        s"$lang sampled ${sampled / n} vs nominal $nominal")
+    }
+  }
+
+  test("q53: every flagged doc genuinely shares shingles with a probe") {
+    import org.apache.spark.sql.functions._
+    val flagged = Dedup.q53Contamination(spark, sfDir).collect()
+    assert(flagged.nonEmpty)
+    val sh = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), graft.functions.TextFunctions.shingles3(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val probeSh = (0L until Dedup.contamProbes.toLong)
+      .flatMap(sh.get).reduce(_ union _)
+    flagged.foreach { r =>
+      val id = r.getLong(0)
+      val shared = sh(id).intersect(probeSh).size
+      assert(shared === r.getLong(1), s"doc $id")
+      assert(shared >= Dedup.contamMinShingles)
+    }
+  }
+
   test("winnow pairs respect the df cap and overlap threshold") {
     val rows = Dedup.q46WinnowPairs(spark, sfDir).collect()
     assert(rows.nonEmpty)
