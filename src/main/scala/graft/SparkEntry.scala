@@ -72,6 +72,7 @@ object SparkEntry {
     "q51_quantize_embed"   -> (Advanced.q51QuantizeEmbed _),
     "q52_stratified_sample" -> (TextAnalysis.q52StratifiedSample _),
     "q53_contamination"    -> (Dedup.q53Contamination _),
+    "q54_corpus_v2"        -> (Dedup.q54CorpusV2 _),
     "q37_label_centroids"  -> (Advanced.q37LabelCentroids _),
     "q38_asof_join"        -> (Advanced.q38AsofJoin _),
   )
@@ -535,6 +536,59 @@ object SparkEntry {
         |GROUP BY ce.doc_id
         |HAVING COUNT(DISTINCT ce.sg) >= ${graft.operators.Dedup.contamMinShingles}
         |ORDER BY doc_id""".stripMargin,
+    "q54_corpus_v2" -> {
+      val p = graft.operators.Dedup.contamProbes
+      val m = graft.operators.Dedup.contamMinShingles
+      val rateCase = TextAnalysis.sampleRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+      s"""WITH RECURSIVE
+        |quality AS (
+        |  SELECT doc_id, lang, n_chars, text, len($toksSql) AS tok_cnt
+        |  FROM documents WHERE len($toksSql) >= 15),
+        |uniq AS (
+        |  SELECT * FROM quality
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY md5($normSql) ORDER BY doc_id) = 1),
+        |tok2 AS (SELECT doc_id, $toksSql AS t FROM uniq),
+        |shx2 AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t)-1),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tok2 WHERE len(t) >= 3),
+        |e2 AS (SELECT doc_id, unnest(s) AS sg FROM shx2),
+        |sz2 AS (SELECT doc_id, len(s) AS n FROM shx2),
+        |inter2 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        |  FROM e2 a JOIN e2 b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT doc_a, doc_b FROM inter2
+        |  JOIN sz2 sa ON sa.doc_id = doc_a
+        |  JOIN sz2 sb ON sb.doc_id = doc_b
+        |  WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.5),
+        |ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        |  UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM ed
+        |  UNION
+        |  SELECT ed.a, reach.r FROM ed JOIN reach ON ed.b = reach.v),
+        |cdrop AS (SELECT v AS doc_id FROM reach GROUP BY v
+        |  HAVING v <> min(r)),
+        |probe_sg AS (SELECT DISTINCT unnest(s) AS sg FROM (
+        |  SELECT list_distinct(list_transform(range(1, len($toksSql)-1),
+        |      i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])) AS s
+        |  FROM documents WHERE doc_id < $p AND len($toksSql) >= 3) t),
+        |contam AS (SELECT e2.doc_id FROM e2 JOIN probe_sg USING (sg)
+        |  WHERE e2.doc_id >= $p
+        |  GROUP BY e2.doc_id HAVING COUNT(DISTINCT sg) >= $m),
+        |clean AS (SELECT * FROM uniq WHERE doc_id >= $p
+        |  AND doc_id NOT IN (SELECT doc_id FROM cdrop)
+        |  AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |sampled AS (SELECT * FROM clean
+        |  WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':sample')), 1, 15)) AS BIGINT) % 100
+        |    < CASE lang $rateCase ELSE ${TextAnalysis.defaultSampleRate} END)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok_cnt) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin
+    },
   )
 
   /** Winnowing-fingerprint oracle: recomputes the Karp–Rabin polynomial

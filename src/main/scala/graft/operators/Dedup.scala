@@ -388,6 +388,69 @@ object Dedup {
     labels
   }
 
+  /** q54: the FULL corpus-assembly pipeline a modern training run
+    * executes, as one Spark DAG — every stage one of this engine's
+    * operators, end-to-end hash-checked against a pure-SQL oracle:
+    *
+    *  1. quality filter (≥ 15 tokens),
+    *  2. exact dedup (deterministic min-id keeper per fingerprint),
+    *  3. CLUSTER-based near-dup dedup — connected components over
+    *     exact-verified MinHash pairs, keep each cluster's canonical
+    *     (minimum-id) member: strictly better retention than q44's
+    *     pairwise drop-the-larger rule, which can delete every member
+    *     of a chain-shaped cluster except by luck,
+    *  4. decontamination against the held-out probe set (q53's rule),
+    *  5. deterministic stratified sampling at q52's per-language rates,
+    *  6. per-language corpus statistics.
+    *
+    * Scale: stages compose without materializing anything but the two
+    * self-joined shingle tables; the only iteration (connected
+    * components) touches just the near-dup pair graph — vanishingly
+    * small next to the corpus — and every join in sight is an equality
+    * join. */
+  def q54CorpusV2(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .withColumn("tok_cnt", size(tokens(col("text"))))
+    val quality = d.filter(col("tok_cnt") >= 15)
+    val uniq = exactDedup(
+      quality.withColumn("fp", fingerprint(col("text"))),
+      col("fp"), Seq(col("doc_id")))
+    // near-dup clusters among survivors: drop non-canonical members
+    val sh2 = materialize(uniq
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val clusterDrop = connectedComponents(
+      nearDupPairs(sh2, 0.5), "doc_a", "doc_b")
+      .filter(col("vtx") =!= col("comp"))
+      .select(col("vtx").as("doc_id"))
+    // contamination vs the raw benchmark probes (q53 semantics)
+    val pe = shingled(spark, sfDir).filter(col("doc_id") < contamProbes)
+      .select(explode(col("sh")).as("sg")).distinct()
+    val contam = sh2.filter(col("doc_id") >= contamProbes)
+      .select(col("doc_id"), explode(col("sh")).as("sg"))
+      .join(broadcast(pe), "sg")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sg")).as("ns"))
+      .filter(col("ns") >= contamMinShingles)
+      .select(col("doc_id"))
+    val clean = uniq.filter(col("doc_id") >= contamProbes)
+      .join(clusterDrop, Seq("doc_id"), "left_anti")
+      .join(contam, Seq("doc_id"), "left_anti")
+    // deterministic stratified sample (q52 rates)
+    val bucket = pmod(graft.functions.TextFunctions.h60(
+      concat(col("doc_id").cast("string"), lit(":sample"))), lit(100))
+    val rate = TextAnalysis.sampleRates.foldLeft(
+      lit(TextAnalysis.defaultSampleRate)) {
+      case (acc, (l, r)) => when(col("lang") === l, r).otherwise(acc)
+    }
+    clean.filter(bucket < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok_cnt")).as("sum_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** q50: duplicate CLUSTERS — the transitive closure the pairwise
     * near-dup queries stop short of. Edges are q31's exact-verified
     * MinHash pairs (Jaccard ≥ 0.5); output is every clustered doc with
