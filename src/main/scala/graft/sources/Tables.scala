@@ -29,6 +29,11 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // some writers (e.g. DuckDB) emit timestamp[us] without the
+        // UTC-adjusted flag; surface the same instant under the UTC
+        // session timezone
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
