@@ -73,6 +73,7 @@ object SparkEntry {
     "q52_stratified_sample" -> (TextAnalysis.q52StratifiedSample _),
     "q53_contamination"    -> (Dedup.q53Contamination _),
     "q54_corpus_v2"        -> (Dedup.q54CorpusV2 _),
+    "q55_topk_orders"      -> (Advanced.q55TopOrdersAgg _),
     "q37_label_centroids"  -> (Advanced.q37LabelCentroids _),
     "q38_asof_join"        -> (Advanced.q38AsofJoin _),
   )
@@ -589,6 +590,14 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM sampled GROUP BY lang ORDER BY lang""".stripMargin
     },
+    "q55_topk_orders" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rnk, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rnk""".stripMargin,
   )
 
   /** Winnowing-fingerprint oracle: recomputes the Karp–Rabin polynomial

@@ -256,6 +256,24 @@ object Advanced {
       .orderBy(col("label"))
   }
 
+  /** q55: top-3 orders per customer via MAP-SIDE PARTIAL TOP-K
+    * ([[graft.functions.TopKAgg]]) — the scalable alternative to the
+    * `row_number` window (q5's shape), which must shuffle+sort every
+    * row of every group before discarding all but k. Here each map
+    * task keeps a k-slot buffer per group, the shuffle carries at most
+    * k·|groups| rows, and nothing is globally sorted. Results are
+    * deterministic ((price DESC, orderkey ASC) is a total order) and
+    * hash-match the window-based SQL oracle exactly. */
+  def q55TopOrdersAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKAgg
+        .topkAgg(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rnk"))
+
   /** Range-join bucket width: 1 hour in microseconds. */
   val rangeJoinBucketUs: Long = 3600L * 1000000L
 

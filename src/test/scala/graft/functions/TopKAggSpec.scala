@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** TopKAgg: the bounded insertion buffer must agree with full-sort
+  * take(k) under arbitrary inputs and merge orders, and the aggregate
+  * query must equal the window formulation row for row. */
+class TopKAggSpec extends SparkSpec {
+
+  test("buffer matches sort.take(k) on fuzzed inputs, any merge split") {
+    val rng = new scala.util.Random(99)
+    for (trial <- 1 to 200) {
+      val k = 1 + rng.nextInt(5)
+      val n = rng.nextInt(40)
+      // duplicate scores on purpose: tie-break must be id ASC
+      val xs = Seq.fill(n)((rng.nextInt(8).toDouble, rng.nextLong(1000)))
+      val expect = xs.sortBy { case (s, i) => (-s, i) }.take(k)
+      val whole = new TopKAgg.Buffer(k)
+      xs.foreach { case (s, i) => whole.offer(s, i) }
+      def drain(b: TopKAgg.Buffer) =
+        (0 until b.size).map(j => (b.scores(j), b.ids(j)))
+      assert(drain(whole) == expect, s"trial $trial (single buffer)")
+      // random split + merge must give the same result
+      val cut = if (n == 0) 0 else rng.nextInt(n + 1)
+      val (l, r) = xs.splitAt(cut)
+      val b1 = new TopKAgg.Buffer(k); l.foreach { case (s, i) => b1.offer(s, i) }
+      val b2 = new TopKAgg.Buffer(k); r.foreach { case (s, i) => b2.offer(s, i) }
+      (0 until b2.size).foreach(j => b1.offer(b2.scores(j), b2.ids(j)))
+      assert(drain(b1) == expect, s"trial $trial (merged at $cut)")
+    }
+  }
+
+  test("q55 aggregate equals the row_number window formulation") {
+    val o = graft.sources.Tables.load(spark, sfDir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = o.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk").cast("int").as("rnk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rnk"))
+      .collect().toSeq
+    val viaAgg = graft.operators.Advanced
+      .q55TopOrdersAgg(spark, sfDir).collect().toSeq
+    assert(viaAgg == viaWindow && viaAgg.nonEmpty)
+  }
+}
