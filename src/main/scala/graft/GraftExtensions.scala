@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF64, WinnowFingerprints, WordShingles}
+import graft.functions.{DotProductF64, TopKAgg, WinnowFingerprints, WordShingles}
 
 /** SparkSessionExtensions hook: registers the engine's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -70,6 +70,20 @@ object GraftExtensions {
               s"winnow_fingerprints sizes must be literals, got $other")
         }
         WinnowFingerprints(args.head, k, w)
+      }),
+    (FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "topk_agg(score, id, k) takes three args")
+        val k = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other =>
+            throw new IllegalArgumentException(
+              s"topk_agg k must be a literal, got $other")
+        }
+        TopKAgg(args.head, args(1), k)
+          .toAggregateExpression(isDistinct = false)
       }))
 
   /** Install into an already-running session (config-based extensions

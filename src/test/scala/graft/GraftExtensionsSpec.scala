@@ -25,6 +25,16 @@ class GraftExtensionsSpec extends SparkSpec {
       .select(graft.functions.TextFunctions.winnow(col("text"), 8, 4))
       .head().getSeq[Long](0)
     assert(sql === df && sql.nonEmpty)
+    // topk_agg is SQL-callable as a grouped aggregate
+    val tk = s.sql(
+      """SELECT g, topk_agg(s, i, 2) AS top FROM VALUES
+        |  (1, 5.0d, 10L), (1, 7.0d, 11L), (1, 7.0d, 9L), (2, 1.0d, 3L)
+        |  AS t(g, s, i)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val top1 = tk(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(top1.map(r => (r.getDouble(0), r.getLong(1)))
+      === Seq((7.0, 9L), (7.0, 11L)))
+    assert(tk(1).getSeq[org.apache.spark.sql.Row](1).length === 1)
   }
 
   test("dot_f64 null semantics exactly match the HOF form") {
