@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming operators over the `events` stream shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -105,6 +106,44 @@ object StreamOps {
     * micro-batch engine schedule continuous empty batches — fine on a
     * cluster, but it never quiesces under test harnesses that wait for
     * processAllAvailable. */
+  /** The same running totals on the transformWithState API (Spark 4's
+    * successor to [mapGroups|flatMapGroups]WithState): typed named
+    * state through a StatefulProcessor handle, RocksDB-backed, with
+    * per-state TTL instead of a single group timeout — set `ttl` in
+    * production to bound idle-user state; NONE keeps tests hermetic.
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider on the running query (asserted in the
+    * spec). Behavior matches [[runningUserTotals]] row for row, which
+    * the spec cross-checks. */
+  final class RunningTotalsProcessor(burstThreshold: Int, ttl: TTLConfig)
+      extends StatefulProcessor[Long, UserEvent, UserRunning] {
+    @transient private var running: ValueState[RunningState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      running = getHandle.getValueState(
+        "running", Encoders.product[RunningState], ttl)
+
+    override def handleInputRows(user: Long, rows: Iterator[UserEvent],
+        tv: TimerValues): Iterator[UserRunning] = {
+      val evs = rows.toSeq
+      val prev = if (running.exists()) running.get() else RunningState(0L, 0.0)
+      val next = RunningState(prev.n + evs.size,
+        prev.total + evs.map(_.value).sum)
+      running.update(next)
+      Iterator.single(UserRunning(user, next.n, next.total,
+        evs.size > burstThreshold))
+    }
+  }
+
+  def runningUserTotalsTws(events: Dataset[UserEvent],
+      burstThreshold: Int = 10,
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(burstThreshold, ttl),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   def runningUserTotals(events: Dataset[UserEvent],
       burstThreshold: Int = 10,
       timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout())

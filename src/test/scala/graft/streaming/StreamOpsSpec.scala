@@ -206,4 +206,36 @@ class StreamOpsSpec extends SparkSpec {
         (2L, 1L, 4.0, false)))
     } finally q.stop()
   }
+
+  test("transformWithState twin matches flatMapGroupsWithState behavior") {
+    implicit val ctx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[UserEvent]
+    val q = StreamOps.runningUserTotalsTws(ms.toDS(), burstThreshold = 2)
+      .writeStream.format("memory").queryName("run_tws")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(ev(1, 1, 1, "a", 1.0), ev(2, 2, 1, "a", 2.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(ev(3, 3, 1, "a", 3.0), ev(4, 4, 2, "b", 4.0)))
+      q.processAllAvailable()
+      val got = spark.table("run_tws")
+        .select("user_id", "n_events", "total_value", "burst")
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      // identical rows to the flatMapGroupsWithState form
+      assert(got === Set(
+        (1L, 2L, 3.0, false),
+        (1L, 3L, 6.0, false),
+        (2L, 1L, 4.0, false)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
