@@ -48,39 +48,42 @@ object Advanced {
     * percentiles interpolate in double and engines disagree at 1 ulp,
     * so the discrete form is the portable one.
     *
-    * The rank is RANGE-PARTITIONED, not a per-flag window: the group
-    * key has ~3 values, so `Window.partitionBy(flag)` would sort a
-    * third of the table in ONE task — fine at sf0.1, a wall at 100×.
-    * Instead: range-repartition on (flag, price) so every partition
-    * holds a contiguous slice of one flag's sort order, rank locally
-    * within (partition, flag), and offset by the cumulative row counts
-    * of the flag's earlier partitions (a P×|flags|-row side table,
-    * broadcast back). Parallelism scales with the partition count
-    * instead of the group-key cardinality; the result is the identical
-    * global rank. */
+    * The rank is VALUE-BUCKETED, not a per-flag window: the group key
+    * has ~3 values, so `Window.partitionBy(flag)` would sort a third
+    * of the table in ONE task — fine at sf0.1, a wall at 100×.
+    * Instead every row gets a bucket derived from its VALUE
+    * (fixed-width price ranges — contiguous in the sort order by
+    * construction), rank runs locally within (flag, bucket), and the
+    * cumulative row counts of the flag's earlier buckets (a tiny side
+    * aggregate, broadcast back) offset the local ranks into the
+    * identical global rank. Parallelism scales with the bucket count
+    * instead of the group-key cardinality, and — unlike an earlier
+    * `repartitionByRange` revision — the bucketing is a pure function
+    * of the data, so there are no sampled boundaries to pin with a
+    * checkpoint and no extra full-table shuffle: just one window pass
+    * plus one small aggregate. */
+  val pctBucketWidth = 4096.0
+
   def q25Percentiles(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice"))
-    // pin the sampled range-partition ids into the data (materialize:
-    // boundaries come from sampling, so compute them exactly once)
-    val rp = Dedup.materialize(
-      li.repartitionByRange(col("l_returnflag"), col("l_extendedprice"))
-        .withColumn("pid", spark_partition_id()))
-    val counts = rp.groupBy(col("pid"), col("l_returnflag"))
+      .withColumn("bucket",
+        floor(col("l_extendedprice") / pctBucketWidth).cast("long"))
+    val counts = li.groupBy(col("l_returnflag"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val wOff = Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))
+    val wOff = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = counts
       .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
       .withColumn("n",
         sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
-      .select(col("pid"), col("l_returnflag"), col("off"), col("n"))
-    // local rank within (pid, flag): the window key now has P×|flags|
-    // values, so every task sorts only its own range slice
-    val wLocal = Window.partitionBy(col("pid"), col("l_returnflag"))
+      .select(col("bucket"), col("l_returnflag"), col("off"), col("n"))
+    // local rank within (flag, bucket): every task sorts only its own
+    // value slice
+    val wLocal = Window.partitionBy(col("l_returnflag"), col("bucket"))
       .orderBy(col("l_extendedprice"))
-    val ranked = rp.withColumn("rn_local", row_number().over(wLocal))
-      .join(broadcast(offs), Seq("pid", "l_returnflag"))
+    val ranked = li.withColumn("rn_local", row_number().over(wLocal))
+      .join(broadcast(offs), Seq("bucket", "l_returnflag"))
       .withColumn("rn", col("off") + col("rn_local"))
     val ps = Seq(0.5, 0.9, 0.99)
     // one explode instead of a 3-way union of filters — the union form
