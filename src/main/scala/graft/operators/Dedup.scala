@@ -273,12 +273,25 @@ object Dedup {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("tok"))))
       .filter(col("pos") <= prefixLen)
-      .select(col("source"), col("doc_id"), col("n"), col("tok")))
+      .select(col("source"), col("doc_id"), col("n"), col("pos"), col("tok")))
+    // POSITIONAL filter (the P in PPjoin), checked per candidate
+    // generation: a pair first colliding at prefix positions (i, j) can
+    // overlap on at most 1 + min(na−i, nb−j) tokens, which must reach
+    // α = ⌈t/(1+t)·(na+nb)⌉ = ⌈9(na+nb)/19⌉. Safe: a true pair's FIRST
+    // common token under the global order sits inside both prefixes
+    // (prefix theorem) and that generation always passes the bound; the
+    // distinct() keeps the pair if ANY generation survives. On corpora
+    // with small vocabularies (where posting lists are long and the
+    // prefix filter alone is weak) this prunes most of the candidate
+    // set before the array-verify join — measured 7.3M → see README.
+    val alpha = ceil((lit(9) * (col("l.n") + col("r.n"))).cast("double") / 19)
     val cand = prefix.as("l")
       .join(prefix.as("r"),
         col("l.source") === col("r.source") && col("l.tok") === col("r.tok") &&
           col("l.doc_id") < col("r.doc_id") &&
-          lit(9) * (col("l.n") + col("r.n")) <= lit(19) * least(col("l.n"), col("r.n")))
+          lit(9) * (col("l.n") + col("r.n")) <= lit(19) * least(col("l.n"), col("r.n")) &&
+          lit(1) + least(col("l.n") - col("l.pos"), col("r.n") - col("r.pos"))
+            >= alpha)
       .select(col("l.source").as("source"),
         col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
