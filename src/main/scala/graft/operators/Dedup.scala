@@ -89,7 +89,19 @@ object Dedup {
     * as plain projections → 64-way min hash-aggregate on doc_id. All
     * codegen'd arithmetic — the higher-order-function form
     * (array_min over transform) is CodegenFallback and was measured 30×
-    * slower at sf0.1. One shuffle on doc_id, then bands explode. */
+    * slower at sf0.1. One shuffle on doc_id, then bands explode.
+    *
+    * Why 64 DECLARATIVE `min(...)` columns and not one 64-slot
+    * TypedImperativeAggregate (the [[graft.functions.SimHashAgg]]
+    * shape): typed-buffer aggregates plan as ObjectHashAggregate, which
+    * abandons hashing for SORT-based aggregation beyond
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128) distinct keys per task — on a corpus with one group
+    * per document that means sorting the entire exploded shingle table.
+    * Measured at 200k docs: the buffer-aggregate form was 3-5× SLOWER
+    * end to end; declarative mins stay inside whole-stage codegen's
+    * vectorized hash aggregate at any group count. (SimHashAgg is fine:
+    * its alternative was 60 CASE-expression sums, not 60 cheap mins.) */
   def minhashBands(docs: DataFrame): DataFrame = {
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("x", xxhash64(col("s")).bitwiseAND(lit(0xFFFFFFFFL)))
