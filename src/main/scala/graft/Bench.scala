@@ -22,6 +22,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // typed-buffer aggregates (SimHashAgg, TopKAgg) group on
+      // high-cardinality keys with SMALL fixed-size buffers; the
+      // default 128-key ObjectHashAggregate threshold would silently
+      // sort-fall-back every task (see minhashBands scaladoc)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        1 << 22)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,6 +14,10 @@ object ScaleProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 64)
       .config("spark.driver.memory", "24g")
+      // typed-buffer aggregates (SimHashAgg) group per document; the
+      // default 128-key threshold would sort-fall-back every task
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        1 << 22)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = args.toSet

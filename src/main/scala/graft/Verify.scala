@@ -12,6 +12,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep typed-buffer aggregates hash-based at any group count
+      // (small fixed-size buffers; see minhashBands scaladoc)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        1 << 22)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
