@@ -202,7 +202,8 @@ object Dedup {
     * on all 45 band-pairs with their CONCATENATED 12-bit values stays
     * complete (that clean pair is one of the keys) while the bucket
     * space grows 64× (2^12 vs 2^6): enumerations drop to 45·n²/4096 ≈
-    * n²/91, a 14× cut (measured 311 s → see README), at the price of
+    * n²/91, a 14× enumeration cut (311 s → ~60 s measured end to
+    * end; the residual is the simhash aggregation itself), at the price of
     * 45 instead of 10 index rows per doc. The same knob extends: with
     * b bands and threshold t, any (b−t)-subset of bands works as one
     * AND-key. The residual xor+popcount verify runs inside the join,
@@ -295,7 +296,8 @@ object Dedup {
     // distinct() keeps the pair if ANY generation survives. On corpora
     // with small vocabularies (where posting lists are long and the
     // prefix filter alone is weak) this prunes most of the candidate
-    // set before the array-verify join — measured 7.3M → see README.
+    // set before the array-verify join (7.3M → 6.5M candidates even on
+    // the probe corpus, whose 3-token prefixes rarely bind the bound).
     val alpha = ceil((lit(9) * (col("l.n") + col("r.n"))).cast("double") / 19)
     val cand = prefix.as("l")
       .join(prefix.as("r"),
