@@ -499,6 +499,54 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
+  /** Connected components by ALTERNATING STARS (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): each round every
+    * node u re-wires its neighborhood toward m = min(N(u) ∪ {u}) —
+    * large-star moves the strictly-larger neighbors, small-star the
+    * smaller-or-equal ones — and the edge set provably converges to a
+    * star forest labeling every vertex with its component minimum in
+    * O(log n) rounds REGARDLESS of graph diameter (each round is two
+    * join+min-aggregate passes, same per-round shape as
+    * [[connectedComponents]]). Use this over the plain propagation
+    * when clusters can be chain-shaped (propagation needs diameter
+    * rounds: a 1M-doc boilerplate chain would need 1M passes; this
+    * needs ~20). Results are identical — the fuzz spec pins both
+    * algorithms to each other on random graphs. */
+  def connectedComponentsStar(pairs: DataFrame, src: String, dst: String): DataFrame = {
+    def star(edges: DataFrame, large: Boolean): DataFrame = {
+      val nb = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val m = nb.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val moved = nb.join(m, "u")
+        .filter(if (large) col("v") > col("u") else col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // keep each center attached to its min so components never split
+      moved.union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = materialize(
+      pairs.select(col(src).as("u"), col(dst).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    val verts = edges.select(col("u").as("vtx"))
+      .union(edges.select(col("v").as("vtx"))).distinct()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 40) {
+      val next = materialize(star(star(edges, large = true), large = false))
+      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      edges = next
+      rounds += 1
+    }
+    // converged star forest: every edge is (member, component-min)
+    val members = edges.select(col("u").as("vtx"), col("v").as("comp"))
+      .union(edges.select(col("v").as("vtx"), col("u").as("comp")))
+      .groupBy(col("vtx")).agg(min(col("comp")).as("comp"))
+      .withColumn("comp", least(col("comp"), col("vtx")))
+    verts.join(members, Seq("vtx"), "left")
+      .select(col("vtx"), coalesce(col("comp"), col("vtx")).as("comp"))
+  }
+
   /** q50: duplicate CLUSTERS — the transitive closure the pairwise
     * near-dup queries stop short of. Edges are q31's exact-verified
     * MinHash pairs (Jaccard ≥ 0.5); output is every clustered doc with
@@ -508,7 +556,9 @@ object Dedup {
   def q50DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = nearDupPairs(shingled(spark, sfDir), 0.5)
     val w = Window.partitionBy(col("cluster_id"))
-    connectedComponents(pairs, "doc_a", "doc_b")
+    // the O(log n) star algorithm carries the driver query; q54 runs
+    // the plain propagation, so the oracle gate exercises both
+    connectedComponentsStar(pairs, "doc_a", "doc_b")
       .select(col("vtx").as("doc_id"), col("comp").as("cluster_id"))
       .withColumn("n_members", count(lit(1)).over(w))
       .orderBy(col("doc_id"))

@@ -100,10 +100,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("star CC equals propagation CC on fuzzed graphs and chains") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val cases: Seq[Seq[(Long, Long)]] =
+      // adversarial: long chains (diameter = n) in both id directions
+      Seq((1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq,
+        (1L to 12L).sliding(2).map(s => (s(1), s(0))).toSeq) ++
+      Seq.fill(6)(Seq.fill(14)((rng.nextInt(10).toLong, rng.nextInt(10).toLong))
+        .filter { case (a, b) => a != b })
+    cases.zipWithIndex.foreach { case (es, i) =>
+      val df = es.toDF("doc_a", "doc_b")
+      val prop = Dedup.connectedComponents(df, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      val star = Dedup.connectedComponentsStar(df, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      assert(star === prop, s"case $i: $es")
+    }
+  }
+
   test("connected components on an empty edge list terminates empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty, "doc_a", "doc_b").count() === 0)
+    assert(Dedup.connectedComponentsStar(empty, "doc_a", "doc_b").count() === 0)
   }
 
   test("q52: realized sample rates track the nominal per-language rates") {
