@@ -162,7 +162,7 @@ object Similarity {
     * hyperplanes (codegen'd dot per plane). */
   private def bucket(v: Column, t: Int): Column =
     (0 until lshBitsPerTable).map { j =>
-      val plane = array(planes(t)(j).map(lit): _*)
+      val plane = array(planes(t)(j).toIndexedSeq.map(lit): _*)
       when(dotD(v, plane) > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
