@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The one place session wiring lives, so no entry point can forget a
+  * required conf (round-3's bench ran local[4] and was 4×-inflated;
+  * an entry point without the ObjectHashAggregate threshold silently
+  * sort-falls-back every typed-buffer aggregate — see
+  * [[graft.operators.Dedup.minhashBands]]'s scaladoc).
+  *
+  * Two layers:
+  *  - [[configure]]: the confs ANY deployment of this library needs
+  *    (cluster spark-submit included) — extensions, aggregate
+  *    threshold, UTC session time.
+  *  - [[builder]]/[[local]]: the local[CPUS] harness shape the repo's
+  *    mains (Bench / Verify / ScaleProbe / Profile) share.
+  */
+object GraftSession {
+
+  /** Deployment-independent confs. Apply to any builder — including a
+    * cluster spark-submit session — before `getOrCreate`. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.session.timeZone", "UTC")
+    // typed-buffer aggregates (SimHashAgg, TopKAgg) group on
+    // high-cardinality keys with SMALL fixed-size buffers; the default
+    // 128-key ObjectHashAggregate threshold would silently
+    // sort-fall-back every task
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      1 << 22)
+
+  /** Local-mode builder for the repo's mains: every core unless
+    * SPARK_GRAFT_CPUS says otherwise (an unset env var must not
+    * silently quarter the parallelism), shuffle partitions = cores. */
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse(
+      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    configure(SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+  }
+
+  /** Build + quiet logs — what the mains actually call. */
+  def local(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

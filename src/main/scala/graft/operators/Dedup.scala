@@ -68,12 +68,10 @@ object Dedup {
   /** Materialize a (small) derived frame once. The dedup operators all
     * self-join their tokenized corpus: without this, every join branch
     * re-scans the parquet and re-tokenizes (measured: 6 scans, zero
-    * ReusedExchange in q33). localCheckpoint computes it one time into
-    * the block manager and cuts the lineage — the standard pattern for
-    * a reused intermediate that is tiny relative to its input (here:
-    * token/shingle arrays vs the raw corpus). */
+    * ReusedExchange in q33). Mechanism (localCheckpoint vs reliable
+    * checkpoint) is the deployment seam in [[graft.Materialize]]. */
   private[operators] def materialize(df: DataFrame): DataFrame =
-    df.localCheckpoint(true)
+    graft.Materialize(df)
 
   /** (doc_id, sh) with distinct 3-word shingles; docs with < 3 tokens
     * cannot be near-dups and are dropped. */

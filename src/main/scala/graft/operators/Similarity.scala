@@ -223,7 +223,7 @@ object Similarity {
       // seeds are the only place an element-wise HOF runs: nlist rows
       .select(col("vec_id").as("cell"),
         transform(col("v"), x => x / col("nrm")).as("cv")))
-      .localCheckpoint(true)
+    cents = graft.Materialize(cents)
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("cd").desc, col("cell"))
     for (_ <- 1 to lloydIters) {
@@ -235,15 +235,14 @@ object Similarity {
       // exact fixed-point per-dimension mean of the assigned UNIT
       // vectors (the q37 pattern): bit-identical at any parallelism,
       // so the trained index is reproducible run to run
-      cents = withHalfNormSq(assigned
+      cents = graft.Materialize(withHalfNormSq(assigned
         .select(col("cell"), col("nrm"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
         .agg((sum(floor(col("col") / col("nrm") * 1e6).cast("long"))
           .cast("double") / 1e6 / count(lit(1))).as("m"))
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), col("pm").getField("m").as("cv")))
-        .localCheckpoint(true)
+        .select(col("cell"), col("pm").getField("m").as("cv"))))
     }
     cents
   }
