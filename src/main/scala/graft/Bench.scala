@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: every SparkEntry query, per-query MEDIAN of n runs.
   *
@@ -14,23 +13,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Default to every core: the bench contract is local[32] on the 32-cpu
-    // sandbox, and an unset env var must not silently quarter the
-    // parallelism (round-3 bench ran local[4] this way — 4× inflated).
-    val cpus = sys.env.getOrElse(
-      "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // typed-buffer aggregates (SimHashAgg, TopKAgg) group on
-      // high-cardinality keys with SMALL fixed-size buffers; the
-      // default 128-key ObjectHashAggregate threshold would silently
-      // sort-fall-back every task (see minhashBands scaladoc)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        1 << 22)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local("graft-bench")
     // Untimed warmup: JIT/codegen paths and parquet footers, so the
     // first measured query doesn't absorb session startup.
     spark.range(1000000).selectExpr("sum(id * 2)").collect()

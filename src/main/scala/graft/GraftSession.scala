@@ -28,6 +28,11 @@ object GraftSession {
     // sort-fall-back every task
     .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       1 << 22)
+    // reliable-mode Materialize writes checkpoint files per call;
+    // iterative callers (connectedComponents materializes every round)
+    // would otherwise accumulate unbounded checkpoint-dir storage over
+    // a session — let the ContextCleaner delete them once the RDD is GC'd
+    .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
 
   /** Local-mode builder for the repo's mains: every core unless
     * SPARK_GRAFT_CPUS says otherwise (an unset env var must not

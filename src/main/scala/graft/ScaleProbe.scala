@@ -1,35 +1,46 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Scratch scale-probe main (not part of the driver contract): times a
   * targeted subset of the heavy operators ONCE against a replicated
-  * dataset (default /tmp/sfbig: documents ×40 with per-replica token
-  * namespaces, embeddings ×4, facts ×20 over sf0.1) to surface
+  * dataset (default /tmp/sfbig — regenerate with
+  * `python3 scripts/make_sfbig.py`: documents ×40 with per-replica
+  * token namespaces, embeddings ×4, facts ×20 over sf0.1) to surface
   * nonlinear blowups the tiny fixtures can't — the "would this hold at
-  * 100×?" question, measured instead of argued. */
+  * 100×?" question, measured instead of argued.
+  *
+  * Emits one `{"metric":"scaleprobe",...}` JSON line at the end (same
+  * shape as Bench) so scale runs are diffable round-over-round; a
+  * FAILED query records -1 plus its message under "errors", never a
+  * normal-looking time. Caveat from the bench history: co-tenant/host
+  * CPU stealing swings absolute times up to 7× — compare the SHAPE
+  * (which query blew up relative to the others), not totals. */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sfbig")
-    val spark = SparkSession.builder().master("local[32]")
+    // shared builder (cores from SPARK_GRAFT_CPUS, aggregate threshold,
+    // UTC) + a probe-specific override: 2× shuffle partitions, because
+    // the replicated dataset's heavy shuffles spill at cores=partitions
+    val spark = GraftSession.builder("graft-scaleprobe")
       .config("spark.sql.shuffle.partitions", 64)
-      .config("spark.driver.memory", "24g")
-      // typed-buffer aggregates (SimHashAgg) group per document; the
-      // default 128-key threshold would sort-fall-back every task
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        1 << 22)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = args.toSet
+    var times = Vector.empty[(String, Double)]
+    var errors = Map.empty[String, String]
     def t(name: String): Unit =
       if (only.isEmpty || only(name)) {
         val t0 = System.nanoTime()
         try {
-          val n = SparkEntry.queries(name)(spark, sfDir)
+          SparkEntry.queries(name)(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
-          println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+          val s = (System.nanoTime() - t0) / 1e9
+          times :+= name -> s
+          println(f"[scale] $name%-24s $s%8.1f s")
         } catch {
           case e: Throwable =>
+            times :+= name -> -1.0
+            errors += name -> e.toString.replaceAll("[\"\\\\\n]", " ").take(160)
             println(s"[scale] $name FAILED after " +
               f"${(System.nanoTime() - t0) / 1e9}%.1f s: " +
               e.toString.takeWhile(_ != '\n').take(160))
@@ -42,7 +53,15 @@ object ScaleProbe {
       "q32_simhash_dedup", "q33_source_jaccard", "q46_winnow_pairs",
       "q53_contamination", "q50_dedup_clusters", "q44_corpus_clean",
       "q54_corpus_v2", "q34_cosine_pairs", "q36_knn_lsh", "q41_knn_ivf",
-      "q45_embed_dedup", "q51_quantize_embed").foreach(t)
+      "q45_embed_dedup", "q51_quantize_embed", "q56_stream_hourly").foreach(t)
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = times.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"scaleprobe","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
