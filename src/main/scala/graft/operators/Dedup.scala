@@ -126,7 +126,21 @@ object Dedup {
       .distinct()
 
   /** MinHash-LSH candidate pairs exact-verified at `threshold` over the
-    * given (doc_id, sh) frame — the reusable core of q31/q44. */
+    * given (doc_id, sh) frame — the reusable core of q31/q44.
+    *
+    * ORACLE-COUPLING CAVEAT (q31/q44/q50/q54): the DuckDB oracles for
+    * these queries compute exact all-pairs Jaccard, so they agree with
+    * this operator only when the 16×4 banding catches EVERY pair at or
+    * above the threshold. Banding recall is 1-(1-j^4)^16: ~64% for a
+    * pair at exactly j = 0.5, ~99% at j = 0.7, ~99.98% at j = 0.8. The
+    * fixture's true pairs are near-identical replicas (j well above
+    * 0.7), which is why the gate has always hash-matched. On a dataset dense in pairs sitting just above the
+    * threshold the LSH result would (correctly, by design) be a strict
+    * subset of the oracle's. That is the standard recall/efficiency
+    * trade of banded MinHash, not a bug: an exact-at-threshold answer
+    * is inherently all-pairs (q34's block-join shape). Raising
+    * numBands (or lowering rowsPerBand) raises recall at more
+    * candidate cost. */
   def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val cand = lshCandidates(minhashBands(docs))
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
@@ -408,8 +422,16 @@ object Dedup {
     * for dedup graphs (tight clumps of near-identical docs); for
     * adversarial long-chain graphs the alternating large-star/
     * small-star variant (Kiveris et al.) drops it to O(log n) with the
-    * same per-round join shape. */
-  def connectedComponents(pairs: DataFrame, src: String, dst: String): DataFrame = {
+    * same per-round join shape.
+    *
+    * Exhausting `maxRounds` while labels are still moving THROWS:
+    * partially-propagated labels are silently-wrong cluster answers
+    * (two docs of one component reported as two), and the caller can't
+    * tell them from converged ones. A >maxRounds-diameter dedup graph
+    * is a signal to switch to [[connectedComponentsStar]], not to
+    * truncate. */
+  def connectedComponents(pairs: DataFrame, src: String, dst: String,
+      maxRounds: Int = 64): DataFrame = {
     val edges = materialize(
       pairs.select(col(src).as("u"), col(dst).as("v"))
         .union(pairs.select(col(dst).as("u"), col(src).as("v"))))
@@ -418,7 +440,7 @@ object Dedup {
         .withColumn("comp", col("vtx")))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 64) {
+    while (changed > 0 && rounds < maxRounds) {
       val nb = edges
         .join(labels.select(col("vtx").as("v"), col("comp").as("ncomp")), "v")
         .groupBy(col("u").as("vtx")).agg(min(col("ncomp")).as("best"))
@@ -431,6 +453,11 @@ object Dedup {
       labels = next.drop("moved")
       rounds += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxRounds rounds " +
+        s"($changed labels still moving): graph diameter exceeds the " +
+        "round cap; use connectedComponentsStar (O(log n) rounds) or " +
+        "raise maxRounds")
     labels
   }
 
@@ -510,18 +537,40 @@ object Dedup {
     * rounds: a 1M-doc boilerplate chain would need 1M passes; this
     * needs ~20). Results are identical — the fuzz spec pins both
     * algorithms to each other on random graphs. */
-  def connectedComponentsStar(pairs: DataFrame, src: String, dst: String): DataFrame = {
-    def star(edges: DataFrame, large: Boolean): DataFrame = {
+  def connectedComponentsStar(pairs: DataFrame, src: String, dst: String,
+      maxRounds: Int = 40): DataFrame = {
+    // One star pass. Returns the rewired edge set plus a MOVED count —
+    // the number of (u,v) rows whose rewire target differs from the
+    // edge they came from. moved == 0 certifies the pass was a set-level
+    // no-op (every row maps to itself and attachments are existing
+    // edges), so "movedL + movedS == 0" is an exact convergence test
+    // costing one cheap count on the already-materialized join — the
+    // round's former convergence check was TWO exceptAll shuffle-diffs
+    // over the full edge set, pure waste at scale. Per-edge "unchanged"
+    // means {v, m(u)} == {u, v}: for large-star (v > u) that is
+    // m(u) == u (m(u) <= u < v rules out m == v); small-star (v <= u)
+    // additionally allows m(u) == v (the rewire collapses to a self-loop
+    // and the center attachment (u, m(u)) == (u, v) restores the edge).
+    def star(edges: DataFrame, large: Boolean): (DataFrame, Long) = {
       val nb = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val m = nb.groupBy(col("u"))
         .agg(least(min(col("v")), col("u")).as("m"))
-      val moved = nb.join(m, "u")
-        .filter(if (large) col("v") > col("u") else col("v") <= col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
+      // the (u, v, m(u)) join is the pass's workhorse — materialize it
+      // once; the moved count, the rewire, and the center attachment
+      // are all cheap derivations of it
+      val joined = materialize(nb.join(m, "u"))
+      val dir = if (large) col("v") > col("u") else col("v") <= col("u")
+      val movedCond =
+        if (large) col("m") =!= col("u")
+        else col("m") =!= col("u") && col("m") =!= col("v")
+      val moved = joined.filter(dir && movedCond).count()
       // keep each center attached to its min so components never split
-      moved.union(m.select(col("u"), col("m").as("v")))
+      val out = joined.filter(dir)
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(joined.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
+      (out, moved)
     }
     var edges = materialize(
       pairs.select(col(src).as("u"), col(dst).as("v"))
@@ -530,12 +579,18 @@ object Dedup {
       .union(edges.select(col("v").as("vtx"))).distinct()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 40) {
-      val next = materialize(star(star(edges, large = true), large = false))
-      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+    while (changed > 0 && rounds < maxRounds) {
+      val (ls, movedL) = star(edges, large = true)
+      val (next, movedS) = star(ls, large = false)
+      changed = movedL + movedS
       edges = next
       rounds += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxRounds rounds " +
+        s"($changed edges still moving) — raise maxRounds (the star " +
+        "algorithm needs O(log n) rounds, so hitting a 40-round cap " +
+        "means something is structurally wrong with the edge input)")
     // converged star forest: every edge is (member, component-min)
     val members = edges.select(col("u").as("vtx"), col("v").as("comp"))
       .union(edges.select(col("v").as("vtx"), col("u").as("comp")))

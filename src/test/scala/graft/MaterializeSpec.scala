@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.shingles3
+import graft.operators.Dedup
+
+/** Pins the [[Materialize]] deployment seam: `local` (localCheckpoint)
+  * and `reliable` (checkpoint into a fault-tolerant dir) must produce
+  * IDENTICAL results for a full dedup pipeline — the seam may change
+  * failure recovery and IO cost, never answers — plus the two
+  * misconfiguration paths.
+  *
+  * Test ORDER is load-bearing: `SparkContext.setCheckpointDir` has no
+  * unset API, so the missing-dir negative test must run before any
+  * reliable-mode test sets a dir on the shared session.
+  */
+class MaterializeSpec extends SparkSpec {
+
+  /** Materialize-heavy dedup pipeline: shingle → MinHash/LSH near-dup
+    * pairs → star connected components (materializes every round). */
+  private def dedupPipeline(): DataFrame = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "the quick brown fox jumps over the lazy dog once more today"),
+      (4L, "pack my box with five dozen liquor jugs before the night ends"),
+      (5L, "pack my box with five dozen liquor jugs before the night ends."),
+      (6L, "a completely unrelated document about distributed query engines"),
+      (7L, "another entirely distinct text concerning parquet column pruning"),
+      (8L, "the quick brown fox jumps over the lazy dog again and again?"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    Dedup.connectedComponentsStar(
+      Dedup.nearDupPairs(docs, 0.5), "doc_a", "doc_b")
+  }
+
+  private def withMode[A](mode: String)(body: => A): A = {
+    spark.conf.set(Materialize.ModeKey, mode)
+    try body finally spark.conf.unset(Materialize.ModeKey)
+  }
+
+  test("reliable mode without a checkpoint dir fails loudly") {
+    assert(spark.sparkContext.getCheckpointDir.isEmpty,
+      "precondition: this test must run before any reliable-mode test")
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      withMode("reliable")(Materialize(df))
+    }
+    assert(e.getMessage.contains(Materialize.DirKey))
+  }
+
+  test("an unknown mode fails loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      withMode("lokal")(Materialize(df))
+    }
+    assert(e.getMessage.contains("lokal"))
+  }
+
+  test("local and reliable modes produce identical dedup-pipeline results") {
+    import spark.implicits._
+    val local = withMode("local") {
+      dedupPipeline().as[(Long, Long)].collect().sorted.toSeq
+    }
+    // near-dup groups {1,2,3,8} and {4,5} must actually cluster, or the
+    // pipeline exercised nothing
+    assert(local.nonEmpty && local.toMap.apply(8L) == 1L)
+
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.conf.set(Materialize.DirKey, ckpt.toString)
+    val reliable =
+      try withMode("reliable") {
+        dedupPipeline().as[(Long, Long)].collect().sorted.toSeq
+      } finally spark.conf.unset(Materialize.DirKey)
+    assert(reliable === local)
+
+    // the reliable path genuinely checkpointed (dir is populated), and
+    // the dir the seam set is the one we configured
+    assert(spark.sparkContext.getCheckpointDir.exists(_.contains(ckpt.toString)))
+    val populated = java.nio.file.Files.walk(ckpt).count() > 1
+    assert(populated, s"expected checkpoint files under $ckpt")
+  }
+}

@@ -119,6 +119,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("CC round-cap exhaustion throws instead of returning wrong labels") {
+    import spark.implicits._
+    // a 10-vertex chain needs ~9 propagation rounds; cap at 2 → labels
+    // still moving at exit → must THROW, not return half-propagated ids
+    val chain = (1L to 10L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "doc_a", "doc_b", maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    val e2 = intercept[IllegalStateException] {
+      Dedup.connectedComponentsStar(chain, "doc_a", "doc_b", maxRounds = 1)
+    }
+    assert(e2.getMessage.contains("did not converge"))
+    // sanity: the same chain converges fine under the default caps
+    val ok = Dedup.connectedComponentsStar(chain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 10L).forall(ok(_) == 1L))
+  }
+
   test("connected components on an empty edge list terminates empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
