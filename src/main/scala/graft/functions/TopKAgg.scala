@@ -31,9 +31,18 @@ final case class TopKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKAgg.Buffer] {
+    extends TypedImperativeAggregate[TopKAgg.Buffer]
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
 
   require(k >= 1, "k must be >= 1")
+
+  // update() reads the evaluated children as raw Double/Long; without a
+  // declared input contract a DECIMAL score or INT id analyzes fine and
+  // then throws ClassCastException mid-task. The (bridged) implicit-cast
+  // contract makes the analyzer insert the numeric casts
+  // (DECIMAL→DOUBLE, INT→BIGINT) and reject non-numeric inputs at
+  // ANALYSIS time.
+  override def declaredInputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false

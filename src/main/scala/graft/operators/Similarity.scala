@@ -266,8 +266,11 @@ object Similarity {
       .filter(col("vec_id") < knnQueries && col("cr") <= nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // final top-k via the bounded map-side aggregate (TopKAgg): the
+    // former row_number window shuffled AND sorted every candidate of
+    // every query; the aggregate ships at most k (cosine, id) pairs per
+    // query per map task, with the same (cosine DESC, id ASC) total
+    // order, so results are identical
     broadcast(queries)
       .join(indexed, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -275,8 +278,13 @@ object Similarity {
         (dotD(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
           .as("cosine"))
       .distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg
+        .topkAgg(col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -318,16 +326,22 @@ object Similarity {
       .distinct()
     val qv = e.filter(col("vec_id") < knnQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
+    // final top-k via TopKAgg (see q41): no per-query candidate sort,
+    // shuffle bounded at k rows per query per map task, same
+    // (cosine DESC, id ASC) order as the former row_number window
     cand
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
         Seq("neighbor_id"))
       .join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("embedding")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg
+        .topkAgg(col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -32,6 +32,30 @@ class TopKAggSpec extends SparkSpec {
     }
   }
 
+  test("input contract: numeric inputs coerce at analysis, strings are rejected") {
+    import spark.implicits._
+    val df = Seq((1, BigDecimal("3.5"), 7), (1, BigDecimal("9.5"), 8))
+      .toDF("g", "score", "id")
+    // DECIMAL score / INT id: the analyzer inserts casts (previously a
+    // mid-task ClassCastException from asInstanceOf[Double])
+    val got = df.groupBy(col("g"))
+      .agg(TopKAgg.topkAgg(col("score"), col("id"), 1).as("top"))
+      .select(explode(col("top")))
+      .select(col("col.score"), col("col.id"))
+      .as[(Double, Long)].collect().toSeq
+    assert(got == Seq((9.5, 8L)))
+    // a score type with no implicit cast to DOUBLE (array): must fail
+    // at ANALYSIS, not at execution. (STRING scores coerce like any
+    // Spark numeric context: CAST('..' AS DOUBLE), which under ANSI
+    // raises a clear cast error — not the old ClassCastException.)
+    val bad = Seq((1, Array(1.0), 7)).toDF("g", "score", "id")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.groupBy(col("g"))
+        .agg(TopKAgg.topkAgg(col("score"), col("id"), 1))
+        .collect()
+    }
+  }
+
   test("q55 aggregate equals the row_number window formulation") {
     val o = graft.sources.Tables.load(spark, sfDir, "orders")
     val w = Window.partitionBy(col("o_custkey"))
