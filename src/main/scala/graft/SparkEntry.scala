@@ -76,6 +76,7 @@ object SparkEntry {
     "q55_topk_orders"      -> (Advanced.q55TopOrdersAgg _),
     "q37_label_centroids"  -> (Advanced.q37LabelCentroids _),
     "q38_asof_join"        -> (Advanced.q38AsofJoin _),
+    "q56_stream_hourly"    -> (graft.streaming.StreamOps.q56StreamHourly _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -182,6 +183,16 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2, 3
         |ORDER BY day, hr, event_type""".stripMargin,
+    // q56 is q13's aggregate computed by the STREAMING engine (file
+    // source + complete-mode windowed agg); the oracle is plain batch
+    // SQL — the gate pins streaming ≡ batch on the same data
+    "q56_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
     "q14_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -503,8 +514,8 @@ object SparkEntry {
     "q51_quantize_embed" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT label,
-        |    greatest(list_aggregate(v, 'max'), -list_aggregate(v, 'min'))/127.0
-        |      AS scale, v
+        |    nullif(greatest(list_aggregate(v, 'max'), -list_aggregate(v, 'min'))/127.0,
+        |      0) AS scale, v
         |  FROM e),
         |ex AS (SELECT label, scale, unnest(v) AS x FROM s),
         |er AS (SELECT label, scale, x - round(x/scale)*scale AS err FROM ex)

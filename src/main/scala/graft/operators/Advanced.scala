@@ -239,13 +239,24 @@ object Advanced {
     * aggregate in exact fixed point (floor(x·1e12) LONGs), so the
     * result is bit-identical at any parallelism AND to the DuckDB
     * oracle; round() ties break away from zero in both engines. */
-  def q51QuantizeEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+  def q51QuantizeEmbed(spark: SparkSession, sfDir: String): DataFrame =
+    quantizeEmbed(Tables.load(spark, sfDir, "embeddings"))
+
+  /** Core of q51 over any (label, embedding) frame — factored out so
+    * the spec can drive it with hand-built edge cases (zero vectors)
+    * the parquet fixture doesn't contain. */
+  def quantizeEmbed(embeddings: DataFrame): DataFrame = {
     val v = col("embedding").cast("array<double>")
-    val e = Tables.load(spark, sfDir, "embeddings")
+    val e = embeddings
       .select(col("label"), v.as("v"))
       .withColumn("scale",
         greatest(array_max(col("v")), -array_min(col("v"))) / 127.0)
-    val err = e.select(col("label"), col("scale"), posexplode(col("v")))
+    // an all-zero embedding has scale = 0: dividing by it is NaN in
+    // Spark but a hard error in ANSI engines (the DuckDB oracle) —
+    // null the scale out (nullif on the oracle side) so both engines
+    // skip the row's error terms identically
+    val safeScale = when(col("scale") === 0.0, lit(null)).otherwise(col("scale"))
+    val err = e.select(col("label"), safeScale.as("scale"), posexplode(col("v")))
       .withColumn("err",
         col("col") - round(col("col") / col("scale")) * col("scale"))
     err.groupBy(col("label"))

@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,15 +11,16 @@ import graft.sources.Tables
   * `binary` columns with typed metadata beside them, and per-record
   * decode / feature-extraction runs as a partition-batched pipeline.
   *
-  * The actual codec step is a clearly-marked STUB (no image/audio
-  * libraries in this environment) — a deterministic fake derived from
-  * the payload bytes. Everything Spark-side is real and load-bearing:
-  * the schema shape, the binary column handling, the mapPartitions
-  * batching (one decoder init per partition, not per row — exactly how
-  * a JNI/FFmpeg/JPEG decoder must be amortized on a real cluster), and
-  * the pushdown-friendly metadata layout (a scan that only needs
-  * `meta.*` never touches the payload bytes thanks to parquet column
-  * pruning).
+  * IMAGE decode and resize are REAL — JDK `javax.imageio` (PNG, JPEG,
+  * GIF, BMP) needs no external dependency. Audio/video remain
+  * clearly-marked stubs (the JDK ships no codecs for them); their
+  * Spark-side plumbing — schema shape, binary column handling,
+  * mapPartitions batching (one decoder init per partition, not per
+  * row — exactly how a JNI/FFmpeg decoder must be amortized on a real
+  * cluster), and the pushdown-friendly metadata layout (a scan that
+  * only needs metadata never touches the payload bytes thanks to
+  * parquet column pruning) — is identical to the image path and tested
+  * through it.
   */
 object Multimodal {
 
@@ -36,20 +39,38 @@ object Multimodal {
       height: Int,
       content_hash: String)
 
-  /** STUB decoder: deterministic fake dimensions from the byte length +
-    * a real content hash. A production build swaps `decodeOne` for a
-    * real codec; the partition-batched driver loop stays unchanged. */
+  private def isImage(kind: String): Boolean = kind.startsWith("image/")
+
+  /** Real image decode: header-driven, format auto-detected by the
+    * ImageIO registry. Returns None for undecodable/corrupt payloads
+    * instead of failing the task — at 100 TB a corpus WILL contain
+    * truncated files, and one bad record must not kill a 10k-task
+    * stage. */
+  private def decodeImage(payload: Array[Byte]): Option[(Int, Int)] =
+    try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload)))
+      .map(img => (img.getWidth, img.getHeight))
+    catch { case _: java.io.IOException => None }
+
+  /** Feature extraction for one record: REAL dimensions for image
+    * kinds (-1 × -1 marks an undecodable payload); non-image kinds get
+    * the deterministic byte-length fake (STUB — no JDK audio/video
+    * codecs) so the pipeline shape is exercised end-to-end for every
+    * modality. */
   private def decodeOne(md: java.security.MessageDigest)(
       r: MediaRecord): MediaFeatures = {
     md.reset()
     val hash = md.digest(r.payload).take(8).map("%02x".format(_)).mkString
     val n = r.payload.length
-    MediaFeatures(r.media_id, r.kind, n, n % 640, (n * 3) % 480, hash)
+    val (w, h) =
+      if (isImage(r.kind)) decodeImage(r.payload).getOrElse((-1, -1))
+      else (n % 640, (n * 3) % 480)
+    MediaFeatures(r.media_id, r.kind, n, w, h, hash)
   }
 
-  /** Partition-batched decode: one expensive "decoder" (here the digest
-    * instance) per partition, streamed over the iterator — constant
-    * memory, no per-row init cost, no driver collect. */
+  /** Partition-batched decode: one expensive per-partition init (the
+    * digest instance; a JNI decoder handle sits in the same position),
+    * streamed over the iterator — constant memory, no per-row init
+    * cost, no driver collect. */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -58,20 +79,42 @@ object Multimodal {
     }
   }
 
-  /** Resized media (STUB codec, real plumbing): new payload is a
-    * deterministic slice, dimensions scaled — schema mirrors what a real
-    * image `resize(w, h)` produces. */
+  /** Resized media: for images a REAL decode → bilinear scale → PNG
+    * re-encode; other kinds keep the deterministic stub slice (schema
+    * mirrors what a real resize produces, so swapping in an audio
+    * resampler later changes no plumbing). */
   final case class ResizedMedia(media_id: Long, kind: String,
       width: Int, height: Int, payload: Array[Byte])
 
-  def resizeStub(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] = {
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        // STUB: a real codec would decode + scale; the fake keeps a
-        // deterministic prefix proportional to the requested area.
-        val len = math.min(r.payload.length, math.max(1, (w * h) / 64))
-        ResizedMedia(r.media_id, r.kind, w, h, r.payload.take(len))
+        val real =
+          if (isImage(r.kind))
+            try Option(javax.imageio.ImageIO.read(
+                new ByteArrayInputStream(r.payload)))
+            catch { case _: java.io.IOException => None }
+          else None
+        real match {
+          case Some(img) =>
+            val scaled = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(scaled, "png", bos)
+            ResizedMedia(r.media_id, "image/png", w, h, bos.toByteArray)
+          case None =>
+            // STUB for non-image kinds (and undecodable images): a
+            // deterministic prefix proportional to the requested area.
+            val len = math.min(r.payload.length, math.max(1, (w * h) / 64))
+            ResizedMedia(r.media_id, r.kind, w, h, r.payload.take(len))
+        }
       }
     }
   }
@@ -104,8 +147,9 @@ object Multimodal {
   }
 
   /** q40: metadata extraction over the binary payload column, expressed
-    * in pure column functions (the oracle-checkable subset of the stub
-    * decode — same fake-dimension formulas, first 16 hex of md5). */
+    * in pure column functions (the oracle-checkable subset of the
+    * non-image decode path — same deterministic dimension formulas,
+    * first 16 hex of md5). */
   def q40MediaMeta(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
       .select(

@@ -24,7 +24,32 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    normalizeEventTs(spark.read.parquet(s"$sfDir/events.parquet"))
+  }
+
+  /** STREAMING read of the same events table (file source): identical
+    * nanos handling, explicit schema (readStream requires one) taken
+    * from a batch footer read. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // FileStreamSource requires a DIRECTORY; the testdata tables are
+    // single parquet FILES, so stream the parent dir with a glob
+    // pinned to this one table (a Spark-written events.parquet
+    // directory streams directly)
+    val src =
+      if (new java.io.File(path).isDirectory)
+        spark.readStream.schema(schema).parquet(path)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
+    normalizeEventTs(src)
+  }
+
+  /** The nanos→µs surface shared by the batch and streaming readers. */
+  private def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

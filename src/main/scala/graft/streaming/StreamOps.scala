@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+  StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 /** Structured Streaming operators over the `events` stream shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -32,6 +32,41 @@ object StreamOps {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** q56: [[hourlyEventStats]] run as a GENUINE Structured Streaming
+    * query — file source over the events parquet, AvailableNow trigger,
+    * COMPLETE-mode aggregation delivered through foreachBatch into a
+    * temp parquet that is read back and returned. This puts the
+    * streaming engine under the driver's DuckDB oracle gate: the
+    * result must hash-match the same hourly aggregate computed by a
+    * batch SQL engine.
+    *
+    * Why complete mode: with append mode + watermark, windows newer
+    * than (max ts - watermark) are still open when a bounded input
+    * ends and never emit — the streaming result would be a strict
+    * subset of the batch answer. Complete mode emits the full result
+    * table each trigger, so the LAST batch (overwrite) is exactly the
+    * batch-equivalent aggregate. State is unbounded in complete mode,
+    * which is correct here only because the run is bounded; an
+    * unbounded production feed uses the append-mode path. */
+  def q56StreamHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_q56_out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_q56_ckpt").toString
+    val agg = hourlyEventStats(graft.sources.Tables.eventsStream(spark, sfDir))
+    val query = agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(outDir)
+      .orderBy(col("hour_start"), col("event_type"))
+  }
 
   /** Exactly-once event stream: drops duplicate event_ids that arrive
     * within the watermark horizon (state auto-evicted past it). */

@@ -71,6 +71,22 @@ class AdvancedSpec extends SparkSpec {
     }
   }
 
+  test("q51 core: an all-zero embedding yields null mse, not NaN or a crash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("z", Array(0.0f, 0.0f, 0.0f)),
+      ("a", Array(1.0f, -0.5f, 0.25f)))
+      .toDF("label", "embedding")
+    val rows = Advanced.quantizeEmbed(df.withColumn("embedding",
+        col("embedding").cast("array<float>")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // zero vector: every error term nulled out → sums are null
+    assert(rows("z").isNullAt(2) && rows("z").isNullAt(3))
+    // normal vector unaffected by the guard
+    assert(!rows("a").isNullAt(2) && rows("a").getDouble(3) > 0)
+  }
+
   test("q49: bucketized range join equals the naive inequality join") {
     import org.apache.spark.sql.functions._
     val ev = graft.sources.Tables.events(spark, sfDir)

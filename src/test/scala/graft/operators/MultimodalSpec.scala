@@ -23,15 +23,54 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize stub keeps ids and scales payload deterministically") {
+  test("resize keeps ids and scales non-image payloads deterministically") {
     val media = Multimodal.mediaFromDocuments(spark, sfDir)
-    val resized = Multimodal.resizeStub(media, 64, 64).collect()
+    val resized = Multimodal.resize(media, 64, 64).collect()
     assert(resized.length === media.count())
     resized.foreach { r =>
       assert(r.width === 64 && r.height === 64)
       assert(r.payload.length <= 64) // (64*64)/64 cap
       assert(r.payload.nonEmpty)
     }
+  }
+
+  /** A real encoded image: diagonal gradient so scaling has content. */
+  private def encodedImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  test("image kinds decode REAL dimensions; corrupt payloads don't kill the task") {
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "image/png", encodedImage(13, 7, "png")),
+      Multimodal.MediaRecord(2L, "image/jpeg", encodedImage(32, 16, "jpg")),
+      Multimodal.MediaRecord(3L, "image/png",
+        encodedImage(13, 7, "png").take(20)), // truncated header
+      Multimodal.MediaRecord(4L, "text/plain", "hello world".getBytes)))
+    val got = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(got(1L).width === 13 && got(1L).height === 7)
+    assert(got(2L).width === 32 && got(2L).height === 16)
+    assert(got(3L).width === -1 && got(3L).height === -1) // marked, not thrown
+    assert(got(4L).width === "hello world".length % 640)  // stub formula intact
+  }
+
+  test("image resize re-encodes a genuinely scaled image") {
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "image/jpeg", encodedImage(32, 16, "jpg"))))
+    val out = Multimodal.resize(media, 8, 4).collect().head
+    assert(out.kind === "image/png" && out.width === 8 && out.height === 4)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.payload))
+    assert(back.getWidth === 8 && back.getHeight === 4)
+    // gradient content survives scaling: left edge darker red than right
+    def red(x: Int, y: Int) = (back.getRGB(x, y) >> 16) & 0xff
+    assert(red(0, 0) < red(7, 0))
   }
 
   test("frame sampling explodes every k-th frame with constant memory shape") {
