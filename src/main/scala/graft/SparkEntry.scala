@@ -77,6 +77,8 @@ object SparkEntry {
     "q37_label_centroids"  -> (Advanced.q37LabelCentroids _),
     "q38_asof_join"        -> (Advanced.q38AsofJoin _),
     "q56_stream_hourly"    -> (graft.streaming.StreamOps.q56StreamHourly _),
+    "q57_bucket_join"      -> (graft.operators.Layout.q57BucketJoin _),
+    "q58_partition_prune"  -> (graft.operators.Layout.q58PartitionPrune _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -193,6 +195,24 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour_start, event_type""".stripMargin,
+    // q57/q58 oracles read the ORIGINAL parquet — the Spark side reads
+    // its bucketed / directory-partitioned rewrite of the same rows, so
+    // a hash match proves the physical layout changes no query result.
+    "q57_bucket_join" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin,
+    "q58_partition_prune" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1
+        |ORDER BY o_month""".stripMargin,
     "q14_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

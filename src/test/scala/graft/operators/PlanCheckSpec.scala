@@ -89,6 +89,36 @@ class PlanCheckSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial"))
   }
 
+  test("q57 bucketed join+agg plans ZERO shuffles end-to-end") {
+    // Both sides are bucketed on the join key with equal bucket counts,
+    // so scan → join → per-order agg all reuse the bucket partitioning.
+    // Any Exchange here means the writer-side layout investment was
+    // silently thrown away.
+    val p = Layout.q57Core(spark, sfDir).queryExecution.executedPlan
+      .toString
+    assert(!p.contains("Exchange"), "bucketed join plan shuffles:\n" +
+      p.linesIterator.take(12).mkString("\n"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+    assert(p.contains("SelectedBucketsCount"),
+      "scan does not report bucket selection — bucketing not picked up")
+  }
+
+  test("q58 priority filter prunes partition directories at plan time") {
+    val df = Layout.q58PartitionPrune(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters:") &&
+      p.contains("o_orderpriority"),
+      "priority predicate is not a partition filter")
+    // the filter must NOT degrade to a row-level parquet filter —
+    // pruned directories are never opened at all (sparkPlan: the AQE
+    // wrapper on executedPlan does not expose children to collect)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(
+      _.references.exists(_.name == "o_orderpriority")))
+  }
+
   test("no query plans a partition-less WindowExec (single-task funnel)") {
     // A Window with an empty partitionSpec moves EVERY row through one
     // task — the classic silent scale-killer. Sweep the entire driver
