@@ -124,6 +124,38 @@ object StreamOps {
     }
   }
 
+  /** Streaming keyed upsert into the SQL sink — the reference's
+    * flagship operation (O14, df_to_azure's upsert-to-SQL) fed by a
+    * change stream instead of a batch DataFrame. Each micro-batch runs
+    * the full staged-MERGE path (stage table → MERGE → drop staging);
+    * the first batch creates the target when it does not exist yet, so
+    * a stream can bootstrap an empty database.
+    *
+    * Delivery: foreachBatch is at-least-once, and Structured Streaming
+    * replays a failed batch before starting the next, so the retry
+    * re-MERGEs the SAME rows — idempotent, giving effectively-once
+    * table state. The caller must reduce the batch to one row per key
+    * (e.g. latest-by-timestamp per key) before this sink; the sink's
+    * own `requireUniqueKeys` turns a violation into a loud error
+    * rather than a nondeterministic MERGE. */
+  def streamingUpsertSql(events: DataFrame, cfg: graft.sql.SqlSink.Config)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.checks.Validations.Method
+    import graft.sql.{JdbcOps, SqlSink}
+    events.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val exists =
+          try {
+            JdbcOps.execute(cfg.url,
+              s"SELECT * FROM ${cfg.dialect.table(cfg.schema, cfg.table)} WHERE 1=0")
+            true
+          } catch { case _: java.sql.SQLException => false }
+        SqlSink.write(batch,
+          cfg.copy(method = if (exists) Method.Upsert else Method.Create))
+        ()
+    }
+  }
+
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long,

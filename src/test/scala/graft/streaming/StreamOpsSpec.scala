@@ -238,4 +238,35 @@ class StreamOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming upsert into the SQL sink: create on first batch, " +
+    "MERGE thereafter") {
+    implicit val ctx = spark.sqlContext
+    val url = "jdbc:derby:memory:graftstreamdb;create=true"
+    val cfg = graft.sql.SqlSink.Config(url, "t_stream_up", "app_s",
+      graft.checks.Validations.Method.Upsert, Seq("id"),
+      dialect = graft.sql.DerbyDialect, numPartitions = Some(2))
+    val ms = MemoryStream[(Int, String, Double)]
+    val q = StreamOps.streamingUpsertSql(
+        ms.toDF().toDF("id", "name", "score"), cfg)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_upsql_ckpt").toString)
+      .start()
+    try {
+      // batch 1: table absent → created with these 3 rows
+      ms.addData(Seq((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)))
+      q.processAllAvailable()
+      // batch 2: row 2 updated, row 4 inserted, rows 1/3 untouched
+      ms.addData(Seq((2, "b2", 22.0), (4, "d", 4.0)))
+      q.processAllAvailable()
+      val got = spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", """"app_s"."t_stream_up"""")
+        .load()
+        .as[(Int, String, java.math.BigDecimal)].collect()
+        .map(r => (r._1, r._2, r._3.doubleValue)).sortBy(_._1).toSeq
+      assert(got === Seq(
+        (1, "a", 1.0), (2, "b2", 22.0), (3, "c", 3.0), (4, "d", 4.0)))
+    } finally q.stop()
+  }
 }
