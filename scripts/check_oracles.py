@@ -40,12 +40,23 @@ def cells_equal(a, b):
 
 
 def main():
+    # Usage: check_oracles.py <sfDir> <outDir> [--only q1,q2,...]
+    # --only restricts the compare to named queries (targeted re-gate
+    # after a focused change, paired with graft.Verify's name args).
+    # Without it, every oracle must have a dump — absence is a FAIL.
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = None
+    if len(sys.argv) > 4 and sys.argv[3] == "--only":
+        only = set(sys.argv[4].split(","))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only is not None:
+        missing = only - set(oracles)
+        assert not missing, f"--only names not in oracle_sql.json: {missing}"
+        oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:

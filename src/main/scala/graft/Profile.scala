@@ -22,6 +22,13 @@ object Profile {
       .select(col("doc_id"), shingles3(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
 
+    // layout: run 1 pays the bucketed-table writes, runs 2-3 must be
+    // pure join cost (catalog reuse) — if they aren't, the reuse seam
+    // is broken
+    t("q57 run1 (writes)")(graft.operators.Layout.q57BucketJoin(spark, sfDir).count())
+    t("q57 run2 (reuse)")(graft.operators.Layout.q57BucketJoin(spark, sfDir).count())
+    t("q57 run3 (reuse)")(graft.operators.Layout.q57BucketJoin(spark, sfDir).count())
+
     t("shingled.count")(docs.count())
     t("shingled.again")(docs.count())
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))

@@ -48,6 +48,7 @@ object ScaleProbe {
       }
     Seq(
       "q1_pricing_summary", "q25_percentiles", "q48_salted_hotkeys",
+      "q57_bucket_join", "q58_partition_prune",
       "q38_asof_join", "q39_sessions", "q49_range_join",
       "q20_token_stats", "q30_exact_dedup", "q31_minhash_dedup",
       "q32_simhash_dedup", "q33_source_jaccard", "q46_winnow_pairs",

@@ -42,10 +42,11 @@ object Layout {
 
   /** Number of buckets for the co-located join tables. Fixed, and the
     * SAME on both sides — equal bucket counts on the join key are what
-    * let Spark plan the join with zero Exchange. At cluster scale this
-    * would be sized so one bucket ≈ one task's worth of data
-    * (e.g. 4096 buckets for 100 TB of lineitem). */
-  val JoinBuckets = 8
+    * let Spark plan the join with zero Exchange. Bucket count also caps
+    * the join's parallelism (one task per bucket), so it must match the
+    * compute width: 32 here (= the local[32] harness), thousands at
+    * cluster scale so one bucket ≈ one task's worth of 100 TB. */
+  val JoinBuckets = 32
 
   /** Write `src` as a bucketed+sorted EXTERNAL table (idempotent per
     * session+sfDir) and return its catalog name.
