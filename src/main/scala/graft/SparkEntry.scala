@@ -79,6 +79,7 @@ object SparkEntry {
     "q56_stream_hourly"    -> (graft.streaming.StreamOps.q56StreamHourly _),
     "q57_bucket_join"      -> (graft.operators.Layout.q57BucketJoin _),
     "q58_partition_prune"  -> (graft.operators.Layout.q58PartitionPrune _),
+    "q59_incremental_ingest" -> (Dedup.q59IncrementalIngest _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -305,6 +306,37 @@ object SparkEntry {
         |JOIN sz sb ON sb.doc_id = doc_b
         |WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // q59: same banding-recall coupling as q31 (the oracle's near-dup
+    // screen is exact cross-pair Jaccard; the engine's is LSH-banded).
+    "q59_incremental_ingest" ->
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+        |incoming AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        |batch_u AS (SELECT doc_id, lang, text, md5($normSql) AS fp FROM incoming
+        |  QUALIFY row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) = 1),
+        |fresh AS (SELECT * FROM batch_u
+        |  WHERE fp NOT IN (SELECT md5($normSql) FROM corpus)),
+        |tok_f AS (SELECT doc_id, $toksSql AS t FROM fresh),
+        |shf AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(t)-1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tok_f WHERE len(t) >= 3),
+        |tok_c AS (SELECT doc_id, $toksSql AS t FROM corpus),
+        |shc AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(t)-1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM tok_c WHERE len(t) >= 3),
+        |ef AS (SELECT doc_id, unnest(s) AS sg FROM shf),
+        |ec AS (SELECT doc_id, unnest(s) AS sg FROM shc),
+        |szf AS (SELECT doc_id, len(s) AS n FROM shf),
+        |szc AS (SELECT doc_id, len(s) AS n FROM shc),
+        |inter AS (SELECT a.doc_id AS di, b.doc_id AS dc, count(*) AS ni
+        |  FROM ef a JOIN ec b ON a.sg = b.sg GROUP BY 1, 2),
+        |nd AS (SELECT DISTINCT di FROM inter
+        |  JOIN szf ON szf.doc_id = di JOIN szc ON szc.doc_id = dc
+        |  WHERE CAST(ni AS DOUBLE)/(szf.n + szc.n - ni) >= 0.5)
+        |SELECT doc_id, fp, lang FROM fresh
+        |WHERE doc_id NOT IN (SELECT di FROM nd)
+        |ORDER BY doc_id""".stripMargin,
     "q32_simhash_dedup" -> simhashOracle,
     "q33_source_jaccard" ->
       s"""WITH d AS (SELECT source, doc_id, list_distinct($toksSql) AS ts FROM documents)

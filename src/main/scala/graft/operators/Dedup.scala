@@ -409,6 +409,75 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // --- incremental ingest ---------------------------------------------------
+
+  /** Incoming docs with a VERIFIED near-dup (Jaccard ≥ threshold over
+    * 3-word shingles) anywhere in the corpus — the asymmetric
+    * (increment × corpus) form of [[nearDupPairs]]. Candidates come
+    * from an equality join of the two sides' LSH band signatures, so
+    * the work is |increment|-proportional: the corpus side contributes
+    * its (pre-computable) band index, never a pairwise scan. Same
+    * banding-recall caveat as [[nearDupPairs]]. */
+  def crossNearDupIds(incSh: DataFrame, corpusSh: DataFrame,
+      threshold: Double): DataFrame = {
+    val cand = minhashBands(incSh).as("l")
+      .join(minhashBands(corpusSh).as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
+      .select(col("l.doc_id").as("doc_in"), col("r.doc_id").as("doc_corp"))
+      .distinct()
+    cand
+      .join(incSh.select(col("doc_id").as("doc_in"), col("sh").as("sha")),
+        "doc_in")
+      .join(corpusSh.select(col("doc_id").as("doc_corp"), col("sh").as("shb")),
+        "doc_corp")
+      .filter(jaccard(col("sha"), col("shb")) >= threshold)
+      .select(col("doc_in")).distinct()
+  }
+
+  /** q59: incremental corpus ingest — the shape a production pipeline
+    * actually runs at 100 TB. The standing corpus is NOT re-deduped
+    * nightly; each incoming batch is cleaned against it:
+    *
+    *   1. intra-batch exact dedup (deterministic keeper);
+    *   2. exact cross-dedup — anti-join of batch fingerprints against
+    *      corpus fingerprints (at scale the corpus side is a persisted
+    *      fingerprint index, e.g. a [[Layout]]-bucketed table on fp,
+    *      making this anti-join co-located and shuffle-free);
+    *   3. near-dup cross screen — [[crossNearDupIds]] at 0.5 drops
+    *      batch docs near-duplicating the corpus (at scale the corpus
+    *      band signatures are likewise persisted and incrementally
+    *      appended, so per-batch cost is |batch| × bands, never
+    *      |corpus|);
+    *   4. survivors are admitted.
+    *
+    * The fixture splits `documents` 80/20 by doc_id into standing
+    * corpus / incoming batch. Returns the admitted rows. */
+  def q59IncrementalIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    val incoming = d.filter(col("doc_id") % 5 === 0)
+
+    val batchUnique = exactDedup(
+      incoming.withColumn("fp", fingerprint(col("text"))),
+      col("fp"), Seq(col("doc_id")))
+    val corpusFp = corpus.select(fingerprint(col("text")).as("fp")).distinct()
+    val fresh = materialize(
+      batchUnique.join(corpusFp, Seq("fp"), "left_anti"))
+
+    val freshSh = materialize(fresh
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val corpusSh = materialize(corpus
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val nearDup = crossNearDupIds(freshSh, corpusSh, 0.5)
+      .withColumnRenamed("doc_in", "doc_id")
+
+    fresh.join(nearDup, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("fp"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- duplicate clusters (connected components) ---------------------------
 
   /** Connected components over an undirected edge list by distributed

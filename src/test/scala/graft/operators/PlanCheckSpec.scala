@@ -33,7 +33,8 @@ class PlanCheckSpec extends SparkSpec {
     Seq(
       Dedup.q31MinHashDedup(spark, sfDir),
       Dedup.q32SimHashDedup(spark, sfDir),
-      Dedup.q33SourceJaccard(spark, sfDir)).foreach { df =>
+      Dedup.q33SourceJaccard(spark, sfDir),
+      Dedup.q59IncrementalIngest(spark, sfDir)).foreach { df =>
       val p = plan(df)
       assert(!p.contains("CartesianProduct"), p.linesIterator.next())
       assert(!p.contains("BroadcastNestedLoopJoin"))
