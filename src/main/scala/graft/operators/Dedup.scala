@@ -434,6 +434,39 @@ object Dedup {
       .select(col("doc_in")).distinct()
   }
 
+  /** Clean an incoming batch against a standing corpus (both carrying
+    * at least `doc_id`, `text`): intra-batch exact dedup, fingerprint
+    * anti-join against the corpus, then the asymmetric near-dup screen
+    * ([[crossNearDupIds]]). Returns the admitted batch rows (original
+    * columns + `fp`). An empty corpus admits every batch-unique row —
+    * the bootstrap case for a brand-new corpus.
+    *
+    * WITHIN-batch near-dups are deliberately NOT screened (only exact):
+    * the increment-vs-corpus contract keeps per-batch cost linear in
+    * the batch; a pipeline that also wants intra-batch near-dup
+    * removal composes [[nearDupPairs]] over the batch first (q44's
+    * shape) before handing it here. */
+  def cleanIncrement(incoming: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame = {
+    val batchUnique = exactDedup(
+      incoming.withColumn("fp", fingerprint(col("text"))),
+      col("fp"), Seq(col("doc_id")))
+    val corpusFp = corpus.select(fingerprint(col("text")).as("fp")).distinct()
+    val fresh = materialize(
+      batchUnique.join(corpusFp, Seq("fp"), "left_anti"))
+
+    val freshSh = materialize(fresh
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val corpusSh = materialize(corpus
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0))
+    val nearDup = crossNearDupIds(freshSh, corpusSh, threshold)
+      .withColumnRenamed("doc_in", "doc_id")
+
+    fresh.join(nearDup, Seq("doc_id"), "left_anti")
+  }
+
   /** q59: incremental corpus ingest — the shape a production pipeline
     * actually runs at 100 TB. The standing corpus is NOT re-deduped
     * nightly; each incoming batch is cleaned against it:
@@ -454,26 +487,8 @@ object Dedup {
     * corpus / incoming batch. Returns the admitted rows. */
   def q59IncrementalIngest(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-    val corpus = d.filter(col("doc_id") % 5 =!= 0)
-    val incoming = d.filter(col("doc_id") % 5 === 0)
-
-    val batchUnique = exactDedup(
-      incoming.withColumn("fp", fingerprint(col("text"))),
-      col("fp"), Seq(col("doc_id")))
-    val corpusFp = corpus.select(fingerprint(col("text")).as("fp")).distinct()
-    val fresh = materialize(
-      batchUnique.join(corpusFp, Seq("fp"), "left_anti"))
-
-    val freshSh = materialize(fresh
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0))
-    val corpusSh = materialize(corpus
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0))
-    val nearDup = crossNearDupIds(freshSh, corpusSh, 0.5)
-      .withColumnRenamed("doc_in", "doc_id")
-
-    fresh.join(nearDup, Seq("doc_id"), "left_anti")
+    cleanIncrement(
+      d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 5 =!= 0), 0.5)
       .select(col("doc_id"), col("fp"), col("lang"))
       .orderBy(col("doc_id"))
   }

@@ -156,6 +156,41 @@ object StreamOps {
     }
   }
 
+  /** Streaming incremental corpus ingest: every micro-batch of
+    * documents is cleaned against the parquet corpus at `corpusDir`
+    * with [[graft.operators.Dedup.cleanIncrement]] (intra-batch exact
+    * dedup → fingerprint anti-join vs corpus → asymmetric MinHash-LSH
+    * near-dup screen) and the ADMITTED rows are appended to the same
+    * corpus — so batch N+1 deduplicates against everything admitted
+    * through batch N. The first batch bootstraps an empty corpus
+    * directory.
+    *
+    * Delivery: a replayed batch re-cleans against a corpus that
+    * already contains its own admissions, so every replayed row is
+    * dropped as an exact duplicate — the append is self-idempotent
+    * (same reasoning as the MERGE sink, with the corpus itself as the
+    * dedup state). At scale the re-read of the corpus per batch is
+    * the fingerprint/band INDEX read, not a full-text scan — the
+    * batch twin's scaladoc records that layout. */
+  def incrementalIngestStream(docs: DataFrame, corpusDir: String,
+      threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val empty = !new java.io.File(corpusDir, "_SUCCESS").exists()
+      val admitted =
+        if (empty)
+          graft.operators.Dedup.cleanIncrement(
+            batch, batch.limit(0), threshold)
+        else
+          graft.operators.Dedup.cleanIncrement(
+            batch, spark.read.parquet(corpusDir).drop("fp"), threshold)
+      admitted.write.mode(
+        if (empty) org.apache.spark.sql.SaveMode.Overwrite
+        else org.apache.spark.sql.SaveMode.Append).parquet(corpusDir)
+      ()
+    }
+
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long,

@@ -269,4 +269,36 @@ class StreamOpsSpec extends SparkSpec {
         (1, "a", 1.0), (2, "b2", 22.0), (3, "c", 3.0), (4, "d", 4.0)))
     } finally q.stop()
   }
+
+  test("streaming incremental ingest: later batches dedupe against " +
+    "earlier admissions") {
+    implicit val ctx = spark.sqlContext
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_inc_corpus").toString + "/corpus"
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val textC = "colorless green ideas sleep furiously every single night"
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamOps.incrementalIngestStream(
+        ms.toDF().toDF("doc_id", "text", "lang"), corpusDir)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_inc_ckpt").toString)
+      .start()
+    try {
+      // batch 1 bootstraps the corpus: all three admitted (2 is a
+      // WITHIN-batch near-dup of 1 — by contract not screened)
+      ms.addData(Seq(
+        (1L, textA, "en"), (2L, textA + " today", "en"), (3L, textC, "en")))
+      q.processAllAvailable()
+      // batch 2 vs corpus: 4 = exact dup of 1 (fp anti-join),
+      // 5 = near-dup of 3 (LSH screen), 6 = genuinely new
+      ms.addData(Seq(
+        (4L, textA, "en"),
+        (5L, textC + " indeed", "en"),
+        (6L, "entirely different words about seven distinct topics now", "en")))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpusDir)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L, 6L))
+    } finally q.stop()
+  }
 }
