@@ -12,7 +12,10 @@ import graft.sources.Tables
   * decode / feature-extraction runs as a partition-batched pipeline.
   *
   * IMAGE decode and resize are REAL — JDK `javax.imageio` (PNG, JPEG,
-  * GIF, BMP) needs no external dependency. Audio/video remain
+  * GIF, BMP) needs no external dependency. AUDIO header metadata
+  * (sample rate, channel count) is REAL for the container formats the
+  * JDK ships parsers for (WAV/AIFF/AU via `javax.sound.sampled`).
+  * Compressed-audio decode and video remain
   * clearly-marked stubs (the JDK ships no codecs for them); their
   * Spark-side plumbing — schema shape, binary column handling,
   * mapPartitions batching (one decoder init per partition, not per
@@ -30,16 +33,34 @@ object Multimodal {
       kind: String,
       payload: Array[Byte])
 
-  /** Extracted features (the decoder output schema). */
+  /** Extracted features (the decoder output schema). `width`/`height`
+    * carry image dimensions, `sample_rate`/`channels` audio header
+    * fields; -1 marks not-applicable-for-kind or undecodable. */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Int,
       width: Int,
       height: Int,
+      sample_rate: Int,
+      channels: Int,
       content_hash: String)
 
   private def isImage(kind: String): Boolean = kind.startsWith("image/")
+  private def isAudio(kind: String): Boolean = kind.startsWith("audio/")
+
+  /** Real audio container-header parse (WAV/AIFF/AU — the formats the
+    * JDK ships parsers for): (sampleRate, channels). None for
+    * compressed/corrupt/unknown payloads — marked, never thrown. */
+  private def decodeAudio(payload: Array[Byte]): Option[(Int, Int)] =
+    try {
+      val fmt = javax.sound.sampled.AudioSystem
+        .getAudioFileFormat(new ByteArrayInputStream(payload)).getFormat
+      Some((fmt.getSampleRate.toInt, fmt.getChannels))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
 
   /** Real image decode: header-driven, format auto-detected by the
     * ImageIO registry. Returns None for undecodable/corrupt payloads
@@ -52,10 +73,10 @@ object Multimodal {
     catch { case _: java.io.IOException => None }
 
   /** Feature extraction for one record: REAL dimensions for image
-    * kinds (-1 × -1 marks an undecodable payload); non-image kinds get
-    * the deterministic byte-length fake (STUB — no JDK audio/video
-    * codecs) so the pipeline shape is exercised end-to-end for every
-    * modality. */
+    * kinds and REAL header metadata for audio kinds (-1 marks an
+    * undecodable payload); remaining kinds (video) get the
+    * deterministic byte-length fake (STUB — no JDK video codecs) so
+    * the pipeline shape is exercised end-to-end for every modality. */
   private def decodeOne(md: java.security.MessageDigest)(
       r: MediaRecord): MediaFeatures = {
     md.reset()
@@ -63,8 +84,12 @@ object Multimodal {
     val n = r.payload.length
     val (w, h) =
       if (isImage(r.kind)) decodeImage(r.payload).getOrElse((-1, -1))
+      else if (isAudio(r.kind)) (-1, -1)
       else (n % 640, (n * 3) % 480)
-    MediaFeatures(r.media_id, r.kind, n, w, h, hash)
+    val (sr, ch) =
+      if (isAudio(r.kind)) decodeAudio(r.payload).getOrElse((-1, -1))
+      else (-1, -1)
+    MediaFeatures(r.media_id, r.kind, n, w, h, sr, ch, hash)
   }
 
   /** Partition-batched decode: one expensive per-partition init (the

@@ -11,7 +11,8 @@ class MultimodalSpec extends SparkSpec {
     val media = Multimodal.mediaFromDocuments(spark, sfDir)
     val feats = Multimodal.decodeFeatures(media)
     assert(feats.schema.fieldNames.toSeq ===
-      Seq("media_id", "kind", "n_bytes", "width", "height", "content_hash"))
+      Seq("media_id", "kind", "n_bytes", "width", "height",
+        "sample_rate", "channels", "content_hash"))
     val a = feats.orderBy("media_id").collect()
     val b = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
     assert(a.toSeq === b.toSeq) // deterministic across runs
@@ -58,6 +59,36 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L).width === 32 && got(2L).height === 16)
     assert(got(3L).width === -1 && got(3L).height === -1) // marked, not thrown
     assert(got(4L).width === "hello world".length % 640)  // stub formula intact
+  }
+
+  /** A real WAV container: silence, but a fully valid RIFF header. */
+  private def encodedWav(sampleRate: Float, channels: Int,
+      frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(
+        new Array[Byte](frames * fmt.getFrameSize)), fmt, frames)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio kinds parse REAL header metadata; corrupt/non-audio marked -1") {
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRecord(1L, "audio/wav", encodedWav(8000f, 2, 64)),
+      Multimodal.MediaRecord(2L, "audio/wav", encodedWav(44100f, 1, 32)),
+      Multimodal.MediaRecord(3L, "audio/wav",
+        encodedWav(8000f, 2, 64).take(10)), // truncated RIFF header
+      Multimodal.MediaRecord(4L, "image/png", encodedImage(5, 5, "png"))))
+    val got = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(got(1L).sample_rate === 8000 && got(1L).channels === 2)
+    assert(got(2L).sample_rate === 44100 && got(2L).channels === 1)
+    assert(got(3L).sample_rate === -1 && got(3L).channels === -1)
+    assert(got(4L).sample_rate === -1) // not an audio kind
+    assert(got(1L).width === -1) // audio carries no image dims
   }
 
   test("image resize re-encodes a genuinely scaled image") {
