@@ -188,6 +188,33 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) >= Dedup.winnowMinShared))
   }
 
+  test("cleanIncrement: admitted docs are genuinely fresh, and " +
+    "re-ingesting them against the grown corpus admits NOTHING") {
+    import org.apache.spark.sql.functions.col
+    // real fixture split: corpus 80% / batch 20% (q59's shape)
+    val d = graft.sources.Tables.load(spark, sfDir, "documents")
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    val batch = d.filter(col("doc_id") % 5 === 0)
+    val admitted = Dedup.cleanIncrement(batch, corpus, 0.5)
+    val admittedIds = admitted.select("doc_id").as[Long].collect().toSet
+    assert(admittedIds.nonEmpty)
+    // admitted ⊆ batch
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    assert(admittedIds.subsetOf(batchIds))
+    // no admitted fingerprint exists in the corpus (exact-dup freedom)
+    val corpusFps = corpus
+      .select(graft.functions.TextFunctions.fingerprint(col("text")))
+      .as[String].collect().toSet
+    val admittedFps = admitted.select("fp").as[String].collect()
+    assert(admittedFps.forall(!corpusFps.contains(_)))
+    // THE streaming-sink invariant: replaying the admitted rows against
+    // corpus ∪ admitted drops every row as an exact duplicate
+    val grown = corpus.select("doc_id", "text")
+      .union(admitted.select("doc_id", "text"))
+    val replay = Dedup.cleanIncrement(admitted.drop("fp"), grown, 0.5)
+    assert(replay.count() === 0)
+  }
+
   test("source-scoped jaccard join only pairs within a source") {
     val rows = Dedup.q33SourceJaccard(spark, sfDir).collect()
     val bySource = graft.sources.Tables.load(spark, sfDir, "documents")
