@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.io.File
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -111,7 +110,11 @@ object Layout {
   private[operators] def partitionedOrders(spark: SparkSession,
       sfDir: String): String = {
     val dir = s"${layoutRoot(sfDir)}/orders_part"
-    if (!new File(dir, "_SUCCESS").exists()) {
+    // Hadoop FS, not java.io: on a cluster the layout lives on
+    // HDFS/object storage
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    if (!marker.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(marker)) {
       Tables.load(spark, sfDir, "orders")
         .write.mode("overwrite")
         .partitionBy("o_orderpriority")

@@ -177,7 +177,11 @@ object StreamOps {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
-      val empty = !new java.io.File(corpusDir, "_SUCCESS").exists()
+      // Hadoop FS, not java.io: the corpus can live on HDFS/object
+      // storage on a real cluster
+      val marker = new org.apache.hadoop.fs.Path(corpusDir, "_SUCCESS")
+      val empty = !marker.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).exists(marker)
       val admitted =
         if (empty)
           graft.operators.Dedup.cleanIncrement(
