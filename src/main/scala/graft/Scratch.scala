@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared-storage seams for paths the engine writes outside the user's
+  * own sinks (same deployment-seam pattern as [[Materialize]]: local
+  * defaults for the single-JVM harness, one conf to point at real
+  * shared storage on a cluster).
+  *
+  *  - `spark.graft.layout.root` — STABLE root for [[graft.operators
+  *    .Layout]]'s bucketed/partitioned table rewrites (idempotent
+  *    reuse requires the same path every call). Default: the JVM's
+  *    tmpdir — correct for local[N], must be an HDFS/object-store URI
+  *    on a cluster (executors and driver must all reach it).
+  *  - `spark.graft.scratch.dir` — root for PER-RUN scratch (streaming
+  *    checkpoints / foreachBatch staging, e.g. q56): each call gets a
+  *    fresh unique subdirectory. Default: a local temp dir.
+  */
+object Scratch {
+
+  /** Stable layout root (no per-call uniqueness — reuse is the point). */
+  def layoutRoot(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.layout.root")
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_layout")
+
+  /** Fresh unique scratch dir under the configured root (or a local
+    * temp dir when unconfigured). */
+  def tempDir(spark: SparkSession, prefix: String): String =
+    spark.conf.getOption("spark.graft.scratch.dir") match {
+      case Some(root) =>
+        s"$root/$prefix-${java.util.UUID.randomUUID()}"
+      case None =>
+        java.nio.file.Files.createTempDirectory(prefix).toString
+    }
+}

@@ -21,8 +21,10 @@ import graft.sources.Tables
   * amortizes — exactly the trade a nightly 100 TB ingest should make.
   *
   * Both layouts are materialized once per scale-factor dir under
-  * `java.io.tmpdir` and reused across calls in the same JVM (the
-  * driver's bench runs each query 3×; only the first pays the write).
+  * [[graft.Scratch.layoutRoot]] (local tmpdir by default; set
+  * `spark.graft.layout.root` to shared storage on a cluster) and
+  * reused across calls in the same JVM (the driver's bench runs each
+  * query 3×; only the first pays the write).
   *
   * Correctness contract: layout is physical only — q57/q58 hash-match
   * DuckDB oracles that read the ORIGINAL un-bucketed, un-partitioned
@@ -36,8 +38,8 @@ object Layout {
   private def tag(sfDir: String): String =
     sfDir.replaceAll("[^A-Za-z0-9]", "_")
 
-  private def layoutRoot(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_layout/${tag(sfDir)}"
+  private def layoutRoot(spark: SparkSession, sfDir: String): String =
+    s"${graft.Scratch.layoutRoot(spark)}/${tag(sfDir)}"
 
   /** Number of buckets for the co-located join tables. Fixed, and the
     * SAME on both sides — equal bucket counts on the join key are what
@@ -63,7 +65,7 @@ object Layout {
         .select(cols.map(col): _*)
         .repartition(JoinBuckets, col(key))
         .write.mode("overwrite")
-        .option("path", s"${layoutRoot(sfDir)}/$tbl")
+        .option("path", s"${layoutRoot(spark, sfDir)}/$tbl")
         .bucketBy(JoinBuckets, key)
         .sortBy(key)
         .saveAsTable(tbl)
@@ -109,7 +111,7 @@ object Layout {
     * the directory fan-out fixture-independent. */
   private[operators] def partitionedOrders(spark: SparkSession,
       sfDir: String): String = {
-    val dir = s"${layoutRoot(sfDir)}/orders_part"
+    val dir = s"${layoutRoot(spark, sfDir)}/orders_part"
     // Hadoop FS, not java.io: on a cluster the layout lives on
     // HDFS/object storage
     val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")

@@ -50,10 +50,11 @@ object StreamOps {
     * which is correct here only because the run is bounded; an
     * unbounded production feed uses the append-mode path. */
   def q56StreamHourly(spark: SparkSession, sfDir: String): DataFrame = {
-    val outDir = java.nio.file.Files
-      .createTempDirectory("graft_q56_out").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_q56_ckpt").toString
+    // Scratch seam: local temp by default; spark.graft.scratch.dir
+    // points both at shared storage on a cluster (the foreachBatch
+    // write below runs on executors)
+    val outDir = graft.Scratch.tempDir(spark, "graft_q56_out")
+    val ckpt = graft.Scratch.tempDir(spark, "graft_q56_ckpt")
     val agg = hourlyEventStats(graft.sources.Tables.eventsStream(spark, sfDir))
     val query = agg.writeStream
       .outputMode(OutputMode.Complete())

@@ -41,6 +41,25 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.q58PartitionPrune(spark, sfDir).count() > 0)
   }
 
+  test("layout root is a conf seam (cluster shared-storage path)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_layout_conf").toString
+    spark.conf.set("spark.graft.layout.root", root)
+    try {
+      val dir = Layout.partitionedOrders(spark, sfDir)
+      assert(dir.startsWith(root))
+      assert(new java.io.File(dir, "_SUCCESS").exists())
+      // per-run scratch seam: unique subdirs under the configured root
+      spark.conf.set("spark.graft.scratch.dir", root)
+      val a = graft.Scratch.tempDir(spark, "p")
+      val b = graft.Scratch.tempDir(spark, "p")
+      assert(a.startsWith(s"$root/p-") && b.startsWith(s"$root/p-") && a != b)
+    } finally {
+      spark.conf.unset("spark.graft.layout.root")
+      spark.conf.unset("spark.graft.scratch.dir")
+    }
+  }
+
   test("layout writes are idempotent: second call reuses, results stable") {
     val first = canon(Layout.q57BucketJoin(spark, sfDir))
     // table already registered now — this must not rewrite or drift
