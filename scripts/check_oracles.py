@@ -46,8 +46,15 @@ def main():
     # Without it, every oracle must have a dump — absence is a FAIL.
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = None
-    if len(sys.argv) > 4 and sys.argv[3] == "--only":
-        only = set(sys.argv[4].split(","))
+    rest = sys.argv[3:]
+    if rest:
+        # strict: a bare/misplaced --only must not silently run the
+        # full (possibly stale) compare instead of the intended subset
+        assert rest[0] == "--only" and len(rest) == 2, (
+            f"usage: check_oracles.py <sfDir> <outDir> [--only q1,q2]; "
+            f"got extra args {rest}")
+        only = set(rest[1].split(","))
+        assert only and all(only), f"empty query name in --only: {rest[1]}"
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

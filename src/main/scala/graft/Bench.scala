@@ -47,10 +47,11 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+    val errJson = errors
+      .map { case (k, v) => Json.str(k) + ":" + Json.str(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$runsPerQuery,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$runsPerQuery,"queries":$qs,"errors":$errJson,"sf":${Json.str(sfDir)}}""")
     spark.stop()
   }
 }

@@ -59,10 +59,11 @@ object ScaleProbe {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    val errJson = errors
+      .map { case (k, v) => Json.str(k) + ":" + Json.str(v) }
       .mkString("{", ",", "}")
     val total = times.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"scaleprobe","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"scaleprobe","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":${Json.str(sfDir)}}""")
     spark.stop()
   }
 }

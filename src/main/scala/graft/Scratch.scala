@@ -32,4 +32,19 @@ object Scratch {
       case None =>
         java.nio.file.Files.createTempDirectory(prefix).toString
     }
+
+  /** Collision-proof tag for a key path: the sanitized form alone
+    * would map e.g. sf0.1 / sf0_1 / sf0-1 to one name; an md5 suffix
+    * of the RAW key disambiguates. */
+  def pathTag(key: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"${key.replaceAll("[^A-Za-z0-9]", "_")}_$h"
+  }
+
+  /** STABLE engine-managed dir under [[layoutRoot]] for a (prefix,
+    * key) pair: repeated runs overwrite the same path, so storage
+    * stays bounded at one copy instead of accumulating per run. */
+  def stableDir(spark: SparkSession, prefix: String, key: String): String =
+    s"${layoutRoot(spark)}/$prefix-${pathTag(key)}"
 }

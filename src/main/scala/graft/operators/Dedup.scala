@@ -413,16 +413,26 @@ object Dedup {
 
   /** Incoming docs with a VERIFIED near-dup (Jaccard ≥ threshold over
     * 3-word shingles) anywhere in the corpus — the asymmetric
-    * (increment × corpus) form of [[nearDupPairs]]. Candidates come
-    * from an equality join of the two sides' LSH band signatures, so
-    * the work is |increment|-proportional: the corpus side contributes
-    * its (pre-computable) band index, never a pairwise scan. Same
-    * banding-recall caveat as [[nearDupPairs]]. */
-  def crossNearDupIds(incSh: DataFrame, corpusSh: DataFrame,
-      threshold: Double): DataFrame = {
+    * (increment × corpus) form of [[nearDupPairs]], taking the corpus
+    * side as PRE-COMPUTED index frames: `corpusBands` (doc_id, band,
+    * sig — [[minhashBands]] output, deterministic across JVMs, so it
+    * can be persisted once and appended to) and `corpusSh` (doc_id,
+    * sh) for the exact verify. Per-batch COMPUTE is then proportional
+    * to the increment (shingling + 64 permutations over batch docs
+    * only); corpus-side cost is the IO of the two index scans feeding
+    * the equality joins — at real scale both indexes live bucketed on
+    * their join keys ([[Layout]]) so even that IO is co-located and
+    * shuffle-free. Same banding-recall caveat as [[nearDupPairs]]. */
+  def crossNearDupIdsIndexed(incSh: DataFrame, corpusBands: DataFrame,
+      corpusSh: DataFrame, threshold: Double): DataFrame = {
+    // the id-inequality guard matters only when an increment doc's own
+    // rows are already IN the persisted index (ingest crash-replay
+    // after the index append, before the corpus append): a doc must
+    // never be dropped as a near-dup of itself
     val cand = minhashBands(incSh).as("l")
-      .join(minhashBands(corpusSh).as("r"),
-        col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
+      .join(corpusBands.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc_id") =!= col("r.doc_id"))
       .select(col("l.doc_id").as("doc_in"), col("r.doc_id").as("doc_corp"))
       .distinct()
     cand
@@ -433,6 +443,14 @@ object Dedup {
       .filter(jaccard(col("sha"), col("shb")) >= threshold)
       .select(col("doc_in")).distinct()
   }
+
+  /** [[crossNearDupIdsIndexed]] with the corpus band index computed
+    * in-query — the one-shot form (q59); a standing pipeline persists
+    * the bands instead (see [[graft.streaming.StreamOps
+    * .incrementalIngestStream]]). */
+  def crossNearDupIds(incSh: DataFrame, corpusSh: DataFrame,
+      threshold: Double): DataFrame =
+    crossNearDupIdsIndexed(incSh, minhashBands(corpusSh), corpusSh, threshold)
 
   /** Clean an incoming batch against a standing corpus (both carrying
     * at least `doc_id`, `text`): intra-batch exact dedup, fingerprint
@@ -448,21 +466,37 @@ object Dedup {
     * shape) before handing it here. */
   def cleanIncrement(incoming: DataFrame, corpus: DataFrame,
       threshold: Double): DataFrame = {
+    val corpusSh = materialize(shingleIndex(corpus))
+    cleanIncrementIndexed(incoming,
+      corpus.select(fingerprint(col("text")).as("fp")).distinct(),
+      minhashBands(corpusSh), corpusSh, threshold)
+  }
+
+  /** The (doc_id, sh) frame the ingest indexes persist. */
+  def shingleIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** [[cleanIncrement]] against PRE-COMPUTED corpus indexes — the form
+    * a standing ingest pipeline runs so per-batch compute never
+    * re-fingerprints, re-shingles, or re-hashes the corpus:
+    * `corpusFp` (fp), `corpusBands` ([[minhashBands]] rows), `corpusSh`
+    * ((doc_id, sh) for the exact verify). All three are deterministic
+    * functions of admitted docs, so they persist and APPEND alongside
+    * the corpus. */
+  def cleanIncrementIndexed(incoming: DataFrame, corpusFp: DataFrame,
+      corpusBands: DataFrame, corpusSh: DataFrame,
+      threshold: Double): DataFrame = {
     val batchUnique = exactDedup(
       incoming.withColumn("fp", fingerprint(col("text"))),
       col("fp"), Seq(col("doc_id")))
-    val corpusFp = corpus.select(fingerprint(col("text")).as("fp")).distinct()
     val fresh = materialize(
       batchUnique.join(corpusFp, Seq("fp"), "left_anti"))
 
-    val freshSh = materialize(fresh
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0))
-    val corpusSh = materialize(corpus
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0))
-    val nearDup = crossNearDupIds(freshSh, corpusSh, threshold)
-      .withColumnRenamed("doc_in", "doc_id")
+    val freshSh = materialize(shingleIndex(fresh))
+    val nearDup =
+      crossNearDupIdsIndexed(freshSh, corpusBands, corpusSh, threshold)
+        .withColumnRenamed("doc_in", "doc_id")
 
     fresh.join(nearDup, Seq("doc_id"), "left_anti")
   }

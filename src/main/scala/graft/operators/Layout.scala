@@ -35,8 +35,8 @@ object Layout {
   private val dec = DecimalType(18, 2)
   private def d(c: Column): Column = c.cast(dec)
 
-  private def tag(sfDir: String): String =
-    sfDir.replaceAll("[^A-Za-z0-9]", "_")
+  /** Collision-proof per-sfDir tag (see [[graft.Scratch.pathTag]]). */
+  private def tag(sfDir: String): String = graft.Scratch.pathTag(sfDir)
 
   private def layoutRoot(spark: SparkSession, sfDir: String): String =
     s"${graft.Scratch.layoutRoot(spark)}/${tag(sfDir)}"

@@ -57,10 +57,7 @@ object Multimodal {
       val fmt = javax.sound.sampled.AudioSystem
         .getAudioFileFormat(new ByteArrayInputStream(payload)).getFormat
       Some((fmt.getSampleRate.toInt, fmt.getChannels))
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Real image decode: header-driven, format auto-detected by the
     * ImageIO registry. Returns None for undecodable/corrupt payloads
@@ -68,9 +65,13 @@ object Multimodal {
     * truncated files, and one bad record must not kill a 10k-task
     * stage. */
   private def decodeImage(payload: Array[Byte]): Option[(Int, Int)] =
+    // NonFatal, not just IOException: ImageIO plugins throw
+    // IllegalArgumentException / CMMException / index errors on
+    // malformed-but-not-truncated bodies (bogus ICC profiles,
+    // dimension fields) — any of them must mark, not kill the stage
     try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload)))
       .map(img => (img.getWidth, img.getHeight))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Feature extraction for one record: REAL dimensions for image
     * kinds and REAL header metadata for audio kinds (-1 marks an
@@ -119,7 +120,7 @@ object Multimodal {
           if (isImage(r.kind))
             try Option(javax.imageio.ImageIO.read(
                 new ByteArrayInputStream(r.payload)))
-            catch { case _: java.io.IOException => None }
+            catch { case scala.util.control.NonFatal(_) => None }
           else None
         real match {
           case Some(img) =>

@@ -278,6 +278,11 @@ object Similarity {
         (dotD(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
           .as("cosine"))
       .distinct()
+      // a zero-norm embedding yields cosine NaN (0/0); NaN sorts FIRST
+      // under a descending window but TopKAgg's primitive compare drops
+      // it — make the semantics explicit: degenerate vectors are not
+      // neighbors, excluded BEFORE ranking under either implementation
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg
         .topkAgg(col("cosine"), col("neighbor_id"), k).as("top"))
@@ -335,6 +340,9 @@ object Similarity {
       .join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("embedding")).as("cosine"))
+      // degenerate (zero-norm → NaN cosine) candidates excluded before
+      // ranking — see the q41 re-rank note
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg
         .topkAgg(col("cosine"), col("neighbor_id"), k).as("top"))

@@ -26,6 +26,24 @@ object JdbcOps {
   def executeIgnore(url: String, stmt: String): Unit =
     try execute(url, stmt) catch { case _: java.sql.SQLException => () }
 
+  /** Table-existence check via DatabaseMetaData. Unlike a probe
+    * SELECT, there is no exception ambiguity: a genuinely absent table
+    * returns false, while a transient failure (lock timeout,
+    * connection reset, failover) PROPAGATES — callers that branch to
+    * destructive DDL on "missing" must never mistake a blip for
+    * absence. getTables treats its arguments as LIKE patterns, so
+    * pattern metacharacters in identifiers are escaped with the
+    * driver's escape string. */
+  def tableExists(url: String, schema: String, table: String): Boolean =
+    withConnection(url) { conn =>
+      val md = conn.getMetaData
+      val esc = md.getSearchStringEscape
+      def pat(s: String) = s.replace(esc, esc + esc)
+        .replace("_", esc + "_").replace("%", esc + "%")
+      val rs = md.getTables(null, pat(schema), pat(table), null)
+      try rs.next() finally rs.close()
+    }
+
   def queryCount(url: String, sql: String): Long =
     withConnection(url) { conn =>
       val st = conn.createStatement()

@@ -50,10 +50,12 @@ object StreamOps {
     * which is correct here only because the run is bounded; an
     * unbounded production feed uses the append-mode path. */
   def q56StreamHourly(spark: SparkSession, sfDir: String): DataFrame = {
-    // Scratch seam: local temp by default; spark.graft.scratch.dir
-    // points both at shared storage on a cluster (the foreachBatch
-    // write below runs on executors)
-    val outDir = graft.Scratch.tempDir(spark, "graft_q56_out")
+    // STABLE output (same sfDir → same dir, overwritten each run —
+    // bounded at one copy; the returned DataFrame reads it lazily so
+    // it must outlive this call) + a fresh checkpoint deleted below
+    // once the bounded run terminates. Both resolve under the Scratch
+    // seams, so a cluster points them at shared storage.
+    val outDir = graft.Scratch.stableDir(spark, "q56_out", sfDir)
     val ckpt = graft.Scratch.tempDir(spark, "graft_q56_ckpt")
     val agg = hourlyEventStats(graft.sources.Tables.eventsStream(spark, sfDir))
     val query = agg.writeStream
@@ -65,6 +67,11 @@ object StreamOps {
       }
       .start()
     query.awaitTermination()
+    // the bounded run is over — its checkpoint state has no future
+    // reader and would otherwise accumulate one copy per invocation
+    val cp = new org.apache.hadoop.fs.Path(ckpt)
+    cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(cp, true)
     spark.read.parquet(outDir)
       .orderBy(col("hour_start"), col("event_type"))
   }
@@ -138,19 +145,20 @@ object StreamOps {
     * table state. The caller must reduce the batch to one row per key
     * (e.g. latest-by-timestamp per key) before this sink; the sink's
     * own `requireUniqueKeys` turns a violation into a loud error
-    * rather than a nondeterministic MERGE. */
+    * rather than a nondeterministic MERGE.
+    *
+    * The existence probe is a metadata lookup, NOT a probe SELECT: the
+    * "missing" branch runs DROP+CREATE, and a transient SQLException
+    * misread as "missing" would drop the standing target. With the
+    * metadata form a transient probe failure propagates, the batch
+    * fails, and the engine retries it — never destructive. */
   def streamingUpsertSql(events: DataFrame, cfg: graft.sql.SqlSink.Config)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.checks.Validations.Method
     import graft.sql.{JdbcOps, SqlSink}
     events.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
-        val exists =
-          try {
-            JdbcOps.execute(cfg.url,
-              s"SELECT * FROM ${cfg.dialect.table(cfg.schema, cfg.table)} WHERE 1=0")
-            true
-          } catch { case _: java.sql.SQLException => false }
+        val exists = JdbcOps.tableExists(cfg.url, cfg.schema, cfg.table)
         SqlSink.write(batch,
           cfg.copy(method = if (exists) Method.Upsert else Method.Create))
         ()
@@ -158,41 +166,59 @@ object StreamOps {
   }
 
   /** Streaming incremental corpus ingest: every micro-batch of
-    * documents is cleaned against the parquet corpus at `corpusDir`
-    * with [[graft.operators.Dedup.cleanIncrement]] (intra-batch exact
-    * dedup → fingerprint anti-join vs corpus → asymmetric MinHash-LSH
-    * near-dup screen) and the ADMITTED rows are appended to the same
-    * corpus — so batch N+1 deduplicates against everything admitted
-    * through batch N. The first batch bootstraps an empty corpus
-    * directory.
+    * documents is cleaned with [[graft.operators.Dedup
+    * .cleanIncrementIndexed]] (intra-batch exact dedup → fingerprint
+    * anti-join vs corpus → asymmetric MinHash-LSH near-dup screen) and
+    * the ADMITTED rows are appended to the corpus at `corpusDir` — so
+    * batch N+1 deduplicates against everything admitted through batch
+    * N. The first batch bootstraps an empty corpus directory.
+    *
+    * The corpus side is INDEX-DRIVEN: alongside the corpus the sink
+    * maintains `<corpusDir>__sh` (doc_id, shingle set) and
+    * `<corpusDir>__bands` (MinHash band signatures), each appended
+    * with the admitted docs' rows per batch. Per-batch COMPUTE is
+    * proportional to the batch (the corpus is never re-fingerprinted,
+    * re-shingled, or re-hashed); corpus-side cost is the columnar IO
+    * of the index scans feeding equality joins — at real scale the
+    * indexes live bucketed on their join keys ([[graft.operators
+    * .Layout]]) so that IO is co-located too.
     *
     * Delivery: a replayed batch re-cleans against a corpus that
-    * already contains its own admissions, so every replayed row is
-    * dropped as an exact duplicate — the append is self-idempotent
-    * (same reasoning as the MERGE sink, with the corpus itself as the
-    * dedup state). At scale the re-read of the corpus per batch is
-    * the fingerprint/band INDEX read, not a full-text scan — the
-    * batch twin's scaladoc records that layout. */
+    * already contains its own admissions, so every replayed row drops
+    * as an exact duplicate — appends are self-idempotent with the
+    * corpus itself as the dedup state. Index writes go FIRST, corpus
+    * last: replaying after a mid-crash then re-admits the rows (their
+    * fingerprints are not yet in the corpus) and only re-appends
+    * harmless duplicate index rows, while the id-inequality guard in
+    * the candidate join keeps a doc from matching its own orphaned
+    * index entries. The reverse order would strand admitted docs out
+    * of the index forever. */
   def incrementalIngestStream(docs: DataFrame, corpusDir: String,
       threshold: Double = 0.5)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      import graft.operators.Dedup
       val spark = batch.sparkSession
+      val (shDir, bandsDir) = (corpusDir + "__sh", corpusDir + "__bands")
       // Hadoop FS, not java.io: the corpus can live on HDFS/object
       // storage on a real cluster
       val marker = new org.apache.hadoop.fs.Path(corpusDir, "_SUCCESS")
       val empty = !marker.getFileSystem(
         spark.sparkContext.hadoopConfiguration).exists(marker)
-      val admitted =
+      val admitted = graft.Materialize(
         if (empty)
-          graft.operators.Dedup.cleanIncrement(
-            batch, batch.limit(0), threshold)
+          Dedup.cleanIncrement(batch, batch.limit(0), threshold)
         else
-          graft.operators.Dedup.cleanIncrement(
-            batch, spark.read.parquet(corpusDir).drop("fp"), threshold)
-      admitted.write.mode(
-        if (empty) org.apache.spark.sql.SaveMode.Overwrite
-        else org.apache.spark.sql.SaveMode.Append).parquet(corpusDir)
+          Dedup.cleanIncrementIndexed(batch,
+            spark.read.parquet(corpusDir).select("fp"),
+            spark.read.parquet(bandsDir),
+            spark.read.parquet(shDir), threshold))
+      val admittedSh = graft.Materialize(Dedup.shingleIndex(admitted))
+      val mode = if (empty) org.apache.spark.sql.SaveMode.Overwrite
+        else org.apache.spark.sql.SaveMode.Append
+      admittedSh.write.mode(mode).parquet(shDir)
+      Dedup.minhashBands(admittedSh).write.mode(mode).parquet(bandsDir)
+      admitted.write.mode(mode).parquet(corpusDir)
       ()
     }
 

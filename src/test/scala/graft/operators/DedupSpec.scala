@@ -215,6 +215,22 @@ class DedupSpec extends SparkSpec {
     assert(replay.count() === 0)
   }
 
+  test("ingest crash-replay: orphaned own index rows don't block " +
+    "re-admission") {
+    // the streaming sink writes indexes BEFORE the corpus; a crash
+    // between them leaves a doc's bands/shingles in the index with no
+    // corpus row — on replay the doc must be re-admitted, not dropped
+    // as a "near-dup" of its own orphaned entries
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "en"))
+      .toDF("doc_id", "text", "lang")
+    val orphanSh = Dedup.shingleIndex(batch)
+    val admitted = Dedup.cleanIncrementIndexed(batch,
+      Seq.empty[String].toDF("fp"),
+      Dedup.minhashBands(orphanSh), orphanSh, 0.5)
+    assert(admitted.select("doc_id").as[Long].collect().toSeq === Seq(100L))
+  }
+
   test("source-scoped jaccard join only pairs within a source") {
     val rows = Dedup.q33SourceJaccard(spark, sfDir).collect()
     val bySource = graft.sources.Tables.load(spark, sfDir, "documents")
