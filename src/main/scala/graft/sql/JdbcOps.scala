@@ -31,17 +31,30 @@ object JdbcOps {
     * returns false, while a transient failure (lock timeout,
     * connection reset, failover) PROPAGATES — callers that branch to
     * destructive DDL on "missing" must never mistake a blip for
-    * absence. getTables treats its arguments as LIKE patterns, so
-    * pattern metacharacters in identifiers are escaped with the
-    * driver's escape string. */
+    * absence. getTables treats its arguments as LIKE patterns and some
+    * drivers ship NO usable escape string (Derby's
+    * getSearchStringEscape returns "" — caught by the spec), so rather
+    * than trusting pattern escaping the match is re-verified against
+    * the literal schema/table names on the returned rows: an
+    * underscore acting as a wildcard can then never produce a false
+    * "exists" (which would mis-route the streaming sink's
+    * create-vs-merge branch). */
   def tableExists(url: String, schema: String, table: String): Boolean =
     withConnection(url) { conn =>
       val md = conn.getMetaData
-      val esc = md.getSearchStringEscape
-      def pat(s: String) = s.replace(esc, esc + esc)
-        .replace("_", esc + "_").replace("%", esc + "%")
+      val esc = Option(md.getSearchStringEscape).getOrElse("")
+      def pat(s: String) =
+        if (esc.isEmpty) s
+        else s.replace(esc, esc + esc)
+          .replace("_", esc + "_").replace("%", esc + "%")
       val rs = md.getTables(null, pat(schema), pat(table), null)
-      try rs.next() finally rs.close()
+      try {
+        var found = false
+        while (!found && rs.next())
+          found = rs.getString("TABLE_SCHEM") == schema &&
+            rs.getString("TABLE_NAME") == table
+        found
+      } finally rs.close()
     }
 
   def queryCount(url: String, sql: String): Long =

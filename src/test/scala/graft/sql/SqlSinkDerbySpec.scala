@@ -141,4 +141,20 @@ class SqlSinkDerbySpec extends SparkSpec {
     assert(readBack("t_stale").orderBy("test_a").as[(Int, String)]
       .collect().toSeq === Seq((1, "a"), (2, "B"), (3, "c")))
   }
+
+  test("tableExists: present/absent verdicts, underscore is literal") {
+    SqlSink.write(Seq((1, "x")).toDF("id", "v"),
+      cfg("exists_probe", Method.Create))
+    assert(JdbcOps.tableExists(url, "app_s", "exists_probe"))
+    assert(!JdbcOps.tableExists(url, "app_s", "no_such_table"))
+    // getTables takes LIKE patterns. Create only "escapeXcheck": an
+    // UNescaped underscore in the probe "escape_check" would
+    // wildcard-match it → false "exists" → the streaming sink would
+    // MERGE into a table that does not exist instead of creating it.
+    SqlSink.write(Seq((1, "x")).toDF("id", "v"),
+      cfg("escapeXcheck", Method.Create))
+    assert(JdbcOps.tableExists(url, "app_s", "escapeXcheck"))
+    assert(!JdbcOps.tableExists(url, "app_s", "escape_check"))
+    assert(!JdbcOps.tableExists(url, "app_s", "escape%"))
+  }
 }
