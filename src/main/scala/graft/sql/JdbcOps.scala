@@ -35,26 +35,47 @@ object JdbcOps {
     * drivers ship NO usable escape string (Derby's
     * getSearchStringEscape returns "" — caught by the spec), so rather
     * than trusting pattern escaping the match is re-verified against
-    * the literal schema/table names on the returned rows: an
-    * underscore acting as a wildcard can then never produce a false
-    * "exists" (which would mis-route the streaming sink's
-    * create-vs-merge branch). */
+    * the schema/table names on the returned rows: an underscore acting
+    * as a wildcard can then never produce a false "exists".
+    *
+    * The comparison direction is chosen by failure mode — a false
+    * "missing" routes the streaming sink to DROP+CREATE (destroys the
+    * standing table), a false "exists" routes it to a MERGE that fails
+    * LOUDLY and retries. Hence:
+    *  - names are compared case-INsensitively (a case-insensitive
+    *    store like default-collation SQL Server returns the stored
+    *    case, which may differ from the probe's);
+    *  - names are stripped first (the DDL path's Dialect.quote strips,
+    *    so that is the form on the server);
+    *  - `types = null` deliberately counts views/synonyms as "exists":
+    *    an object of any type squatting on the name must block the
+    *    DROP+CREATE branch (type-name vocabularies also differ across
+    *    drivers — restricting to "TABLE" risks the destructive false
+    *    "missing" on a driver that names base tables differently). */
   def tableExists(url: String, schema: String, table: String): Boolean =
     withConnection(url) { conn =>
+      val (s, t) = (schema.strip(), table.strip())
       val md = conn.getMetaData
       val esc = Option(md.getSearchStringEscape).getOrElse("")
-      def pat(s: String) =
-        if (esc.isEmpty) s
-        else s.replace(esc, esc + esc)
+      def pat(x: String) =
+        if (esc.isEmpty) x
+        else x.replace(esc, esc + esc)
           .replace("_", esc + "_").replace("%", esc + "%")
-      val rs = md.getTables(null, pat(schema), pat(table), null)
-      try {
-        var found = false
-        while (!found && rs.next())
-          found = rs.getString("TABLE_SCHEM") == schema &&
-            rs.getString("TABLE_NAME") == table
-        found
-      } finally rs.close()
+      def scan(rs: java.sql.ResultSet): Boolean =
+        try {
+          var found = false
+          while (!found && rs.next())
+            found = rs.getString("TABLE_SCHEM").equalsIgnoreCase(s) &&
+              rs.getString("TABLE_NAME").equalsIgnoreCase(t)
+          found
+        } finally rs.close()
+      // exact-pattern probe first; on a miss, a wildcard listing of the
+      // schema catches a case-divergent name on a case-SENSITIVE
+      // metadata store (where the LIKE itself is case-sensitive and
+      // the first probe returns nothing) — one extra metadata query,
+      // paid only on the would-be-destructive "missing" path
+      scan(md.getTables(null, pat(s), pat(t), null)) ||
+        scan(md.getTables(null, pat(s), "%", null))
     }
 
   def queryCount(url: String, sql: String): Long =

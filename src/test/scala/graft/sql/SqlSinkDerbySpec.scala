@@ -156,5 +156,11 @@ class SqlSinkDerbySpec extends SparkSpec {
     assert(JdbcOps.tableExists(url, "app_s", "escapeXcheck"))
     assert(!JdbcOps.tableExists(url, "app_s", "escape_check"))
     assert(!JdbcOps.tableExists(url, "app_s", "escape%"))
+    // failure-mode direction: a false "missing" is destructive
+    // (DROP+CREATE), so case divergence and stray whitespace must
+    // resolve to "exists" — Derby's metadata store is case-sensitive,
+    // exercising the wildcard fallback scan
+    assert(JdbcOps.tableExists(url, "app_s", "EXISTS_PROBE"))
+    assert(JdbcOps.tableExists(url, "app_s", " exists_probe "))
   }
 }
