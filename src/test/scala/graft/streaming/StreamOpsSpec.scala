@@ -299,6 +299,18 @@ class StreamOpsSpec extends SparkSpec {
       val ids = spark.read.parquet(corpusDir)
         .select("doc_id").as[Long].collect().sorted.toSeq
       assert(ids === Seq(1L, 2L, 3L, 6L))
+      // the persisted indexes must be in lockstep with the corpus —
+      // every admitted doc's shingles present exactly once, bands =
+      // 16 rows per indexed doc (the property index-driven cleaning
+      // rests on)
+      val shIdx = spark.read.parquet(corpusDir + "__sh")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(shIdx === ids)
+      val bandCounts = spark.read.parquet(corpusDir + "__bands")
+        .groupBy("doc_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(bandCounts.keySet === ids.toSet)
+      assert(bandCounts.values.forall(_ === 16L))
     } finally q.stop()
   }
 }
