@@ -428,7 +428,12 @@ object Dedup {
     // the id-inequality guard matters only when an increment doc's own
     // rows are already IN the persisted index (ingest crash-replay
     // after the index append, before the corpus append): a doc must
-    // never be dropped as a near-dup of itself
+    // never be dropped as a near-dup of itself. It does NOT protect a
+    // doc from ANOTHER uncommitted doc's orphaned rows — a caller
+    // replaying against persisted indexes must first restrict them to
+    // committed corpus doc_ids (as the streaming sink does); otherwise
+    // two mutually-near-dup docs in one crashed batch would drop each
+    // other on replay
     val cand = minhashBands(incSh).as("l")
       .join(corpusBands.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&

@@ -151,11 +151,22 @@ object StreamOps {
     * "missing" branch runs DROP+CREATE, and a transient SQLException
     * misread as "missing" would drop the standing target. With the
     * metadata form a transient probe failure propagates, the batch
-    * fails, and the engine retries it — never destructive. */
+    * fails, and the engine retries it — never destructive.
+    *
+    * `cfg.method` must be `Upsert` — this sink IS the upsert path and
+    * derives the per-batch method itself (Create on the bootstrap
+    * batch, Upsert after). Accepting, say, Append and silently
+    * upserting anyway would discard the caller's stated semantics, so
+    * any other method is rejected loudly here instead. */
   def streamingUpsertSql(events: DataFrame, cfg: graft.sql.SqlSink.Config)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.checks.Validations.Method
     import graft.sql.{JdbcOps, SqlSink}
+    require(cfg.method == Method.Upsert,
+      s"streamingUpsertSql requires method=Upsert (the per-batch method " +
+        s"is derived: Create bootstraps, Upsert thereafter); got " +
+        s"${cfg.method} — use streamingUpsert/SqlSink.write for other " +
+        s"methods")
     events.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
         val exists = JdbcOps.tableExists(cfg.url, cfg.schema, cfg.table)
@@ -187,12 +198,28 @@ object StreamOps {
     * already contains its own admissions, so every replayed row drops
     * as an exact duplicate — appends are self-idempotent with the
     * corpus itself as the dedup state. Index writes go FIRST, corpus
-    * last: replaying after a mid-crash then re-admits the rows (their
-    * fingerprints are not yet in the corpus) and only re-appends
-    * harmless duplicate index rows, while the id-inequality guard in
-    * the candidate join keeps a doc from matching its own orphaned
-    * index entries. The reverse order would strand admitted docs out
-    * of the index forever. */
+    * last (the reverse order would strand admitted docs out of the
+    * index forever — near-dups of them would slip into the corpus
+    * unscreened from then on), and the screen sees only COMMITTED
+    * index rows: both index frames are semi-joined to the corpus's
+    * actual doc_ids before cleaning. That filter is what makes a
+    * mid-crash replay safe in every case. Without it, a batch
+    * carrying two mutually-near-dup docs (admitted by contract —
+    * within-batch near-dups are not screened) that crashed between
+    * the index appends and the corpus append would, on replay, drop
+    * EACH doc as a "near-dup" of the OTHER's orphaned index rows —
+    * the id-inequality guard in the candidate join only protects a
+    * doc from its OWN orphans — permanently stranding both out of the
+    * corpus while their ghost index entries kept suppressing future
+    * legitimate admissions. With the filter, orphaned rows are
+    * invisible until their doc commits, so the replay re-admits the
+    * rows and only re-appends harmless duplicate index entries.
+    *
+    * Cost of the filter: one extra single-column (doc_id) corpus
+    * scan feeding two semi-joins — the same IO class as the
+    * fingerprint anti-join the clean already does, and co-located
+    * when corpus + indexes are [[graft.operators.Layout]]-bucketed
+    * by doc_id. */
   def incrementalIngestStream(docs: DataFrame, corpusDir: String,
       threshold: Double = 0.5)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -208,11 +235,16 @@ object StreamOps {
       val admitted = graft.Materialize(
         if (empty)
           Dedup.cleanIncrement(batch, batch.limit(0), threshold)
-        else
+        else {
+          val corpus = spark.read.parquet(corpusDir)
+          val committed = corpus.select("doc_id")
           Dedup.cleanIncrementIndexed(batch,
-            spark.read.parquet(corpusDir).select("fp"),
-            spark.read.parquet(bandsDir),
-            spark.read.parquet(shDir), threshold))
+            corpus.select("fp"),
+            spark.read.parquet(bandsDir)
+              .join(committed, Seq("doc_id"), "left_semi"),
+            spark.read.parquet(shDir)
+              .join(committed, Seq("doc_id"), "left_semi"), threshold)
+        })
       val admittedSh = graft.Materialize(Dedup.shingleIndex(admitted))
       val mode = if (empty) org.apache.spark.sql.SaveMode.Overwrite
         else org.apache.spark.sql.SaveMode.Append

@@ -270,6 +270,21 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingUpsertSql rejects a non-Upsert method loudly") {
+    // the sink derives the per-batch method itself; a Config built for
+    // Append must fail at entry, not be silently converted to upserts
+    implicit val ctx = spark.sqlContext
+    val cfg = graft.sql.SqlSink.Config(
+      "jdbc:derby:memory:graftstreamdb2;create=true", "t_m", "app_s",
+      graft.checks.Validations.Method.Append, Seq("id"),
+      dialect = graft.sql.DerbyDialect)
+    val ms = MemoryStream[(Int, String)]
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.streamingUpsertSql(ms.toDF().toDF("id", "name"), cfg)
+    }
+    assert(e.getMessage.contains("requires method=Upsert"))
+  }
+
   test("streaming incremental ingest: later batches dedupe against " +
     "earlier admissions") {
     implicit val ctx = spark.sqlContext
@@ -311,6 +326,60 @@ class StreamOpsSpec extends SparkSpec {
         .as[(Long, Long)].collect().toMap
       assert(bandCounts.keySet === ids.toSet)
       assert(bandCounts.values.forall(_ === 16L))
+    } finally q.stop()
+  }
+
+  test("ingest crash-replay: two mutually-near-dup docs in one crashed " +
+    "batch are both re-admitted") {
+    // the sink writes indexes BEFORE the corpus; a crash between them
+    // leaves the batch's docs in the indexes with no corpus rows. The
+    // nasty case is a batch carrying TWO near-dups of each other
+    // (admitted by contract — within-batch near-dups are not
+    // screened): each doc's replay must not be suppressed by the
+    // OTHER doc's orphaned index rows, which the id-inequality guard
+    // alone does not prevent — only the committed-doc_ids visibility
+    // filter does
+    implicit val ctx = spark.sqlContext
+    import graft.operators.Dedup
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_inc_crash").toString + "/corpus"
+    val textA = "the quick brown fox jumps over the lazy dog"
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamOps.incrementalIngestStream(
+        ms.toDF().toDF("doc_id", "text", "lang"), corpusDir)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_inc_crash_ckpt").toString)
+      .start()
+    try {
+      // batch 1 bootstraps the corpus with an unrelated doc
+      ms.addData(Seq(
+        (1L, "colorless green ideas sleep furiously every single night",
+          "en")))
+      q.processAllAvailable()
+      // simulate batch 2 crashing mid-commit: docs 10/11 (mutual
+      // near-dups, not exact dups) got their index appends but the
+      // corpus append never ran
+      val crashed = Seq(
+        (10L, textA, "en"), (11L, textA + " today", "en"))
+        .toDF("doc_id", "text", "lang")
+      val orphanSh = Dedup.shingleIndex(crashed)
+      orphanSh.write.mode("append").parquet(corpusDir + "__sh")
+      Dedup.minhashBands(orphanSh).write.mode("append")
+        .parquet(corpusDir + "__bands")
+      // the engine replays batch 2: both docs must be admitted — the
+      // orphaned index rows are uncommitted and therefore invisible
+      ms.addData(Seq((10L, textA, "en"), (11L, textA + " today", "en")))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpusDir)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 10L, 11L))
+      // the screen still works: a genuine near-dup of the
+      // now-committed docs is rejected
+      ms.addData(Seq((12L, textA + " yesterday", "en")))
+      q.processAllAvailable()
+      val after = spark.read.parquet(corpusDir)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(after === Seq(1L, 10L, 11L))
     } finally q.stop()
   }
 }
