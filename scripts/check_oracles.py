@@ -49,12 +49,15 @@ def main():
     rest = sys.argv[3:]
     if rest:
         # strict: a bare/misplaced --only must not silently run the
-        # full (possibly stale) compare instead of the intended subset
-        assert rest[0] == "--only" and len(rest) == 2, (
-            f"usage: check_oracles.py <sfDir> <outDir> [--only q1,q2]; "
-            f"got extra args {rest}")
+        # full (possibly stale) compare instead of the intended subset.
+        # Explicit exits, not assert — asserts vanish under `python -O`
+        # and this validation IS the defense.
+        if rest[0] != "--only" or len(rest) != 2:
+            sys.exit(f"usage: check_oracles.py <sfDir> <outDir> "
+                     f"[--only q1,q2]; got extra args {rest}")
         only = set(rest[1].split(","))
-        assert only and all(only), f"empty query name in --only: {rest[1]}"
+        if not only or not all(only):
+            sys.exit(f"empty query name in --only: {rest[1]!r}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -62,7 +65,8 @@ def main():
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only is not None:
         missing = only - set(oracles)
-        assert not missing, f"--only names not in oracle_sql.json: {missing}"
+        if missing:
+            sys.exit(f"--only names not in oracle_sql.json: {missing}")
         oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):

@@ -51,7 +51,12 @@ object JdbcOps {
     *    an object of any type squatting on the name must block the
     *    DROP+CREATE branch (type-name vocabularies also differ across
     *    drivers — restricting to "TABLE" risks the destructive false
-    *    "missing" on a driver that names base tables differently). */
+    *    "missing" on a driver that names base tables differently);
+    *  - the schema on returned rows is read null-safely from
+    *    TABLE_SCHEM, falling back to TABLE_CAT (some drivers report
+    *    the namespace there), and a row reporting NEITHER counts as a
+    *    schema match — on a schema-less store the name alone decides,
+    *    again resolving the ambiguity toward "exists". */
   def tableExists(url: String, schema: String, table: String): Boolean =
     withConnection(url) { conn =>
       val (s, t) = (schema.strip(), table.strip())
@@ -61,21 +66,32 @@ object JdbcOps {
         if (esc.isEmpty) x
         else x.replace(esc, esc + esc)
           .replace("_", esc + "_").replace("%", esc + "%")
+      def schemaMatches(rs: java.sql.ResultSet): Boolean = {
+        val sch = rs.getString("TABLE_SCHEM")
+        if (sch != null) sch.strip().equalsIgnoreCase(s)
+        else {
+          val cat = rs.getString("TABLE_CAT")
+          cat == null || cat.strip().equalsIgnoreCase(s)
+        }
+      }
       def scan(rs: java.sql.ResultSet): Boolean =
         try {
           var found = false
           while (!found && rs.next())
-            found = rs.getString("TABLE_SCHEM").equalsIgnoreCase(s) &&
+            found = schemaMatches(rs) &&
               rs.getString("TABLE_NAME").equalsIgnoreCase(t)
           found
         } finally rs.close()
-      // exact-pattern probe first; on a miss, a wildcard listing of the
-      // schema catches a case-divergent name on a case-SENSITIVE
-      // metadata store (where the LIKE itself is case-sensitive and
-      // the first probe returns nothing) — one extra metadata query,
-      // paid only on the would-be-destructive "missing" path
+      // exact-pattern probe first; on a miss, a FULL wildcard listing
+      // catches case divergence on a case-SENSITIVE metadata store
+      // (where the LIKE itself is case-sensitive and the first probe
+      // returns nothing) — in the TABLE name and, unlike a
+      // schema-pattern-scoped listing, in the SCHEMA name too; the
+      // scan's case-insensitive re-verification keeps it exact. One
+      // extra metadata query, paid only on the would-be-destructive
+      // "missing" path.
       scan(md.getTables(null, pat(s), pat(t), null)) ||
-        scan(md.getTables(null, pat(s), "%", null))
+        scan(md.getTables(null, "%", "%", null))
     }
 
   def queryCount(url: String, sql: String): Long =

@@ -162,5 +162,13 @@ class SqlSinkDerbySpec extends SparkSpec {
     // exercising the wildcard fallback scan
     assert(JdbcOps.tableExists(url, "app_s", "EXISTS_PROBE"))
     assert(JdbcOps.tableExists(url, "app_s", " exists_probe "))
+    // ... including case divergence in the SCHEMA name, which the
+    // fallback only rescues because it widens BOTH patterns (a
+    // schema-scoped wildcard would still LIKE-miss "APP_S" here)
+    assert(JdbcOps.tableExists(url, "APP_S", "exists_probe"))
+    assert(JdbcOps.tableExists(url, "APP_S", "EXISTS_PROBE"))
+    // the widened listing must not over-match: a wrong schema is
+    // still "missing"
+    assert(!JdbcOps.tableExists(url, "other_s", "exists_probe"))
   }
 }
