@@ -47,6 +47,42 @@ class MaintenanceSpec extends SparkSpec {
     assert(checksumAfter === checksumBefore)
   }
 
+  test("ingest-index compaction drops orphans and replay duplicates, " +
+    "restoring corpus/index lockstep") {
+    import graft.operators.Dedup
+    val corpusDir = Files.createTempDirectory("graft_idx_compact")
+      .toString + "/corpus"
+    // committed corpus: docs 1..3
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "colorless green ideas sleep furiously every single night", "en"),
+      (3L, "entirely different words about seven distinct topics now", "en"))
+      .toDF("doc_id", "text", "lang")
+    corpus.write.parquet(corpusDir)
+    val sh = Dedup.shingleIndex(corpus)
+    // index debris: doc 2's rows appended TWICE (crash-replay
+    // re-append) and an orphan doc 99 (admitted by a crashed batch
+    // that never reached the corpus write)
+    val orphan = Dedup.shingleIndex(Seq(
+      (99L, "ghost rows from a crashed batch that never committed", "en"))
+      .toDF("doc_id", "text", "lang"))
+    val dup = sh.filter(col("doc_id") === 2L)
+    sh.union(dup).union(orphan).write.parquet(corpusDir + "__sh")
+    Dedup.minhashBands(sh).union(Dedup.minhashBands(dup))
+      .union(Dedup.minhashBands(orphan))
+      .write.parquet(corpusDir + "__bands")
+    val (shDropped, bandsDropped) =
+      Maintenance.compactIngestIndexes(spark, corpusDir)
+    assert(shDropped === 2L)      // the duplicate row + the orphan
+    assert(bandsDropped === 32L)  // 16 duplicated + 16 orphaned bands
+    val shIds = spark.read.parquet(corpusDir + "__sh")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(shIds === Seq(1L, 2L, 3L))
+    val bandCounts = spark.read.parquet(corpusDir + "__bands")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(bandCounts === Map(1L -> 16L, 2L -> 16L, 3L -> 16L))
+  }
+
   test("approx_count_distinct (HLL++) lands within 5% of exact") {
     val ev = Tables.events(spark, sfDir)
     val (approx, exact) = ev.agg(
