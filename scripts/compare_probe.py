@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Compare two ScaleProbe/Bench JSON emissions for RELATIVE regressions.
 
-Usage: python3 scripts/compare_probe.py <old> <new> [--factor F] [--min-share S]
+Usage: python3 scripts/compare_probe.py <old> <new> [--factor F] [--min-sec S]
 
 <old>/<new> are files containing (possibly among log noise) one JSON
 line with {"metric": ..., "queries": {name: seconds, ...}} — a raw
@@ -86,8 +86,14 @@ def main():
     flags = []
     for name in sorted(new_qs):
         if new_qs[name] < 0:
-            flags.append(f"FLAG {name}: FAILED in new run "
-                         f"({new.get('errors', {}).get(name, 'no message')})")
+            # NEWLY failing only: a query failing identically in both
+            # runs would otherwise flag forever and drown real signal
+            if old_qs.get(name, 0) < 0:
+                print(f"note: {name} failed in both runs")
+            else:
+                flags.append(
+                    f"FLAG {name}: FAILED in new run "
+                    f"({new.get('errors', {}).get(name, 'no message')})")
             continue
         r = ratios.get(name)
         if r is None:

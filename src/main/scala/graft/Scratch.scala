@@ -47,4 +47,16 @@ object Scratch {
     * stays bounded at one copy instead of accumulating per run. */
   def stableDir(spark: SparkSession, prefix: String, key: String): String =
     s"${layoutRoot(spark)}/$prefix-${pathTag(key)}"
+
+  /** Resolve a path string to its (FileSystem, Path) under the
+    * session's Hadoop conf — the one way engine-side probes/deletes
+    * touch storage. Hadoop FS, not java.io, because every
+    * engine-managed dir (corpus, indexes, layouts, checkpoints) can
+    * live on HDFS/object storage on a real cluster; java.io would
+    * silently report "missing" for every non-local URI. */
+  def fs(spark: SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
 }

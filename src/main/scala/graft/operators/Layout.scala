@@ -112,11 +112,8 @@ object Layout {
   private[operators] def partitionedOrders(spark: SparkSession,
       sfDir: String): String = {
     val dir = s"${layoutRoot(spark, sfDir)}/orders_part"
-    // Hadoop FS, not java.io: on a cluster the layout lives on
-    // HDFS/object storage
-    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
-    if (!marker.getFileSystem(
-        spark.sparkContext.hadoopConfiguration).exists(marker)) {
+    val (mfs, marker) = graft.Scratch.fs(spark, dir + "/_SUCCESS")
+    if (!mfs.exists(marker)) {
       Tables.load(spark, sfDir, "orders")
         .write.mode("overwrite")
         .partitionBy("o_orderpriority")

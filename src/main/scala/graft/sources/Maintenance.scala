@@ -30,11 +30,11 @@ object Maintenance {
     (before, parquetFiles())
   }
 
-  /** Compact the incremental-ingest dedup indexes (`<corpusDir>__sh`,
+  /** Restore the incremental-ingest dedup indexes (`<corpusDir>__sh`,
     * `<corpusDir>__bands` — [[graft.streaming.StreamOps
-    * .incrementalIngestStream]]'s state) back into exact lockstep with
-    * the committed corpus. The streaming sink tolerates index debris
-    * by construction — crash-replay leaves ORPHANED rows (doc in the
+    * .incrementalIngestStream]]'s state) to exact lockstep with the
+    * committed corpus. The streaming sink tolerates index debris by
+    * construction — crash-replay leaves ORPHANED rows (doc in the
     * index, never committed) and DUPLICATE rows (re-appended on
     * replay), both made harmless at read time by the sink's
     * committed-doc_ids visibility filter and the candidate join's
@@ -42,33 +42,53 @@ object Maintenance {
     * pipeline runs this periodically (alongside [[compact]], which
     * handles the small-files axis) to stop unbounded growth.
     *
-    * Each index rewrites through a shadow dir + recoverable swap, so a
-    * crash mid-compaction leaves a complete copy live or at `__old` —
-    * and the sink's visibility filter means even a torn state (one
-    * index compacted, the other not) stays correct.
+    * Both directions of drift are repaired: debris is dropped, and —
+    * because the indexes are pure functions of corpus text — a
+    * committed doc whose index rows are MISSING has them rebuilt from
+    * the corpus, so one run reconverges the state no matter how it
+    * was damaged.
     *
-    * @return (sh rows dropped, band rows dropped) */
+    * Concurrency contract: run QUIESCED (stream stopped, or between
+    * micro-batches). Each index rewrites through a shadow dir +
+    * recoverable swap, so a mid-compaction CRASH leaves a complete
+    * copy live or at `__old`, and even a torn state (one index
+    * compacted, the other not) stays correct under the sink's
+    * visibility filter. A concurrent APPEND, however, can land in the
+    * swapped-away dir and be deleted with it — the missing-row
+    * rebuild on the next run restores exactly that loss, but until
+    * then near-dups of the affected docs pass the screen unscreened.
+    *
+    * @return (sh, bands) net rows removed — before minus after, so
+    *         rebuilds of missing rows can make a component negative */
   def compactIngestIndexes(spark: SparkSession, corpusDir: String)
       : (Long, Long) = {
     import org.apache.spark.sql.DataFrame
-    val committed = spark.read.parquet(corpusDir).select("doc_id")
-    def rewrite(dir: String, clean: DataFrame => DataFrame): Long = {
+    import graft.operators.Dedup
+    val corpus = spark.read.parquet(corpusDir).select("doc_id", "text")
+    val committed = corpus.select("doc_id")
+    def rewrite(dir: String, clean: DataFrame => DataFrame,
+        rebuild: DataFrame => DataFrame): Long = {
       val df = spark.read.parquet(dir)
       val before = df.count()
       val kept = clean(df.join(committed, Seq("doc_id"), "left_semi"))
-      val shadow = new Path(dir + "__compact")
-      val fs = shadow.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      kept.write.mode(SaveMode.Overwrite).parquet(shadow.toString)
-      // count the written shadow, not `kept` — one pass over the data
+      val lost = corpus.join(df.select("doc_id"), Seq("doc_id"), "left_anti")
+      val full = kept.unionByName(rebuild(lost))
+      val (fs, shadow) = graft.Scratch.fs(spark, dir + "__compact")
+      full.write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+      // count the written shadow, not the plan — one pass over the data
       val after = spark.read.parquet(shadow.toString).count()
       ParquetSink.swapInto(fs, shadow, new Path(dir))
       before - after
     }
     // one shingle-set row per doc; band rows are deterministic
-    // (doc_id, band, sig) triples, so exact distinct dedupes replays
+    // (doc_id, band, sig) triples, so exact distinct dedupes replays.
+    // (Docs under 3 tokens legitimately have no index rows —
+    // shingleIndex filters them — so their rebuild is a no-op and
+    // they are never counted as drift.)
     val shDropped = rewrite(corpusDir + "__sh",
-      _.dropDuplicates("doc_id"))
-    val bandsDropped = rewrite(corpusDir + "__bands", _.distinct())
+      _.dropDuplicates("doc_id"), Dedup.shingleIndex)
+    val bandsDropped = rewrite(corpusDir + "__bands", _.distinct(),
+      d => Dedup.minhashBands(Dedup.shingleIndex(d)))
     (shDropped, bandsDropped)
   }
 }

@@ -37,13 +37,9 @@ object Tables {
     // FileStreamSource requires a DIRECTORY; the testdata tables are
     // single parquet FILES, so stream the parent dir with a glob
     // pinned to this one table (a Spark-written events.parquet
-    // directory streams directly). Hadoop FS, not java.io: on a
-    // cluster the table lives on HDFS/object storage, where a
-    // java.io probe reports "not a directory" and picks the wrong
-    // branch.
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val isDir = hp.getFileSystem(
-      spark.sparkContext.hadoopConfiguration).getFileStatus(hp).isDirectory
+    // directory streams directly).
+    val (hfs, hp) = graft.Scratch.fs(spark, path)
+    val isDir = hfs.getFileStatus(hp).isDirectory
     val src =
       if (isDir)
         spark.readStream.schema(schema).parquet(path)

@@ -69,9 +69,8 @@ object StreamOps {
     query.awaitTermination()
     // the bounded run is over — its checkpoint state has no future
     // reader and would otherwise accumulate one copy per invocation
-    val cp = new org.apache.hadoop.fs.Path(ckpt)
-    cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(cp, true)
+    val (cfs, cp) = graft.Scratch.fs(spark, ckpt)
+    cfs.delete(cp, true)
     spark.read.parquet(outDir)
       .orderBy(col("hour_start"), col("event_type"))
   }
@@ -227,11 +226,8 @@ object StreamOps {
       import graft.operators.Dedup
       val spark = batch.sparkSession
       val (shDir, bandsDir) = (corpusDir + "__sh", corpusDir + "__bands")
-      // Hadoop FS, not java.io: the corpus can live on HDFS/object
-      // storage on a real cluster
-      val marker = new org.apache.hadoop.fs.Path(corpusDir, "_SUCCESS")
-      val empty = !marker.getFileSystem(
-        spark.sparkContext.hadoopConfiguration).exists(marker)
+      val (mfs, marker) = graft.Scratch.fs(spark, corpusDir + "/_SUCCESS")
+      val empty = !mfs.exists(marker)
       val admitted = graft.Materialize(
         if (empty)
           Dedup.cleanIncrement(batch, batch.limit(0), threshold)

@@ -47,8 +47,8 @@ class MaintenanceSpec extends SparkSpec {
     assert(checksumAfter === checksumBefore)
   }
 
-  test("ingest-index compaction drops orphans and replay duplicates, " +
-    "restoring corpus/index lockstep") {
+  test("ingest-index compaction drops orphans and replay duplicates " +
+    "and rebuilds lost rows, restoring corpus/index lockstep") {
     import graft.operators.Dedup
     val corpusDir = Files.createTempDirectory("graft_idx_compact")
       .toString + "/corpus"
@@ -59,10 +59,12 @@ class MaintenanceSpec extends SparkSpec {
       (3L, "entirely different words about seven distinct topics now", "en"))
       .toDF("doc_id", "text", "lang")
     corpus.write.parquet(corpusDir)
-    val sh = Dedup.shingleIndex(corpus)
-    // index debris: doc 2's rows appended TWICE (crash-replay
-    // re-append) and an orphan doc 99 (admitted by a crashed batch
-    // that never reached the corpus write)
+    // every drift class at once: doc 2's rows appended TWICE
+    // (crash-replay re-append), an orphan doc 99 (admitted by a
+    // crashed batch that never reached the corpus write), and doc 3's
+    // rows LOST entirely (a concurrent append deleted with a
+    // swapped-away dir)
+    val sh = Dedup.shingleIndex(corpus.filter(col("doc_id") =!= 3L))
     val orphan = Dedup.shingleIndex(Seq(
       (99L, "ghost rows from a crashed batch that never committed", "en"))
       .toDF("doc_id", "text", "lang"))
@@ -73,14 +75,22 @@ class MaintenanceSpec extends SparkSpec {
       .write.parquet(corpusDir + "__bands")
     val (shDropped, bandsDropped) =
       Maintenance.compactIngestIndexes(spark, corpusDir)
-    assert(shDropped === 2L)      // the duplicate row + the orphan
-    assert(bandsDropped === 32L)  // 16 duplicated + 16 orphaned bands
+    assert(shDropped === 1L)      // dup + orphan dropped, doc 3 rebuilt
+    assert(bandsDropped === 16L)  // 32 debris bands out, 16 rebuilt in
     val shIds = spark.read.parquet(corpusDir + "__sh")
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(shIds === Seq(1L, 2L, 3L))
     val bandCounts = spark.read.parquet(corpusDir + "__bands")
       .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
     assert(bandCounts === Map(1L -> 16L, 2L -> 16L, 3L -> 16L))
+    // the rebuilt rows are byte-identical to a from-scratch index:
+    // lockstep means a future near-dup of doc 3 is screened again
+    val rebuilt = spark.read.parquet(corpusDir + "__sh")
+      .filter(col("doc_id") === 3L).select("sh")
+      .as[Seq[String]].head()
+    val expected = Dedup.shingleIndex(corpus.filter(col("doc_id") === 3L))
+      .select("sh").as[Seq[String]].head()
+    assert(rebuilt === expected)
   }
 
   test("approx_count_distinct (HLL++) lands within 5% of exact") {
