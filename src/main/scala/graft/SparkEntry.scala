@@ -80,6 +80,7 @@ object SparkEntry {
     "q57_bucket_join"      -> (graft.operators.Layout.q57BucketJoin _),
     "q58_partition_prune"  -> (graft.operators.Layout.q58PartitionPrune _),
     "q59_incremental_ingest" -> (Dedup.q59IncrementalIngest _),
+    "q60_contamination_bloom" -> (Dedup.q60ContaminationBloom _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -587,19 +588,11 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN bucket < rate THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
         |FROM b GROUP BY lang ORDER BY lang""".stripMargin
     },
-    "q53_contamination" ->
-      s"""WITH $shingleCte,
-        |pe AS (SELECT doc_id AS probe_id, unnest(s) AS sg FROM shx
-        |  WHERE doc_id < ${graft.operators.Dedup.contamProbes}),
-        |ce AS (SELECT doc_id, unnest(s) AS sg FROM shx
-        |  WHERE doc_id >= ${graft.operators.Dedup.contamProbes})
-        |SELECT ce.doc_id,
-        |  COUNT(DISTINCT ce.sg) AS n_shingles,
-        |  COUNT(DISTINCT pe.probe_id) AS n_probes
-        |FROM ce JOIN pe ON ce.sg = pe.sg
-        |GROUP BY ce.doc_id
-        |HAVING COUNT(DISTINCT ce.sg) >= ${graft.operators.Dedup.contamMinShingles}
-        |ORDER BY doc_id""".stripMargin,
+    "q53_contamination" -> contaminationOracle,
+    // the Bloom-prefiltered variant must produce the EXACT q53 answer
+    // (the sketch only prunes; the exact join removes its false
+    // positives), so it shares the oracle verbatim
+    "q60_contamination_bloom" -> contaminationOracle,
     "q54_corpus_v2" -> {
       val p = graft.operators.Dedup.contamProbes
       val m = graft.operators.Dedup.contamMinShingles
@@ -702,6 +695,20 @@ object SparkEntry {
     """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
   private val toksSql =
     s"""string_split($normSql, ' ')"""
+  private def contaminationOracle: String =
+    s"""WITH $shingleCte,
+      |pe AS (SELECT doc_id AS probe_id, unnest(s) AS sg FROM shx
+      |  WHERE doc_id < ${graft.operators.Dedup.contamProbes}),
+      |ce AS (SELECT doc_id, unnest(s) AS sg FROM shx
+      |  WHERE doc_id >= ${graft.operators.Dedup.contamProbes})
+      |SELECT ce.doc_id,
+      |  COUNT(DISTINCT ce.sg) AS n_shingles,
+      |  COUNT(DISTINCT pe.probe_id) AS n_probes
+      |FROM ce JOIN pe ON ce.sg = pe.sg
+      |GROUP BY ce.doc_id
+      |HAVING COUNT(DISTINCT ce.sg) >= ${graft.operators.Dedup.contamMinShingles}
+      |ORDER BY doc_id""".stripMargin
+
   private val shingleCte =
     s"""tok AS (SELECT doc_id, $toksSql AS t FROM documents),
       |shx AS (SELECT doc_id,

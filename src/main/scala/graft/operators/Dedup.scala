@@ -409,6 +409,49 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q60: [[q53Contamination]] with a Bloom prefilter on the corpus
+    * side — the SAME answer (the driver checks it against q53's
+    * oracle verbatim), a different scale shape. q53's broadcast of
+    * the exact probe postings stops working once the benchmark set's
+    * exploded shingle strings outgrow executor memory; its Bloom
+    * sketch does not (1%-fpp is ~12 MB per 10M distinct shingles —
+    * sketch size is independent of string length). The corpus side
+    * then probes the sketch INSIDE whole-stage codegen
+    * ([[graft.functions.BloomMightContain]]) and only the surviving
+    * ~1%+collisions reach the exact join, which removes the false
+    * positives — so at the scale where the exact join must shuffle,
+    * it shuffles ~1% of the corpus postings instead of all of them.
+    * False negatives cannot occur, which the shared oracle pins.
+    *
+    * The sketch itself is built distributed (one pass over the probe
+    * postings, mergeable partials) and only the fixed-size filter
+    * returns to the driver — not a collect of the data. */
+  def q60ContaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val sh = shingled(spark, sfDir)
+    val probes = sh.filter(col("doc_id") < contamProbes)
+      .select(col("doc_id").as("probe_id"), explode(col("sh")).as("sg"))
+    val corpus = sh.filter(col("doc_id") >= contamProbes)
+      .select(col("doc_id"), explode(col("sh")).as("sg"))
+    // expectedNumItems sizes the sketch; the count is one cheap
+    // action on the tiny probe side
+    val nProbe = probes.select("sg").distinct().count()
+    val bloom = probes.stat.bloomFilter("sg", math.max(nProbe, 64L), 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val pre = corpus.filter(Bridge.column(graft.functions.BloomMightContain(
+      Bridge.expression(col("sg")), bytes)))
+    pre.join(broadcast(probes), "sg")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sg")).as("n_shingles"),
+        countDistinct(col("probe_id")).as("n_probes"))
+      .filter(col("n_shingles") >= contamMinShingles)
+      .orderBy(col("doc_id"))
+  }
+
   // --- incremental ingest ---------------------------------------------------
 
   /** Incoming docs with a VERIFIED near-dup (Jaccard ≥ threshold over

@@ -116,4 +116,47 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1) === 0.0)
     assert(got(2) === 0.5)
   }
+
+  test("BloomMightContain: no false negatives, few false positives, " +
+    "codegen filter") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val members = (0 until 500).map(i => s"member shingle $i")
+    val bloom = members.toDF("sg").stat.bloomFilter("sg", 500L, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    def probed(df: org.apache.spark.sql.DataFrame) =
+      df.filter(Bridge.column(
+        BloomMightContain(Bridge.expression(col("sg")), bytes)))
+    def survivors(rows: Seq[String]): Long = probed(rows.toDF("sg")).count()
+    // the probe must sit INSIDE a WholeStageCodegen span (the whole
+    // point over a UDF), and with fallback disabled a codegen compile
+    // failure turns into a loud error instead of silent interpretation.
+    // A Range source (unlike a local Seq) can't be constant-folded by
+    // ConvertToLocalRelation, so the filter genuinely executes codegen.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rangeMembers = probed(spark.range(members.size)
+        .select(concat(lit("member shingle "),
+          col("id").cast("string")).as("sg")))
+      // membership is GUARANTEED for every inserted item — the
+      // property the shared q53/q60 oracle rests on (a false negative
+      // would drop a genuinely contaminated doc)
+      assert(rangeMembers.collect().length === members.size)
+      // "*(1) Filter ..." — the asterisk prefix is how toString marks
+      // operators living inside a WholeStageCodegen span
+      val planStr = rangeMembers.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) Filter bloom_might_contain""".r
+        .findFirstIn(planStr).isDefined, planStr)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+    // non-members pass only at ~the configured fpp; allow generous
+    // slack (50× the nominal 1%) so the test can never flake
+    val strangers = (0 until 1000).map(i => s"unrelated text $i")
+    assert(survivors(strangers) <= 500)
+    // null stays null → filtered out, matching SQL three-valued logic
+    assert(survivors(Seq(null.asInstanceOf[String])) === 0L)
+  }
 }

@@ -231,6 +231,17 @@ class DedupSpec extends SparkSpec {
     assert(admitted.select("doc_id").as[Long].collect().toSeq === Seq(100L))
   }
 
+  test("q60: bloom-prefiltered contamination equals the exact screen") {
+    // the sketch may only PRUNE (false positives die in the exact
+    // join; false negatives are impossible) — so the two plans must
+    // agree row for row on the real fixture
+    val exact = Dedup.q53Contamination(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val bloomed = Dedup.q60ContaminationBloom(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(bloomed === exact)
+  }
+
   test("source-scoped jaccard join only pairs within a source") {
     val rows = Dedup.q33SourceJaccard(spark, sfDir).collect()
     val bySource = graft.sources.Tables.load(spark, sfDir, "documents")
