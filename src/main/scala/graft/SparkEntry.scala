@@ -81,6 +81,7 @@ object SparkEntry {
     "q58_partition_prune"  -> (graft.operators.Layout.q58PartitionPrune _),
     "q59_incremental_ingest" -> (Dedup.q59IncrementalIngest _),
     "q60_contamination_bloom" -> (Dedup.q60ContaminationBloom _),
+    "q61_knn_pq"           -> (Similarity.q61KnnPq _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -293,6 +293,37 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact cosine re-rank of a (query_id, neighbor_id) candidate set to
+    * the final top-[[k]]: embeddings join back on AFTER candidate
+    * generation (candidates travel as bare id pairs), queries broadcast,
+    * top-k via the bounded-buffer [[graft.functions.TopKAgg]] so at most
+    * k (cosine, id) pairs per query leave each map task — no per-query
+    * candidate sort, same (cosine DESC, id ASC) total order as a
+    * row_number window. Degenerate (zero-norm → NaN cosine) candidates
+    * are excluded before ranking: a zero vector is not a neighbor under
+    * either a window (NaN sorts first descending) or TopKAgg (primitive
+    * compare drops it), so the exclusion makes the semantics explicit.
+    * Shared by [[q36KnnLsh]] and [[q61KnnPq]]. */
+  private def rerankTopK(e: DataFrame, cand: DataFrame): DataFrame = {
+    val qv = e.filter(col("vec_id") < knnQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    cand
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cosine"))
+      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg
+        .topkAgg(col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q36: ANN top-k — candidates share an LSH bucket in ≥ 1 table with
     * the query, then exact cosine re-rank. Approximate (recall measured
     * against q35 in the test suite, asserted ≥ 0.9 at the fixture SF),
@@ -329,27 +360,146 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-    val qv = e.filter(col("vec_id") < knnQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    // final top-k via TopKAgg (see q41): no per-query candidate sort,
-    // shuffle bounded at k rows per query per map task, same
-    // (cosine DESC, id ASC) order as the former row_number window
-    cand
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
-        Seq("neighbor_id"))
-      .join(broadcast(qv), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("embedding")).as("cosine"))
-      // degenerate (zero-norm → NaN cosine) candidates excluded before
-      // ranking — see the q41 re-rank note
-      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
+    rerankTopK(e, cand)
+  }
+
+  // --- PQ ANN ---------------------------------------------------------------
+
+  /** Product-quantization geometry: [[dim]] = 64 dimensions split into
+    * [[pqSubspaces]] = 8 contiguous 8-dim subspaces, each quantized to
+    * [[pqCodes]] = 16 centroids. A vector's index entry is 8 codes —
+    * 8 bytes against 256 bytes of float32, a 32× reduction in what the
+    * scoring scan has to read. THAT is the 100 TB story: at a scale
+    * where even the LSH/IVF candidate joins still drag full vectors
+    * through the shuffle for re-ranking, the PQ scan ranks from codes
+    * alone and only the [[pqShortlist]] survivors ever touch their
+    * original embeddings again. */
+  val pqSubspaces = 8
+  val pqSubDim: Int = dim / pqSubspaces
+  val pqCodes = 16
+  val pqLloydIters = 3
+
+  /** ADC shortlist size: the code-based scan keeps this many candidates
+    * per query for the exact re-rank. The recall/cost dial: larger
+    * shortlist = more exact dot products, higher recall. */
+  val pqShortlist = 100
+
+  /** (vec_id, nrm, sub, sv): each vector of `e` = (vec_id, v, nrm) split
+    * into its [[pqSubspaces]] contiguous subvectors. `slice` is a
+    * codegen'd array copy — no per-element HOF in the N-row path. */
+  private def subVectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("nrm"),
+      posexplode(array((0 until pqSubspaces).map(s =>
+        slice(col("v"), s * pqSubDim + 1, pqSubDim)): _*)))
+      .toDF("vec_id", "nrm", "sub", "sv")
+
+  /** All [[pqSubspaces]] codebooks trained in ONE distributed job over
+    * the exploded subvector table — (sub, code, cv, cn) with
+    * cn = ‖cv‖²/2 so nearest-centroid is argmax(dot(x,c) − cn), a
+    * codegen'd dot product per (subvector, centroid) pair.
+    *
+    * Same construction discipline as [[kmeansCentroids]]:
+    *  - seeds: per (sub, hash-bucket) the subvector with the smallest
+    *    `xxhash64(vec_id)` via `min_by` — a combinable hash aggregate,
+    *    deterministic, no global window, no driver collect;
+    *  - assign: broadcast the 128-row codebook, EQUALITY join on `sub`
+    *    (each subvector meets only its own 16 centroids), window-argmax
+    *    per (vec_id, sub) — parallelism scales with vectors;
+    *  - update: per-(sub, code, pos) mean in exact fixed-point LONG
+    *    sums (the q37/q41 pattern) — trained codebooks bit-identical
+    *    at any parallelism, so the index is reproducible run to run.
+    * Centroids that lose every assignment simply drop out of the next
+    * round (same behavior as the IVF quantizer); codes are dense only
+    * if the data supports 16 distinct cells per subspace. */
+  private[operators] def pqCodebook(sv: DataFrame): DataFrame = {
+    def halfNorm(c: DataFrame): DataFrame =
+      c.withColumn("cn", dotD(col("cv"), col("cv")) / 2)
+    var cents = halfNorm(sv
+      .withColumn("h", xxhash64(col("vec_id")))
+      .groupBy(col("sub"),
+        pmod(col("h"), lit(pqCodes)).cast("int").as("code"))
+      .agg(min_by(col("sv"), col("h")).as("cv")))
+    cents = graft.Materialize(cents)
+    val wSub = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("cd").desc, col("code"))
+    for (_ <- 1 to pqLloydIters) {
+      val assigned = sv.join(broadcast(cents), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("sv"), col("code"),
+          (dotD(col("sv"), col("cv")) - col("cn")).as("cd"))
+        .withColumn("cr", row_number().over(wSub))
+        .filter(col("cr") === 1)
+      cents = graft.Materialize(halfNorm(assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg((sum(floor(col("col") * 1e6).cast("long"))
+          .cast("double") / 1e6 / count(lit(1))).as("m"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("sub"), col("code"), col("pm").getField("m").as("cv"))))
+    }
+    cents
+  }
+
+  /** q61: PQ-ADC ANN — every vector compressed to [[pqSubspaces]] codes
+    * by per-subspace k-means; a query ranks the WHOLE corpus from codes
+    * alone via an asymmetric-distance lookup table, keeps the
+    * [[pqShortlist]] best, and re-ranks those exactly.
+    *
+    * The scan shape is the point. The query side precomputes
+    * LUT[query, sub, code] = dot(q̂_sub, centroid) — 10 queries ×
+    * 8 subs × 16 codes = 1280 rows, broadcast. The corpus side is the
+    * CODES table: (vec_id, sub, code, nrm), 8 short rows per vector.
+    * approx_cos(q, v) = Σ_sub LUT(q, sub, code_sub(v)) / ‖v‖ falls out
+    * of an equality join on (sub, code) + a combinable sum aggregate —
+    * map-side partials, no arrays anywhere in the N-row path, shuffle
+    * rows of three small ints. Cost is linear in the corpus per query
+    * (the classic exhaustive ADC scan); for large query batches the
+    * IVF cells of [[q41KnnIvf]] compose in front to make it
+    * sub-linear (scan only probed cells' codes).
+    *
+    * Codebooks quantize RAW subvectors (not unit-normalized ones) and
+    * the norm divides out at scoring time — only the dot product is
+    * approximated, the norm is exact, and the N-row path never runs an
+    * element-wise normalize HOF. Approximate where it can be (the
+    * shortlist membership), exact where it matters (the returned
+    * cosines come from [[rerankTopK]]). Recall vs brute force is
+    * asserted in SimilaritySpec; results are rows-only for the driver
+    * (same contract as q36/q41). */
+  def q61KnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = emb(spark, sfDir)
+    val e = prepped(spark, sfDir).filter(col("nrm") > 0)
+    val sv = subVectors(e)
+    val cents = pqCodebook(sv)
+    // encode: nearest centroid per (vec_id, sub) — one broadcast
+    // equality join + window-argmax, emitted as the compact codes table
+    val wSub = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("cd").desc, col("code"))
+    val codes = sv.join(broadcast(cents), Seq("sub"))
+      .select(col("vec_id"), col("nrm"), col("sub"), col("code"),
+        (dotD(col("sv"), col("cv")) - col("cn")).as("cd"))
+      .withColumn("cr", row_number().over(wSub))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
+    // ADC lookup table for the query batch: dot(q̂_sub, centroid),
+    // query norm divided in here so the scan-side sum needs only the
+    // corpus norm
+    val lut = sv.filter(col("vec_id") < knnQueries)
+      .select(col("vec_id").as("query_id"), col("nrm").as("qnrm"),
+        col("sub"), col("sv").as("qsv"))
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        (dotD(col("qsv"), col("cv")) / col("qnrm")).as("partial"))
+    // code-only scan: equality join on (sub, code) against the
+    // broadcast LUT, sum the 8 partials per (query, vector)
+    val cand = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((sum(col("partial")) / max(col("nrm"))).as("approx"))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg
-        .topkAgg(col("cosine"), col("neighbor_id"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), col("col.id").as("neighbor_id"),
-        col("col.score").as("cosine"),
-        (col("pos") + 1).cast("int").as("rank"))
-      .orderBy(col("query_id"), col("rank"))
+        .topkAgg(col("approx"), col("vec_id"), pqShortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
+    rerankTopK(raw, cand)
   }
 }

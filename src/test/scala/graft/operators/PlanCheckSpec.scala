@@ -65,6 +65,20 @@ class PlanCheckSpec extends SparkSpec {
     assert(!p.contains("array(-"), "centroids appear folded into literals")
   }
 
+  test("q61 PQ scan is equality joins only and keeps arrays out of it") {
+    val df = Similarity.q61KnnPq(spark, sfDir)
+    val p = plan(df)
+    // codebook assign/LUT/scan joins are all equality joins (sub /
+    // (sub, code)); nothing in the PQ path may plan a nested loop —
+    // unlike q41, whose bounded centroid crossJoin is the documented
+    // exception
+    assert(!p.contains("CartesianProduct"), p.linesIterator.next())
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // trained codebooks stay DataFrames — no driver-side literal arrays
+    val a = df.queryExecution.analyzed.toString
+    assert(!a.contains("array(-"), "codebooks appear folded into literals")
+  }
+
   test("q46/q49 candidate joins are equality joins, not nested loops") {
     // winnow-overlap joins on the fingerprint value; the range join
     // buckets time so the interval predicate never plans a per-key
