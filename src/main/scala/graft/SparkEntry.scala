@@ -82,6 +82,7 @@ object SparkEntry {
     "q59_incremental_ingest" -> (Dedup.q59IncrementalIngest _),
     "q60_contamination_bloom" -> (Dedup.q60ContaminationBloom _),
     "q61_knn_pq"           -> (Similarity.q61KnnPq _),
+    "q62_zorder_skip"      -> (graft.operators.Layout.q62ZorderSkip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -208,6 +209,15 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_orderpriority
         |ORDER BY o_orderkey""".stripMargin,
+    "q62_zorder_skip" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        |  AND l_partkey <= 49
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q58_partition_prune" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
         |  COUNT(*) AS n_orders,

@@ -136,4 +136,111 @@ object Layout {
         count(lit(1)).as("n_orders"),
         sum(d(col("o_totalprice"))).cast(DoubleType).as("sum_total"))
       .orderBy(col("o_month"))
+
+  // --- Z-order layout -------------------------------------------------------
+
+  /** Target file count for the z-ordered layout: `repartitionByRange`
+    * on the z-value gives one file per contiguous z-range, so each
+    * file's (shipdate × partkey) bounding box is a compact quad-tree
+    * region. 64 here; at 100 TB the same code with file-sized ranges
+    * (the nightly-compaction shape again). */
+  val ZFiles = 64
+
+  /** Per-dimension z resolution: 16 bits — two spread 16-bit ranks
+    * interleave into one 32-bit key that fits comfortably in a LONG. */
+  private val zMax = (1 << 16) - 1
+
+  /** Morton spread of a 16-bit value: bit i moves to position 2i (the
+    * classic 4-step magic-mask dilation). Pure shift/and/or — stays in
+    * whole-stage codegen, no UDF. */
+  private def spread(c: Column): Column = {
+    var x = c.cast("long").bitwiseAND(lit(0xFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Interleaved z-value of two already-scaled 16-bit ranks. */
+  private[operators] def zValue(a: Column, b: Column): Column =
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+
+  /** Scale `c` to a 16-bit rank inside [lo, hi] (inclusive bounds from
+    * the same dataset — a degenerate hi = lo maps everything to 0). */
+  private def zRank(c: Column, lo: Column, hi: Column): Column =
+    least(floor((c - lo).cast(DoubleType) /
+      greatest((hi - lo).cast(DoubleType), lit(1.0)) * (zMax + 1)),
+      lit(zMax.toDouble)).cast("long")
+
+  /** Write lineitem Z-ORDERED on (l_shipdate, l_partkey), idempotent
+    * per sfDir across JVMs (`_SUCCESS` marker); returns the directory.
+    *
+    * Why a space-filling curve and not a sort: a linear sort on one
+    * column gives min/max file skipping on THAT column only — a
+    * predicate on the other column overlaps every file. Interleaving
+    * the bits of both columns' 16-bit ranks makes each output file a
+    * compact box in BOTH dimensions, so single-column predicates on
+    * either column — and conjunctions — skip most files from footer
+    * stats alone (the Delta/Iceberg OPTIMIZE ZORDER trade, here as a
+    * plain writer-side operator producing ordinary parquet).
+    *
+    * Column bounds feed in through a 1-row aggregate joined on a
+    * constant key — an equality broadcast join, no driver round-trip,
+    * no literal folding (the layout stays one lazy DAG). The z-key
+    * itself is shift/mask expressions inside codegen. */
+  private[operators] def zorderedLineitem(spark: SparkSession,
+      sfDir: String): String = {
+    val dir = s"${layoutRoot(spark, sfDir)}/lineitem_zorder"
+    val (mfs, marker) = graft.Scratch.fs(spark, dir + "/_SUCCESS")
+    if (!mfs.exists(marker)) {
+      val li = Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_shipdate", "l_returnflag",
+          "l_extendedprice", "l_discount")
+      val bounds = li.agg(
+        min(col("l_shipdate")).as("d_lo"), max(col("l_shipdate")).as("d_hi"),
+        min(col("l_partkey")).as("p_lo"), max(col("l_partkey")).as("p_hi"))
+      li.withColumn("one", lit(1))
+        .join(broadcast(bounds.withColumn("one", lit(1))), Seq("one"))
+        .withColumn("z", zValue(
+          zRank(datediff(col("l_shipdate"), col("d_lo")), lit(0),
+            datediff(col("d_hi"), col("d_lo"))),
+          zRank(col("l_partkey"), col("p_lo"), col("p_hi"))))
+        .drop("one", "d_lo", "d_hi", "p_lo", "p_hi")
+        .repartitionByRange(ZFiles, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    dir
+  }
+
+  /** q62 box predicate: a shipdate window AND a partkey prefix — both
+    * dimensions constrained, the case a single-column sort can serve
+    * only one side of. The fixture's ship timestamps span 1995–2001 at
+    * every SF and partkeys start at 0, so the window is non-empty at
+    * any SF; the partkey cut selects ~25% at the spec's sf0.001 (its
+    * absolute fraction shrinks at larger SF — only selectivity > 0
+    * matters for correctness). */
+  private[operators] val zDateLo = "1996-01-01"
+  private[operators] val zDateHi = "1997-12-31"
+  private[operators] val zPartHi = 49L
+
+  /** q62: revenue by return flag inside the box, read from the
+    * z-ordered layout. Both predicates reach the parquet scan as
+    * PushedFilters, and because every file is z-clustered its row-group
+    * stats are tight in both dimensions — the reader skips most of the
+    * table from footers alone (LayoutSpec measures the file-level
+    * equivalent against per-file min/max, the same stats a
+    * Delta/Iceberg manifest would serve). The oracle reads the ORIGINAL
+    * un-ordered parquet: layout is physical only. */
+  def q62ZorderSkip(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(zorderedLineitem(spark, sfDir))
+      .filter(col("l_shipdate").between(zDateLo, zDateHi) &&
+        col("l_partkey") <= zPartHi)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(d(col("l_extendedprice")) *
+            (lit(1).cast(dec) - d(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+      .orderBy(col("l_returnflag"))
 }
