@@ -83,6 +83,8 @@ object SparkEntry {
     "q60_contamination_bloom" -> (Dedup.q60ContaminationBloom _),
     "q61_knn_pq"           -> (Similarity.q61KnnPq _),
     "q62_zorder_skip"      -> (graft.operators.Layout.q62ZorderSkip _),
+    "q63_segment_dedup"    -> (Dedup.q63SegmentDedup _),
+    "q64_repetition"       -> (TextAnalysis.q64RepetitionSignals _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -209,6 +211,49 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_orderpriority
         |ORDER BY o_orderkey""".stripMargin,
+    "q63_segment_dedup" -> {
+      val sw = graft.operators.Dedup.segmentWords
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |seg AS (SELECT doc_id, u.i AS seg_idx, u.seg AS seg FROM (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, CAST(ceil(len(t)/$sw.0) AS BIGINT)),
+        |      i -> {'i': i, 'seg': array_to_string(t[i*$sw+1 : i*$sw+$sw], ' ')})) AS u
+        |  FROM tok WHERE len(t) >= 1)),
+        |keep AS (SELECT doc_id, seg_idx, seg FROM seg
+        |  QUALIFY row_number() OVER (PARTITION BY md5(seg)
+        |    ORDER BY doc_id, seg_idx) = 1),
+        |tot AS (SELECT doc_id, count(*) AS n_segs FROM seg GROUP BY 1),
+        |re AS (SELECT doc_id,
+        |    string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+        |    count(*) AS n_kept FROM keep GROUP BY 1)
+        |SELECT tot.doc_id, coalesce(re.clean_text, '') AS clean_text,
+        |  coalesce(re.n_kept, 0) AS n_kept,
+        |  tot.n_segs - coalesce(re.n_kept, 0) AS n_dropped
+        |FROM tot LEFT JOIN re USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    },
+    "q64_repetition" ->
+      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n_words FROM tok),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS g FROM tok),
+        |bc AS (SELECT doc_id, max(c) AS max_bigram FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+        |tri AS (SELECT doc_id, len(list_distinct(list_transform(
+        |    range(1, len(t)-1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n_tri_distinct
+        |  FROM tok)
+        |SELECT b.doc_id, b.n_words,
+        |  CASE WHEN b.n_words >= 2 THEN
+        |    CAST(max_bigram AS DOUBLE) / CAST(b.n_words - 1 AS DOUBLE)
+        |  END AS top_bigram_frac,
+        |  CASE WHEN b.n_words >= 3 THEN
+        |    1.0 - CAST(n_tri_distinct AS DOUBLE) / CAST(b.n_words - 2 AS DOUBLE)
+        |  END AS dup_trigram_frac,
+        |  coalesce(top_bigram_frac > ${graft.operators.TextAnalysis.topBigramFracMax}, false)
+        |    OR coalesce(dup_trigram_frac > ${graft.operators.TextAnalysis.dupTrigramFracMax}, false) AS flagged
+        |FROM base b LEFT JOIN bc USING (doc_id) LEFT JOIN tri USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q62_zorder_skip" ->
       """SELECT l_returnflag,
         |  COUNT(*) AS n_items,

@@ -782,4 +782,63 @@ object Dedup {
       .withColumn("n_members", count(lit(1)).over(w))
       .orderBy(col("doc_id"))
   }
+
+  /** Words per sub-document segment for [[q63SegmentDedup]]. */
+  val segmentWords = 8
+
+  /** q63: SUB-document exact dedup — the C4/RefinedWeb-style span pass
+    * that whole-document dedup (q30) structurally misses: boilerplate
+    * repeated ACROSS otherwise-distinct documents (headers, footers,
+    * license blocks, templated paragraphs). Real pipelines drop
+    * duplicated lines/paragraphs corpus-wide; this fixture's documents
+    * are single-line, so the unit is a fixed [[segmentWords]]-word
+    * segment of the normal form — same operator shape, fixture-sized
+    * units.
+    *
+    * Scale shape: one explode to (doc_id, seg_idx, segment), then the
+    * corpus-wide keeper is a hash aggregate on the segment's md5
+    * FINGERPRINT — the shuffle carries 32-hex keys, never segment
+    * text, and `min(struct(doc_id, seg_idx))` (the q30 keeper rule
+    * generalized to spans) is map-side combinable, so no window over
+    * a giant partition anywhere. Survivors rejoin on the fingerprint
+    * and reassemble per document with the array_sort(collect_list)
+    * pattern — order restored from seg_idx, no re-sort of the corpus.
+    * Dropping ALL of a document's segments leaves an empty clean_text
+    * row (the document was pure boilerplate), not a missing row. */
+  def q63SegmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sw = segmentWords
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 1)
+    val segs = toks
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          floor((size(col("t")) + lit(sw - 1)) / sw).cast("int") - 1))
+          .as("seg_idx"),
+        col("t"))
+      .select(col("doc_id"), col("seg_idx"),
+        array_join(slice(col("t"), col("seg_idx") * sw + 1, lit(sw)), " ")
+          .as("seg"))
+      .withColumn("fp", md5(col("seg")))
+    val keeper = segs.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
+      .select(col("fp"), col("k.doc_id").as("doc_id"),
+        col("k.seg_idx").as("seg_idx"))
+    val kept = segs.join(keeper, Seq("fp", "doc_id", "seg_idx"))
+    val totals = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("seg_idx"), col("seg"))))
+          .as("pm"),
+        count(lit(1)).as("n_kept"))
+      .select(col("doc_id"),
+        array_join(col("pm").getField("seg"), " ").as("clean_text"),
+        col("n_kept"))
+    totals.join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
 }

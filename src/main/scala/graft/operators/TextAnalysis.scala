@@ -197,4 +197,59 @@ object TextAnalysis {
       .select(col("doc_id"), col("fp"), col("n_same"))
       .orderBy(col("doc_id"))
   }
+
+  /** q64 flag thresholds, calibrated so the fixture splits (63 and 8 of
+    * 500 docs over the line at sf0.001) — a production run would tune
+    * them per corpus the way MassiveText does. */
+  val topBigramFracMax = 0.06
+  val dupTrigramFracMax = 0.02
+
+  /** q64: INTRA-document repetition signals — the Gopher/MassiveText
+    * quality rules q21's surface stats don't see: a document can have
+    * healthy length/punctuation ratios and still be a degenerate loop
+    * of the same phrase. Two signals per document:
+    *
+    *  - `top_bigram_frac`: share of word bigrams taken by the single
+    *    most frequent bigram (Gopher filters > 0.2 on web text);
+    *  - `dup_trigram_frac`: fraction of trigram SLOTS occupied by a
+    *    repeated trigram, i.e. 1 − distinct/total.
+    *
+    * Scale shape: the bigram count is explode → two hash aggregates
+    * keyed by (doc_id, gram) then doc_id — map-side combinable, no
+    * windows; the trigram DISTINCT count never shuffles grams at all —
+    * it is `size(shingles3(text))`, the same single-pass native
+    * expression the MinHash pipeline uses, evaluated per row. Both
+    * fractions are per-row double divisions of exact integer counts, so
+    * the DuckDB oracle matches bit-for-bit. Degenerate docs (< 2 / < 3
+    * words) get NULL fractions, never a division blow-up. */
+  def q64RepetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      // long: DuckDB len() is BIGINT — keep the oracle schema identical
+      .withColumn("n_words", size(col("t")).cast("long"))
+    val topBigram = toks.filter(col("n_words") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(col("doc_id"),
+        array_join(slice(col("t"), col("i"), lit(2)), " ").as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("max_bigram"))
+    val triDistinct = docs.select(col("doc_id"),
+      size(shingles3(col("text"))).as("n_tri_distinct"))
+    toks.select(col("doc_id"), col("n_words"))
+      .join(topBigram, Seq("doc_id"), "left")
+      .join(triDistinct, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        when(col("n_words") >= 2,
+          col("max_bigram").cast("double") /
+            (col("n_words") - 1).cast("double")).as("top_bigram_frac"),
+        when(col("n_words") >= 3,
+          lit(1.0) - col("n_tri_distinct").cast("double") /
+            (col("n_words") - 2).cast("double")).as("dup_trigram_frac"))
+      .withColumn("flagged",
+        coalesce(col("top_bigram_frac") > topBigramFracMax, lit(false)) ||
+          coalesce(col("dup_trigram_frac") > dupTrigramFracMax, lit(false)))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -139,6 +139,55 @@ class DedupSpec extends SparkSpec {
     assert((1L to 10L).forall(ok(_) == 1L))
   }
 
+  test("q63 segment dedup: invariants hold and duplicates genuinely drop") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val out = Dedup.q63SegmentDedup(spark, sfDir).collect()
+    // one row per document, none vanish — a fully-boilerplate doc keeps
+    // an empty clean_text row
+    assert(out.length === docs.count())
+    out.foreach { r =>
+      val (kept, dropped) = (r.getLong(2), r.getLong(3))
+      assert(kept >= 0 && dropped >= 0)
+      val words = r.getString(1).split(" ").filter(_.nonEmpty).length
+      // every kept segment contributes <= segmentWords words
+      assert(words <= kept * Dedup.segmentWords)
+    }
+    // the fixture's planted near-dups share 8-word spans — some must drop
+    assert(out.map(_.getLong(3)).sum > 0)
+    // corpus-wide uniqueness: no md5(segment) appears twice AFTER the pass
+    val sw = Dedup.segmentWords
+    val toksCol = tokens(col("clean_text"))
+    val resegmented = Dedup.q63SegmentDedup(spark, sfDir)
+      .filter(length(col("clean_text")) > 0)
+      .select(col("doc_id"), toksCol.as("t"))
+      .select(col("doc_id"), posexplode(col("t")))
+      .withColumn("seg_idx", (col("pos") / sw).cast("int"))
+      .groupBy(col("doc_id"), col("seg_idx"))
+      .agg(array_join(array_sort(collect_list(struct(col("pos"),
+        col("col")))).getField("col"), " ").as("seg"))
+    val dupSegs = resegmented.groupBy(md5(col("seg")))
+      .count().filter(col("count") > 1).count()
+    assert(dupSegs === 0, "a duplicate segment survived the pass")
+  }
+
+  test("q64 repetition signals: fractions bounded, flags match thresholds") {
+    val rows = TextAnalysis.q64RepetitionSignals(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    var flagged = 0
+    rows.foreach { r =>
+      val top = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      val dup = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      top.foreach(v => assert(v > 0 && v <= 1))
+      dup.foreach(v => assert(v >= 0 && v < 1))
+      val expect = top.exists(_ > TextAnalysis.topBigramFracMax) ||
+        dup.exists(_ > TextAnalysis.dupTrigramFracMax)
+      assert(r.getBoolean(4) === expect)
+      if (expect) flagged += 1
+    }
+    // thresholds are calibrated to split the fixture, not rubber-stamp it
+    assert(flagged > 0 && flagged < rows.length)
+  }
+
   test("connected components on an empty edge list terminates empty") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
