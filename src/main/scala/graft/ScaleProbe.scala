@@ -56,7 +56,8 @@ object ScaleProbe {
       "q54_corpus_v2", "q34_cosine_pairs", "q36_knn_lsh", "q41_knn_ivf",
       "q45_embed_dedup", "q51_quantize_embed", "q56_stream_hourly",
       "q59_incremental_ingest", "q60_contamination_bloom",
-      "q61_knn_pq", "q62_zorder_skip").foreach(t)
+      "q61_knn_pq", "q62_zorder_skip", "q63_segment_dedup",
+      "q64_repetition").foreach(t)
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f3(v) }
