@@ -213,7 +213,11 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "q63_segment_dedup" -> {
       val sw = graft.operators.Dedup.segmentWords
-      s"""WITH tok AS (SELECT doc_id, $toksSql AS t FROM documents),
+      // coalesce(text, '') mirrors the Spark side: null-text docs keep
+      // their row instead of vanishing from the unnest
+      val toksNn =
+        """string_split(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))), ' ')"""
+      s"""WITH tok AS (SELECT doc_id, $toksNn AS t FROM documents),
         |seg AS (SELECT doc_id, u.i AS seg_idx, u.seg AS seg FROM (
         |  SELECT doc_id,
         |    unnest(list_transform(range(0, CAST(ceil(len(t)/$sw.0) AS BIGINT)),
@@ -255,12 +259,12 @@ object SparkEntry {
         |FROM base b LEFT JOIN bc USING (doc_id) LEFT JOIN tri USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q62_zorder_skip" ->
-      """SELECT l_returnflag,
+      s"""SELECT l_returnflag,
         |  COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
-        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
-        |  AND l_partkey <= 49
+        |WHERE l_shipdate BETWEEN TIMESTAMP '${graft.operators.Layout.zDateLo}' AND TIMESTAMP '${graft.operators.Layout.zDateHi}'
+        |  AND l_partkey <= ${graft.operators.Layout.zPartHi}
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q58_partition_prune" ->

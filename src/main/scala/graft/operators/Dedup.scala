@@ -807,9 +807,13 @@ object Dedup {
     * row (the document was pure boilerplate), not a missing row. */
   def q63SegmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val sw = segmentWords
+    // coalesce BEFORE tokenizing: a NULL text must yield the one-empty-
+    // token list (same as an empty string) so the document still gets
+    // its row — "no document vanishes" includes null-text documents
     val toks = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
-        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+        graft.functions.TextFunctions.tokens(coalesce(col("text"), lit("")))
+          .as("t"))
       .filter(size(col("t")) >= 1)
     val segs = toks
       .select(col("doc_id"),

@@ -208,6 +208,10 @@ object Layout {
         .drop("one", "d_lo", "d_hi", "p_lo", "p_hi")
         .repartitionByRange(ZFiles, col("z"))
         .sortWithinPartitions(col("z"))
+        // the synthetic key ordered the rows; persisting it would tax
+        // every future scan of the copy (the projection sits above the
+        // sort, so row order survives the drop)
+        .drop("z")
         .write.mode("overwrite").parquet(dir)
     }
     dir
@@ -220,9 +224,9 @@ object Layout {
     * any SF; the partkey cut selects ~25% at the spec's sf0.001 (its
     * absolute fraction shrinks at larger SF — only selectivity > 0
     * matters for correctness). */
-  private[operators] val zDateLo = "1996-01-01"
-  private[operators] val zDateHi = "1997-12-31"
-  private[operators] val zPartHi = 49L
+  private[graft] val zDateLo = "1996-01-01"
+  private[graft] val zDateHi = "1997-12-31"
+  private[graft] val zPartHi = 49L
 
   /** q62: revenue by return flag inside the box, read from the
     * z-ordered layout. Both predicates reach the parquet scan as

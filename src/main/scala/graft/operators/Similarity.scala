@@ -271,26 +271,15 @@ object Similarity {
     // every query; the aggregate ships at most k (cosine, id) pairs per
     // query per map task, with the same (cosine DESC, id ASC) total
     // order, so results are identical
-    broadcast(queries)
-      .join(indexed, Seq("cell"))
+    // candidates dedupe as BARE ID PAIRS (a vector can sit in several
+    // probed cells of one query) and the exact score comes from the
+    // shared re-rank — same shape as q36/q61, two longs per shuffle row
+    val cand = broadcast(queries.select(col("query_id"), col("cell")))
+      .join(indexed.select(col("vec_id"), col("cell")), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dotD(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
-          .as("cosine"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-      // a zero-norm embedding yields cosine NaN (0/0); NaN sorts FIRST
-      // under a descending window but TopKAgg's primitive compare drops
-      // it — make the semantics explicit: degenerate vectors are not
-      // neighbors, excluded BEFORE ranking under either implementation
-      .filter(col("cosine").isNotNull && !isnan(col("cosine")))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopKAgg
-        .topkAgg(col("cosine"), col("neighbor_id"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), col("col.id").as("neighbor_id"),
-        col("col.score").as("cosine"),
-        (col("pos") + 1).cast("int").as("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    rerankTopK(emb(spark, sfDir), cand)
   }
 
   /** Exact cosine re-rank of a (query_id, neighbor_id) candidate set to
@@ -411,6 +400,23 @@ object Similarity {
     * Centroids that lose every assignment simply drop out of the next
     * round (same behavior as the IVF quantizer); codes are dense only
     * if the data supports 16 distinct cells per subspace. */
+  /** Nearest-centroid assignment of exploded subvectors against a
+    * broadcast codebook — one row per (vec_id, sub) with its winning
+    * `code`. THE single definition of the assignment rule (score
+    * dot(x,c) − ‖c‖²/2, ties to the smallest code): the Lloyd update
+    * and the final encoding both route through here, so they cannot
+    * drift apart. */
+  private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame = {
+    val wSub = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("cd").desc, col("code"))
+    sv.join(broadcast(cents), Seq("sub"))
+      .select(col("vec_id"), col("nrm"), col("sub"), col("sv"),
+        col("code"), (dotD(col("sv"), col("cv")) - col("cn")).as("cd"))
+      .withColumn("cr", row_number().over(wSub))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("nrm"), col("sub"), col("sv"), col("code"))
+  }
+
   private[operators] def pqCodebook(sv: DataFrame): DataFrame = {
     def halfNorm(c: DataFrame): DataFrame =
       c.withColumn("cn", dotD(col("cv"), col("cv")) / 2)
@@ -420,14 +426,8 @@ object Similarity {
         pmod(col("h"), lit(pqCodes)).cast("int").as("code"))
       .agg(min_by(col("sv"), col("h")).as("cv")))
     cents = graft.Materialize(cents)
-    val wSub = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("cd").desc, col("code"))
     for (_ <- 1 to pqLloydIters) {
-      val assigned = sv.join(broadcast(cents), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("sv"), col("code"),
-          (dotD(col("sv"), col("cv")) - col("cn")).as("cd"))
-        .withColumn("cr", row_number().over(wSub))
-        .filter(col("cr") === 1)
+      val assigned = pqAssign(sv, cents)
       cents = graft.Materialize(halfNorm(assigned
         .select(col("sub"), col("code"), posexplode(col("sv")))
         .groupBy(col("sub"), col("code"), col("pos"))
@@ -470,15 +470,9 @@ object Similarity {
     val e = prepped(spark, sfDir).filter(col("nrm") > 0)
     val sv = subVectors(e)
     val cents = pqCodebook(sv)
-    // encode: nearest centroid per (vec_id, sub) — one broadcast
-    // equality join + window-argmax, emitted as the compact codes table
-    val wSub = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("cd").desc, col("code"))
-    val codes = sv.join(broadcast(cents), Seq("sub"))
-      .select(col("vec_id"), col("nrm"), col("sub"), col("code"),
-        (dotD(col("sv"), col("cv")) - col("cn")).as("cd"))
-      .withColumn("cr", row_number().over(wSub))
-      .filter(col("cr") === 1)
+    // encode through the SAME assignment rule the training loop
+    // converged under (pqAssign), emitted as the compact codes table
+    val codes = pqAssign(sv, cents)
       .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
     // ADC lookup table for the query batch: dot(q̂_sub, centroid),
     // query norm divided in here so the scan-side sum needs only the

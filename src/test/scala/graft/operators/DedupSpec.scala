@@ -141,7 +141,8 @@ class DedupSpec extends SparkSpec {
 
   test("q63 segment dedup: invariants hold and duplicates genuinely drop") {
     val docs = graft.sources.Tables.load(spark, sfDir, "documents")
-    val out = Dedup.q63SegmentDedup(spark, sfDir).collect()
+    val deduped = Dedup.q63SegmentDedup(spark, sfDir).cache()
+    val out = deduped.collect()
     // one row per document, none vanish — a fully-boilerplate doc keeps
     // an empty clean_text row
     assert(out.length === docs.count())
@@ -157,7 +158,7 @@ class DedupSpec extends SparkSpec {
     // corpus-wide uniqueness: no md5(segment) appears twice AFTER the pass
     val sw = Dedup.segmentWords
     val toksCol = tokens(col("clean_text"))
-    val resegmented = Dedup.q63SegmentDedup(spark, sfDir)
+    val resegmented = deduped
       .filter(length(col("clean_text")) > 0)
       .select(col("doc_id"), toksCol.as("t"))
       .select(col("doc_id"), posexplode(col("t")))
@@ -168,6 +169,7 @@ class DedupSpec extends SparkSpec {
     val dupSegs = resegmented.groupBy(md5(col("seg")))
       .count().filter(col("count") > 1).count()
     assert(dupSegs === 0, "a duplicate segment survived the pass")
+    deduped.unpersist()
   }
 
   test("q64 repetition signals: fractions bounded, flags match thresholds") {

@@ -112,6 +112,7 @@ class LayoutSpec extends SparkSpec {
     val zdir = Layout.zorderedLineitem(spark, sfDir)
     val ldir = java.nio.file.Files
       .createTempDirectory("graft_linear_layout").toString
+    try {
     Tables.load(spark, sfDir, "lineitem")
       .select("l_partkey", "l_shipdate")
       .repartitionByRange(Layout.ZFiles, col("l_shipdate"))
@@ -143,5 +144,9 @@ class LayoutSpec extends SparkSpec {
     assert(zp <= (zn * 6) / 10, s"z-layout skipped nothing on partkey: $zp/$zn")
     // and still skips on the shipdate dimension too
     assert(zd <= (zn * 7) / 10, s"z-layout skipped nothing on shipdate: $zd/$zn")
+    } finally {
+      val (lfs, lp_) = graft.Scratch.fs(spark, ldir)
+      lfs.delete(lp_, true)
+    }
   }
 }
