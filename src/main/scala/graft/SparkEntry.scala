@@ -85,6 +85,7 @@ object SparkEntry {
     "q62_zorder_skip"      -> (graft.operators.Layout.q62ZorderSkip _),
     "q63_segment_dedup"    -> (Dedup.q63SegmentDedup _),
     "q64_repetition"       -> (TextAnalysis.q64RepetitionSignals _),
+    "q65_knn_ivfpq"        -> (Similarity.q65KnnIvfPq _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -247,35 +247,36 @@ object Similarity {
     cents
   }
 
+  /** Coarse-quantizer cell ranks per vector: (vec_id, nrm, cell, cd,
+    * cr) — one row per (vector, cell). cr = 1 is the home cell
+    * (indexing side); cr ≤ [[nprobe]] the probe cells of a query. One
+    * broadcast of the BOUNDED nlist-row centroid table (the standard
+    * dim-table shape) + one vec-partitioned window. Shared by
+    * [[q41KnnIvf]] and [[q65KnnIvfPq]], so every IVF consumer ranks
+    * cells under the same rule. */
+  private def cellRanks(e: DataFrame, cents: DataFrame): DataFrame = {
+    val wCell = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cd").desc, col("cell"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("nrm"), col("cell"),
+        cellScore(cents).as("cd"))
+      .withColumn("cr", row_number().over(wCell))
+  }
+
   def q41KnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val e = prepped(spark, sfDir)
     val cents = kmeansCentroids(e)
-    // score every vector against every centroid (broadcast join over a
-    // BOUNDED nlist-row side — the standard dim-table shape), then
-    // window-argmax per vec_id: rank 1 = home cell for indexing,
-    // rank <= nprobe = probe cells for the query batch
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cd").desc, col("cell"))
-    val scored = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-        cellScore(cents).as("cd"))
-      .withColumn("cr", row_number().over(wCell))
+    val scored = cellRanks(e, cents)
     val indexed = scored.filter(col("cr") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .select(col("vec_id"), col("cell"))
     val queries = scored
       .filter(col("vec_id") < knnQueries && col("cr") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("cell"))
-    // final top-k via the bounded map-side aggregate (TopKAgg): the
-    // former row_number window shuffled AND sorted every candidate of
-    // every query; the aggregate ships at most k (cosine, id) pairs per
-    // query per map task, with the same (cosine DESC, id ASC) total
-    // order, so results are identical
+      .select(col("vec_id").as("query_id"), col("cell"))
     // candidates dedupe as BARE ID PAIRS (a vector can sit in several
     // probed cells of one query) and the exact score comes from the
     // shared re-rank — same shape as q36/q61, two longs per shuffle row
-    val cand = broadcast(queries.select(col("query_id"), col("cell")))
-      .join(indexed.select(col("vec_id"), col("cell")), Seq("cell"))
+    val cand = broadcast(queries)
+      .join(indexed, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .distinct()
@@ -465,6 +466,37 @@ object Similarity {
     * cosines come from [[rerankTopK]]). Recall vs brute force is
     * asserted in SimilaritySpec; results are rows-only for the driver
     * (same contract as q36/q41). */
+  /** ADC lookup table for the query batch: (query_id, sub, code,
+    * partial = dot(q̂_sub, centroid)) — queries × subs × codes rows
+    * (1280 here), always broadcast. The query norm divides in HERE so
+    * the scan-side sum needs only the corpus norm. */
+  private def pqLut(sv: DataFrame, cents: DataFrame): DataFrame =
+    sv.filter(col("vec_id") < knnQueries)
+      .select(col("vec_id").as("query_id"), col("nrm").as("qnrm"),
+        col("sub"), col("sv").as("qsv"))
+      .join(broadcast(cents), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        (dotD(col("qsv"), col("cv")) / col("qnrm")).as("partial"))
+
+  /** Code-only ADC scan: equality-join `codes` against the broadcast
+    * LUT on `joinKeys`, sum the [[pqSubspaces]] partials per
+    * (query, vector), keep the `shortlist` best ids per query through
+    * the bounded-buffer aggregate. `joinKeys` is (sub, code) for the
+    * exhaustive scan (q61: every code row meets every query's LUT
+    * entry) and (query_id, sub, code) when the codes rows already
+    * carry their probing query (q65: only probed cells scan). */
+  private def adcShortlist(codes: DataFrame, lut: DataFrame,
+      joinKeys: Seq[String], shortlist: Int): DataFrame =
+    codes.join(broadcast(lut), joinKeys)
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((sum(col("partial")) / max(col("nrm"))).as("approx"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg
+        .topkAgg(col("approx"), col("vec_id"), shortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
+
   def q61KnnPq(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = emb(spark, sfDir)
     val e = prepped(spark, sfDir).filter(col("nrm") > 0)
@@ -474,26 +506,48 @@ object Similarity {
     // converged under (pqAssign), emitted as the compact codes table
     val codes = pqAssign(sv, cents)
       .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
-    // ADC lookup table for the query batch: dot(q̂_sub, centroid),
-    // query norm divided in here so the scan-side sum needs only the
-    // corpus norm
-    val lut = sv.filter(col("vec_id") < knnQueries)
-      .select(col("vec_id").as("query_id"), col("nrm").as("qnrm"),
-        col("sub"), col("sv").as("qsv"))
-      .join(broadcast(cents), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("code"),
-        (dotD(col("qsv"), col("cv")) / col("qnrm")).as("partial"))
-    // code-only scan: equality join on (sub, code) against the
-    // broadcast LUT, sum the 8 partials per (query, vector)
-    val cand = codes.join(broadcast(lut), Seq("sub", "code"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg((sum(col("partial")) / max(col("nrm"))).as("approx"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopKAgg
-        .topkAgg(col("approx"), col("vec_id"), pqShortlist).as("top"))
-      .select(col("query_id"), explode(col("top")).as("c"))
-      .select(col("query_id"), col("c.id").as("neighbor_id"))
+    val cand = adcShortlist(codes, pqLut(sv, cents),
+      Seq("sub", "code"), pqShortlist)
+    rerankTopK(raw, cand)
+  }
+
+  /** q65: IVF × PQ — the composed index shape a 100 TB deployment
+    * actually runs (the FAISS IVFPQ architecture, re-expressed as
+    * joins): the coarse k-means quantizer of [[q41KnnIvf]] partitions
+    * the corpus into cells, every vector's PQ codes ([[q61KnnPq]])
+    * carry their home cell, and a query ADC-scans ONLY the codes of
+    * its [[nprobe]] probed cells — sub-linear in the corpus AND
+    * compressed 32×, where q41 re-ranks probed cells from full vectors
+    * and q61 scans every vector's codes.
+    *
+    * Composition is literal reuse: cells come from [[cellRanks]] (the
+    * same rule q41 ranks with), codes from [[pqCodebook]]/[[pqAssign]]
+    * (the same rule q61 encodes with), and the scan is [[adcShortlist]]
+    * with the probe join in front — codes join the broadcast (query,
+    * cell) probe set on `cell`, so each codes row fans out only to the
+    * queries actually probing its cell, then the LUT attaches per
+    * (query_id, sub, code). Everything stays equality joins + hash
+    * aggregates; recall (≈ IVF's cell recall × PQ's shortlist recall)
+    * is asserted in SimilaritySpec, results rows-only for the driver.
+    * This variant quantizes raw vectors, not per-cell RESIDUALS — the
+    * classic refinement that buys accuracy at the price of per-cell
+    * codebooks; the seam to add it is pqCodebook over (v − centroid). */
+  def q65KnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = emb(spark, sfDir)
+    val e = prepped(spark, sfDir).filter(col("nrm") > 0)
+    val ranks = cellRanks(e, kmeansCentroids(e))
+    val home = ranks.filter(col("cr") === 1).select(col("vec_id"), col("cell"))
+    val probes = ranks
+      .filter(col("vec_id") < knnQueries && col("cr") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val sv = subVectors(e)
+    val cents = pqCodebook(sv)
+    val codes = pqAssign(sv, cents)
+      .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
+      .join(home, Seq("vec_id"))
+    val probedCodes = codes.join(broadcast(probes), Seq("cell"))
+    val cand = adcShortlist(probedCodes, pqLut(sv, cents),
+      Seq("query_id", "sub", "code"), pqShortlist)
     rerankTopK(raw, cand)
   }
 }

@@ -79,6 +79,14 @@ class PlanCheckSpec extends SparkSpec {
     assert(!a.contains("array(-"), "codebooks appear folded into literals")
   }
 
+  test("q65 IVFPQ keeps codebooks as DataFrames, no centroid literals") {
+    // the coarse-quantizer crossJoin (bounded nlist rows) is the q41
+    // exception; the PQ side must stay literal-free like q61
+    val a = Similarity.q65KnnIvfPq(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert(!a.contains("array(-"), "codebooks appear folded into literals")
+  }
+
   test("q46/q49 candidate joins are equality joins, not nested loops") {
     // winnow-overlap joins on the fingerprint value; the range join
     // buckets time so the interval predicate never plans a per-key

@@ -74,6 +74,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.7)
   }
 
+  test("IVFPQ ANN recall@5 against brute force is usable") {
+    val brute = Similarity.q35KnnBrute(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.q65KnnIvfPq(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivfpq).size.toDouble / brute.size
+    info(f"IVFPQ ANN recall@5 = $recall%.2f")
+    // compounds IVF's cell recall (0.78 measured) with PQ's shortlist
+    // recall (0.84) — the price of scanning ~31% of the corpus 32×
+    // compressed; deterministic for the same reasons as q41/q61
+    assert(recall >= 0.55)
+  }
+
   test("PQ re-ranked cosines are exact (match brute force where ids agree)") {
     val brute = Similarity.q35KnnBrute(spark, sfDir)
       .select("query_id", "neighbor_id", "cosine")
