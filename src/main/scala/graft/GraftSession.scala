@@ -36,7 +36,19 @@ object GraftSession {
 
   /** Local-mode builder for the repo's mains: every core unless
     * SPARK_GRAFT_CPUS says otherwise (an unset env var must not
-    * silently quarter the parallelism), shuffle partitions = cores. */
+    * silently quarter the parallelism), shuffle partitions = cores.
+    *
+    * `initialPartitionNum`: AQE coalesces shuffle partitions DOWN
+    * toward its advisory size but never splits them up, so a fixed
+    * partition count is a scaling cliff — when the input grows past
+    * partitions × in-memory-sort budget, every window/join sort starts
+    * spilling and wall-clock goes superlinear. Measured on the 4×
+    * replicated probe pair: the as-of join fitted e≈2.0 and
+    * sessionization e≈1.8 at a fixed 64 partitions; starting exchanges
+    * at 16× cores and letting AQE coalesce restored e<1 (q38 32→4.8 s,
+    * q39 15→3.0 s on the same data). Cluster deployments should set
+    * this to a few × total cores for the same reason — fine-grained
+    * first, coalesce to ~64 MB partitions at runtime. */
   def builder(appName: String = "graft"): SparkSession.Builder = {
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
@@ -44,6 +56,8 @@ object GraftSession {
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        cpus.toInt * 16)
       .config("spark.ui.enabled", "false"))
   }
 

@@ -86,6 +86,8 @@ object SparkEntry {
     "q63_segment_dedup"    -> (Dedup.q63SegmentDedup _),
     "q64_repetition"       -> (TextAnalysis.q64RepetitionSignals _),
     "q65_knn_ivfpq"        -> (Similarity.q65KnnIvfPq _),
+    "q66_domain_mix"       -> (TextAnalysis.q66DomainMix _),
+    "q67_pack_sequences"   -> (TextAnalysis.q67PackSequences _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -259,6 +261,56 @@ object SparkEntry {
         |    OR coalesce(dup_trigram_frac > ${graft.operators.TextAnalysis.dupTrigramFracMax}, false) AS flagged
         |FROM base b LEFT JOIN bc USING (doc_id) LEFT JOIN tri USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q66_domain_mix" -> {
+      val ta = graft.operators.TextAnalysis
+      val wCase = ta.mixWeights
+        .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+      s"""WITH t AS (SELECT source, doc_id,
+        |    CAST(len($toksSql) AS BIGINT) AS tok FROM documents),
+        |s AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(tok) AS BIGINT) AS src_tokens,
+        |    CAST(CASE source $wCase ELSE ${ta.mixDefaultWeight} END AS BIGINT) AS w
+        |  FROM t GROUP BY source),
+        |g AS (SELECT CAST(SUM(src_tokens) AS BIGINT) // 2 AS budget,
+        |    CAST(SUM(w) AS BIGINT) AS wsum FROM s),
+        |r AS (SELECT s.source, s.n_docs, s.src_tokens,
+        |    CAST(CASE WHEN s.src_tokens = 0 THEN 10000
+        |      ELSE LEAST(10000, (10000 * g.budget * s.w)
+        |                        // (g.wsum * s.src_tokens)) END AS BIGINT)
+        |      AS rate_bp
+        |  FROM s, g),
+        |k AS (SELECT t.source, COUNT(*) AS n_kept,
+        |    CAST(SUM(t.tok) AS BIGINT) AS kept_tokens
+        |  FROM t JOIN r USING (source)
+        |  WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':mix')), 1, 15)) AS BIGINT) % 10000 < r.rate_bp
+        |  GROUP BY t.source)
+        |SELECT r.source, r.n_docs, r.src_tokens, r.rate_bp,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  COALESCE(k.kept_tokens, 0) AS kept_tokens
+        |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin
+    },
+    "q67_pack_sequences" -> {
+      val b = graft.operators.TextAnalysis.packBudget
+      val sh = graft.operators.TextAnalysis.packShards
+      s"""WITH t AS (SELECT lang, doc_id,
+        |    CAST(len($toksSql) AS BIGINT) AS tok,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':pack')), 1, 15)) AS BIGINT) % $sh AS shard
+        |  FROM documents),
+        |c AS (SELECT lang, shard, tok,
+        |    CAST(SUM(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t),
+        |ps AS (SELECT lang, shard, COUNT(*) AS n_docs,
+        |    CAST(SUM(tok) AS BIGINT) AS toks,
+        |    CAST(SUM(CASE WHEN (cum - 1) // $b > (cum - tok) // $b
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS straddle
+        |  FROM c GROUP BY lang, shard)
+        |SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM((toks + ${b - 1}) // $b) AS BIGINT) AS n_windows,
+        |  CAST(SUM(straddle) AS BIGINT) AS n_straddle
+        |FROM ps GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q62_zorder_skip" ->
       s"""SELECT l_returnflag,
         |  COUNT(*) AS n_items,

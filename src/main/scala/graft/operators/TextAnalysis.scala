@@ -252,4 +252,103 @@ object TextAnalysis {
           coalesce(col("dup_trigram_frac") > dupTrigramFracMax, lit(false)))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-source mixture weights for q66; sources not listed get
+    * [[mixDefaultWeight]]. A production run would load these from a
+    * mixing config (DoReMi-style optimized or hand-set). */
+  val mixWeights: Seq[(String, Long)] =
+    Seq("src0" -> 8L, "src1" -> 4L, "src7" -> 4L)
+  val mixDefaultWeight = 1L
+
+  /** q66: domain-mix rebalancing — the corpus-assembly step that
+    * resamples each source toward a TARGET mixture before training.
+    * The target token share of source s is weight(s)/Σweights; the
+    * token budget is half the corpus (derived, so the op scales with
+    * the data); each source's sampling rate is the basis-point
+    * threshold that hits its target allocation, capped at 100% (a
+    * source smaller than its allocation is taken whole — this op never
+    * upsamples; epoch repetition handles deficits downstream).
+    *
+    * Determinism/scale shape: per-source token totals are one map-side-
+    * combinable aggregate; the 1-row global (budget, Σweights) joins
+    * back on a constant key; membership is the md5-derived bucket of
+    * the doc id vs the source's threshold — reproducible on any
+    * engine/partitioning (q43/q52's property), no global sort, no
+    * collect. All threshold math is 64-bit integer (`div`, never
+    * doubles — exact while 10000·budget·max-weight < 2^63, i.e. up to
+    * ~10^14 budget tokens), so the DuckDB oracle hash-matches. */
+  def q66DomainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        tokenCount(col("text")).cast("long").as("tok"))
+    val weight = mixWeights.foldLeft(lit(mixDefaultWeight)) {
+      case (acc, (s, w)) => when(col("source") === s, w).otherwise(acc)
+    }
+    val perSrc = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("src_tokens"))
+      .withColumn("w", weight)
+    val totals = perSrc
+      .agg(expr("sum(src_tokens) div 2").as("budget"),
+        sum(col("w")).as("wsum"))
+    val rates = perSrc.crossJoin(broadcast(totals))
+      .withColumn("rate_bp",
+        when(col("src_tokens") === 0, lit(10000L)).otherwise(
+          expr("least(10000L, (10000 * budget * w) div (wsum * src_tokens))")))
+      .select(col("source"), col("n_docs"), col("src_tokens"), col("rate_bp"))
+    val bucket = pmod(h60(concat(col("doc_id").cast("string"), lit(":mix"))),
+      lit(10000))
+    val kept = d.join(broadcast(rates), Seq("source"))
+      .filter(bucket < col("rate_bp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("kept_tokens"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("src_tokens"), col("rate_bp"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** q67 context-window budget (whitespace tokens) and shard count.
+    * Shards bound the packing window's partition size — at cluster
+    * scale raise shards with the executor count; bins stay per-shard
+    * so no cross-shard coordination ever exists. */
+  val packBudget = 512L
+  val packShards = 64
+
+  /** q67: sequence packing — the concatenate-then-chunk step that turns
+    * a cleaned corpus into fixed-size training contexts: docs
+    * concatenate in a deterministic order and cut every [[packBudget]]
+    * tokens. Packing runs independently per (lang, shard) — shard is
+    * the md5-derived bucket of the doc id — which is exactly how a
+    * distributed packing job shards at scale (one writer per shard, no
+    * global sequence). Per language the audit reports the window count
+    * and how many documents straddle a cut (the cross-document
+    * attention-contamination stat packing decisions trade against).
+    *
+    * Scale shape: ONE window (cumulative sum per (lang, shard) ordered
+    * by doc_id — thousands of balanced partitions, never a global
+    * sort) + two hash aggregates; bin ids are integer `div`s of the
+    * exact running sum, so the DuckDB oracle hash-matches. */
+  def q67PackSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("doc_id"),
+        tokenCount(col("text")).cast("long").as("tok"),
+        pmod(h60(concat(col("doc_id").cast("string"), lit(":pack"))),
+          lit(packShards)).as("shard"))
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = d.withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("start_bin", expr(s"(cum - tok) div ${packBudget}"))
+      .withColumn("end_bin", expr(s"(cum - 1) div ${packBudget}"))
+    val perShard = c.groupBy(col("lang"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("toks"),
+        sum(when(col("end_bin") > col("start_bin"), 1L).otherwise(0L))
+          .as("straddle"))
+      .withColumn("wins", expr(s"(toks + ${packBudget - 1}) div ${packBudget}"))
+    perShard.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("toks")).as("sum_tokens"),
+        sum(col("wins")).as("n_windows"), sum(col("straddle")).as("n_straddle"))
+      .orderBy(col("lang"))
+  }
 }

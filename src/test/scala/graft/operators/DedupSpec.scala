@@ -216,6 +216,68 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q66: mix rates cap at 100% and kept tokens respect the budget") {
+    val ta = graft.operators.TextAnalysis
+    val rows = ta.q66DomainMix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_.getLong(2)).sum
+    val budget = totalTokens / 2
+    rows.foreach { r =>
+      val (src, nDocs, srcToks, rate, nKept, keptToks) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))
+      assert(rate >= 0 && rate <= 10000, s"$src rate $rate")
+      assert(nKept <= nDocs && keptToks <= srcToks, src)
+      // a full-rate source is taken whole — never upsampled
+      if (rate == 10000L) assert(nKept == nDocs && keptToks == srcToks, src)
+    }
+    // weighted sources get proportionally higher rates than default ones
+    val rateOf = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    val defaultRates = rateOf.view
+      .filterKeys(s => !ta.mixWeights.exists(_._1 == s)).values
+    assert(ta.mixWeights.forall { case (s, _) => rateOf(s) > defaultRates.max },
+      "weighted sources should outrank unweighted ones")
+    // realized total stays in the budget's neighborhood (hash sampling
+    // on a tiny fixture is noisy; determinism is what the oracle pins)
+    val kept = rows.map(_.getLong(5)).sum
+    assert(kept <= (budget * 1.5).toLong && kept >= budget / 2,
+      s"kept $kept vs budget $budget")
+  }
+
+  test("q67: window counts and straddlers match a local re-pack") {
+    val ta = graft.operators.TextAnalysis
+    val rows = ta.q67PackSequences(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // recompute the packing serially from the raw table
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("tok"),
+        pmod(graft.functions.TextFunctions.h60(
+          concat(col("doc_id").cast("string"), lit(":pack"))),
+          lit(ta.packShards)).as("shard"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLang = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val shardGroups = byLang(lang).groupBy(_._4)
+      var wins = 0L; var straddle = 0L
+      shardGroups.values.foreach { g =>
+        var cum = 0L
+        g.sortBy(_._2).foreach { case (_, _, tok, _) =>
+          val (s, e) = (cum / ta.packBudget, (cum + tok - 1) / ta.packBudget)
+          if (tok > 0 && e > s) straddle += 1
+          cum += tok
+        }
+        wins += (cum + ta.packBudget - 1) / ta.packBudget
+      }
+      assert(r.getLong(1) === byLang(lang).length.toLong, s"$lang n_docs")
+      assert(r.getLong(2) === byLang(lang).map(_._3).sum, s"$lang tokens")
+      assert(r.getLong(3) === wins, s"$lang windows")
+      assert(r.getLong(4) === straddle, s"$lang straddlers")
+    }
+  }
+
   test("q53: every flagged doc genuinely shares shingles with a probe") {
     import org.apache.spark.sql.functions._
     val flagged = Dedup.q53Contamination(spark, sfDir).collect()
