@@ -23,8 +23,11 @@ import duckdb
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfbig"
 div = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-docs_r, emb_r, facts_r = 40 // div, max(1, 4 // div), 20 // div
-assert docs_r >= 1 and facts_r >= 1, f"divisor {div} zeroes a factor"
+# every base factor must divide EXACTLY or the two datasets' per-table
+# ratio is not the claimed factor and every fitted exponent is skewed
+if any(base % div for base in (40, 4, 20)):
+    sys.exit(f"divisor {div} must divide 40, 4 and 20 exactly (use 1, 2 or 4)")
+docs_r, emb_r, facts_r = 40 // div, 4 // div, 20 // div
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 

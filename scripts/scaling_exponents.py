@@ -32,7 +32,10 @@ def main():
     factor = 4.0
     if "--factor" in args:
         i = args.index("--factor")
-        factor = float(args[i + 1])
+        try:
+            factor = float(args[i + 1])
+        except (IndexError, ValueError):
+            sys.exit(__doc__)
         del args[i:i + 2]
     if len(args) != 2:
         sys.exit(__doc__)
@@ -40,20 +43,23 @@ def main():
     if not small or not big:
         sys.exit("could not extract a probe JSON line from the inputs")
     sq, bq = small["queries"], big["queries"]
-    rows, failed = [], []
+    rows, failed, skipped = [], [], []
     for name in sorted(set(sq) & set(bq)):
         ts, tb = sq[name], bq[name]
         if ts < 0 or tb < 0:
             failed.append(name)
             continue
-        # sub-50ms timings are pure timer noise; exponent is meaningless
-        if ts < 0.05 or tb < 0.05:
+        # only BOTH-sides-tiny is pure timer noise; tiny-small vs
+        # large-big is precisely the blowup this tool exists to catch
+        if ts < 0.05 and tb < 0.05:
+            skipped.append(name)
             continue
         e = math.log(tb / ts) / math.log(factor)
         rows.append((e, name, ts, tb))
     rows.sort(reverse=True)
     print(f"# growth exponents at factor {factor:g} "
-          f"({len(rows)} fitted, {len(failed)} failed)")
+          f"({len(rows)} fitted, {len(failed)} failed, "
+          f"{len(skipped)} sub-50ms-both-sides)")
     for e, name, ts, tb in rows:
         band = ("QUADRATIC-ish" if e >= 1.7 else
                 "superlinear  " if e >= 1.3 else
@@ -62,6 +68,8 @@ def main():
         print(f"{name:26s} {ts:8.1f}s -> {tb:8.1f}s   e={e:+.2f}  {band}")
     for name in failed:
         print(f"{name:26s} FAILED on one side")
+    for name in skipped:
+        print(f"{name:26s} skipped (sub-50ms on both sides)")
 
 
 if __name__ == "__main__":

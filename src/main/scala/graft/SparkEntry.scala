@@ -282,7 +282,7 @@ object SparkEntry {
         |k AS (SELECT t.source, COUNT(*) AS n_kept,
         |    CAST(SUM(t.tok) AS BIGINT) AS kept_tokens
         |  FROM t JOIN r USING (source)
-        |  WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':mix')), 1, 15)) AS BIGINT) % 10000 < r.rate_bp
+        |  WHERE ${bucketSql("mix", 10000)} < r.rate_bp
         |  GROUP BY t.source)
         |SELECT r.source, r.n_docs, r.src_tokens, r.rate_bp,
         |  COALESCE(k.n_kept, 0) AS n_kept,
@@ -294,7 +294,7 @@ object SparkEntry {
       val sh = graft.operators.TextAnalysis.packShards
       s"""WITH t AS (SELECT lang, doc_id,
         |    CAST(len($toksSql) AS BIGINT) AS tok,
-        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':pack')), 1, 15)) AS BIGINT) % $sh AS shard
+        |    ${bucketSql("pack", sh)} AS shard
         |  FROM documents),
         |c AS (SELECT lang, shard, tok,
         |    CAST(SUM(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
@@ -584,8 +584,8 @@ object SparkEntry {
         |  FROM scored) t
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q43_split_assign" ->
-      """WITH b AS (SELECT lang, n_chars,
-        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':split')), 1, 15)) AS BIGINT) % 100 AS bucket
+      s"""WITH b AS (SELECT lang, n_chars,
+        |    ${bucketSql("split", 100)} AS bucket
         |  FROM documents)
         |SELECT lang,
         |  CASE WHEN bucket < 80 THEN 'train'
@@ -693,7 +693,7 @@ object SparkEntry {
       val rateCase = TextAnalysis.sampleRates
         .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
       s"""WITH b AS (SELECT lang, n_chars,
-        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':sample')), 1, 15)) AS BIGINT) % 100 AS bucket,
+        |    ${bucketSql("sample", 100)} AS bucket,
         |    CASE lang $rateCase ELSE ${TextAnalysis.defaultSampleRate} END AS rate
         |  FROM documents)
         |SELECT lang, COUNT(*) AS n_docs,
@@ -752,7 +752,7 @@ object SparkEntry {
         |  AND doc_id NOT IN (SELECT doc_id FROM cdrop)
         |  AND doc_id NOT IN (SELECT doc_id FROM contam)),
         |sampled AS (SELECT * FROM clean
-        |  WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':sample')), 1, 15)) AS BIGINT) % 100
+        |  WHERE ${bucketSql("sample", 100)}
         |    < CASE lang $rateCase ELSE ${TextAnalysis.defaultSampleRate} END)
         |SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(tok_cnt) AS BIGINT) AS sum_tokens,
@@ -808,6 +808,13 @@ object SparkEntry {
     """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
   private val toksSql =
     s"""string_split($normSql, ' ')"""
+
+  /** DuckDB twin of TextFunctions.saltedBucket — the portable salted
+    * md5 bucket every sampling/split/mixing/sharding oracle derives
+    * membership from. Single-sourced so the Spark and SQL sides cannot
+    * drift apart one call site at a time. */
+  private def bucketSql(salt: String, mod: Int): String =
+    s"""CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':$salt')), 1, 15)) AS BIGINT) % $mod"""
   private def contaminationOracle: String =
     s"""WITH $shingleCte,
       |pe AS (SELECT doc_id AS probe_id, unnest(s) AS sg FROM shx

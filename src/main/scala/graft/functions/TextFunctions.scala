@@ -56,6 +56,14 @@ object TextFunctions {
   def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** Portable salted bucket of a numeric id: pmod(h60("id:salt"), mod)
+    * — the ONE membership rule every deterministic sampling / split /
+    * mixing / sharding operator derives from (q43/q52/q66/q67). Its
+    * DuckDB rendering lives in SparkEntry.bucketSql; the pair must
+    * stay in lockstep or the hash gates break. */
+  def saltedBucket(id: Column, salt: String, mod: Int): Column =
+    pmod(h60(concat(id.cast("string"), lit(":" + salt))), lit(mod))
+
   /** Exact Jaccard similarity of two (distinct-element) arrays, as one
     * double division so both engines agree bitwise. */
   def jaccard(a: Column, b: Column): Column = {

@@ -293,7 +293,9 @@ object Similarity {
     * are excluded before ranking: a zero vector is not a neighbor under
     * either a window (NaN sorts first descending) or TopKAgg (primitive
     * compare drops it), so the exclusion makes the semantics explicit.
-    * Shared by [[q36KnnLsh]] and [[q61KnnPq]]. */
+    * Shared by [[q36KnnLsh]], [[q41KnnIvf]], [[q61KnnPq]] and
+    * [[q65KnnIvfPq]] — every ANN variant surfaces exact cosines through
+    * this one rule. */
   private def rerankTopK(e: DataFrame, cand: DataFrame): DataFrame = {
     val qv = e.filter(col("vec_id") < knnQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -441,31 +443,6 @@ object Similarity {
     cents
   }
 
-  /** q61: PQ-ADC ANN — every vector compressed to [[pqSubspaces]] codes
-    * by per-subspace k-means; a query ranks the WHOLE corpus from codes
-    * alone via an asymmetric-distance lookup table, keeps the
-    * [[pqShortlist]] best, and re-ranks those exactly.
-    *
-    * The scan shape is the point. The query side precomputes
-    * LUT[query, sub, code] = dot(q̂_sub, centroid) — 10 queries ×
-    * 8 subs × 16 codes = 1280 rows, broadcast. The corpus side is the
-    * CODES table: (vec_id, sub, code, nrm), 8 short rows per vector.
-    * approx_cos(q, v) = Σ_sub LUT(q, sub, code_sub(v)) / ‖v‖ falls out
-    * of an equality join on (sub, code) + a combinable sum aggregate —
-    * map-side partials, no arrays anywhere in the N-row path, shuffle
-    * rows of three small ints. Cost is linear in the corpus per query
-    * (the classic exhaustive ADC scan); for large query batches the
-    * IVF cells of [[q41KnnIvf]] compose in front to make it
-    * sub-linear (scan only probed cells' codes).
-    *
-    * Codebooks quantize RAW subvectors (not unit-normalized ones) and
-    * the norm divides out at scoring time — only the dot product is
-    * approximated, the norm is exact, and the N-row path never runs an
-    * element-wise normalize HOF. Approximate where it can be (the
-    * shortlist membership), exact where it matters (the returned
-    * cosines come from [[rerankTopK]]). Recall vs brute force is
-    * asserted in SimilaritySpec; results are rows-only for the driver
-    * (same contract as q36/q41). */
   /** ADC lookup table for the query batch: (query_id, sub, code,
     * partial = dot(q̂_sub, centroid)) — queries × subs × codes rows
     * (1280 here), always broadcast. The query norm divides in HERE so
@@ -497,6 +474,32 @@ object Similarity {
       .select(col("query_id"), explode(col("top")).as("c"))
       .select(col("query_id"), col("c.id").as("neighbor_id"))
 
+  /** q61: PQ-ADC ANN — every vector compressed to [[pqSubspaces]] codes
+    * by per-subspace k-means; a query ranks the WHOLE corpus from codes
+    * alone via an asymmetric-distance lookup table, keeps the
+    * [[pqShortlist]] best, and re-ranks those exactly.
+    *
+    * The scan shape is the point. The query side precomputes
+    * LUT[query, sub, code] = dot(q̂_sub, centroid) — 10 queries ×
+    * 8 subs × 16 codes = 1280 rows, broadcast ([[pqLut]]). The corpus
+    * side is the CODES table: (vec_id, sub, code, nrm), 8 short rows
+    * per vector. approx_cos(q, v) = Σ_sub LUT(q, sub, code_sub(v)) /
+    * ‖v‖ falls out of an equality join on (sub, code) + a combinable
+    * sum aggregate ([[adcShortlist]]) — map-side partials, no arrays
+    * anywhere in the N-row path, shuffle rows of three small ints.
+    * Cost is linear in the corpus per query (the classic exhaustive
+    * ADC scan); [[q65KnnIvfPq]] composes the IVF cells of
+    * [[q41KnnIvf]] in front to make it sub-linear (scan only probed
+    * cells' codes).
+    *
+    * Codebooks quantize RAW subvectors (not unit-normalized ones) and
+    * the norm divides out at scoring time — only the dot product is
+    * approximated, the norm is exact, and the N-row path never runs an
+    * element-wise normalize HOF. Approximate where it can be (the
+    * shortlist membership), exact where it matters (the returned
+    * cosines come from [[rerankTopK]]). Recall vs brute force is
+    * asserted in SimilaritySpec; results are rows-only for the driver
+    * (same contract as q36/q41). */
   def q61KnnPq(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = emb(spark, sfDir)
     val e = prepped(spark, sfDir).filter(col("nrm") > 0)

@@ -141,8 +141,7 @@ object TextAnalysis {
     * aggregate, embarrassingly parallel. Emits per-language totals
     * next to the sampled counts so the realized rate is auditable. */
   def q52StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = pmod(h60(concat(col("doc_id").cast("string"), lit(":sample"))),
-      lit(100))
+    val bucket = saltedBucket(col("doc_id"), "sample", 100)
     val rate = sampleRates.foldLeft(lit(defaultSampleRate)) {
       case (acc, (l, r)) => when(col("lang") === l, r).otherwise(acc)
     }
@@ -160,8 +159,7 @@ object TextAnalysis {
     * partitioning, any run produces the same assignment (the property a
     * training pipeline needs from its splits). */
   def q43SplitAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = pmod(h60(concat(col("doc_id").cast("string"), lit(":split"))),
-      lit(100))
+    val bucket = saltedBucket(col("doc_id"), "split", 100)
     Tables.load(spark, sfDir, "documents")
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
@@ -295,8 +293,7 @@ object TextAnalysis {
         when(col("src_tokens") === 0, lit(10000L)).otherwise(
           expr("least(10000L, (10000 * budget * w) div (wsum * src_tokens))")))
       .select(col("source"), col("n_docs"), col("src_tokens"), col("rate_bp"))
-    val bucket = pmod(h60(concat(col("doc_id").cast("string"), lit(":mix"))),
-      lit(10000))
+    val bucket = saltedBucket(col("doc_id"), "mix", 10000)
     val kept = d.join(broadcast(rates), Seq("source"))
       .filter(bucket < col("rate_bp"))
       .groupBy(col("source"))
@@ -333,8 +330,7 @@ object TextAnalysis {
     val d = Tables.load(spark, sfDir, "documents")
       .select(col("lang"), col("doc_id"),
         tokenCount(col("text")).cast("long").as("tok"),
-        pmod(h60(concat(col("doc_id").cast("string"), lit(":pack"))),
-          lit(packShards)).as("shard"))
+        saltedBucket(col("doc_id"), "pack", packShards).as("shard"))
     val w = Window.partitionBy(col("lang"), col("shard"))
       .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
