@@ -88,6 +88,7 @@ object SparkEntry {
     "q65_knn_ivfpq"        -> (Similarity.q65KnnIvfPq _),
     "q66_domain_mix"       -> (TextAnalysis.q66DomainMix _),
     "q67_pack_sequences"   -> (TextAnalysis.q67PackSequences _),
+    "q68_knn_ivfpq_res"    -> (Similarity.q68KnnIvfPqRes _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

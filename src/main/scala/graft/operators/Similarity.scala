@@ -533,8 +533,7 @@ object Similarity {
     * aggregates; recall (≈ IVF's cell recall × PQ's shortlist recall)
     * is asserted in SimilaritySpec, results rows-only for the driver.
     * This variant quantizes raw vectors, not per-cell RESIDUALS — the
-    * classic refinement that buys accuracy at the price of per-cell
-    * codebooks; the seam to add it is pqCodebook over (v − centroid). */
+    * classic refinement [[q68KnnIvfPqRes]] adds on top. */
   def q65KnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = emb(spark, sfDir)
     val e = prepped(spark, sfDir).filter(col("nrm") > 0)
@@ -551,6 +550,91 @@ object Similarity {
     val probedCodes = codes.join(broadcast(probes), Seq("cell"))
     val cand = adcShortlist(probedCodes, pqLut(sv, cents),
       Seq("query_id", "sub", "code"), pqShortlist)
+    rerankTopK(raw, cand)
+  }
+
+  /** Residual subvectors for [[q68KnnIvfPqRes]]: each unit vector minus
+    * its home-cell centroid, re-sliced into the PQ subspaces —
+    * (vec_id, cell, nrm, sub, sv) with sv = (û − m_cell)[sub].
+    *
+    * The element-wise subtraction runs at exploded (vec, pos) grain —
+    * plain codegen arithmetic against a broadcast (cell, pos, cm)
+    * table, never a zip_with/transform HOF (CodegenFallback) in the
+    * N-row path — and subvectors reassemble through the same
+    * sort-by-position struct pattern the Lloyd updates use. One
+    * N×[[dim]]-row pass at INDEX BUILD time only; queries never touch
+    * this path. */
+  private def residualSubVectors(e: DataFrame, home: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val cvPos = cents.select(col("cell"), posexplode(col("cv")))
+      .toDF("cell", "pos", "cm")
+    e.join(home, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("nrm"), posexplode(col("v")))
+      .toDF("vec_id", "cell", "nrm", "pos", "x")
+      .join(broadcast(cvPos), Seq("cell", "pos"))
+      .select(col("vec_id"), col("cell"), col("nrm"),
+        (col("pos") / lit(pqSubDim)).cast("int").as("sub"),
+        struct(pmod(col("pos"), lit(pqSubDim)).as("p"),
+          (col("x") / col("nrm") - col("cm")).as("r")).as("pr"))
+      .groupBy(col("vec_id"), col("cell"), col("nrm"), col("sub"))
+      .agg(array_sort(collect_list(col("pr"))).as("prs"))
+      .select(col("vec_id"), col("cell"), col("nrm"), col("sub"),
+        col("prs").getField("r").as("sv"))
+  }
+
+  /** q68: IVF×PQ with RESIDUAL encoding — the classic FAISS refinement
+    * over [[q65KnnIvfPq]]: instead of quantizing û directly, quantize
+    * û − m_cell (what the coarse quantizer could NOT express) with one
+    * shared residual codebook, and score
+    *
+    *   cos(q, v) ≈ dot(q̂, m_cell)  +  Σ_sub LUT(q, sub, code_sub)
+    *               └ exact, per probed cell ┘ └ ADC on the residual ┘
+    *
+    * The first term is already computed by [[cellRanks]] (cd + cn
+    * recovers dot(q̂, m)); the second reuses [[pqLut]] verbatim against
+    * the residual codebook — the LUT is cell-independent because the
+    * residual codebook is shared, so its size stays queries × subs ×
+    * codes. Residuals are much smaller in magnitude than the vectors
+    * themselves, so the same 8×16 code budget spends its resolution on
+    * the informative part — SimilaritySpec asserts recall never falls
+    * below q65's at identical index size and scan cost (at the tiny
+    * fixture both saturate the coarse quantizer's cell-recall cap and
+    * tie; the residual advantage materializes when the shortlist is
+    * small relative to the probed-cell population). Scan shape
+    * is q65's: codes fan out only to the queries probing their cell,
+    * equality joins + hash aggregates end to end, exact re-rank via
+    * [[rerankTopK]]; rows-only for the driver (ANN contract). */
+  def q68KnnIvfPqRes(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = emb(spark, sfDir)
+    val e = prepped(spark, sfDir).filter(col("nrm") > 0)
+    val cents = kmeansCentroids(e)
+    val ranks = cellRanks(e, cents)
+    val home = ranks.filter(col("cr") === 1).select(col("vec_id"), col("cell"))
+    // exact per-(query, probed-cell) term: cd = dot(û, m) − ‖m‖²/2, so
+    // dot(û, m) = cd + cn — no recomputation, just the cn join back
+    val probesCt = ranks
+      .filter(col("vec_id") < knnQueries && col("cr") <= nprobe)
+      .join(broadcast(cents.select(col("cell"), col("cn"))), Seq("cell"))
+      .select(col("vec_id").as("query_id"), col("cell"),
+        (col("cd") + col("cn")).as("ct"))
+    val rsv = residualSubVectors(e, home, cents)
+    val rcents = pqCodebook(rsv)
+    val rcodes = pqAssign(rsv, rcents)
+      .select(col("vec_id"), col("sub"), col("code"))
+      .join(home, Seq("vec_id"))
+    // queries ADC-scan only their probed cells' residual codes; the
+    // cell term is constant per (query, vector) — its max is itself
+    val cand = rcodes.join(broadcast(probesCt), Seq("cell"))
+      .join(broadcast(pqLut(subVectors(e), rcents)),
+        Seq("query_id", "sub", "code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((max(col("ct")) + sum(col("partial"))).as("approx"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg
+        .topkAgg(col("approx"), col("vec_id"), pqShortlist).as("top"))
+      .select(col("query_id"), explode(col("top")).as("c"))
+      .select(col("query_id"), col("c.id").as("neighbor_id"))
     rerankTopK(raw, cand)
   }
 }

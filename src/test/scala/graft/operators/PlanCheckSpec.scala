@@ -87,6 +87,17 @@ class PlanCheckSpec extends SparkSpec {
     assert(!a.contains("array(-"), "codebooks appear folded into literals")
   }
 
+  test("q68 residual IVFPQ: literal-free and HOF-free in the N-row path") {
+    val a = Similarity.q68KnnIvfPqRes(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert(!a.contains("array(-"), "codebooks appear folded into literals")
+    // the residual subtraction must be exploded codegen arithmetic,
+    // never a lambda HOF over the vector arrays (CodegenFallback);
+    // the one allowed transform() is the nlist-row k-means seeding
+    assert(a.split("transform\\(").length - 1 <= 1,
+      "unexpected element-wise HOF in the residual path")
+  }
+
   test("q46/q49 candidate joins are equality joins, not nested loops") {
     // winnow-overlap joins on the fingerprint value; the range join
     // buckets time so the interval predicate never plans a per-key

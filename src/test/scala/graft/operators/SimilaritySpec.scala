@@ -87,6 +87,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.55)
   }
 
+  test("residual IVFPQ recall@5 is at least plain IVFPQ's") {
+    val brute = Similarity.q35KnnBrute(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val plain = recallOf(Similarity.q65KnnIvfPq(spark, sfDir))
+    val res = recallOf(Similarity.q68KnnIvfPqRes(spark, sfDir))
+    info(f"residual IVFPQ recall@5 = $res%.2f (plain IVFPQ $plain%.2f)")
+    // same index size and scan cost; the shared residual codebook
+    // spends its 8×16 resolution on what the coarse quantizer missed,
+    // so recall must not regress below the raw-vector encoding (ties
+    // allowed: both are capped by IVF's cell recall)
+    assert(res >= plain)
+    assert(res >= 0.55)
+  }
+
   test("PQ re-ranked cosines are exact (match brute force where ids agree)") {
     val brute = Similarity.q35KnnBrute(spark, sfDir)
       .select("query_id", "neighbor_id", "cosine")
