@@ -47,7 +47,9 @@ object ScaleProbe {
         }
       }
     Seq(
-      "q1_pricing_summary", "q25_percentiles", "q48_salted_hotkeys",
+      "q1_pricing_summary", "q5_top_orders_per_customer",
+      "q11_never_ordered_parts", "q14_rollup", "q28_cube",
+      "q25_percentiles", "q48_salted_hotkeys",
       "q57_bucket_join", "q58_partition_prune",
       "q38_asof_join", "q39_sessions", "q49_range_join",
       "q20_token_stats", "q30_exact_dedup", "q31_minhash_dedup",
