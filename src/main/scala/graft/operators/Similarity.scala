@@ -252,8 +252,8 @@ object Similarity {
     * (indexing side); cr ≤ [[nprobe]] the probe cells of a query. One
     * broadcast of the BOUNDED nlist-row centroid table (the standard
     * dim-table shape) + one vec-partitioned window. Shared by
-    * [[q41KnnIvf]] and [[q65KnnIvfPq]], so every IVF consumer ranks
-    * cells under the same rule. */
+    * [[q41KnnIvf]], [[q65KnnIvfPq]] and [[q68KnnIvfPqRes]], so every
+    * IVF consumer ranks cells under the same rule. */
   private def cellRanks(e: DataFrame, cents: DataFrame): DataFrame = {
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("cd").desc, col("cell"))
@@ -293,9 +293,9 @@ object Similarity {
     * are excluded before ranking: a zero vector is not a neighbor under
     * either a window (NaN sorts first descending) or TopKAgg (primitive
     * compare drops it), so the exclusion makes the semantics explicit.
-    * Shared by [[q36KnnLsh]], [[q41KnnIvf]], [[q61KnnPq]] and
-    * [[q65KnnIvfPq]] — every ANN variant surfaces exact cosines through
-    * this one rule. */
+    * Shared by [[q36KnnLsh]], [[q41KnnIvf]], [[q61KnnPq]],
+    * [[q65KnnIvfPq]] and [[q68KnnIvfPqRes]] — every ANN variant
+    * surfaces exact cosines through this one rule. */
   private def rerankTopK(e: DataFrame, cand: DataFrame): DataFrame = {
     val qv = e.filter(col("vec_id") < knnQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -412,12 +412,15 @@ object Similarity {
   private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame = {
     val wSub = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("cd").desc, col("code"))
+    // passthrough of ALL input columns (q68's residual table carries
+    // its home cell through here — re-deriving it downstream would
+    // cost an N-row join)
     sv.join(broadcast(cents), Seq("sub"))
-      .select(col("vec_id"), col("nrm"), col("sub"), col("sv"),
-        col("code"), (dotD(col("sv"), col("cv")) - col("cn")).as("cd"))
+      .select(sv.columns.map(col) :+
+        col("code") :+ (dotD(col("sv"), col("cv")) - col("cn")).as("cd"): _*)
       .withColumn("cr", row_number().over(wSub))
       .filter(col("cr") === 1)
-      .select(col("vec_id"), col("nrm"), col("sub"), col("sv"), col("code"))
+      .select(sv.columns.map(col) :+ col("code"): _*)
   }
 
   private[operators] def pqCodebook(sv: DataFrame): DataFrame = {
@@ -456,18 +459,23 @@ object Similarity {
         (dotD(col("qsv"), col("cv")) / col("qnrm")).as("partial"))
 
   /** Code-only ADC scan: equality-join `codes` against the broadcast
-    * LUT on `joinKeys`, sum the [[pqSubspaces]] partials per
-    * (query, vector), keep the `shortlist` best ids per query through
-    * the bounded-buffer aggregate. `joinKeys` is (sub, code) for the
-    * exhaustive scan (q61: every code row meets every query's LUT
-    * entry) and (query_id, sub, code) when the codes rows already
-    * carry their probing query (q65: only probed cells scan). */
+    * LUT on `joinKeys`, aggregate the [[pqSubspaces]] partials per
+    * (query, vector) with `approxScore`, keep the `shortlist` best ids
+    * per query through the bounded-buffer aggregate. `joinKeys` is
+    * (sub, code) for the exhaustive scan (q61: every code row meets
+    * every query's LUT entry) and (query_id, sub, code) when the codes
+    * rows already carry their probing query (q65/q68: only probed
+    * cells scan). The default score divides the corpus norm back out
+    * (raw-vector codes); q68 overrides with its exact-cell-term +
+    * residual sum. ONE definition of the shortlist tail for all three
+    * PQ consumers — tie-breaks and NaN behavior cannot drift apart. */
   private def adcShortlist(codes: DataFrame, lut: DataFrame,
-      joinKeys: Seq[String], shortlist: Int): DataFrame =
+      joinKeys: Seq[String], shortlist: Int,
+      approxScore: Column = sum(col("partial")) / max(col("nrm"))): DataFrame =
     codes.join(broadcast(lut), joinKeys)
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg((sum(col("partial")) / max(col("nrm"))).as("approx"))
+      .agg(approxScore.as("approx"))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg
         .topkAgg(col("approx"), col("vec_id"), shortlist).as("top"))
@@ -617,24 +625,21 @@ object Similarity {
       .join(broadcast(cents.select(col("cell"), col("cn"))), Seq("cell"))
       .select(col("vec_id").as("query_id"), col("cell"),
         (col("cd") + col("cn")).as("ct"))
-    val rsv = residualSubVectors(e, home, cents)
+    // materialized: pqCodebook's Lloyd rounds would otherwise replay
+    // the whole residual derivation (cell-rank crossJoin + home join +
+    // N×dim explode) once per training round plus once for encoding
+    val rsv = graft.Materialize(residualSubVectors(e, home, cents))
     val rcents = pqCodebook(rsv)
+    // cell rides through pqAssign's passthrough — no re-join needed
     val rcodes = pqAssign(rsv, rcents)
-      .select(col("vec_id"), col("sub"), col("code"))
-      .join(home, Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
     // queries ADC-scan only their probed cells' residual codes; the
     // cell term is constant per (query, vector) — its max is itself
-    val cand = rcodes.join(broadcast(probesCt), Seq("cell"))
-      .join(broadcast(pqLut(subVectors(e), rcents)),
-        Seq("query_id", "sub", "code"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg((max(col("ct")) + sum(col("partial"))).as("approx"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopKAgg
-        .topkAgg(col("approx"), col("vec_id"), pqShortlist).as("top"))
-      .select(col("query_id"), explode(col("top")).as("c"))
-      .select(col("query_id"), col("c.id").as("neighbor_id"))
+    val cand = adcShortlist(
+      rcodes.join(broadcast(probesCt), Seq("cell")),
+      pqLut(subVectors(e), rcents),
+      Seq("query_id", "sub", "code"), pqShortlist,
+      approxScore = max(col("ct")) + sum(col("partial")))
     rerankTopK(raw, cand)
   }
 }

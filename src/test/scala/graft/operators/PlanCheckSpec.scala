@@ -92,10 +92,12 @@ class PlanCheckSpec extends SparkSpec {
       .queryExecution.analyzed.toString
     assert(!a.contains("array(-"), "codebooks appear folded into literals")
     // the residual subtraction must be exploded codegen arithmetic,
-    // never a lambda HOF over the vector arrays (CodegenFallback);
-    // the one allowed transform() is the nlist-row k-means seeding
-    assert(a.split("transform\\(").length - 1 <= 1,
-      "unexpected element-wise HOF in the residual path")
+    // never a lambda HOF over the vector arrays (CodegenFallback).
+    // ZERO lambda HOFs survive in this plan: the k-means seeding
+    // transform() sits behind Materialize's checkpoint cut, so any
+    // occurrence is a regression
+    assert(!a.contains("transform(") && !a.contains("zip_with("),
+      "element-wise HOF leaked into the residual path")
   }
 
   test("q46/q49 candidate joins are equality joins, not nested loops") {
