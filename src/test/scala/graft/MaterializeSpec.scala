@@ -86,4 +86,17 @@ class MaterializeSpec extends SparkSpec {
     val populated = java.nio.file.Files.walk(ckpt).count() > 1
     assert(populated, s"expected checkpoint files under $ckpt")
   }
+
+  test("q68's residual-ANN pipeline is identical across modes") {
+    // the newest Materialize consumer: k-means centroids, residual
+    // table and PQ codebooks all checkpoint inside one query — exact
+    // surfaced cosines must be bit-equal whichever mechanism ran
+    // (runs after the dedup test, which set a checkpoint dir)
+    def rows(): Seq[String] = graft.operators.Similarity
+      .q68KnnIvfPqRes(spark, sfDir).collect().map(_.toString).toSeq
+    val local = withMode("local")(rows())
+    assert(local.nonEmpty)
+    val reliable = withMode("reliable")(rows())
+    assert(reliable === local)
+  }
 }
