@@ -468,10 +468,22 @@ object Similarity {
     * cells scan). The default score divides the corpus norm back out
     * (raw-vector codes); q68 overrides with its exact-cell-term +
     * residual sum. ONE definition of the shortlist tail for all three
-    * PQ consumers — tie-breaks and NaN behavior cannot drift apart. */
+    * PQ consumers — tie-breaks and NaN behavior cannot drift apart.
+    *
+    * The partial sum runs in exact FIXED POINT ([[adcSum]]): the
+    * upstream assignment window scatters a vector's [[pqSubspaces]]
+    * rows across partitions, so a raw double sum would combine partials
+    * in shuffle-arrival order — two vectors sharing identical codes
+    * could then land on different ulps run to run and flip shortlist
+    * membership at the boundary. floor(partial·1e12) LONGs make the
+    * approx score bit-identical at any parallelism (the repo-wide
+    * float-aggregation discipline; quantizing an APPROXIMATE score at
+    * 1e-12 costs nothing), pinned by DeterminismSpec. */
+  private def adcSum: Column =
+    sum(floor(col("partial") * 1e12).cast("long")).cast("double") / 1e12
   private def adcShortlist(codes: DataFrame, lut: DataFrame,
       joinKeys: Seq[String], shortlist: Int,
-      approxScore: Column = sum(col("partial")) / max(col("nrm"))): DataFrame =
+      approxScore: Column = adcSum / max(col("nrm"))): DataFrame =
     codes.join(broadcast(lut), joinKeys)
       .filter(col("query_id") =!= col("vec_id"))
       .groupBy(col("query_id"), col("vec_id"))
@@ -639,7 +651,7 @@ object Similarity {
       rcodes.join(broadcast(probesCt), Seq("cell")),
       pqLut(subVectors(e), rcents),
       Seq("query_id", "sub", "code"), pqShortlist,
-      approxScore = max(col("ct")) + sum(col("partial")))
+      approxScore = max(col("ct")) + adcSum)
     rerankTopK(raw, cand)
   }
 }

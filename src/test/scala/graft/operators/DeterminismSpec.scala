@@ -12,11 +12,14 @@ class DeterminismSpec extends SparkSpec {
   // float-bearing queries across the aggregate styles: DECIMAL money
   // (q1), fixed-point vector means (q37), trained-k-means ANN (q41),
   // range-partitioned rank (q25), quantization error (q51), salted
-  // two-stage agg (q48), double-division stats (q47)
+  // two-stage agg (q48), double-division stats (q47), fixed-point ADC
+  // sums over scattered code rows (q61: exhaustive PQ scan; q68:
+  // residual IVFPQ — also covers the shared adcShortlist tail q65
+  // routes through)
   private val targets = Seq(
     "q1_pricing_summary", "q25_percentiles", "q37_label_centroids",
     "q41_knn_ivf", "q47_bpe_tokens", "q48_salted_hotkeys",
-    "q51_quantize_embed")
+    "q51_quantize_embed", "q61_knn_pq", "q68_knn_ivfpq_res")
 
   test("float-bearing queries are bit-identical across shuffle parallelism") {
     val conf = spark.conf
