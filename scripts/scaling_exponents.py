@@ -73,4 +73,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:
+        # the docstring says to pipe the table into review — a closed
+        # `head` pipe is normal termination, not an error
+        import os
+        os._exit(0)
