@@ -70,6 +70,10 @@ def main():
         print(f"{name:26s} FAILED on one side")
     for name in skipped:
         print(f"{name:26s} skipped (sub-50ms on both sides)")
+    # flush INSIDE the caller's try: the table fits the stdio buffer,
+    # so without this a closed pipe only EPIPEs at interpreter-exit
+    # flush — outside any handler — and the exit-0 contract breaks
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -478,7 +478,12 @@ object Similarity {
     * membership at the boundary. floor(partial·1e12) LONGs make the
     * approx score bit-identical at any parallelism (the repo-wide
     * float-aggregation discipline; quantizing an APPROXIMATE score at
-    * 1e-12 costs nothing), pinned by DeterminismSpec. */
+    * 1e-12 costs nothing), pinned by DeterminismSpec. Known semantic
+    * shift vs a raw double sum: a NaN partial (an Inf embedding
+    * component survives the nrm > 0 filter) casts to 0L here instead
+    * of poisoning the score — such a vector competes for the shortlist
+    * at a meaningless score, but [[rerankTopK]]'s NaN filter still
+    * keeps it out of every final top-k. */
   private def adcSum: Column =
     sum(floor(col("partial") * 1e12).cast("long")).cast("double") / 1e12
   private def adcShortlist(codes: DataFrame, lut: DataFrame,

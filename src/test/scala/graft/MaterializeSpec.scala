@@ -90,13 +90,18 @@ class MaterializeSpec extends SparkSpec {
   test("q68's residual-ANN pipeline is identical across modes") {
     // the newest Materialize consumer: k-means centroids, residual
     // table and PQ codebooks all checkpoint inside one query — exact
-    // surfaced cosines must be bit-equal whichever mechanism ran
-    // (runs after the dedup test, which set a checkpoint dir)
-    def rows(): Seq[String] = graft.operators.Similarity
-      .q68KnnIvfPqRes(spark, sfDir).collect().map(_.toString).toSeq
-    val local = withMode("local")(rows())
-    assert(local.nonEmpty)
-    val reliable = withMode("reliable")(rows())
-    assert(reliable === local)
+    // surfaced cosines must be bit-equal whichever mechanism ran.
+    // Self-sufficient: sets its own checkpoint dir so it passes in
+    // isolation (-z "q68") and after an earlier-test failure alike
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_q68")
+    spark.conf.set(Materialize.DirKey, ckpt.toString)
+    try {
+      def rows(): Seq[String] = graft.operators.Similarity
+        .q68KnnIvfPqRes(spark, sfDir).collect().map(_.toString).toSeq
+      val local = withMode("local")(rows())
+      assert(local.nonEmpty)
+      val reliable = withMode("reliable")(rows())
+      assert(reliable === local)
+    } finally spark.conf.unset(Materialize.DirKey)
   }
 }

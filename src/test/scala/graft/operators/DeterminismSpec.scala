@@ -24,15 +24,16 @@ class DeterminismSpec extends SparkSpec {
   test("float-bearing queries are bit-identical across shuffle parallelism") {
     val conf = spark.conf
     val orig = conf.get("spark.sql.shuffle.partitions")
-    targets.foreach { name =>
+    try targets.foreach { name =>
       val q = graft.SparkEntry.queries(name)
       conf.set("spark.sql.shuffle.partitions", "3")
       val a = q(spark, sfDir).collect().toSeq
       conf.set("spark.sql.shuffle.partitions", "13")
       val b = q(spark, sfDir).collect().toSeq
-      conf.set("spark.sql.shuffle.partitions", orig)
       assert(a == b, s"$name differs across parallelism")
       assert(a.nonEmpty, name)
-    }
+    } finally conf.set("spark.sql.shuffle.partitions", orig)
+    // finally: a mid-loop failure must not leave the SHARED session
+    // pinned at 3/13 partitions for every later suite
   }
 }
