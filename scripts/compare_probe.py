@@ -25,6 +25,7 @@ Queries that newly FAIL (time < 0 or present only as an error) are
 always flagged. Exit 0 = no flags, 1 = regressions, 2 = bad input.
 """
 import json
+import statistics
 import sys
 
 
@@ -81,7 +82,7 @@ def main():
     ratios = {name: new_qs[name] / old_qs[name]
               for name in new_qs
               if name in old_qs and old_qs[name] > 0 and new_qs[name] > 0}
-    med = sorted(ratios.values())[len(ratios) // 2] if ratios else 1.0
+    med = statistics.median(ratios.values()) if ratios else 1.0
     print(f"median new/old ratio: {med:.2f} over {len(ratios)} queries")
     flags = []
     for name in sorted(new_qs):

@@ -71,11 +71,19 @@ object TextFunctions {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
-  /** Token count of raw text. */
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** Token count of raw text. NULL text → NULL (matching DuckDB's
+    * len(string_split(NULL)) = NULL, which SUM/AVG then skip) — an
+    * explicit guard because under Spark's default
+    * spark.sql.legacy.sizeOfNull=true, size(split(NULL)) is -1, which
+    * would silently sum into token budgets where the oracle skips the
+    * row. */
+  def tokenCount(c: Column): Column = when(c.isNotNull, size(tokens(c)))
 
-  /** Ratio of tokens belonging to `words`, one double division. */
+  /** Ratio of tokens belonging to `words`, one double division.
+    * NULL token list → NULL ratio (same sizeOfNull guard as
+    * [[tokenCount]]: unguarded, a NULL list yields -1/-1 = 1.0). */
   def wordRatio(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
-      .cast("double") / size(toks)
+    when(toks.isNotNull,
+      size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+        .cast("double") / size(toks))
 }

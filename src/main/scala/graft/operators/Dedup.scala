@@ -166,7 +166,7 @@ object Dedup {
     * + aggregates. */
   def q44CorpusClean(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-      .withColumn("tok_cnt", size(tokens(col("text"))))
+      .withColumn("tok_cnt", tokenCount(col("text")))
     val quality = d.filter(col("tok_cnt") >= 15)
     val unique = exactDedup(
       quality.withColumn("fp", fingerprint(col("text"))),
@@ -649,7 +649,7 @@ object Dedup {
     * join. */
   def q54CorpusV2(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-      .withColumn("tok_cnt", size(tokens(col("text"))))
+      .withColumn("tok_cnt", tokenCount(col("text")))
     val quality = d.filter(col("tok_cnt") >= 15)
     val uniq = exactDedup(
       quality.withColumn("fp", fingerprint(col("text"))),

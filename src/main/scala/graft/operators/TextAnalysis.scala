@@ -224,8 +224,11 @@ object TextAnalysis {
     val docs = Tables.load(spark, sfDir, "documents")
     val toks = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
-      // long: DuckDB len() is BIGINT — keep the oracle schema identical
-      .withColumn("n_words", size(col("t")).cast("long"))
+      // long: DuckDB len() is BIGINT — keep the oracle schema identical.
+      // NULL text → NULL n_words (not sizeOfNull's -1), matching the
+      // oracle's len(NULL) = NULL so the fraction CASEs agree on nulls.
+      .withColumn("n_words",
+        when(col("t").isNotNull, size(col("t"))).cast("long"))
     val topBigram = toks.filter(col("n_words") >= 2)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))

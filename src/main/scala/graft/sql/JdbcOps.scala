@@ -74,24 +74,41 @@ object JdbcOps {
           cat == null || cat.strip().equalsIgnoreCase(s)
         }
       }
-      def scan(rs: java.sql.ResultSet): Boolean =
+      // scan returns (matched, sawAnyRow): sawAnyRow distinguishes "the
+      // listing had rows but none matched" from "the listing itself was
+      // empty" — only the latter justifies widening further.
+      def scan(rs: java.sql.ResultSet): (Boolean, Boolean) =
         try {
           var found = false
-          while (!found && rs.next())
+          var any = false
+          while (!found && rs.next()) {
+            any = true
             found = schemaMatches(rs) &&
               rs.getString("TABLE_NAME").equalsIgnoreCase(t)
-          found
+          }
+          (found, any)
         } finally rs.close()
-      // exact-pattern probe first; on a miss, a FULL wildcard listing
-      // catches case divergence on a case-SENSITIVE metadata store
-      // (where the LIKE itself is case-sensitive and the first probe
-      // returns nothing) — in the TABLE name and, unlike a
-      // schema-pattern-scoped listing, in the SCHEMA name too; the
-      // scan's case-insensitive re-verification keeps it exact. One
-      // extra metadata query, paid only on the would-be-destructive
-      // "missing" path.
-      scan(md.getTables(null, pat(s), pat(t), null)) ||
-        scan(md.getTables(null, "%", "%", null))
+      // Widening ladder, paid only on the would-be-destructive
+      // "missing" path:
+      //  1. exact-pattern probe — the common hit;
+      //  2. schema-scoped wildcard — catches TABLE-name case divergence
+      //     on a case-SENSITIVE metadata store (the LIKE itself is
+      //     case-sensitive there) without enumerating the catalog;
+      //  3. FULL catalog listing — only when step 2 returned NO rows at
+      //     all, i.e. the schema pattern itself found nothing, which is
+      //     what SCHEMA-name case divergence looks like. If step 2
+      //     listed the schema's tables and none matched, the table is
+      //     absent and the catalog-wide sweep is skipped — this is also
+      //     what keeps the both-null-namespace rule in schemaMatches
+      //     (a row with neither TABLE_SCHEM nor TABLE_CAT matches any
+      //     requested schema) from letting a same-named table in an
+      //     unrelated namespace read as "exists" on healthy drivers.
+      // The scans' case-insensitive re-verification keeps every rung
+      // exact.
+      scan(md.getTables(null, pat(s), pat(t), null))._1 || {
+        val (found, sawRows) = scan(md.getTables(null, pat(s), "%", null))
+        found || (!sawRows && scan(md.getTables(null, "%", "%", null))._1)
+      }
     }
 
   def queryCount(url: String, sql: String): Long =

@@ -358,6 +358,41 @@ class DedupSpec extends SparkSpec {
     assert(bloomed === exact)
   }
 
+  test("null text: token counts are NULL (not sizeOfNull -1) in q64/q66/q67") {
+    // Under Spark's default spark.sql.legacy.sizeOfNull=true,
+    // size(split(NULL)) = -1 — unguarded, a null-text doc would carry
+    // n_words=-1 / tok=-1 into sums where the DuckDB oracle computes
+    // len(NULL)=NULL and SUM skips the row. The guards in
+    // TextFunctions.tokenCount / q64's n_words pin the NULL semantics.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_nulltext").toString
+    Seq(
+      (1L, "alpha beta gamma alpha beta", "en", "src0", 27L),
+      (2L, null.asInstanceOf[String], "en", "src0", 0L),
+      (3L, "one two three four five six seven", "fr", "src1", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$base/documents.parquet")
+
+    val q64 = TextAnalysis.q64RepetitionSignals(spark, base).collect()
+    val nullRow = q64.find(_.getLong(0) == 2L).get
+    assert(nullRow.isNullAt(1), "n_words must be NULL for null text")
+    assert(nullRow.isNullAt(2) && nullRow.isNullAt(3))
+    assert(nullRow.getBoolean(4) === false)
+
+    // q66: src0 has 2 docs but only doc 1's 5 tokens (NULL skipped by
+    // SUM in both engines; -1 would read 4)
+    val src0 = TextAnalysis.q66DomainMix(spark, base)
+      .filter(col("source") === "src0").collect().head
+    assert(src0.getLong(1) === 2L)   // n_docs
+    assert(src0.getLong(2) === 5L)   // src_tokens
+
+    // q67: lang en counts both docs, sums only the non-null 5 tokens
+    val en = TextAnalysis.q67PackSequences(spark, base)
+      .filter(col("lang") === "en").collect().head
+    assert(en.getLong(1) === 2L)     // n_docs
+    assert(en.getLong(2) === 5L)     // sum_tokens
+  }
+
   test("source-scoped jaccard join only pairs within a source") {
     val rows = Dedup.q33SourceJaccard(spark, sfDir).collect()
     val bySource = graft.sources.Tables.load(spark, sfDir, "documents")
