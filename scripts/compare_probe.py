@@ -57,6 +57,27 @@ def extract(path):
     return found
 
 
+def normalize(obj):
+    """Per-query scalar map + contamination suspects.
+
+    Bench emits two shapes: the compact stdout line (scalar medians) and
+    bench_spread.json ({"med","min","max"} per query). When a spread is
+    present, comparisons use MIN — on this host, co-tenant CPU stealing
+    inflates individual samples 3-60× and the inflation is one-sided, so
+    min is the least-contaminated estimator; med/min > 2 marks the
+    query's median as a contamination suspect (not comparable across
+    runs)."""
+    qs, contam = {}, {}
+    for name, v in obj["queries"].items():
+        if isinstance(v, dict):
+            qs[name] = v.get("min", v.get("med", -1.0))
+            if v.get("min", 0) > 0 and v.get("med", 0) / v["min"] > 2.0:
+                contam[name] = v["med"] / v["min"]
+        else:
+            qs[name] = v
+    return qs, contam
+
+
 def main():
     args = sys.argv[1:]
     factor, min_sec = 3.0, 1.0
@@ -78,7 +99,14 @@ def main():
               f"{pos[0] if old is None else pos[1]}")
         sys.exit(2)
 
-    old_qs, new_qs = old["queries"], new["queries"]
+    old_qs, old_contam = normalize(old)
+    new_qs, new_contam = normalize(new)
+    for label, contam in (("old", old_contam), ("new", new_contam)):
+        if contam:
+            worst = ", ".join(f"{k} {v:.1f}x" for k, v in
+                              sorted(contam.items(), key=lambda kv: -kv[1])[:5])
+            print(f"note: {label} run contaminated (med/min>2) on "
+                  f"{len(contam)} queries: {worst}")
     ratios = {name: new_qs[name] / old_qs[name]
               for name in new_qs
               if name in old_qs and old_qs[name] > 0 and new_qs[name] > 0}

@@ -22,7 +22,7 @@ object Bench {
       catch { case _: Throwable => () }
     }
     var errors = Map.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spreads = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runsPerQuery).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop write materializes every row through the FULL plan —
@@ -36,15 +36,42 @@ object Bench {
             None
         }
       }
-      val median =
-        if (times.isEmpty) -1.0
-        else times.sorted.apply(times.size / 2)
-      name -> median
+      val sorted = times.sorted
+      if (sorted.isEmpty) name -> (-1.0, -1.0, -1.0)
+      else name -> (sorted(sorted.size / 2), sorted.head, sorted.last)
     }
+    val results = spreads.map { case (k, (med, _, _)) => k -> med }
     // 3-decimal seconds keep the whole line compact: the driver records
     // only an output TAIL, and a long line risks losing its own head
     def f3(v: Double): String = // Locale.ROOT: '.' decimal separator always
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Full per-query {med,min,max} spreads go to a FILE, not the stdout
+    // line: the driver's artifact keeps only a 2000-char output tail
+    // and the compact median line already fills ~1800 of it. The spread
+    // is what makes a stolen-CPU run SELF-IDENTIFYING — on this host,
+    // co-tenant CPU stealing (invisible to guest loadavg) inflates
+    // individual samples 3-60×, so med/min ≫ 1 marks a contaminated
+    // measurement and round-over-round comparisons should use min
+    // (scripts/compare_probe.py does both when given spread files).
+    val spreadQs = spreads.map { case (k, (med, mn, mx)) =>
+      s"${Json.str(k)}:{\"med\":${f3(med)},\"min\":${f3(mn)},\"max\":${f3(mx)}}"
+    }.mkString("{", ",", "}")
+    val spreadJson =
+      s"""{"queries":$spreadQs,"n":$runsPerQuery,"sf":${Json.str(sfDir)}}"""
+    val spreadPath = sys.env.getOrElse("GRAFT_BENCH_SPREAD", "bench_spread.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(spreadPath), spreadJson)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spread write failed: ${e.getMessage}") }
+    // One SHORT noise line ahead of the main line (both must fit the
+    // 2000-char tail): queries whose med/min > 2 are contamination
+    // suspects — their medians are not comparable across rounds.
+    val contaminated = spreads.collect {
+      case (k, (med, mn, _)) if mn > 0 && med / mn > 2.0 => (k, med / mn)
+    }.toSeq.sortBy(-_._2)
+    val worst = contaminated.headOption
+      .map { case (k, r) => s""","worst":"$k:${f3(r)}x"""" }.getOrElse("")
+    println(s"""{"noise":{"contaminated":${contaminated.size}$worst,"spread":${Json.str(spreadPath)}}}""")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors

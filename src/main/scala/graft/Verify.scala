@@ -1,8 +1,106 @@
 package graft
 import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * The ANN variants (q36/q41/q61/q65/q68) have no SQL oracle — DuckDB
+  * cannot reproduce an approximate index — so the driver's compare is
+  * rows-only for them, and a recall regression would otherwise be
+  * invisible to the gate. [[annRecallGate]] closes that hole: recall@k
+  * of each dumped ANN result is measured here against the in-engine
+  * EXACT top-k (q35's brute-force path, itself oracle-checked), and a
+  * dump below its floor is DELETED so the driver records a hard FAIL
+  * (missing dump), never a silent rows-only pass. Measured values land
+  * in `outDir/ann_recall.json` for the round artifact.
+  */
 object Verify {
+
+  /** Recall@k floors for the ANN variants, from SimilaritySpec's
+    * measured characteristics (LSH 16×4 multiprobe ≥0.9; IVF nprobe
+    * 5/16 ≥0.7; PQ shortlist ≥0.7; IVF×PQ compounds both ≥0.55).
+    * q68 (residual IVF×PQ) is gated separately: its floor is q65's
+    * MEASURED recall — the residual encoding strictly refines plain
+    * IVF×PQ's quantization, so falling below it means the residual
+    * path is broken even if some static floor still passes. */
+  val annFloors: Map[String, Double] = Map(
+    "q36_knn_lsh"   -> 0.9,
+    "q41_knn_ivf"   -> 0.7,
+    "q61_knn_pq"    -> 0.7,
+    "q65_knn_ivfpq" -> 0.55)
+  val annResidual = "q68_knn_ivfpq_res"
+
+  final case class AnnGate(recall: Double, floor: Double) {
+    def pass: Boolean = recall >= floor
+  }
+
+  /** Measures recall@k of each gated ANN dump under `outDir` against
+    * the exact brute-force top-k. Reads the DUMPS (the exact bytes the
+    * driver will compare), not a re-run — a divergence introduced by
+    * the dump write itself would be caught too. Queries whose dump is
+    * absent (threw during the dump loop) are skipped: they are already
+    * failing. Pure measurement — deletion of failing dumps is the
+    * caller's move, so q68's floor can read q65's recall even when q65
+    * itself is below floor. */
+  def annRecallGate(spark: SparkSession, sfDir: String, outDir: String,
+      names: Iterable[String]): Map[String, AnnGate] = {
+    val gated =
+      names.filter(n => annFloors.contains(n) || n == annResidual).toSeq
+    if (gated.isEmpty) return Map.empty
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(operators.Similarity.q35KnnBrute(spark, sfDir))
+    def recallOfDump(name: String): Option[Double] = {
+      val dir = new java.io.File(s"$outDir/$name")
+      if (!dir.exists()) None
+      else Some((exact intersect pairs(spark.read.parquet(dir.toString)))
+        .size.toDouble / exact.size)
+    }
+    // q68's floor: q65's recall from this run's dump when present,
+    // else measured live (targeted gate of q68 alone)
+    lazy val q65Recall: Double = recallOfDump("q65_knn_ivfpq").getOrElse(
+      (exact intersect pairs(operators.Similarity.q65KnnIvfPq(spark, sfDir)))
+        .size.toDouble / exact.size)
+    gated.sorted.flatMap { name =>
+      recallOfDump(name).map { r =>
+        name -> AnnGate(r,
+          if (name == annResidual) q65Recall else annFloors(name))
+      }
+    }.toMap
+  }
+
+  /** Measures the gate, DELETES every below-floor dump (the driver's
+    * rows-check then records a hard FAIL — a missing dump — instead of
+    * a silent rows-only pass), records all measured values in
+    * `outDir/ann_recall.json`, and prints the verdicts. Returns the
+    * measurements (VerifyGateSpec drives this end-to-end on a
+    * deliberately degraded dump). */
+  def enforceAnnGate(spark: SparkSession, sfDir: String, outDir: String,
+      names: Iterable[String]): Map[String, AnnGate] = {
+    val gates = annRecallGate(spark, sfDir, outDir, names)
+    gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
+      if (!g.pass) {
+        System.err.println(
+          f"[verify] $name failed: recall@${operators.Similarity.k} " +
+            f"${g.recall}%.3f below floor ${g.floor}%.3f")
+        org.apache.hadoop.fs.FileUtil
+          .fullyDelete(new java.io.File(s"$outDir/$name"))
+      }
+    }
+    if (gates.nonEmpty) {
+      val gj = gates.toSeq.sortBy(_._1).map { case (name, g) =>
+        f"""${Json.str(name)}: {"recall": ${g.recall}%.4f, """ +
+          f""""floor": ${g.floor}%.4f, "pass": ${g.pass}}"""
+      }.mkString("{", ", ", "}")
+      Files.writeString(Paths.get(s"$outDir/ann_recall.json"), gj)
+      println(s"[verify] ann recall gate: $gj")
+    }
+    gates
+  }
+
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [queryName...] — extra names restrict the
     // dump to those queries (targeted re-gating after a focused change;
@@ -25,13 +123,38 @@ object Verify {
       org.apache.hadoop.fs.FileUtil
         .fullyDelete(new java.io.File(s"$outDir/$name"))
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Dump in parallel: Spark happily runs jobs from several submitter
+    // threads (FIFO scheduler), queries touch disjoint output dirs and
+    // per-query-keyed scratch paths, and local[32] has far more slots
+    // than any single sf0.01 query keeps busy — 4 in flight cuts the
+    // full-gate wall-clock to roughly the sum of the 3-4 heaviest
+    // queries. GRAFT_VERIFY_PARALLEL=1 restores strictly sequential
+    // dumps (debugging a query in isolation).
+    //
+    // NOTE on the write shape: `.coalesce(1)` is GATE-ONLY layout — it
+    // collapses each (tiny, sf0.01) result to one file so the driver's
+    // DuckDB read is trivial. It is NOT the production write path:
+    // ParquetSink writes partitioned output; collapsing a real result
+    // to one task would serialize the whole write at cluster scale.
+    val par = math.max(1,
+      sys.env.getOrElse("GRAFT_VERIFY_PARALLEL", "4").toInt)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      val tasks = selected.toSeq.map { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+        })
       }
-    }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+
+    enforceAnnGate(spark, sfDir, outDir, selected.keys)
+
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${Json.str(k)}: ${Json.str(v)}" }
       .mkString("{", ",", "}")

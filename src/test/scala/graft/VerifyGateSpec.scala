@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end negative test for Verify's ANN recall gate: the gate must
+  * measure recall of the DUMPED parquet against the in-engine exact
+  * top-k, DELETE a below-floor dump (so the driver's rows-check sees a
+  * missing dump = hard FAIL), keep passing dumps, record every measured
+  * value in ann_recall.json, and tie q68's floor to q65's MEASURED
+  * recall rather than a static constant. Dumps here are constructed
+  * from the (oracle-checked) brute-force exact result, degraded
+  * deliberately — no ANN index build needed, so the spec stays fast.
+  */
+class VerifyGateSpec extends SparkSpec {
+
+  private def dump(df: DataFrame, outDir: String, name: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+
+  /** Exact result with every neighbor id shifted into ids that are
+    * never true neighbors — recall 0 by construction. */
+  private def degraded(exact: DataFrame): DataFrame =
+    exact.withColumn("neighbor_id", col("neighbor_id") + lit(1000000L))
+
+  test("ann gate: degraded dump is deleted, healthy dump survives, " +
+    "q68 floor tracks q65's measured recall") {
+    val outDir = Files.createTempDirectory("graft_anngate").toString
+    val exact = graft.operators.Similarity.q35KnnBrute(spark, sfDir)
+
+    // q36 healthy (recall 1.0 ≥ 0.9); q41 degraded (recall 0 < 0.7);
+    // q65 healthy (recall 1.0) so q68's floor becomes 1.0; q68 at
+    // recall 0.5 — above the static-floor style 0.55-would-be bar is
+    // irrelevant: it must fail against q65's measured 1.0.
+    dump(exact, outDir, "q36_knn_lsh")
+    dump(degraded(exact), outDir, "q41_knn_ivf")
+    dump(exact, outDir, "q65_knn_ivfpq")
+    val half = exact.withColumn("neighbor_id",
+      when(col("rank") <= graft.operators.Similarity.k / 2,
+        col("neighbor_id")).otherwise(col("neighbor_id") + lit(1000000L)))
+    dump(half, outDir, "q68_knn_ivfpq_res")
+
+    val gates = Verify.enforceAnnGate(spark, sfDir, outDir,
+      Seq("q36_knn_lsh", "q41_knn_ivf", "q65_knn_ivfpq",
+        "q68_knn_ivfpq_res"))
+
+    assert(gates("q36_knn_lsh").pass && gates("q36_knn_lsh").recall === 1.0)
+    assert(!gates("q41_knn_ivf").pass && gates("q41_knn_ivf").recall === 0.0)
+    assert(gates("q65_knn_ivfpq").pass)
+    val g68 = gates("q68_knn_ivfpq_res")
+    assert(g68.floor === 1.0,
+      "q68 floor must be q65's measured recall, not a static constant")
+    assert(!g68.pass && g68.recall > 0.3 && g68.recall < 0.7)
+
+    // failing dumps deleted → driver records missing-dump FAIL;
+    // passing dumps intact
+    assert(!new java.io.File(s"$outDir/q41_knn_ivf").exists())
+    assert(!new java.io.File(s"$outDir/q68_knn_ivfpq_res").exists())
+    assert(new java.io.File(s"$outDir/q36_knn_lsh").exists())
+    assert(new java.io.File(s"$outDir/q65_knn_ivfpq").exists())
+
+    // every measurement recorded, including the failing ones
+    val recorded = Files.readString(
+      java.nio.file.Paths.get(s"$outDir/ann_recall.json"))
+    Seq("q36_knn_lsh", "q41_knn_ivf", "q65_knn_ivfpq", "q68_knn_ivfpq_res")
+      .foreach(n => assert(recorded.contains(n)))
+    assert(recorded.contains("\"pass\": false"))
+  }
+
+  test("ann gate: q68 alone measures q65 live for its floor") {
+    val outDir = Files.createTempDirectory("graft_anngate_solo").toString
+    val exact = graft.operators.Similarity.q35KnnBrute(spark, sfDir)
+    dump(exact, outDir, "q68_knn_ivfpq_res")
+    // no q65 dump in this run: floor comes from running q65 live —
+    // its real recall at sf0.001 is well under the 1.0 of this exact
+    // dump, so the gate passes and the floor is a plausible recall
+    val gates = Verify.enforceAnnGate(spark, sfDir, outDir,
+      Seq("q68_knn_ivfpq_res"))
+    val g = gates("q68_knn_ivfpq_res")
+    assert(g.recall === 1.0 && g.pass)
+    assert(g.floor > 0.0 && g.floor <= 1.0)
+  }
+
+  test("ann gate: non-ANN selections measure nothing") {
+    val outDir = Files.createTempDirectory("graft_anngate_none").toString
+    assert(Verify.enforceAnnGate(spark, sfDir, outDir,
+      Seq("q1_agg", "q35_knn_brute")).isEmpty)
+    assert(!new java.io.File(s"$outDir/ann_recall.json").exists())
+  }
+}
