@@ -14,8 +14,10 @@ import graft.sources.Tables
   * IMAGE decode and resize are REAL — JDK `javax.imageio` (PNG, JPEG,
   * GIF, BMP) needs no external dependency. AUDIO header metadata
   * (sample rate, channel count) is REAL for the container formats the
-  * JDK ships parsers for (WAV/AIFF/AU via `javax.sound.sampled`).
-  * Compressed-audio decode and video remain
+  * JDK ships parsers for (WAV/AIFF/AU via `javax.sound.sampled`) AND
+  * for MP3/FLAC, parsed directly from their public bitstream layouts
+  * ([[flacStreamInfo]], [[mp3FrameHeader]] — no codec needed for
+  * header fields). Compressed-audio PCM decode and video remain
   * clearly-marked stubs (the JDK ships no codecs for them); their
   * Spark-side plumbing — schema shape, binary column handling,
   * mapPartitions batching (one decoder init per partition, not per
@@ -49,15 +51,81 @@ object Multimodal {
   private def isImage(kind: String): Boolean = kind.startsWith("image/")
   private def isAudio(kind: String): Boolean = kind.startsWith("audio/")
 
-  /** Real audio container-header parse (WAV/AIFF/AU — the formats the
-    * JDK ships parsers for): (sampleRate, channels). None for
-    * compressed/corrupt/unknown payloads — marked, never thrown. */
+  /** Real audio header parse: (sampleRate, channels). Container formats
+    * the JDK ships parsers for (WAV/AIFF/AU) go through
+    * `javax.sound.sampled`; FLAC and MP3 — which the JDK has no parser
+    * for — are parsed directly from their public bitstream layouts
+    * ([[flacStreamInfo]], [[mp3FrameHeader]]). The PAYLOAD decides (magic
+    * bytes / frame sync), not the declared kind — a mislabeled corpus
+    * row still parses. None for corrupt/unknown — marked, never thrown. */
   private def decodeAudio(payload: Array[Byte]): Option[(Int, Int)] =
-    try {
+    (try {
       val fmt = javax.sound.sampled.AudioSystem
         .getAudioFileFormat(new ByteArrayInputStream(payload)).getFormat
       Some((fmt.getSampleRate.toInt, fmt.getChannels))
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(_) => None })
+      .orElse(flacStreamInfo(payload))
+      .orElse(mp3FrameHeader(payload))
+
+  private def u(b: Byte): Int = b & 0xff
+
+  /** FLAC STREAMINFO parse (format spec: RFC 9639 §8.2 / flac format.html).
+    * Layout: "fLaC" magic, then metadata blocks — the FIRST block is
+    * mandated to be STREAMINFO (type 0, 34 bytes): within it, the
+    * 20-bit sample rate starts at byte 10 and the 3-bit (channels-1)
+    * field follows it. Truncated/garbled payloads (bad magic, wrong
+    * first-block type, short buffer, zero sample rate — forbidden by
+    * spec) → None, never a throw. */
+  private[operators] def flacStreamInfo(p: Array[Byte]): Option[(Int, Int)] = {
+    if (p.length < 8 + 34) return None
+    if (!(p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C')) return None
+    if ((u(p(4)) & 0x7f) != 0) return None // first block must be STREAMINFO
+    // block length (24-bit big-endian) must be the mandated 34
+    if (((u(p(5)) << 16) | (u(p(6)) << 8) | u(p(7))) != 34) return None
+    val b = 8 // STREAMINFO payload start
+    val sampleRate =
+      (u(p(b + 10)) << 12) | (u(p(b + 11)) << 4) | (u(p(b + 12)) >>> 4)
+    val channels = ((u(p(b + 12)) >>> 1) & 0x7) + 1
+    if (sampleRate == 0) None else Some((sampleRate, channels))
+  }
+
+  /** MPEG audio (MP3) frame-header parse (ISO/IEC 11172-3 §2.4.1.3 /
+    * 13818-3): a leading ID3v2 tag is skipped via its syncsafe length,
+    * then the first VALID 4-byte frame header within the scan window
+    * decides — 11-bit sync, non-reserved version/layer/bitrate/rate
+    * fields. Sample rate = table[version][rate index]; channels = 1 for
+    * mode 3 (single_channel), else 2. Corrupt/no-sync → None. */
+  private[operators] def mp3FrameHeader(p: Array[Byte]): Option[(Int, Int)] = {
+    var i = 0
+    // ID3v2: "ID3" <ver:2> <flags:1> <size:4 syncsafe>
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      val size = (u(p(6)) << 21) | (u(p(7)) << 14) | (u(p(8)) << 7) | u(p(9))
+      i = 10 + size
+    }
+    // bounded resync scan: real decoders hunt for sync after junk; cap
+    // the hunt so a huge non-MP3 binary costs O(window), not O(n)
+    val limit = math.min(p.length - 4, i + 4096)
+    while (i <= limit) {
+      if (u(p(i)) == 0xff && (u(p(i + 1)) & 0xe0) == 0xe0) {
+        val version = (u(p(i + 1)) >>> 3) & 0x3 // 0=2.5, 2=MPEG2, 3=MPEG1
+        val layer = (u(p(i + 1)) >>> 1) & 0x3
+        val bitrateIdx = (u(p(i + 2)) >>> 4) & 0xf
+        val rateIdx = (u(p(i + 2)) >>> 2) & 0x3
+        val mode = (u(p(i + 3)) >>> 6) & 0x3
+        if (version != 1 && layer != 0 && bitrateIdx != 0xf && rateIdx != 3) {
+          val base = Array(44100, 48000, 32000)(rateIdx)
+          val rate = version match {
+            case 3 => base      // MPEG1
+            case 2 => base / 2  // MPEG2
+            case _ => base / 4  // MPEG2.5
+          }
+          return Some((rate, if (mode == 3) 1 else 2))
+        }
+      }
+      i += 1
+    }
+    None
+  }
 
   /** Real image decode: header-driven, format auto-detected by the
     * ImageIO registry. Returns None for undecodable/corrupt payloads

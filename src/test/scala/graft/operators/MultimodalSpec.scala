@@ -91,6 +91,65 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L).width === -1) // audio carries no image dims
   }
 
+  /** A real FLAC prefix: "fLaC" magic + STREAMINFO block (type 0,
+    * 34 bytes) with the 20-bit sample rate and 3-bit channels-1 packed
+    * per the public spec (RFC 9639 §8.2). */
+  private def encodedFlac(rate: Int, channels: Int): Array[Byte] = {
+    val b = new Array[Byte](8 + 34)
+    Array[Byte]('f', 'L', 'a', 'C').copyToArray(b)
+    b(4) = 0x80.toByte // last-block flag, type 0 = STREAMINFO
+    b(7) = 34          // 24-bit big-endian block length
+    b(8 + 10) = ((rate >> 12) & 0xff).toByte
+    b(8 + 11) = ((rate >> 4) & 0xff).toByte
+    b(8 + 12) = (((rate & 0xf) << 4) | ((channels - 1) << 1)).toByte
+    b
+  }
+
+  /** A real MPEG audio frame header (ISO 11172-3 §2.4.1.3), optionally
+    * behind an ID3v2 tag with a syncsafe length. */
+  private def encodedMp3(header: Array[Int], id3Junk: Int = 0): Array[Byte] = {
+    val id3 =
+      if (id3Junk == 0) Array.empty[Byte]
+      else Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0,
+        ((id3Junk >> 7) & 0x7f).toByte, (id3Junk & 0x7f).toByte) ++
+        Array.fill(id3Junk)(0x55.toByte)
+    id3 ++ header.map(_.toByte) ++ Array.fill(16)(0.toByte)
+  }
+
+  test("MP3/FLAC header metadata parses from the real bitstream layouts") {
+    val media = spark.createDataset(Seq(
+      // FLAC 44100 Hz stereo / 96000 Hz mono
+      Multimodal.MediaRecord(1L, "audio/flac", encodedFlac(44100, 2)),
+      Multimodal.MediaRecord(2L, "audio/flac", encodedFlac(96000, 1)),
+      // MPEG1 Layer III, rate index 0 = 44100, joint stereo
+      Multimodal.MediaRecord(3L, "audio/mpeg",
+        encodedMp3(Array(0xff, 0xfb, 0x90, 0x40))),
+      // same frame behind a 100-byte ID3v2 tag
+      Multimodal.MediaRecord(4L, "audio/mpeg",
+        encodedMp3(Array(0xff, 0xfb, 0x90, 0x40), id3Junk = 100)),
+      // MPEG2.5 Layer III, rate index 2 = 32000/4 = 8000, mono
+      Multimodal.MediaRecord(5L, "audio/mpeg",
+        encodedMp3(Array(0xff, 0xe3, 0x28, 0xc0))),
+      // corrupt: FLAC magic but truncated before STREAMINFO ends
+      Multimodal.MediaRecord(6L, "audio/flac",
+        encodedFlac(44100, 2).take(20)),
+      // corrupt: all-0xFF junk has sync bits but reserved version+
+      // bitrate fields everywhere — must be rejected, not misparsed
+      Multimodal.MediaRecord(7L, "audio/mpeg", Array.fill(64)(0xff.toByte)),
+      // mislabeled kind: payload decides — FLAC bytes as audio/mpeg
+      Multimodal.MediaRecord(8L, "audio/mpeg", encodedFlac(22050, 2))))
+    val got = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(got(1L).sample_rate === 44100 && got(1L).channels === 2)
+    assert(got(2L).sample_rate === 96000 && got(2L).channels === 1)
+    assert(got(3L).sample_rate === 44100 && got(3L).channels === 2)
+    assert(got(4L).sample_rate === 44100 && got(4L).channels === 2)
+    assert(got(5L).sample_rate === 8000 && got(5L).channels === 1)
+    assert(got(6L).sample_rate === -1 && got(6L).channels === -1)
+    assert(got(7L).sample_rate === -1 && got(7L).channels === -1)
+    assert(got(8L).sample_rate === 22050 && got(8L).channels === 2)
+  }
+
   test("image resize re-encodes a genuinely scaled image") {
     val media = spark.createDataset(Seq(
       Multimodal.MediaRecord(1L, "image/jpeg", encodedImage(32, 16, "jpg"))))

@@ -41,6 +41,45 @@ class MergeBuilderSpec extends AnyFunSuite {
     assert(!m.mergeStatement.contains("WHEN MATCHED"))
   }
 
+  /** Why this test exists: no MSSQL-compatible engine is available
+    * hermetically (no H2 jar in the offline cache; the cached DuckDB
+    * JDBC predates MERGE), so the shipped T-SQL text itself only
+    * EXECUTES in the env-gated live suite (SqlSinkMssqlSpec). This pins
+    * the next-best guarantee: the Derby statement that
+    * SqlSinkDerbySpec's reference-golden upsert actually executes is
+    * the MECHANICAL dialect image of the shipped T-SQL — brackets →
+    * double quotes, "BY TARGET" dropped, SET lhs unqualified — and
+    * nothing else differs. Any structural change to the T-SQL emission
+    * (clause order, ON conjunction, INSERT shape) now lands in the
+    * executed-on-Derby text too, or this equivalence breaks. */
+  test("executed Derby MERGE is the mechanical dialect image of the " +
+    "shipped T-SQL") {
+    def image(tsql: String): String = {
+      val quoted = tsql
+        .replaceAll("\\[([^\\]]*)\\]", "\"$1\"")
+        .replace("WHEN NOT MATCHED BY TARGET", "WHEN NOT MATCHED")
+      // unqualify the SET lhs only inside the UPDATE SET segment —
+      // the ON clause keeps its t-qualification in both dialects
+      val setStart = quoted.indexOf("UPDATE SET ")
+      if (setStart < 0) quoted
+      else {
+        val setEnd = quoted.indexOf(" WHEN NOT MATCHED", setStart)
+        quoted.substring(0, setStart) +
+          quoted.substring(setStart, setEnd).replace("t.\"", "\"") +
+          quoted.substring(setEnd)
+      }
+    }
+    val shapes = Seq(
+      MergeBuilder("sample", "dbo", Seq("id"), Seq("id", "name", "val")),
+      MergeBuilder("t", "s", Seq("k1", "k2"), Seq("k1", "k2", "v")),
+      MergeBuilder("t", "s", Seq("id"), Seq("id", "col a")),
+      MergeBuilder("t", "s", Seq("id"), Seq("id")))
+    shapes.foreach { m =>
+      assert(image(m.mergeStatement) ===
+        m.copy(dialect = DerbyDialect).mergeStatement)
+    }
+  }
+
   test("Derby dialect: unqualified SET lhs, double-quote idents") {
     val m = MergeBuilder("t", "s", Seq("id"), Seq("id", "v"),
       dialect = DerbyDialect)
