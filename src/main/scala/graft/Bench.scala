@@ -13,6 +13,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // clear any prior spread up front: if this run dies mid-bench, a
+    // stale file must not impersonate it in a later compare_probe
+    val spreadPath = sys.env.getOrElse("GRAFT_BENCH_SPREAD", "bench_spread.json")
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(spreadPath))
+    catch { case _: Throwable => () }
     val spark = GraftSession.local("graft-bench")
     // Untimed warmup: JIT/codegen paths and parquet footers, so the
     // first measured query doesn't absorb session startup.
@@ -58,11 +64,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val spreadJson =
       s"""{"queries":$spreadQs,"n":$runsPerQuery,"sf":${Json.str(sfDir)}}"""
-    val spreadPath = sys.env.getOrElse("GRAFT_BENCH_SPREAD", "bench_spread.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(spreadPath), spreadJson)
     catch { case e: Throwable =>
-      System.err.println(s"[bench] spread write failed: ${e.getMessage}") }
+      System.err.println(s"[bench] spread write failed: ${e.getMessage}")
+      // a stale spread from a PRIOR run must not impersonate this one
+      // in a later compare_probe — same stale-artifact rule as
+      // Verify.main's pre-delete
+      try java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(spreadPath))
+      catch { case _: Throwable => () }
+    }
     // One SHORT noise line ahead of the main line (both must fit the
     // 2000-char tail): queries whose med/min > 2 are contamination
     // suspects — their medians are not comparable across rounds.

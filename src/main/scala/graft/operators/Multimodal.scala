@@ -89,12 +89,72 @@ object Multimodal {
     if (sampleRate == 0) None else Some((sampleRate, channels))
   }
 
+  /** One parsed MPEG audio frame header: (version, layer, rateIdx,
+    * sampleRate, channels, frameLenBytes). */
+  private final case class Mp3Header(version: Int, layer: Int,
+      rateIdx: Int, rate: Int, channels: Int, frameLen: Int)
+
+  /** Bitrate tables (kbps), ISO 11172-3 table B.1 / 13818-3 — indexed
+    * by bitrateIdx-1 (0 = free format, rejected below; 15 = bad). */
+  private val kbpsV1L1 =
+    Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val kbpsV1L2 =
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val kbpsV1L3 =
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val kbpsV2L1 =
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val kbpsV2L23 =
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  private def mp3HeaderAt(p: Array[Byte], i: Int): Option[Mp3Header] = {
+    if (i < 0 || i + 4 > p.length) return None
+    if (!(u(p(i)) == 0xff && (u(p(i + 1)) & 0xe0) == 0xe0)) return None
+    val version = (u(p(i + 1)) >>> 3) & 0x3 // 0=2.5, 1=reserved, 2=V2, 3=V1
+    val layer = (u(p(i + 1)) >>> 1) & 0x3   // 3=L1, 2=L2, 1=L3, 0=reserved
+    val bitrateIdx = (u(p(i + 2)) >>> 4) & 0xf
+    val rateIdx = (u(p(i + 2)) >>> 2) & 0x3
+    val padding = (u(p(i + 2)) >>> 1) & 0x1
+    val mode = (u(p(i + 3)) >>> 6) & 0x3
+    // free format (bitrateIdx 0) is rejected along with the reserved
+    // values: its frame length is unknowable, so the two-frame
+    // validation below cannot run, and accepting it would reopen the
+    // false-sync hole on high-entropy non-MP3 payloads
+    if (version == 1 || layer == 0 || bitrateIdx == 0 || bitrateIdx == 0xf ||
+      rateIdx == 3) return None
+    val base = Array(44100, 48000, 32000)(rateIdx)
+    val rate = version match {
+      case 3 => base      // MPEG1
+      case 2 => base / 2  // MPEG2
+      case _ => base / 4  // MPEG2.5
+    }
+    val v1 = version == 3
+    val kbps = (layer, v1) match {
+      case (3, true)  => kbpsV1L1(bitrateIdx - 1)
+      case (2, true)  => kbpsV1L2(bitrateIdx - 1)
+      case (1, true)  => kbpsV1L3(bitrateIdx - 1)
+      case (3, false) => kbpsV2L1(bitrateIdx - 1)
+      case _          => kbpsV2L23(bitrateIdx - 1)
+    }
+    val frameLen =
+      if (layer == 3) (12000 * kbps / rate + padding) * 4 // Layer I
+      else if (layer == 1 && !v1) 72000 * kbps / rate + padding // L3 V2/2.5
+      else 144000 * kbps / rate + padding
+    Some(Mp3Header(version, layer, rateIdx, rate,
+      if (mode == 3) 1 else 2, frameLen))
+  }
+
   /** MPEG audio (MP3) frame-header parse (ISO/IEC 11172-3 §2.4.1.3 /
     * 13818-3): a leading ID3v2 tag is skipped via its syncsafe length,
-    * then the first VALID 4-byte frame header within the scan window
-    * decides — 11-bit sync, non-reserved version/layer/bitrate/rate
-    * fields. Sample rate = table[version][rate index]; channels = 1 for
-    * mode 3 (single_channel), else 2. Corrupt/no-sync → None. */
+    * then a bounded resync hunt looks for a valid 4-byte header. A lone
+    * valid-looking header is NOT enough — ~1 in 5000 random byte pairs
+    * passes the field checks, which over a 4 KB scan window would
+    * fabricate metadata for half of all high-entropy non-MP3 payloads —
+    * so a candidate is accepted only when a SECOND header with the same
+    * version/layer/sample-rate sits exactly one computed frame length
+    * ahead (the standard detector move), or the payload ends before
+    * that offset (a truncated single-frame file can't be disproved).
+    * Corrupt/no-sync → None, never a fabricated rate. */
   private[operators] def mp3FrameHeader(p: Array[Byte]): Option[(Int, Int)] = {
     var i = 0
     // ID3v2: "ID3" <ver:2> <flags:1> <size:4 syncsafe>
@@ -106,21 +166,15 @@ object Multimodal {
     // the hunt so a huge non-MP3 binary costs O(window), not O(n)
     val limit = math.min(p.length - 4, i + 4096)
     while (i <= limit) {
-      if (u(p(i)) == 0xff && (u(p(i + 1)) & 0xe0) == 0xe0) {
-        val version = (u(p(i + 1)) >>> 3) & 0x3 // 0=2.5, 2=MPEG2, 3=MPEG1
-        val layer = (u(p(i + 1)) >>> 1) & 0x3
-        val bitrateIdx = (u(p(i + 2)) >>> 4) & 0xf
-        val rateIdx = (u(p(i + 2)) >>> 2) & 0x3
-        val mode = (u(p(i + 3)) >>> 6) & 0x3
-        if (version != 1 && layer != 0 && bitrateIdx != 0xf && rateIdx != 3) {
-          val base = Array(44100, 48000, 32000)(rateIdx)
-          val rate = version match {
-            case 3 => base      // MPEG1
-            case 2 => base / 2  // MPEG2
-            case _ => base / 4  // MPEG2.5
-          }
-          return Some((rate, if (mode == 3) 1 else 2))
-        }
+      mp3HeaderAt(p, i) match {
+        case Some(h) =>
+          val next = i + h.frameLen
+          val confirmable = next + 4 <= p.length
+          val confirmed = !confirmable || mp3HeaderAt(p, next).exists(n =>
+            n.version == h.version && n.layer == h.layer &&
+              n.rateIdx == h.rateIdx)
+          if (confirmed) return Some((h.rate, h.channels))
+        case None => ()
       }
       i += 1
     }

@@ -47,9 +47,13 @@ object TextAnalysis {
       .withColumn("toks", tokens(col("text")))
     d.select(
         col("doc_id"),
-        size(col("toks")).as("tok_cnt"),
+        // NULL text → NULL counts (not sizeOfNull's -1), the same
+        // guard as tokenCount: DuckDB's len(NULL) is NULL and every
+        // derived stat must agree engine-to-engine on null rows
+        when(col("toks").isNotNull, size(col("toks"))).as("tok_cnt"),
         (length(regexp_replace(normText(col("text")), " ", "")).cast("double")
-          / size(col("toks"))).as("avg_token_len"),
+          / when(col("toks").isNotNull, size(col("toks"))))
+          .as("avg_token_len"),
         wordRatio(col("toks"), stopwords).as("stop_ratio"))
       .withColumn("score",
         col("tok_cnt").cast("double") * (lit(1.0) - col("stop_ratio")))
@@ -63,7 +67,13 @@ object TextAnalysis {
     val d = Tables.load(spark, sfDir, "documents")
       .withColumn("toks", tokens(col("text")))
     val counts: Seq[(String, Column)] = langMarkers.map { case (l, ws) =>
-      l -> size(filter(col("toks"), t => t.isin(ws.map(w => w: Any): _*)))
+      // NULL toks → NULL count (not -1): every c_l comparison below
+      // then evaluates NULL → false and BOTH engines fall through to
+      // the otherwise/ELSE arm on a null-text row, where an unguarded
+      // -1 === -1 would make Spark pick the first language while the
+      // DuckDB oracle's NULL comparisons pick the ELSE
+      l -> when(col("toks").isNotNull,
+        size(filter(col("toks"), t => t.isin(ws.map(w => w: Any): _*))))
     }
     val withCounts = counts.foldLeft(d) { case (acc, (l, c)) =>
       acc.withColumn(s"c_$l", c)
@@ -116,8 +126,13 @@ object TextAnalysis {
   def q47BpeTokens(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
       .select(col("lang"),
-        size(regexp_extract_all(normText(col("text")), lit(bpePattern), lit(0)))
-          .as("bpe"),
+        // same NULL guard as tokenCount: an unguarded size() would sum
+        // -1 per null-text doc into sum_bpe_tokens while the guarded ws
+        // column skips it — internally inconsistent tokens_per_word and
+        // a divergence from the oracle's SUM-skips-NULL
+        when(col("text").isNotNull,
+          size(regexp_extract_all(normText(col("text")), lit(bpePattern),
+            lit(0)))).as("bpe"),
         tokenCount(col("text")).as("ws"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),

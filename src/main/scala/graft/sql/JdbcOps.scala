@@ -74,19 +74,13 @@ object JdbcOps {
           cat == null || cat.strip().equalsIgnoreCase(s)
         }
       }
-      // scan returns (matched, sawAnyRow): sawAnyRow distinguishes "the
-      // listing had rows but none matched" from "the listing itself was
-      // empty" — only the latter justifies widening further.
-      def scan(rs: java.sql.ResultSet): (Boolean, Boolean) =
+      def scan(rs: java.sql.ResultSet): Boolean =
         try {
           var found = false
-          var any = false
-          while (!found && rs.next()) {
-            any = true
+          while (!found && rs.next())
             found = schemaMatches(rs) &&
               rs.getString("TABLE_NAME").equalsIgnoreCase(t)
-          }
-          (found, any)
+          found
         } finally rs.close()
       // Widening ladder, paid only on the would-be-destructive
       // "missing" path:
@@ -94,21 +88,20 @@ object JdbcOps {
       //  2. schema-scoped wildcard — catches TABLE-name case divergence
       //     on a case-SENSITIVE metadata store (the LIKE itself is
       //     case-sensitive there) without enumerating the catalog;
-      //  3. FULL catalog listing — only when step 2 returned NO rows at
-      //     all, i.e. the schema pattern itself found nothing, which is
-      //     what SCHEMA-name case divergence looks like. If step 2
-      //     listed the schema's tables and none matched, the table is
-      //     absent and the catalog-wide sweep is skipped — this is also
-      //     what keeps the both-null-namespace rule in schemaMatches
-      //     (a row with neither TABLE_SCHEM nor TABLE_CAT matches any
-      //     requested schema) from letting a same-named table in an
-      //     unrelated namespace read as "exists" on healthy drivers.
+      //  3. FULL catalog listing, UNCONDITIONALLY as the last rung.
+      //     Rung 3 must not be skipped when rung 2 merely listed rows:
+      //     with schemas "DBO" (exists, no such table) and "dbo"
+      //     (holds the table) on a case-sensitive store, rung 2 lists
+      //     "DBO" and misses — only the catalog-wide case-insensitive
+      //     scan finds the table, and a false "missing" here routes a
+      //     caller to destructive DROP+CREATE. The catalog enumeration
+      //     cost is paid only when the table genuinely looks absent —
+      //     exactly when getting the answer right matters most.
       // The scans' case-insensitive re-verification keeps every rung
       // exact.
-      scan(md.getTables(null, pat(s), pat(t), null))._1 || {
-        val (found, sawRows) = scan(md.getTables(null, pat(s), "%", null))
-        found || (!sawRows && scan(md.getTables(null, "%", "%", null))._1)
-      }
+      scan(md.getTables(null, pat(s), pat(t), null)) ||
+        scan(md.getTables(null, pat(s), "%", null)) ||
+        scan(md.getTables(null, "%", "%", null))
     }
 
   def queryCount(url: String, sql: String): Long =

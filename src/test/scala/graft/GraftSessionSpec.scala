@@ -28,10 +28,20 @@ class GraftSessionSpec extends AnyFunSuite {
     pb.environment().put("SPARK_GRAFT_CPUS", "3")
     pb.redirectErrorStream(true)
     val proc = pb.start()
-    val outBytes = proc.getInputStream.readAllBytes()
+    // drain stdout on a separate thread: a synchronous readAllBytes
+    // would block until process exit and make the waitFor timeout
+    // unreachable (a hung probe would hang the suite), while NOT
+    // draining could deadlock the child on a full stdout pipe
+    val outBytes = new java.io.ByteArrayOutputStream()
+    val drainer = new Thread(() =>
+      try proc.getInputStream.transferTo(outBytes)
+      catch { case _: java.io.IOException => () })
+    drainer.setDaemon(true)
+    drainer.start()
     val finished = proc.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) proc.destroyForcibly()
-    val out = new String(outBytes, "UTF-8")
+    drainer.join(10000)
+    val out = outBytes.toString("UTF-8")
     assert(finished && proc.exitValue() == 0,
       s"ConfProbe failed:\n${out.takeRight(2000)}")
     val probed = out.linesIterator.collect {

@@ -41,9 +41,15 @@ class VerifyGateSpec extends SparkSpec {
         col("neighbor_id")).otherwise(col("neighbor_id") + lit(1000000L)))
     dump(half, outDir, "q68_knn_ivfpq_res")
 
+    // a dump dir a crashed query left EMPTY (no readable parquet) must
+    // be skipped by the gate, not crash the whole verify run — the
+    // broken dump already fails the driver's compare on its own
+    new java.io.File(s"$outDir/q61_knn_pq").mkdirs()
+
     val gates = Verify.enforceAnnGate(spark, sfDir, outDir,
-      Seq("q36_knn_lsh", "q41_knn_ivf", "q65_knn_ivfpq",
+      Seq("q36_knn_lsh", "q41_knn_ivf", "q61_knn_pq", "q65_knn_ivfpq",
         "q68_knn_ivfpq_res"))
+    assert(!gates.contains("q61_knn_pq"))
 
     assert(gates("q36_knn_lsh").pass && gates("q36_knn_lsh").recall === 1.0)
     assert(!gates("q41_knn_ivf").pass && gates("q41_knn_ivf").recall === 0.0)
@@ -68,18 +74,22 @@ class VerifyGateSpec extends SparkSpec {
     assert(recorded.contains("\"pass\": false"))
   }
 
-  test("ann gate: q68 alone measures q65 live for its floor") {
+  test("ann gate: q68 alone measures q65 live for its floor, ignoring " +
+    "a stale q65 dump from a prior run") {
     val outDir = Files.createTempDirectory("graft_anngate_solo").toString
     val exact = graft.operators.Similarity.q35KnnBrute(spark, sfDir)
     dump(exact, outDir, "q68_knn_ivfpq_res")
-    // no q65 dump in this run: floor comes from running q65 live —
-    // its real recall at sf0.001 is well under the 1.0 of this exact
-    // dump, so the gate passes and the floor is a plausible recall
+    // a LEFTOVER q65 dump (recall 1.0 by construction) that this
+    // targeted run did NOT produce: reading it would set the floor to
+    // 1.0 — the floor must instead come from running q65 live, whose
+    // real recall at sf0.001 is well under 1.0
+    dump(exact, outDir, "q65_knn_ivfpq")
     val gates = Verify.enforceAnnGate(spark, sfDir, outDir,
       Seq("q68_knn_ivfpq_res"))
     val g = gates("q68_knn_ivfpq_res")
     assert(g.recall === 1.0 && g.pass)
-    assert(g.floor > 0.0 && g.floor <= 1.0)
+    assert(g.floor > 0.0 && g.floor < 1.0,
+      "floor must be q65's LIVE recall, not the stale dump's 1.0")
   }
 
   test("ann gate: non-ANN selections measure nothing") {

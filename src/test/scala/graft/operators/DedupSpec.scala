@@ -391,6 +391,29 @@ class DedupSpec extends SparkSpec {
       .filter(col("lang") === "en").collect().head
     assert(en.getLong(1) === 2L)     // n_docs
     assert(en.getLong(2) === 5L)     // sum_tokens
+
+    // q21: the null-text doc carries NULL stats, not sizeOfNull's -1
+    val q21null = TextAnalysis.q21Quality(spark, base)
+      .filter(col("doc_id") === 2L).collect().head
+    assert(q21null.isNullAt(q21null.fieldIndex("tok_cnt")))
+    assert(q21null.isNullAt(q21null.fieldIndex("score")))
+
+    // q47: bpe and ws sums must agree on skipping the null doc
+    // ("alpha beta gamma alpha beta" = 5 tokens under both counters)
+    val q47en = TextAnalysis.q47BpeTokens(spark, base)
+      .filter(col("lang") === "en").collect().head
+    assert(q47en.getLong(q47en.fieldIndex("n_docs")) === 2L)
+    assert(q47en.getLong(q47en.fieldIndex("sum_bpe_tokens")) === 5L)
+    assert(q47en.getLong(q47en.fieldIndex("sum_ws_tokens")) === 5L)
+
+    // q22: NULL marker counts fall through to the otherwise/ELSE arm in
+    // BOTH engines (unguarded, Spark's -1 === -1 would pick the FIRST
+    // language); the fixture's null doc lands on the last marker lang
+    val q22 = TextAnalysis.q22LangProfile(spark, base).collect()
+    assert(q22.map(_.getLong(2)).sum === 3L)
+    val nullPred = q22.find(r => r.getString(0) == "en" &&
+      r.getString(1) == TextAnalysis.langMarkers.last._1)
+    assert(nullPred.isDefined && nullPred.get.getLong(2) === 1L)
   }
 
   test("source-scoped jaccard join only pairs within a source") {

@@ -150,6 +150,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got(8L).sample_rate === 22050 && got(8L).channels === 2)
   }
 
+  test("MP3 detection demands a CONSISTENT second frame when the " +
+    "payload is long enough to hold one") {
+    // V1 Layer III 128 kbps @ 44100: frame length 144000*128/44100 = 417
+    val h44 = Array(0xff, 0xfb, 0x90, 0x40).map(_.toByte)
+    // same but rate index 1 = 48000 (frame length 384)
+    val h48 = Array(0xff, 0xfb, 0x94, 0x40).map(_.toByte)
+    val filler = Array.fill(413)(0x00.toByte)
+    val media = spark.createDataset(Seq(
+      // two consecutive consistent frames → parses
+      Multimodal.MediaRecord(1L, "audio/mpeg",
+        h44 ++ filler ++ h44 ++ filler),
+      // second "frame" has a different sample rate → not an MP3 stream
+      Multimodal.MediaRecord(2L, "audio/mpeg",
+        h44 ++ filler ++ h48 ++ filler),
+      // high-entropy non-MP3 payload (the Ogg/AAC stand-in): a lone
+      // pseudo-sync must no longer fabricate metadata
+      Multimodal.MediaRecord(3L, "audio/ogg", {
+        val r = new scala.util.Random(42)
+        val b = new Array[Byte](8192); r.nextBytes(b); b
+      })))
+    val got = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(got(1L).sample_rate === 44100 && got(1L).channels === 2)
+    assert(got(2L).sample_rate === -1 && got(2L).channels === -1)
+    assert(got(3L).sample_rate === -1 && got(3L).channels === -1)
+  }
+
   test("image resize re-encodes a genuinely scaled image") {
     val media = spark.createDataset(Seq(
       Multimodal.MediaRecord(1L, "image/jpeg", encodedImage(32, 16, "jpg"))))
