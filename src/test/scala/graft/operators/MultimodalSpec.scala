@@ -177,6 +177,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).sample_rate === -1 && got(3L).channels === -1)
   }
 
+  test("MP3 Layer I/II bitrate tables and frame sizes parse") {
+    // V1 Layer I (layer bits 11): idx 4 = 128 kbps @ 32000 (rate idx 2),
+    // stereo; frame = (12000*128/32000 + 0)*4 = 192 bytes
+    val l1 = Array(0xff, 0xff, 0x48, 0x00).map(_.toByte)
+    // V1 Layer II (layer bits 10): idx 8 = 128 kbps @ 44100, mono;
+    // frame = 144000*128/44100 = 417 bytes
+    val l2 = Array(0xff, 0xfd, 0x80, 0xc0).map(_.toByte)
+    val media = spark.createDataset(Seq(
+      // two consistent Layer I frames back-to-back
+      Multimodal.MediaRecord(1L, "audio/mpeg",
+        l1 ++ Array.fill(188)(0x00.toByte) ++ l1 ++ Array.fill(188)(0x00.toByte)),
+      // two consistent Layer II frames
+      Multimodal.MediaRecord(2L, "audio/mpeg",
+        l2 ++ Array.fill(413)(0x00.toByte) ++ l2 ++ Array.fill(413)(0x00.toByte))))
+    val got = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(got(1L).sample_rate === 32000 && got(1L).channels === 2)
+    assert(got(2L).sample_rate === 44100 && got(2L).channels === 1)
+  }
+
   test("image resize re-encodes a genuinely scaled image") {
     val media = spark.createDataset(Seq(
       Multimodal.MediaRecord(1L, "image/jpeg", encodedImage(32, 16, "jpg"))))
