@@ -16,9 +16,11 @@ object Bench {
     // clear any prior spread up front: if this run dies mid-bench, a
     // stale file must not impersonate it in a later compare_probe
     val spreadPath = sys.env.getOrElse("GRAFT_BENCH_SPREAD", "bench_spread.json")
-    try java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(spreadPath))
-    catch { case _: Throwable => () }
+    def deleteSpreadQuietly(): Unit =
+      try java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(spreadPath))
+      catch { case _: Throwable => () }
+    deleteSpreadQuietly()
     val spark = GraftSession.local("graft-bench")
     // Untimed warmup: JIT/codegen paths and parquet footers, so the
     // first measured query doesn't absorb session startup.
@@ -68,12 +70,9 @@ object Bench {
       java.nio.file.Paths.get(spreadPath), spreadJson)
     catch { case e: Throwable =>
       System.err.println(s"[bench] spread write failed: ${e.getMessage}")
-      // a stale spread from a PRIOR run must not impersonate this one
-      // in a later compare_probe — same stale-artifact rule as
-      // Verify.main's pre-delete
-      try java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(spreadPath))
-      catch { case _: Throwable => () }
+      // a partial write must not survive either — same stale-artifact
+      // rule as the up-front delete
+      deleteSpreadQuietly()
     }
     // One SHORT noise line ahead of the main line (both must fit the
     // 2000-char tail): queries whose med/min > 2 are contamination

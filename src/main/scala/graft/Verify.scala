@@ -41,9 +41,10 @@ object Verify {
     * driver will compare), not a re-run — a divergence introduced by
     * the dump write itself would be caught too. Queries whose dump is
     * absent (threw during the dump loop) are skipped: they are already
-    * failing. Pure measurement — deletion of failing dumps is the
-    * caller's move, so q68's floor can read q65's recall even when q65
-    * itself is below floor. */
+    * failing. Deletion of BELOW-FLOOR dumps is the caller's move, so
+    * q68's floor can read q65's recall even when q65 itself is below
+    * floor; the one deletion here is q68's own dump when its dynamic
+    * floor could not be resolved (unverifiable ≠ pass). */
   def annRecallGate(spark: SparkSession, sfDir: String, outDir: String,
       names: Iterable[String]): Map[String, AnnGate] = {
     val selected = names.toSet
@@ -54,41 +55,55 @@ object Verify {
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(operators.Similarity.q35KnnBrute(spark, sfDir))
-    def recallOfDump(name: String): Option[Double] = {
-      val dir = new java.io.File(s"$outDir/$name")
-      if (!dir.exists()) None
-      // unreadable dump (the query threw mid-write and left an empty
-      // dir): the query is already failing downstream as a broken dump
-      // — skip its recall measurement rather than aborting the whole
-      // verify artifact for every other query
-      else try Some(
-        (exact intersect pairs(spark.read.parquet(dir.toString)))
-          .size.toDouble / exact.size)
-      catch { case e: Throwable =>
-        System.err.println(
-          s"[verify] $name dump unreadable, recall skipped: ${e.getMessage}")
-        None
-      }
+    val memo = scala.collection.mutable.Map.empty[String, Option[Double]]
+    def recallOfDump(name: String): Option[Double] =
+      memo.getOrElseUpdate(name, {
+        val dir = new java.io.File(s"$outDir/$name")
+        if (!dir.exists()) None
+        // unreadable dump (the query threw mid-write and left an empty
+        // dir): the query is already failing downstream as a broken
+        // dump — skip its recall measurement rather than aborting the
+        // whole verify artifact for every other query
+        else try Some(
+          (exact intersect pairs(spark.read.parquet(dir.toString)))
+            .size.toDouble / exact.size)
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[verify] $name dump unreadable, recall skipped: ${e.getMessage}")
+          None
+        }
+      })
+    val staticEntries = gated.filter(annFloors.contains).sorted.flatMap {
+      name => recallOfDump(name).map(r => name -> AnnGate(r, annFloors(name)))
     }
     // q68's floor: q65's recall from THIS run's dump when q65 was part
     // of this run, else measured live — a targeted q68 re-gate must
     // never read a stale q65 parquet from a prior run/build (the
-    // pre-delete in main only clears SELECTED names)
-    lazy val q65Recall: Double = {
-      val fromThisRun =
-        if (selected.contains("q65_knn_ivfpq")) recallOfDump("q65_knn_ivfpq")
-        else None
-      fromThisRun.getOrElse(
-        (exact intersect
-          pairs(operators.Similarity.q65KnnIvfPq(spark, sfDir)))
-          .size.toDouble / exact.size)
-    }
-    gated.sorted.flatMap { name =>
-      recallOfDump(name).map { r =>
-        name -> AnnGate(r,
-          if (name == annResidual) q65Recall else annFloors(name))
+    // pre-delete in main only clears SELECTED names). The floor
+    // resolution is isolated so a broken q65 live run costs only q68's
+    // verdict (dump deleted: unverifiable ≠ pass), never the four
+    // static-floor measurements already in hand.
+    val residualEntry =
+      if (!gated.contains(annResidual)) None
+      else recallOfDump(annResidual).flatMap { r =>
+        try {
+          val floor = (if (selected.contains("q65_knn_ivfpq"))
+            recallOfDump("q65_knn_ivfpq") else None).getOrElse(
+            (exact intersect
+              pairs(operators.Similarity.q65KnnIvfPq(spark, sfDir)))
+              .size.toDouble / exact.size)
+          Some(annResidual -> AnnGate(r, floor))
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[verify] $annResidual floor (live q65) failed: " +
+              s"${e.getMessage}; deleting its dump — unverifiable " +
+              "recall is not a pass")
+          org.apache.hadoop.fs.FileUtil
+            .fullyDelete(new java.io.File(s"$outDir/$annResidual"))
+          None
+        }
       }
-    }.toMap
+    (staticEntries ++ residualEntry).toMap
   }
 
   /** Measures the gate, DELETES every below-floor dump (the driver's
@@ -103,6 +118,13 @@ object Verify {
     // comma-decimal-locale JVM too
     def f4(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    // stale-artifact rule (same as the dump pre-delete and Bench's
+    // spread): when this run is responsible for gated queries, a prior
+    // run's ann_recall.json must not survive a failed or empty gate to
+    // impersonate this run's measurements
+    if (names.exists(n => annFloors.contains(n) || n == annResidual))
+      try Files.deleteIfExists(Paths.get(s"$outDir/ann_recall.json"))
+      catch { case _: Throwable => () }
     val gates =
       try annRecallGate(spark, sfDir, outDir, names)
       catch { case e: Throwable =>

@@ -97,6 +97,14 @@ object JdbcOps {
       //     caller to destructive DROP+CREATE. The catalog enumeration
       //     cost is paid only when the table genuinely looks absent —
       //     exactly when getting the answer right matters most.
+      //     Known, deliberate cost of the catalog-wide rung: on a
+      //     driver whose rows carry NEITHER TABLE_SCHEM nor TABLE_CAT,
+      //     schemaMatches resolves the ambiguity toward "exists", so a
+      //     same-named table in an unrelated namespace can read as
+      //     present — a false "exists" that fails LOUDLY downstream
+      //     (MERGE to a missing table) and is retryable, versus the
+      //     false "missing" whose DROP+CREATE destroys data. Direction
+      //     chosen by failure mode, as the scaladoc above states.
       // The scans' case-insensitive re-verification keeps every rung
       // exact.
       scan(md.getTables(null, pat(s), pat(t), null)) ||
