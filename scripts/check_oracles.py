@@ -69,6 +69,25 @@ def main():
             sys.exit(f"--only names not in oracle_sql.json: {missing}")
         oracles = {k: v for k, v in oracles.items() if k in only}
     n_pass = n_fail = 0
+    # Surface the ANN recall gate in this local stand-in too: the gate
+    # lives in Verify (below-floor dumps are deleted so the DRIVER's
+    # rows-check fails), but this script iterates only oracled queries,
+    # so without this a recall failure would be invisible to its exit
+    # code. ann_recall.json carries every measured value.
+    import os
+    recall_path = f"{out_dir}/ann_recall.json"
+    if os.path.exists(recall_path):
+        for name, g in sorted(json.load(open(recall_path)).items()):
+            if only is not None and name not in only:
+                continue
+            if g["pass"]:
+                print(f"PASS {name} (recall {g['recall']:.2f} >= "
+                      f"floor {g['floor']:.2f})")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: recall {g['recall']:.2f} below "
+                      f"floor {g['floor']:.2f} (dump deleted by Verify)")
+                n_fail += 1
     for name, sql in sorted(oracles.items()):
         try:
             got = con.execute(
