@@ -92,6 +92,27 @@ class VerifyGateSpec extends SparkSpec {
       "floor must be q65's LIVE recall, not the stale dump's 1.0")
   }
 
+  test("ann gate: machinery failure deletes gated dumps and leaves no " +
+    "stale recall artifact") {
+    val outDir = Files.createTempDirectory("graft_anngate_crash").toString
+    val exact = graft.operators.Similarity.q35KnnBrute(spark, sfDir)
+    dump(exact, outDir, "q36_knn_lsh")
+    // a "prior run's" artifact that must not survive a failed gate
+    Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/ann_recall.json"),
+      """{"stale": true}""")
+    // an sfDir with no embeddings table: the exact top-k (the gate's
+    // own machinery) throws before any measurement exists
+    val bogusSf = Files.createTempDirectory("graft_no_tables").toString
+    val gates = Verify.enforceAnnGate(spark, bogusSf, outDir,
+      Seq("q36_knn_lsh"))
+    assert(gates.isEmpty)
+    // unverifiable recall is not a pass: the gated dump is gone and the
+    // stale artifact did not outlive the failure
+    assert(!new java.io.File(s"$outDir/q36_knn_lsh").exists())
+    assert(!new java.io.File(s"$outDir/ann_recall.json").exists())
+  }
+
   test("ann gate: non-ANN selections measure nothing") {
     val outDir = Files.createTempDirectory("graft_anngate_none").toString
     assert(Verify.enforceAnnGate(spark, sfDir, outDir,
