@@ -238,11 +238,29 @@ object Similarity {
     * deployment knows its N. */
   def nlistFor(n: Long): Int =
     math.max(nlist, math.round(0.7 * math.sqrt(n.toDouble)).toInt)
-  def nprobeFor(nl: Int): Int = math.min(nl, math.max(nprobe,
-    sys.props.get("graft.ann.nprobe").map(_.toInt).getOrElse(
-      math.round(nprobe * math.pow(nl.toDouble / nlist, 1.45)).toInt)))
+  def nprobeFor(nl: Int): Int =
+    sys.props.get("graft.ann.nprobe") match {
+      case Some(s) =>
+        // the override must WIN (including downward — clustered real
+        // data is exactly the case that wants fewer probes than the
+        // fitted curve), clamped only to the valid [1, nl] range; a
+        // malformed value fails fast naming the property, not with a
+        // bare NumberFormatException deep inside a query build
+        val v = try s.toInt catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"-Dgraft.ann.nprobe must be an integer, got: '$s'")
+        }
+        math.min(nl, math.max(1, v))
+      case None => math.min(nl, math.max(nprobe,
+        math.round(nprobe * math.pow(nl.toDouble / nlist, 1.45)).toInt))
+    }
   def shortlistFor(n: Long): Int =
-    math.max(pqShortlist, (n / 5).toInt)
+    // Long division BEFORE the Int cast, clamped: at ~4e11 vectors
+    // (the 100 TB regime) n/5 exceeds Int.MaxValue and a bare .toInt
+    // would wrap negative — silently reverting to the fixed 100-wide
+    // shortlist, the exact silent-recall-decay this function exists
+    // to prevent
+    math.max(pqShortlist.toLong, math.min(Int.MaxValue.toLong, n / 5)).toInt
 
   /** Lloyd's algorithm runs in EUCLIDEAN space over the unit vectors
     * û = v/‖v‖, so the nearest-cell rule is
@@ -262,7 +280,8 @@ object Similarity {
     var cents = withHalfNormSq(e
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h")).limit(nl)
-      // seeds are the only place an element-wise HOF runs: nlist rows
+      // seeds are the only place an element-wise HOF runs: nl rows
+      // (nlistFor(N) — 16 at the fixture, ∝ √N beyond)
       .select(col("vec_id").as("cell"),
         transform(col("v"), x => x / col("nrm")).as("cv")))
     cents = graft.Materialize(cents)
@@ -291,7 +310,8 @@ object Similarity {
 
   /** Coarse-quantizer cell ranks per vector: (vec_id, nrm, cell, cd,
     * cr) — one row per (vector, cell). cr = 1 is the home cell
-    * (indexing side); cr ≤ [[nprobe]] the probe cells of a query. One
+    * (indexing side); cr ≤ [[nprobeFor]](nl) the probe cells of a
+    * query (5 at the fixture, growing with the cell count). One
     * broadcast of the BOUNDED nlist-row centroid table (the standard
     * dim-table shape) + one vec-partitioned window. Shared by
     * [[q41KnnIvf]], [[q65KnnIvfPq]] and [[q68KnnIvfPqRes]], so every
@@ -588,7 +608,7 @@ object Similarity {
     * joins): the coarse k-means quantizer of [[q41KnnIvf]] partitions
     * the corpus into cells, every vector's PQ codes ([[q61KnnPq]])
     * carry their home cell, and a query ADC-scans ONLY the codes of
-    * its [[nprobe]] probed cells — sub-linear in the corpus AND
+    * its [[nprobeFor]](nl) probed cells — sub-linear in the corpus AND
     * compressed 32×, where q41 re-ranks probed cells from full vectors
     * and q61 scans every vector's codes.
     *

@@ -20,6 +20,40 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got - 1.0 / math.sqrt(2)) < 1e-12)
   }
 
+  test("scale-aware dials: fixture identity, fitted points, override, " +
+    "overflow guard") {
+    // the 500-vector calibration corpus must map to the legacy
+    // constants EXACTLY — every pre-round-9 recall number depends on it
+    assert(Similarity.nlistFor(500) === 16)
+    assert(Similarity.nprobeFor(16) === 5)
+    assert(Similarity.shortlistFor(500) === 100)
+    // the two measured sf0.1 calibration points the 1.45 exponent was
+    // fitted through (2000 vectors → 31 cells, 13 probes, 400-wide
+    // shortlist)
+    assert(Similarity.nlistFor(2000) === 31)
+    assert(Similarity.nprobeFor(31) === 13)
+    assert(Similarity.shortlistFor(2000) === 400)
+    // nprobe never exceeds the cell count
+    assert(Similarity.nprobeFor(4) === 4)
+    // the deployment override WINS, including downward (clustered real
+    // data wants fewer probes), clamped to [1, nl]; malformed values
+    // fail fast naming the property
+    val key = "graft.ann.nprobe"
+    try {
+      System.setProperty(key, "3")
+      assert(Similarity.nprobeFor(31) === 3)
+      System.setProperty(key, "999")
+      assert(Similarity.nprobeFor(31) === 31)
+      System.setProperty(key, "auto")
+      val e = intercept[IllegalArgumentException](Similarity.nprobeFor(31))
+      assert(e.getMessage.contains(key))
+    } finally System.clearProperty(key)
+    // Long-safe shortlist: at 100 TB-regime counts n/5 overflows Int —
+    // must clamp to Int.MaxValue, never wrap back to the fixed 100
+    assert(Similarity.shortlistFor(400L * 1000 * 1000 * 1000)
+      === Int.MaxValue)
+  }
+
   test("brute-force knn returns k ranked neighbors per query") {
     val knn = Similarity.q35KnnBrute(spark, sfDir).collect()
     val byQuery = knn.groupBy(_.getLong(0))
