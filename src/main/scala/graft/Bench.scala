@@ -81,7 +81,8 @@ object Bench {
       case (k, (med, mn, _)) if mn > 0 && med / mn > 2.0 => (k, med / mn)
     }.toSeq.sortBy(-_._2)
     val worst = contaminated.headOption
-      .map { case (k, r) => s""","worst":"$k:${f3(r)}x"""" }.getOrElse("")
+      .map { case (k, r) => s""","worst":${Json.str(s"$k:${f3(r)}x")}""" }
+      .getOrElse("")
     println(s"""{"noise":{"contaminated":${contaminated.size}$worst,"spread":${Json.str(spreadPath)}}}""")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")

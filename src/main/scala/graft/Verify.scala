@@ -22,9 +22,10 @@ object Verify {
     * measured characteristics (LSH 16×4 multiprobe ≥0.9; IVF nprobe
     * 5/16 ≥0.7; PQ shortlist ≥0.7; IVF×PQ compounds both ≥0.55).
     * q68 (residual IVF×PQ) is gated separately: its floor is q65's
-    * MEASURED recall — the residual encoding strictly refines plain
-    * IVF×PQ's quantization, so falling below it means the residual
-    * path is broken even if some static floor still passes. */
+    * MEASURED recall (lower-bounded by q65's static floor) — the
+    * residual encoding strictly refines plain IVF×PQ's quantization,
+    * so falling below it means the residual path is broken even if
+    * some static floor still passes. */
   val annFloors: Map[String, Double] = Map(
     "q36_knn_lsh"   -> 0.9,
     "q41_knn_ivf"   -> 0.7,
@@ -87,11 +88,18 @@ object Verify {
       if (!gated.contains(annResidual)) None
       else recallOfDump(annResidual).flatMap { r =>
         try {
-          val floor = (if (selected.contains("q65_knn_ivfpq"))
+          val q65Recall = (if (selected.contains("q65_knn_ivfpq"))
             recallOfDump("q65_knn_ivfpq") else None).getOrElse(
             (exact intersect
               pairs(operators.Similarity.q65KnnIvfPq(spark, sfDir)))
               .size.toDouble / exact.size)
+          // Lower-bound the dynamic floor at q65's STATIC floor: in a
+          // targeted q68-only re-gate the live q65 measurement alone
+          // sets the bar, so a shared-helper bug degrading BOTH paths
+          // (q65 returns rows, recall ~0) would otherwise hand q68 a
+          // near-zero floor and a trivial pass — the exact silent decay
+          // this gate exists to catch.
+          val floor = math.max(q65Recall, annFloors("q65_knn_ivfpq"))
           Some(annResidual -> AnnGate(r, floor))
         } catch { case e: Throwable =>
           System.err.println(
@@ -198,8 +206,16 @@ object Verify {
     // DuckDB read is trivial. It is NOT the production write path:
     // ParquetSink writes partitioned output; collapsing a real result
     // to one task would serialize the whole write at cluster scale.
+    val parRaw = sys.env.getOrElse("GRAFT_VERIFY_PARALLEL", "4")
+    // fail fast naming the knob (same pattern as -Dgraft.ann.nprobe):
+    // a malformed value must not surface as a bare NumberFormatException
+    // before any dump runs
     val par = math.max(1,
-      sys.env.getOrElse("GRAFT_VERIFY_PARALLEL", "4").toInt)
+      try parRaw.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"GRAFT_VERIFY_PARALLEL must be an integer, got '$parRaw'")
+      })
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     try {
       val tasks = selected.toSeq.map { case (name, fn) =>

@@ -72,16 +72,18 @@ object TextFunctions {
   }
 
   /** Token count of raw text. NULL text → NULL (matching DuckDB's
-    * len(string_split(NULL)) = NULL, which SUM/AVG then skip) — an
-    * explicit guard because under Spark's default
-    * spark.sql.legacy.sizeOfNull=true, size(split(NULL)) is -1, which
-    * would silently sum into token budgets where the oracle skips the
-    * row. */
+    * len(string_split(NULL)) = NULL, which SUM/AVG then skip). The
+    * explicit guard PINS that semantics independent of session
+    * settings: under this repo's defaults (Spark 4, ANSI on)
+    * size(split(NULL)) is already NULL, but on an ANSI-off deployment
+    * with spark.sql.legacy.sizeOfNull=true it is -1, which would
+    * silently sum into token budgets where the oracle skips the row. */
   def tokenCount(c: Column): Column = when(c.isNotNull, size(tokens(c)))
 
   /** Ratio of tokens belonging to `words`, one double division.
-    * NULL token list → NULL ratio (same sizeOfNull guard as
-    * [[tokenCount]]: unguarded, a NULL list yields -1/-1 = 1.0). */
+    * NULL token list → NULL ratio (same settings-independence guard as
+    * [[tokenCount]]: on an ANSI-off/legacy-sizeOfNull deployment an
+    * unguarded NULL list yields -1/-1 = 1.0). */
   def wordRatio(toks: Column, words: Seq[String]): Column =
     when(toks.isNotNull,
       size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))

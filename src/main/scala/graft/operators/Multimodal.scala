@@ -152,8 +152,10 @@ object Multimodal {
     * fabricate metadata for half of all high-entropy non-MP3 payloads —
     * so a candidate is accepted only when a SECOND header with the same
     * version/layer/sample-rate sits exactly one computed frame length
-    * ahead (the standard detector move), or the payload ends before
-    * that offset (a truncated single-frame file can't be disproved).
+    * ahead (the standard detector move), or — for a truncated
+    * single-frame file — the payload still contains the full computed
+    * frame (a claimed frame running past the payload end is rejected,
+    * closing the short-high-entropy-blob false-accept window).
     * Corrupt/no-sync → None, never a fabricated rate. */
   private[operators] def mp3FrameHeader(p: Array[Byte]): Option[(Int, Int)] = {
     var i = 0
@@ -169,10 +171,20 @@ object Multimodal {
       mp3HeaderAt(p, i) match {
         case Some(h) =>
           val next = i + h.frameLen
-          val confirmable = next + 4 <= p.length
-          val confirmed = !confirmable || mp3HeaderAt(p, next).exists(n =>
-            n.version == h.version && n.layer == h.layer &&
-              n.rateIdx == h.rateIdx)
+          val confirmed =
+            if (next + 4 <= p.length)
+              mp3HeaderAt(p, next).exists(n =>
+                n.version == h.version && n.layer == h.layer &&
+                  n.rateIdx == h.rateIdx)
+            else
+              // Truncated single-frame concession, TIGHTENED: the
+              // payload must at least CONTAIN the full computed frame.
+              // Accepting a lone header whose frame runs past the end
+              // would let a ~300-byte random blob (≈300 offsets at
+              // ~1/5000 pseudo-sync odds, frame lengths up to ~4 KB
+              // that can never be disproved) fabricate metadata ~6% of
+              // the time.
+              next <= p.length
           if (confirmed) return Some((h.rate, h.channels))
         case None => ()
       }

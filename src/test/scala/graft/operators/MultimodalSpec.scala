@@ -105,15 +105,21 @@ class MultimodalSpec extends SparkSpec {
     b
   }
 
-  /** A real MPEG audio frame header (ISO 11172-3 §2.4.1.3), optionally
-    * behind an ID3v2 tag with a syncsafe length. */
-  private def encodedMp3(header: Array[Int], id3Junk: Int = 0): Array[Byte] = {
+  /** A real MPEG audio stream (ISO 11172-3 §2.4.1.3): TWO consecutive
+    * frames of the given computed frame length — the detector demands
+    * a consistent second frame (or a fully-contained lone frame), so a
+    * realistic fixture carries both. Optionally behind an ID3v2 tag
+    * with a syncsafe length. */
+  private def encodedMp3(header: Array[Int], frameLen: Int,
+      id3Junk: Int = 0): Array[Byte] = {
     val id3 =
       if (id3Junk == 0) Array.empty[Byte]
       else Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0,
         ((id3Junk >> 7) & 0x7f).toByte, (id3Junk & 0x7f).toByte) ++
         Array.fill(id3Junk)(0x55.toByte)
-    id3 ++ header.map(_.toByte) ++ Array.fill(16)(0.toByte)
+    val frame = header.map(_.toByte) ++
+      Array.fill(frameLen - header.length)(0.toByte)
+    id3 ++ frame ++ frame
   }
 
   test("MP3/FLAC header metadata parses from the real bitstream layouts") {
@@ -121,15 +127,18 @@ class MultimodalSpec extends SparkSpec {
       // FLAC 44100 Hz stereo / 96000 Hz mono
       Multimodal.MediaRecord(1L, "audio/flac", encodedFlac(44100, 2)),
       Multimodal.MediaRecord(2L, "audio/flac", encodedFlac(96000, 1)),
-      // MPEG1 Layer III, rate index 0 = 44100, joint stereo
+      // MPEG1 Layer III 128 kbps, rate index 0 = 44100, joint stereo;
+      // frame = 144000*128/44100 = 417 bytes
       Multimodal.MediaRecord(3L, "audio/mpeg",
-        encodedMp3(Array(0xff, 0xfb, 0x90, 0x40))),
-      // same frame behind a 100-byte ID3v2 tag
+        encodedMp3(Array(0xff, 0xfb, 0x90, 0x40), frameLen = 417)),
+      // same stream behind a 100-byte ID3v2 tag
       Multimodal.MediaRecord(4L, "audio/mpeg",
-        encodedMp3(Array(0xff, 0xfb, 0x90, 0x40), id3Junk = 100)),
-      // MPEG2.5 Layer III, rate index 2 = 32000/4 = 8000, mono
+        encodedMp3(Array(0xff, 0xfb, 0x90, 0x40), frameLen = 417,
+          id3Junk = 100)),
+      // MPEG2.5 Layer III 16 kbps, rate index 2 = 32000/4 = 8000,
+      // mono; frame = 72000*16/8000 = 144 bytes
       Multimodal.MediaRecord(5L, "audio/mpeg",
-        encodedMp3(Array(0xff, 0xe3, 0x28, 0xc0))),
+        encodedMp3(Array(0xff, 0xe3, 0x28, 0xc0), frameLen = 144)),
       // corrupt: FLAC magic but truncated before STREAMINFO ends
       Multimodal.MediaRecord(6L, "audio/flac",
         encodedFlac(44100, 2).take(20)),
@@ -169,12 +178,43 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRecord(3L, "audio/ogg", {
         val r = new scala.util.Random(42)
         val b = new Array[Byte](8192); r.nextBytes(b); b
-      })))
+      }),
+      // SHORT high-entropy blobs: before the tightening, any
+      // pseudo-sync whose computed frame ran past the payload end was
+      // unconditionally accepted (~6% fabricated metadata on ~300-byte
+      // random blobs). Now the lone-header path demands the payload
+      // CONTAIN the full frame, so these must all reject. 20 seeds
+      // cover the window deterministically.
+      Multimodal.MediaRecord(4L, "audio/mpeg", {
+        val r = new scala.util.Random(7)
+        val b = new Array[Byte](300); r.nextBytes(b); b
+      }),
+      // truncated single-frame file whose payload ends EXACTLY at the
+      // computed frame boundary (417 bytes for V1 L3 128k @ 44100):
+      // the legitimate truncation concession — still accepted
+      Multimodal.MediaRecord(5L, "audio/mpeg",
+        h44 ++ Array.fill(413)(0x00.toByte)),
+      // one byte SHORT of the full frame → frame cannot be contained,
+      // lone header rejected
+      Multimodal.MediaRecord(6L, "audio/mpeg",
+        h44 ++ Array.fill(412)(0x00.toByte))))
     val got = Multimodal.decodeFeatures(media).collect()
       .map(f => f.media_id -> f).toMap
     assert(got(1L).sample_rate === 44100 && got(1L).channels === 2)
     assert(got(2L).sample_rate === -1 && got(2L).channels === -1)
     assert(got(3L).sample_rate === -1 && got(3L).channels === -1)
+    assert(got(4L).sample_rate === -1 && got(4L).channels === -1)
+    assert(got(5L).sample_rate === 44100 && got(5L).channels === 2)
+    assert(got(6L).sample_rate === -1 && got(6L).channels === -1)
+    // sweep 20 short random payloads through the parser directly —
+    // the false-accept window is now only frames ending in the last
+    // 4 bytes of the payload, which random bytes should never hit
+    for (seed <- 0 until 20) {
+      val r = new scala.util.Random(seed)
+      val b = new Array[Byte](300); r.nextBytes(b)
+      assert(Multimodal.mp3FrameHeader(b).isEmpty,
+        s"seed $seed fabricated MP3 metadata from a 300-byte random blob")
+    }
   }
 
   test("MP3 Layer I/II bitrate tables and frame sizes parse") {
