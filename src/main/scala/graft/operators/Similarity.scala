@@ -36,7 +36,7 @@ object Similarity {
   val knnQueries = 10 // vec_id < 10 are the query batch
   val k = 5
 
-  private def emb(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def emb(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "embeddings")
 
   import graft.functions.VectorFunctions.dotD
@@ -45,7 +45,7 @@ object Similarity {
     * before any pairwise join — the pair-level work drops to a single
     * codegen'd dot product + one division. Bit-identical to computing
     * the norm per pair (same expression over the same data). */
-  private def prepped(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def prepped(spark: SparkSession, sfDir: String): DataFrame = {
     val v = col("embedding").cast("array<double>")
     emb(spark, sfDir).select(col("vec_id"), v.as("v"),
       sqrt(dotD(v, v)).as("nrm"))
@@ -316,7 +316,7 @@ object Similarity {
     * dim-table shape) + one vec-partitioned window. Shared by
     * [[q41KnnIvf]], [[q65KnnIvfPq]] and [[q68KnnIvfPqRes]], so every
     * IVF consumer ranks cells under the same rule. */
-  private def cellRanks(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def cellRanks(e: DataFrame, cents: DataFrame): DataFrame = {
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("cd").desc, col("cell"))
     e.crossJoin(broadcast(cents))
@@ -443,7 +443,7 @@ object Similarity {
   /** (vec_id, nrm, sub, sv): each vector of `e` = (vec_id, v, nrm) split
     * into its [[pqSubspaces]] contiguous subvectors. `slice` is a
     * codegen'd array copy — no per-element HOF in the N-row path. */
-  private def subVectors(e: DataFrame): DataFrame =
+  private[operators] def subVectors(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("nrm"),
       posexplode(array((0 until pqSubspaces).map(s =>
         slice(col("v"), s * pqSubDim + 1, pqSubDim)): _*)))
@@ -473,7 +473,7 @@ object Similarity {
     * dot(x,c) − ‖c‖²/2, ties to the smallest code): the Lloyd update
     * and the final encoding both route through here, so they cannot
     * drift apart. */
-  private def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame = {
     val wSub = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("cd").desc, col("code"))
     // passthrough of ALL input columns (q68's residual table carries
@@ -655,7 +655,7 @@ object Similarity {
     * sort-by-position struct pattern the Lloyd updates use. One
     * N×[[dim]]-row pass at INDEX BUILD time only; queries never touch
     * this path. */
-  private def residualSubVectors(e: DataFrame, home: DataFrame,
+  private[operators] def residualSubVectors(e: DataFrame, home: DataFrame,
       cents: DataFrame): DataFrame = {
     val cvPos = cents.select(col("cell"), posexplode(col("cv")))
       .toDF("cell", "pos", "cm")

@@ -61,7 +61,7 @@ object ParquetSink {
     * missing table. NOT atomic for concurrent readers (HDFS-like
     * stores have no multi-op transactions); the unreadable window is
     * two renames, versus delete-then-rewrite's full write duration. */
-  private[sources] def swapInto(fs: FileSystem, shadow: Path, path: Path): Unit = {
+  private[graft] def swapInto(fs: FileSystem, shadow: Path, path: Path): Unit = {
     val old = new Path(path.toString + "__old")
     if (fs.exists(old)) fs.delete(old, true)
     fs.rename(path, old)
