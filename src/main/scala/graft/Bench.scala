@@ -29,6 +29,24 @@ object Bench {
       try graft.sources.Tables.load(spark, sfDir, t).limit(1).collect()
       catch { case _: Throwable => () }
     }
+    // Persisted-index lifecycle, reported SEPARATELY: delete the
+    // stable index dir and rebuild it COLD, once, before the timing
+    // loop — the q69/q70 medians below are then pure query-side
+    // latency (the amortized build-once/serve-many shape), and the
+    // one-time build cost is its own number instead of silently
+    // inflating run 1 of 3. A stale index from a prior bench/verify
+    // run never serves here (the delete forces the rebuild).
+    val indexBuildSec: Option[Double] =
+      if (!SparkEntry.queries.contains("q69_knn_ivfpq_idx")) None
+      else try {
+        val (fs, p) = Scratch.fs(spark,
+          operators.IndexStore.dirFor(spark, sfDir))
+        if (fs.exists(p)) fs.delete(p, true)
+        Some(operators.IndexStore.ensure(spark, sfDir).buildSec)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] index build failed: ${e.getMessage}")
+        Some(-1.0) // q69/q70 will surface their own errors below
+      }
     var errors = Map.empty[String, String]
     val spreads = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runsPerQuery).flatMap { _ =>
@@ -64,8 +82,10 @@ object Bench {
     val spreadQs = spreads.map { case (k, (med, mn, mx)) =>
       s"${Json.str(k)}:{\"med\":${f3(med)},\"min\":${f3(mn)},\"max\":${f3(mx)}}"
     }.mkString("{", ",", "}")
+    val idxField = indexBuildSec
+      .map(s => s""","index_build_sec":${f3(s)}""").getOrElse("")
     val spreadJson =
-      s"""{"queries":$spreadQs,"n":$runsPerQuery,"sf":${Json.str(sfDir)}}"""
+      s"""{"queries":$spreadQs,"n":$runsPerQuery$idxField,"sf":${Json.str(sfDir)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(spreadPath), spreadJson)
     catch { case e: Throwable =>
@@ -83,7 +103,7 @@ object Bench {
     val worst = contaminated.headOption
       .map { case (k, r) => s""","worst":${Json.str(s"$k:${f3(r)}x")}""" }
       .getOrElse("")
-    println(s"""{"noise":{"contaminated":${contaminated.size}$worst,"spread":${Json.str(spreadPath)}}}""")
+    println(s"""{"noise":{"contaminated":${contaminated.size}$worst$idxField,"spread":${Json.str(spreadPath)}}}""")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors

@@ -89,6 +89,8 @@ object SparkEntry {
     "q66_domain_mix"       -> (TextAnalysis.q66DomainMix _),
     "q67_pack_sequences"   -> (TextAnalysis.q67PackSequences _),
     "q68_knn_ivfpq_res"    -> (Similarity.q68KnnIvfPqRes _),
+    "q69_knn_ivfpq_idx"    -> (graft.operators.IndexStore.q69KnnIvfPqIdx _),
+    "q70_knn_ivfpq_res_idx" -> (graft.operators.IndexStore.q70KnnIvfPqResIdx _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -30,7 +30,14 @@ object Verify {
     "q36_knn_lsh"   -> 0.9,
     "q41_knn_ivf"   -> 0.7,
     "q61_knn_pq"    -> 0.7,
-    "q65_knn_ivfpq" -> 0.55)
+    "q65_knn_ivfpq" -> 0.55,
+    // persisted-index twins: bit-identical to q65/q68 by construction
+    // (IndexStoreSpec pins the equality), so they inherit the IVF×PQ
+    // static floor — a below-floor reading here means the PERSISTED
+    // artifacts (not the algorithm) are broken, e.g. a stale or torn
+    // index dir serving wrong centroids
+    "q69_knn_ivfpq_idx"     -> 0.55,
+    "q70_knn_ivfpq_res_idx" -> 0.55)
   val annResidual = "q68_knn_ivfpq_res"
 
   final case class AnnGate(recall: Double, floor: Double) {

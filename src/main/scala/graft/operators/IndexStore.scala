@@ -1,0 +1,397 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** One row of `<indexDir>/meta` — corpus identity + the dial values
+  * the persisted artifacts were built under (see
+  * [[IndexStore.ensure]]'s freshness contract). Top-level, not nested
+  * in the object: nested-in-object case classes break the codegen'd
+  * product encoder (Janino cannot resolve the accessor). */
+private[operators] final case class AnnIndexMeta(version: Int, n: Long,
+  fp: Long, nl: Int, res_norm: Double, appended_n: Long, subspaces: Int,
+  pq_codes: Int, lloyd_iters: Int, pq_lloyd_iters: Int)
+
+/** Persisted build-once / query-many ANN index (the FAISS
+  * train/add/search lifecycle, re-expressed as parquet tables + joins).
+  *
+  * [[Similarity.q65KnnIvfPq]] and [[Similarity.q68KnnIvfPqRes]] are
+  * correct but train their coarse quantizer and PQ codebooks inside
+  * every query — ~80% of their wall-clock is index BUILD that a real
+  * deployment pays once and amortizes over every query thereafter.
+  * This store is that seam:
+  *
+  *  - [[build]] trains the IVF×PQ artifacts exactly once — the SAME
+  *    pipeline q65/q68 run in-query ([[Similarity.kmeansCentroids]],
+  *    [[Similarity.pqCodebook]], [[Similarity.pqAssign]],
+  *    [[Similarity.residualSubVectors]] — one definition, so the
+  *    persisted index can never drift from the in-query one) — and
+  *    writes them as parquet tables:
+  *      `centroids`  (cell, cv, cn)            — nlistFor(N) rows
+  *      `codebook`   (sub, code, cv, cn)       — 8×16 rows (raw PQ)
+  *      `codes`      (vec_id, nrm, sub, code)  — 8 rows/vector,
+  *                   partitioned BY CELL on disk
+  *      `rcodebook`  (sub, code, cv, cn)       — residual PQ
+  *      `rcodes`     (vec_id, sub, code)       — partitioned by cell
+  *      `meta`       one row: corpus fingerprint + the dial values the
+  *                   artifacts were built under
+  *    The codes tables are `partitionBy("cell")`: a query touches only
+  *    its probed cells, so at 100 TB the scan reads the probed
+  *    partitions' files — the on-disk analogue of the probed-cell-only
+  *    join, and dynamic partition pruning keeps it true in-plan.
+  *  - [[q69KnnIvfPqIdx]] / [[q70KnnIvfPqResIdx]] answer from the
+  *    PERSISTED tables only — no Lloyd rounds, no N-row training scan;
+  *    the corpus is touched just for the bounded query batch and the
+  *    shortlist re-rank. Both are BIT-IDENTICAL to their in-query
+  *    twins (q65/q68): the artifacts are the same doubles (parquet
+  *    round-trips IEEE754 exactly) and the query side is the same
+  *    expressions — IndexStoreSpec pins equality row for row.
+  *  - [[appendBatch]] is the incremental-maintenance path: NEW vectors
+  *    are assigned to the EXISTING cells/codebooks (one
+  *    [[Similarity.cellRanks]] + two [[Similarity.pqAssign]] passes
+  *    over the batch — cost ∝ batch, no retrain) and appended to the
+  *    codes tables. Replay-idempotent like the q59 ingest: already
+  *    indexed vec_ids are anti-joined out, so a crashed-and-replayed
+  *    append never double-inserts. The returned STALENESS metric (mean
+  *    residual norm of the batch vs the build-time baseline stored in
+  *    `meta`) is the retrain signal: residual norm is exactly what the
+  *    coarse quantizer failed to express, so a drifting corpus shows
+  *    up as batches whose residuals grow past the baseline (≥ ~1.5×
+  *    says the cells no longer describe the data; rebuild).
+  *
+  * Freshness contract: [[ensure]] validates the persisted index
+  * against the CURRENT corpus (order-independent xor fingerprint over
+  * the indexable rows — one scan, no second count) and against the
+  * CURRENT dial values (nlistFor/pq geometry/Lloyd rounds — a dial
+  * change invalidates the artifacts it shaped), rebuilding on any
+  * mismatch. An algorithm change that keeps all dials equal must bump
+  * [[formatVersion]] — the one manual freshness obligation, called out
+  * here because a stale-but-plausible index is the failure mode this
+  * store must never serve. Fingerprints xor-compose, so an index
+  * maintained by [[appendBatch]] matches `ensure` of the grown corpus
+  * exactly — incremental maintenance and freshness validation agree.
+  *
+  * Crash safety: [[build]] assembles the whole index in a shadow
+  * directory and swaps it live with the same two-rename pattern as
+  * [[graft.sources.ParquetSink.swapInto]] — readers see the old
+  * complete index or the new complete index, never a half-built one.
+  * [[appendBatch]] appends codes first and swaps `meta` last: a crash
+  * between leaves appended rows invisible to the fingerprint, which
+  * the next `ensure` detects as a mismatch and repairs by rebuild,
+  * and the anti-join keeps a replayed append from double-inserting.
+  * Like [[graft.sources.Maintenance]], maintenance runs QUIESCED —
+  * concurrent in-JVM callers serialize on [[ensure]]'s lock.
+  */
+object IndexStore {
+
+  /** Bump when the index ALGORITHM changes in a way the dial columns
+    * of `meta` cannot see (e.g. a different Lloyd update rule). */
+  val formatVersion = 1
+
+  /** Advisory retrain threshold for [[AppendStats.drift]]. */
+  val driftRetrainAt = 1.5
+
+  final case class BuildInfo(dir: String, n: Long, nl: Int,
+    builtNow: Boolean, buildSec: Double)
+
+  /** @param appended rows actually indexed (0 on a pure replay)
+    * @param drift    batch mean residual norm ÷ build baseline — None
+    *                 when nothing fresh was appended. > 1 means the
+    *                 batch sits farther from the trained centroids
+    *                 than the build corpus did; ≥ [[driftRetrainAt]]
+    *                 advises a rebuild. */
+  final case class AppendStats(appended: Long, drift: Option[Double]) {
+    def retrainAdvised: Boolean = drift.exists(_ >= driftRetrainAt)
+  }
+
+  /** Stable on-disk home of the index for one corpus dir (same
+    * engine-managed-storage seam as [[graft.operators.Layout]]). */
+  def dirFor(spark: SparkSession, sfDir: String): String =
+    graft.Scratch.stableDir(spark, "annidx", sfDir)
+
+  // --- corpus identity -------------------------------------------------------
+
+  /** (indexable row count, xor fingerprint) in ONE corpus scan.
+    * Indexable = nrm > 0, the same rows q65/q68 train on and the same
+    * rows [[appendBatch]] appends — zero-norm rows are invisible to
+    * the index and so must be invisible to its fingerprint, or a
+    * replayed append containing one would xor it in twice (= out).
+    * xor, not sum: order-independent, overflow-free under ANSI, and
+    * incrementally maintainable (fp_new = fp_old ⊕ fp_batch). */
+  private def countAndFingerprint(raw: DataFrame): (Long, Long) = {
+    import graft.functions.VectorFunctions.dotD
+    val v = col("embedding").cast("array<double>")
+    val r = raw.select(col("vec_id"), col("embedding"),
+        sqrt(dotD(v, v)).as("nrm"))
+      .filter(col("nrm") > 0)
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id, embedding))"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  // --- meta ------------------------------------------------------------------
+
+  private def readMeta(spark: SparkSession, dir: String)
+      : Option[AnnIndexMeta] = {
+    val (fs, p) = graft.Scratch.fs(spark, s"$dir/meta")
+    if (!fs.exists(p)) None
+    else try {
+      import spark.implicits._
+      Some(spark.read.parquet(s"$dir/meta").as[AnnIndexMeta].head())
+    } catch { case e: Throwable =>
+      System.err.println(s"[annidx] unreadable meta at $dir: " +
+        s"${e.getMessage}; treating index as absent")
+      None
+    }
+  }
+
+  /** Shadow-write + swap of `<dir>/meta`. LocalFileSystem's rename of
+    * a MISSING source throws (its copy fallback), it does not return
+    * false — so the first-ever write renames straight into place and
+    * only a replace goes through [[graft.sources.ParquetSink
+    * .swapInto]]. */
+  private def writeMeta(spark: SparkSession, dir: String,
+      m: AnnIndexMeta): Unit = {
+    import spark.implicits._
+    val shadow = s"$dir/meta__shadow"
+    Seq(m).toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(shadow)
+    val (fs, sp) = graft.Scratch.fs(spark, shadow)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    if (fs.exists(live)) graft.sources.ParquetSink.swapInto(fs, sp, live)
+    else fs.rename(sp, live)
+  }
+
+  /** Does `m` describe an index the CURRENT code + corpus would build?
+    * Any mismatch — corpus content, dial values, format — means the
+    * artifacts are stale and must not be served. */
+  private def current(m: AnnIndexMeta, n: Long, fp: Long): Boolean =
+    m.version == formatVersion && m.n == n && m.fp == fp &&
+      m.nl == Similarity.nlistFor(n) &&
+      m.subspaces == Similarity.pqSubspaces &&
+      m.pq_codes == Similarity.pqCodes &&
+      m.lloyd_iters == Similarity.lloydIters &&
+      m.pq_lloyd_iters == Similarity.pqLloydIters
+
+  // --- build -----------------------------------------------------------------
+
+  /** Mean residual norm over `rsv` (vec_id, …, sub, sv) — the
+    * staleness BASELINE at build time and the batch-side measurement
+    * in [[appendBatch]]. Fixed-point sums (the repo-wide float
+    * aggregation discipline) so the stored baseline is bit-stable at
+    * any parallelism. */
+  private def meanResNorm(rsv: DataFrame): Double = {
+    import graft.functions.VectorFunctions.dotD
+    val perVec = rsv
+      .groupBy(col("vec_id"))
+      .agg((sum(floor(dotD(col("sv"), col("sv")) * 1e12).cast("long"))
+        .cast("double") / 1e12).as("rn2"))
+      .select(sqrt(col("rn2")).as("rn"))
+    val r = perVec.agg(
+      (sum(floor(col("rn") * 1e9).cast("long")).cast("double") / 1e9
+        / count(lit(1))).as("m")).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Train the full IVF×PQ(+residual) index for `sfDir`'s embeddings
+    * into `dir` through a shadow directory + swap. The training calls
+    * are LITERALLY q65/q68's build stages — see the object doc. */
+  def build(spark: SparkSession, sfDir: String, dir: String): BuildInfo = {
+    val t0 = System.nanoTime()
+    val raw = Tables.load(spark, sfDir, "embeddings")
+    val (n, fp) = countAndFingerprint(raw)
+    val nl = Similarity.nlistFor(n)
+    val e = Similarity.prepped(spark, sfDir).filter(col("nrm") > 0)
+
+    val cents = Similarity.kmeansCentroids(e, nl)
+    val ranks = Similarity.cellRanks(e, cents)
+    val home = ranks.filter(col("cr") === 1)
+      .select(col("vec_id"), col("cell"))
+    val sv = Similarity.subVectors(e)
+    val cbook = Similarity.pqCodebook(sv)
+    val codes = Similarity.pqAssign(sv, cbook)
+      .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
+      .join(home, Seq("vec_id"))
+    val rsv = graft.Materialize(
+      Similarity.residualSubVectors(e, home, cents))
+    val rcbook = Similarity.pqCodebook(rsv)
+    val rcodes = Similarity.pqAssign(rsv, rcbook)
+      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
+    val baseline = meanResNorm(rsv)
+
+    val shadow = s"${dir}__shadow"
+    val (fs, sp) = graft.Scratch.fs(spark, shadow)
+    if (fs.exists(sp)) fs.delete(sp, true)
+    cents.coalesce(1).write.parquet(s"$shadow/centroids")
+    cbook.coalesce(1).write.parquet(s"$shadow/codebook")
+    rcbook.coalesce(1).write.parquet(s"$shadow/rcodebook")
+    // one file per cell partition: the probed-cell read path opens
+    // exactly nprobe files per query batch instead of every task's
+    // per-cell slivers
+    codes.repartition(col("cell")).write.partitionBy("cell")
+      .parquet(s"$shadow/codes")
+    rcodes.repartition(col("cell")).write.partitionBy("cell")
+      .parquet(s"$shadow/rcodes")
+    writeMeta(spark, shadow,
+      AnnIndexMeta(formatVersion, n, fp, nl, baseline, 0L,
+        Similarity.pqSubspaces, Similarity.pqCodes,
+        Similarity.lloydIters, Similarity.pqLloydIters))
+    val live = new org.apache.hadoop.fs.Path(dir)
+    // first-ever build: no live dir to swap aside (LocalFileSystem's
+    // rename of a missing source THROWS via its copy fallback), and
+    // rename into a missing parent silently returns false — so make
+    // the parent and rename directly; only a rebuild swaps
+    fs.mkdirs(live.getParent)
+    if (fs.exists(live)) graft.sources.ParquetSink.swapInto(fs, sp, live)
+    else fs.rename(sp, live)
+    BuildInfo(dir, n, nl, builtNow = true,
+      buildSec = (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Serve-ready index dir for `sfDir`: reuse the persisted one when
+    * it is current (see [[current]]), build otherwise. In-JVM callers
+    * serialize here (Verify dumps queries from several threads; two
+    * concurrent builds of the same dir would race the swap).
+    *
+    * Cost note: validation is one 2-column corpus scan (vec_id +
+    * embedding feed the fingerprint) — the price of NEVER serving a
+    * stale index without any session state. q69/q70 pay it per call
+    * because the driver contract gives them nowhere to remember a
+    * validated index; a real deployment calls ensure at session start
+    * and after each ingest batch, then queries against the returned
+    * dir — the scan amortizes exactly like the build does. There is
+    * deliberately no mtime/size shortcut: only the content fingerprint
+    * can see an in-place corpus rewrite. */
+  def ensure(spark: SparkSession, sfDir: String): BuildInfo =
+    synchronized {
+      val dir = dirFor(spark, sfDir)
+      readMeta(spark, dir) match {
+        case Some(m) =>
+          val (n, fp) =
+            countAndFingerprint(Tables.load(spark, sfDir, "embeddings"))
+          if (current(m, n, fp))
+            BuildInfo(dir, m.n, m.nl, builtNow = false, buildSec = 0.0)
+          else build(spark, sfDir, dir)
+        case None => build(spark, sfDir, dir)
+      }
+    }
+
+  // --- incremental maintenance ----------------------------------------------
+
+  /** Index `batch` (vec_id, embedding, …) into the EXISTING artifacts
+    * at `dir`: assign to the trained cells and codebooks (cost ∝
+    * batch) and append — no retrain. See the object doc for the
+    * idempotence, crash and staleness contracts. */
+  def appendBatch(spark: SparkSession, dir: String,
+      batch: DataFrame): AppendStats = synchronized {
+    import graft.functions.VectorFunctions.dotD
+    val m = readMeta(spark, dir).getOrElse(throw new IllegalStateException(
+      s"no index at $dir — build() before appendBatch()"))
+    require(m.version == formatVersion,
+      s"index at $dir is format v${m.version}, code is v$formatVersion")
+    val v = col("embedding").cast("array<double>")
+    val pe0 = batch
+      .select(col("vec_id"), col("embedding"), v.as("v"),
+        sqrt(dotD(v, v)).as("nrm"))
+      .filter(col("nrm") > 0)
+    // replay idempotence: already-indexed ids are not fresh. The codes
+    // table is the membership authority (meta can lag it by one crash
+    // window — see object doc).
+    val existing = spark.read.parquet(s"$dir/codes")
+      .select(col("vec_id")).distinct()
+    val pe = graft.Materialize(
+      pe0.join(existing, Seq("vec_id"), "left_anti"))
+    val fpRow = pe
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id, embedding))"))
+      .head()
+    val freshN = fpRow.getLong(0)
+    if (freshN == 0) return AppendStats(0L, None)
+    val freshFp = fpRow.getLong(1)
+
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val e = pe.select(col("vec_id"), col("v"), col("nrm"))
+    val home = Similarity.cellRanks(e, cents).filter(col("cr") === 1)
+      .select(col("vec_id"), col("cell"))
+    val sv = Similarity.subVectors(e)
+    val codes = Similarity
+      .pqAssign(sv, spark.read.parquet(s"$dir/codebook"))
+      .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
+      .join(home, Seq("vec_id"))
+    val rsv = graft.Materialize(
+      Similarity.residualSubVectors(e, home, cents))
+    val rcodes = Similarity
+      .pqAssign(rsv, spark.read.parquet(s"$dir/rcodebook"))
+      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
+    val batchRes = meanResNorm(rsv)
+
+    codes.repartition(col("cell")).write.partitionBy("cell")
+      .mode(SaveMode.Append).parquet(s"$dir/codes")
+    rcodes.repartition(col("cell")).write.partitionBy("cell")
+      .mode(SaveMode.Append).parquet(s"$dir/rcodes")
+    writeMeta(spark, dir, m.copy(n = m.n + freshN, fp = m.fp ^ freshFp,
+      appended_n = m.appended_n + freshN))
+    AppendStats(freshN,
+      if (m.res_norm > 0) Some(batchRes / m.res_norm) else None)
+  }
+
+  // --- query-only paths ------------------------------------------------------
+
+  /** Query batch (vec_id < knnQueries) as (vec_id, v, nrm) — the only
+    * corpus rows the query paths read outside the final re-rank. */
+  private def queryVecs(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.prepped(spark, sfDir)
+      .filter(col("nrm") > 0 && col("vec_id") < Similarity.knnQueries)
+
+  /** Disk partition columns come back as the inferred partition type;
+    * pin `cell` to its written long so downstream joins/broadcasts see
+    * the build-time schema. */
+  private def readCodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).withColumn("cell", col("cell").cast("long"))
+
+  /** q69: [[Similarity.q65KnnIvfPq]] served from the persisted index —
+    * same artifacts, same query expressions, bit-identical result
+    * (IndexStoreSpec pins it); the in-query Lloyd training is replaced
+    * by three parquet reads, and only the probed cells' code
+    * partitions are scanned. */
+  def q69KnnIvfPqIdx(spark: SparkSession, sfDir: String): DataFrame = {
+    val info = ensure(spark, sfDir)
+    val dir = info.dir
+    val qe = queryVecs(spark, sfDir)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val probes = Similarity.cellRanks(qe, cents)
+      .filter(col("cr") <= Similarity.nprobeFor(info.nl))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val probed = readCodes(spark, s"$dir/codes")
+      .join(broadcast(probes), Seq("cell"))
+    val lut = Similarity.pqLut(Similarity.subVectors(qe),
+      spark.read.parquet(s"$dir/codebook"))
+    val cand = Similarity.adcShortlist(probed, lut,
+      Seq("query_id", "sub", "code"), Similarity.shortlistFor(info.n))
+    Similarity.rerankTopK(Tables.load(spark, sfDir, "embeddings"), cand)
+  }
+
+  /** q70: [[Similarity.q68KnnIvfPqRes]] served from the persisted
+    * index — residual codes + shared residual codebook, exact
+    * per-(query, probed-cell) term recovered from [[Similarity
+    * .cellRanks]] exactly as q68 does, bit-identical result. */
+  def q70KnnIvfPqResIdx(spark: SparkSession, sfDir: String): DataFrame = {
+    val info = ensure(spark, sfDir)
+    val dir = info.dir
+    val qe = queryVecs(spark, sfDir)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val probesCt = Similarity.cellRanks(qe, cents)
+      .filter(col("cr") <= Similarity.nprobeFor(info.nl))
+      .join(broadcast(cents.select(col("cell"), col("cn"))), Seq("cell"))
+      .select(col("vec_id").as("query_id"), col("cell"),
+        (col("cd") + col("cn")).as("ct"))
+    val probed = readCodes(spark, s"$dir/rcodes")
+      .join(broadcast(probesCt), Seq("cell"))
+    val lut = Similarity.pqLut(Similarity.subVectors(qe),
+      spark.read.parquet(s"$dir/rcodebook"))
+    val cand = Similarity.adcShortlist(probed, lut,
+      Seq("query_id", "sub", "code"), Similarity.shortlistFor(info.n),
+      approxScore = max(col("ct")) + Similarity.adcSum)
+    Similarity.rerankTopK(Tables.load(spark, sfDir, "embeddings"), cand)
+  }
+}

@@ -360,7 +360,7 @@ object Similarity {
     * Shared by [[q36KnnLsh]], [[q41KnnIvf]], [[q61KnnPq]],
     * [[q65KnnIvfPq]] and [[q68KnnIvfPqRes]] — every ANN variant
     * surfaces exact cosines through this one rule. */
-  private def rerankTopK(e: DataFrame, cand: DataFrame): DataFrame = {
+  private[operators] def rerankTopK(e: DataFrame, cand: DataFrame): DataFrame = {
     val qv = e.filter(col("vec_id") < knnQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     cand
@@ -514,7 +514,7 @@ object Similarity {
     * partial = dot(q̂_sub, centroid)) — queries × subs × codes rows
     * (1280 here), always broadcast. The query norm divides in HERE so
     * the scan-side sum needs only the corpus norm. */
-  private def pqLut(sv: DataFrame, cents: DataFrame): DataFrame =
+  private[operators] def pqLut(sv: DataFrame, cents: DataFrame): DataFrame =
     sv.filter(col("vec_id") < knnQueries)
       .select(col("vec_id").as("query_id"), col("nrm").as("qnrm"),
         col("sub"), col("sv").as("qsv"))
@@ -548,9 +548,9 @@ object Similarity {
     * of poisoning the score — such a vector competes for the shortlist
     * at a meaningless score, but [[rerankTopK]]'s NaN filter still
     * keeps it out of every final top-k. */
-  private def adcSum: Column =
+  private[operators] def adcSum: Column =
     sum(floor(col("partial") * 1e12).cast("long")).cast("double") / 1e12
-  private def adcShortlist(codes: DataFrame, lut: DataFrame,
+  private[operators] def adcShortlist(codes: DataFrame, lut: DataFrame,
       joinKeys: Seq[String], shortlist: Int,
       approxScore: Column = adcSum / max(col("nrm"))): DataFrame =
     codes.join(broadcast(lut), joinKeys)
