@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Generate a 4x embeddings corpus for ANN recall CALIBRATION.
+
+make_sfbig.py's embeddings replicas (v + r*0.001) are right for SCALE
+probes but degenerate for RECALL measurement: every query's true top-k
+is its own near-identical replicas at cosine ~= 1, which any index
+finds in the home cell -- recall saturates at 1.0 regardless of the
+nprobe dial (measured: q41/q65/q68 all 1.00 on /tmp/sfbig).
+
+Calibration needs the neighbor structure of the ORIGINAL corpus --
+near-uniform on the 64-sphere, true top-k at cosine ~0.5 -- at 4x the
+count. Each replica applies a cosine-preserving-but-decorrelating
+orthogonal map instead of a perturbation:
+
+    r0: v          r1: reverse(v)      r2: -v         r3: -reverse(v)
+
+Reversal and global negation are permutation/sign maps, so each
+replica is distributed exactly like the base corpus (iid-ish gaussian
+coordinates stay iid-ish), while cross-replica cosines behave like
+independent draws: cos(v, rev v) ~ N(0, 1/64), cos(v, -v) = -1. The
+result: 4N near-uniform vectors with no privileged pairs.
+
+Run:  python3 scripts/make_ann_calib.py [src_sf_dir] [out_dir]
+"""
+import os
+import sys
+
+import duckdb
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf4ann"
+os.makedirs(out, exist_ok=True)
+con = duckdb.connect()
+
+variants = {
+    0: "e.embedding",
+    1: "list_reverse(e.embedding)",
+    2: "list_transform(e.embedding, x -> -x)",
+    3: "list_transform(list_reverse(e.embedding), x -> -x)",
+}
+selects = "\nUNION ALL\n".join(
+    f"""SELECT e.vec_id + {r}*1000000 AS vec_id,
+               {expr}::FLOAT[] AS embedding, e.label
+        FROM '{src}/embeddings.parquet' e"""
+    for r, expr in variants.items())
+con.sql(f"COPY ({selects}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+n = con.sql(f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
+print(f"{out}/embeddings.parquet: {n} vectors "
+      f"({os.path.getsize(os.path.join(out, 'embeddings.parquet')) // 1024} KB)")

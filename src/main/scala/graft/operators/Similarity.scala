@@ -215,19 +215,28 @@ object Similarity {
     *  - [[nlistFor]]: cells ∝ √N (the standard IVF sizing, e.g. the
     *    FAISS guideline) — finer quantization as the corpus grows, so
     *    a probed cell keeps describing a comparable neighborhood;
-    *  - [[nprobeFor]]: probe fraction GROWS with the cell count
-    *    ((nl/16)^1.45 probes, i.e. fraction ∝ (nl/16)^0.45) — measured
-    *    on this corpus, a CONSTANT fraction does not hold cell recall
-    *    (10/31 probes read 0.62 at sf0.1 vs 0.78 at the fixture; 13/31
-    *    restores 0.78, and the exponent is fitted through those two
-    *    points). The growth rate is geometry-dependent: this synthetic
-    *    corpus is near-uniform in 64 dims — the adversarial case for
-    *    IVF, where holding recall means the scan fraction must climb
-    *    toward brute force as N grows. Clustered real embeddings need
-    *    a smaller exponent; `-Dgraft.ann.nprobe=<n>` is the deployment
-    *    override for re-calibrating on real data. The honest contract
-    *    is RECALL HELD CONSTANT with scan cost reported, never scan
-    *    cost held constant while recall silently decays;
+    *  - [[nprobeFor]]: the (nl/16)^1.45 growth curve fitted through
+    *    the two small calibrated sizes, CAPPED at a 0.45 probe
+    *    fraction. Three measured (N, nl, minimal np for recall 0.78)
+    *    points: (500, 16, 5 — fraction 0.31), (2000, 31, 13 — 0.42),
+    *    (8000, 63, 18 — 0.29; measured round 10 on the decorrelated
+    *    4× corpus of scripts/make_ann_calib.py — a constant fraction
+    *    does not hold between the first two sizes, 10/31 probes read
+    *    0.62, but the third size needs LESS than fraction-constant).
+    *    The round-9 two-point exponent alone does not generalize: it
+    *    predicts np=36 at nl=63 (measured recall 0.92 — 2× the scan
+    *    cost of the 0.78 target) and reaches np=nl (brute-force
+    *    probing) at only N ≈ 92k, so the fraction cap is what makes
+    *    the dial scale-viable: at most 0.45·nl cells are ever probed
+    *    (the ceiling upper-bounds all three measured fractions), and
+    *    the curve below the cap keeps both calibrated small sizes
+    *    bit-identical. Geometry note: near-uniform 64-dim corpora are
+    *    IVF's adversarial case; clustered real embeddings typically
+    *    need a far smaller fraction — `-Dgraft.ann.nprobe=<n>` is the
+    *    deployment override for re-calibrating on real data. The
+    *    honest contract is RECALL HELD AT-OR-ABOVE the calibration
+    *    target with scan cost reported, never scan cost held constant
+    *    while recall silently decays;
     *  - [[shortlistFor]]: constant CANDIDATE FRACTION (1/5) — the ADC
     *    scan's shortlist keeps the same odds of containing the true
     *    top-k. This makes the ADC stage honestly linear-in-N at
@@ -251,8 +260,15 @@ object Similarity {
             s"-Dgraft.ann.nprobe must be an integer, got: '$s'")
         }
         math.min(nl, math.max(1, v))
-      case None => math.min(nl, math.max(nprobe,
-        math.round(nprobe * math.pow(nl.toDouble / nlist, 1.45)).toInt))
+      case None =>
+        // growth curve through the two calibrated small sizes, capped
+        // at the measured-safe 0.45 fraction (see the dial doc above);
+        // the pow result rounds through Long so a huge nl cannot
+        // overflow the Int before min takes the (always-valid) cap
+        val curve = math.min(Int.MaxValue.toLong,
+          math.round(nprobe * math.pow(nl.toDouble / nlist, 1.45))).toInt
+        val cap = math.round(0.45 * nl).toInt
+        math.min(nl, math.max(nprobe, math.min(cap, curve)))
     }
   def shortlistFor(n: Long): Int =
     // Long division BEFORE the Int cast, clamped: at ~4e11 vectors

@@ -33,6 +33,17 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.nlistFor(2000) === 31)
     assert(Similarity.nprobeFor(31) === 13)
     assert(Similarity.shortlistFor(2000) === 400)
+    // the round-10 third calibration size (8000 vectors → 63 cells):
+    // the 0.45-fraction cap binds BELOW the raw curve's 36 probes —
+    // the measured minimal np for target recall is 18 (fraction 0.29),
+    // so 28 holds recall (measured 0.88-0.92 band) at under half the
+    // uncapped scan cost; uncapped, the curve would reach brute-force
+    // probing (np = nl) by N ≈ 92k
+    assert(Similarity.nlistFor(8000) === 63)
+    assert(Similarity.nprobeFor(63) === 28)
+    // the cap keeps the probe fraction bounded at ANY scale (the
+    // uncapped curve exceeds nl itself past nl ≈ 212)
+    assert(Similarity.nprobeFor(1000) === 450)
     // nprobe never exceeds the cell count
     assert(Similarity.nprobeFor(4) === 4)
     // the deployment override WINS, including downward (clustered real
