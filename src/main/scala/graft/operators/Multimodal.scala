@@ -15,9 +15,10 @@ import graft.sources.Tables
   * GIF, BMP) needs no external dependency. AUDIO header metadata
   * (sample rate, channel count) is REAL for the container formats the
   * JDK ships parsers for (WAV/AIFF/AU via `javax.sound.sampled`) AND
-  * for MP3/FLAC, parsed directly from their public bitstream layouts
-  * ([[flacStreamInfo]], [[mp3FrameHeader]] — no codec needed for
-  * header fields). Compressed-audio PCM decode and video remain
+  * for MP3/FLAC/OGG-Opus/OGG-Vorbis, parsed directly from their public
+  * bitstream layouts ([[flacStreamInfo]], [[mp3FrameHeader]],
+  * [[oggAudioHeader]] — no codec needed for header fields).
+  * Compressed-audio PCM decode and video remain
   * clearly-marked stubs (the JDK ships no codecs for them); their
   * Spark-side plumbing — schema shape, binary column handling,
   * mapPartitions batching (one decoder init per partition, not per
@@ -65,9 +66,91 @@ object Multimodal {
       Some((fmt.getSampleRate.toInt, fmt.getChannels))
     } catch { case scala.util.control.NonFatal(_) => None })
       .orElse(flacStreamInfo(payload))
+      .orElse(oggAudioHeader(payload))
       .orElse(mp3FrameHeader(payload))
 
   private def u(b: Byte): Int = b & 0xff
+
+  private def le32(p: Array[Byte], i: Int): Int =
+    u(p(i)) | (u(p(i + 1)) << 8) | (u(p(i + 2)) << 16) | (u(p(i + 3)) << 24)
+
+  /** First packet of an OGG stream's first page (RFC 3533 §6): "OggS"
+    * capture pattern, stream_structure_version 0, the BOS
+    * (beginning-of-stream) flag set, then the segment lacing table.
+    * The identification headers both Opus and Vorbis mandate as the
+    * whole first packet are far under one lacing segment, so a first
+    * packet that does not terminate inside this page (no lacing value
+    * < 255) is not an id header — rejected, like every truncation.
+    * Evidence discipline: 4 magic bytes + 2 pinned fields here, plus
+    * the codec's own 7-8 magic bytes inside the packet — a random
+    * payload cannot pseudo-sync (cf. the MP3 two-frame rule, needed
+    * there because an MP3 "magic" is only 11 loose bits). */
+  private[operators] def oggFirstPacket(p: Array[Byte]): Option[Array[Byte]] = {
+    if (p.length < 28) return None
+    if (!(p(0) == 'O' && p(1) == 'g' && p(2) == 'g' && p(3) == 'S')) return None
+    if (u(p(4)) != 0) return None           // stream_structure_version
+    if ((u(p(5)) & 0x02) == 0) return None  // first page must be BOS
+    val nSegs = u(p(26))
+    if (nSegs < 1 || p.length < 27 + nSegs) return None
+    var len = 0
+    var k = 0
+    var terminated = false
+    while (k < nSegs && !terminated) {
+      val v = u(p(27 + k))
+      len += v
+      if (v < 255) terminated = true
+      k += 1
+    }
+    if (!terminated) return None
+    val start = 27 + nSegs
+    if (p.length < start + len) return None
+    Some(java.util.Arrays.copyOfRange(p, start, start + len))
+  }
+
+  /** Opus identification header (RFC 7845 §5.1): "OpusHead", version
+    * with major nibble 0, channel count ≥ 1, 16-bit pre-skip, 32-bit
+    * LE input sample rate. Opus always DECODES at 48 kHz; the header
+    * field records the original input rate and is allowed to be 0
+    * (unknown) — report it when present, else the 48 kHz the decoder
+    * would emit. */
+  private[operators] def opusHead(pkt: Array[Byte]): Option[(Int, Int)] = {
+    if (pkt.length < 19) return None
+    val magic = "OpusHead".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    var i = 0
+    while (i < 8) { if (pkt(i) != magic(i)) return None; i += 1 }
+    if ((u(pkt(8)) >>> 4) != 0) return None // incompatible major version
+    val channels = u(pkt(9))
+    if (channels == 0) return None
+    val inputRate = le32(pkt, 12)
+    Some((if (inputRate > 0) inputRate else 48000, channels))
+  }
+
+  /** Vorbis identification header (Vorbis I spec §4.2.2): packet type
+    * 0x01 + "vorbis", vorbis_version 0, channels ≥ 1, 32-bit LE sample
+    * rate > 0, and the mandated framing bit closing the 30-byte
+    * packet. */
+  private[operators] def vorbisIdHeader(pkt: Array[Byte]): Option[(Int, Int)] = {
+    if (pkt.length < 30) return None
+    if (u(pkt(0)) != 1) return None
+    if (!(pkt(1) == 'v' && pkt(2) == 'o' && pkt(3) == 'r' &&
+      pkt(4) == 'b' && pkt(5) == 'i' && pkt(6) == 's')) return None
+    if (le32(pkt, 7) != 0) return None      // vorbis_version
+    val channels = u(pkt(11))
+    if (channels == 0) return None
+    val rate = le32(pkt, 12)
+    if (rate <= 0) return None
+    if ((u(pkt(29)) & 1) != 1) return None  // framing flag
+    Some((rate, channels))
+  }
+
+  /** OGG-contained audio (the remaining common container after
+    * WAV/AIFF/AU/FLAC/MP3): parse the first page's first packet and
+    * read whichever identification header it carries. Opus is tried
+    * first only because its magic check is cheaper; the magics are
+    * disjoint so order cannot change the result. */
+  private[operators] def oggAudioHeader(p: Array[Byte]): Option[(Int, Int)] =
+    oggFirstPacket(p).flatMap(pkt =>
+      opusHead(pkt).orElse(vorbisIdHeader(pkt)))
 
   /** FLAC STREAMINFO parse (format spec: RFC 9639 §8.2 / flac format.html).
     * Layout: "fLaC" magic, then metadata blocks — the FIRST block is

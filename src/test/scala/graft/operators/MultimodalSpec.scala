@@ -159,6 +159,106 @@ class MultimodalSpec extends SparkSpec {
     assert(got(8L).sample_rate === 22050 && got(8L).channels === 2)
   }
 
+  /** A real OGG first page (RFC 3533 §6): 27-byte header (capture
+    * pattern, version, header_type, granule/serial/seq/crc) + lacing
+    * table + packet. CRC left zero: the header parser reads structure
+    * and the codec magics — a real demuxer validates the CRC before
+    * decode, but for metadata the 12+ exact magic bytes are the
+    * anti-false-sync evidence. */
+  private def oggPage(packet: Array[Byte], bos: Boolean = true,
+      version: Int = 0): Array[Byte] = {
+    val lacing = Array.fill(packet.length / 255)(255) :+ (packet.length % 255)
+    val header = new Array[Byte](27 + lacing.length)
+    Array[Byte]('O', 'g', 'g', 'S').copyToArray(header)
+    header(4) = version.toByte
+    header(5) = if (bos) 0x02 else 0x00
+    header(26) = lacing.length.toByte
+    lacing.zipWithIndex.foreach { case (v, i) => header(27 + i) = v.toByte }
+    header ++ packet
+  }
+
+  /** RFC 7845 §5.1 OpusHead id packet (19 bytes + optional padding to
+    * exercise multi-segment lacing). */
+  private def opusHeadPkt(inputRate: Int, channels: Int,
+      padTo: Int = 0): Array[Byte] = {
+    val b = new Array[Byte](math.max(19, padTo))
+    "OpusHead".getBytes("US-ASCII").copyToArray(b)
+    b(8) = 1 // version 1: major nibble 0
+    b(9) = channels.toByte
+    b(12) = (inputRate & 0xff).toByte
+    b(13) = ((inputRate >> 8) & 0xff).toByte
+    b(14) = ((inputRate >> 16) & 0xff).toByte
+    b(15) = ((inputRate >> 24) & 0xff).toByte
+    b
+  }
+
+  /** Vorbis I §4.2.2 identification header (30 bytes). */
+  private def vorbisIdPkt(rate: Int, channels: Int,
+      framing: Int = 1, version: Int = 0): Array[Byte] = {
+    val b = new Array[Byte](30)
+    b(0) = 1
+    "vorbis".getBytes("US-ASCII").copyToArray(b, 1)
+    b(7) = (version & 0xff).toByte // vorbis_version (LE), 0 mandated
+    b(11) = channels.toByte
+    b(12) = (rate & 0xff).toByte
+    b(13) = ((rate >> 8) & 0xff).toByte
+    b(14) = ((rate >> 16) & 0xff).toByte
+    b(29) = framing.toByte
+    b
+  }
+
+  test("OGG Opus/Vorbis identification headers parse; structural " +
+    "violations are rejected") {
+    val media = spark.createDataset(Seq(
+      // Opus with a recorded 24 kHz input rate, stereo
+      Multimodal.MediaRecord(1L, "audio/ogg",
+        oggPage(opusHeadPkt(24000, 2))),
+      // Opus with input rate 0 (unknown, allowed) → the 48 kHz the
+      // decoder always emits
+      Multimodal.MediaRecord(2L, "audio/opus",
+        oggPage(opusHeadPkt(0, 1))),
+      // a >255-byte first packet laced across two segments (channel
+      // mapping tables make real OpusHeads this long)
+      Multimodal.MediaRecord(3L, "audio/ogg",
+        oggPage(opusHeadPkt(48000, 6, padTo = 300))),
+      // Vorbis 44.1 kHz stereo
+      Multimodal.MediaRecord(4L, "audio/ogg",
+        oggPage(vorbisIdPkt(44100, 2))),
+      // mislabeled kind: the payload decides, not the label
+      Multimodal.MediaRecord(5L, "audio/mpeg",
+        oggPage(vorbisIdPkt(22050, 1))),
+      // negatives — each a single structural violation:
+      Multimodal.MediaRecord(6L, "audio/ogg",
+        oggPage(opusHeadPkt(24000, 2), bos = false)),   // BOS unset
+      Multimodal.MediaRecord(7L, "audio/ogg",
+        oggPage(opusHeadPkt(24000, 2), version = 1)),   // bad version
+      Multimodal.MediaRecord(8L, "audio/ogg",
+        oggPage(opusHeadPkt(24000, 2)).dropRight(4)),   // truncated packet
+      Multimodal.MediaRecord(9L, "audio/ogg",
+        oggPage(opusHeadPkt(24000, 0))),                // zero channels
+      Multimodal.MediaRecord(10L, "audio/ogg",
+        oggPage(vorbisIdPkt(44100, 2, framing = 0))),   // framing bit 0
+      Multimodal.MediaRecord(11L, "audio/ogg",
+        oggPage(vorbisIdPkt(44100, 2, version = 3))),   // vorbis_version≠0
+      Multimodal.MediaRecord(12L, "audio/ogg",
+        oggPage("NotACodecHeader----------------".getBytes)), // alien packet
+      Multimodal.MediaRecord(13L, "audio/ogg", {        // random blob
+        val r = new scala.util.Random(11); val b = new Array[Byte](512)
+        r.nextBytes(b); b(0) = 'X'; b                   // never "OggS"
+      })))
+    val got = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(got(1L).sample_rate === 24000 && got(1L).channels === 2)
+    assert(got(2L).sample_rate === 48000 && got(2L).channels === 1)
+    assert(got(3L).sample_rate === 48000 && got(3L).channels === 6)
+    assert(got(4L).sample_rate === 44100 && got(4L).channels === 2)
+    assert(got(5L).sample_rate === 22050 && got(5L).channels === 1)
+    (6L to 13L).foreach { id =>
+      assert(got(id).sample_rate === -1 && got(id).channels === -1,
+        s"record $id must be rejected")
+    }
+  }
+
   test("MP3 detection demands a CONSISTENT second frame when the " +
     "payload is long enough to hold one") {
     // V1 Layer III 128 kbps @ 44100: frame length 144000*128/44100 = 417
