@@ -32,6 +32,16 @@ out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf4ann"
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 
+# replica ids live at r*1000000 offsets; a source corpus reaching that
+# range would silently collide ids and corrupt every recall number
+# measured downstream. The offset is part of the committed calibration
+# artifacts' provenance, so guard it rather than auto-derive a new one.
+max_id = con.sql(
+    f"SELECT max(vec_id) FROM '{src}/embeddings.parquet'").fetchone()[0]
+if max_id >= 1000000:
+    sys.exit(f"source corpus vec_ids reach {max_id} >= 1000000: replica "
+             "offsets would collide — raise the offset for this corpus")
+
 variants = {
     0: "e.embedding",
     1: "list_reverse(e.embedding)",

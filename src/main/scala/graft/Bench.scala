@@ -31,11 +31,15 @@ object Bench {
     }
     // Persisted-index lifecycle, reported SEPARATELY: delete the
     // stable index dir and rebuild it COLD, once, before the timing
-    // loop — the q69/q70 medians below are then pure query-side
-    // latency (the amortized build-once/serve-many shape), and the
+    // loop — the q69/q70 medians below then carry NO TRAINING, only
+    // serving plus the per-call freshness-validation corpus scan that
+    // the stateless driver contract forces on them (O(corpus) — at
+    // this sf noise, at deployment scale the reason a real caller
+    // validates once per session, see IndexStore.ensure's doc). The
     // one-time build cost is its own number instead of silently
-    // inflating run 1 of 3. A stale index from a prior bench/verify
-    // run never serves here (the delete forces the rebuild).
+    // inflating run 1 of 3, and a stale index from a prior
+    // bench/verify run never serves here (the delete forces the
+    // rebuild).
     val indexBuildSec: Option[Double] =
       if (!SparkEntry.queries.contains("q69_knn_ivfpq_idx")) None
       else try {

@@ -73,16 +73,28 @@ private[operators] final case class AnnIndexMeta(version: Int, n: Long,
   * maintained by [[appendBatch]] matches `ensure` of the grown corpus
   * exactly — incremental maintenance and freshness validation agree.
   *
-  * Crash safety: [[build]] assembles the whole index in a shadow
-  * directory and swaps it live with the same two-rename pattern as
-  * [[graft.sources.ParquetSink.swapInto]] — readers see the old
-  * complete index or the new complete index, never a half-built one.
-  * [[appendBatch]] appends codes first and swaps `meta` last: a crash
-  * between leaves appended rows invisible to the fingerprint, which
-  * the next `ensure` detects as a mismatch and repairs by rebuild,
-  * and the anti-join keeps a replayed append from double-inserting.
-  * Like [[graft.sources.Maintenance]], maintenance runs QUIESCED —
-  * concurrent in-JVM callers serialize on [[ensure]]'s lock.
+  * Crash safety: [[build]] assembles the whole index in a
+  * per-attempt-unique shadow directory and promotes it live with the
+  * same two-rename pattern as [[graft.sources.ParquetSink.swapInto]]
+  * — a crash at any instant leaves a complete index on disk (live or
+  * at `__old`), never a half-built one, and two builders (even in
+  * different JVMs, which share no lock) can never interleave parquet
+  * output inside one shadow. [[appendBatch]] appends codes first and
+  * swaps `meta` last: a crash between leaves appended rows invisible
+  * to the fingerprint, which the next `ensure` detects as a mismatch
+  * and repairs by rebuild, and the anti-join keeps a replayed append
+  * from double-inserting.
+  *
+  * Concurrency contract (same as [[graft.sources.Maintenance]]):
+  * REBUILDS AND APPENDS RUN QUIESCED — no q69/q70 mid-flight.
+  * In-JVM callers serialize on [[ensure]]'s lock, but the lock covers
+  * validation+build, not a reader's subsequent query execution: a
+  * rebuild's swap deletes the old directory while a concurrent
+  * reader's tasks may still be scanning it (loud FileNotFoundException
+  * task failure, never silent wrong data — the reader re-runs).
+  * Steady-state concurrent QUERIES (the common case — no corpus
+  * change, ensure validates and serves) never swap and are safe at
+  * any parallelism.
   */
 object IndexStore {
 
@@ -147,32 +159,37 @@ object IndexStore {
     }
   }
 
-  /** Shadow-write + swap of `<dir>/meta`. LocalFileSystem's rename of
-    * a MISSING source throws (its copy fallback), it does not return
-    * false — so the first-ever write renames straight into place and
-    * only a replace goes through [[graft.sources.ParquetSink
-    * .swapInto]]. */
+  /** Shadow-write + promote of `<dir>/meta` (see [[graft.sources
+    * .ParquetSink.promote]] for the first-write rename caveats). */
   private def writeMeta(spark: SparkSession, dir: String,
       m: AnnIndexMeta): Unit = {
     import spark.implicits._
     val shadow = s"$dir/meta__shadow"
     Seq(m).toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(shadow)
     val (fs, sp) = graft.Scratch.fs(spark, shadow)
-    val live = new org.apache.hadoop.fs.Path(s"$dir/meta")
-    if (fs.exists(live)) graft.sources.ParquetSink.swapInto(fs, sp, live)
-    else fs.rename(sp, live)
+    graft.sources.ParquetSink.promote(fs, sp,
+      new org.apache.hadoop.fs.Path(s"$dir/meta"))
   }
+
+  /** Were `m`'s artifacts shaped by the CURRENT format + dial values?
+    * Shared by [[current]] and [[appendBatch]]'s guard: encoding a
+    * batch against a codebook built under different dials (say,
+    * pqSubspaces 8→16 — the joins would silently drop half the
+    * subvectors) must be refused, not "succeed" and be discarded by
+    * the next ensure's rebuild. */
+  private def dialsMatch(m: AnnIndexMeta): Boolean =
+    m.version == formatVersion &&
+      m.subspaces == Similarity.pqSubspaces &&
+      m.pq_codes == Similarity.pqCodes &&
+      m.lloyd_iters == Similarity.lloydIters &&
+      m.pq_lloyd_iters == Similarity.pqLloydIters
 
   /** Does `m` describe an index the CURRENT code + corpus would build?
     * Any mismatch — corpus content, dial values, format — means the
     * artifacts are stale and must not be served. */
   private def current(m: AnnIndexMeta, n: Long, fp: Long): Boolean =
-    m.version == formatVersion && m.n == n && m.fp == fp &&
-      m.nl == Similarity.nlistFor(n) &&
-      m.subspaces == Similarity.pqSubspaces &&
-      m.pq_codes == Similarity.pqCodes &&
-      m.lloyd_iters == Similarity.lloydIters &&
-      m.pq_lloyd_iters == Similarity.pqLloydIters
+    dialsMatch(m) && m.n == n && m.fp == fp &&
+      m.nl == Similarity.nlistFor(n)
 
   // --- build -----------------------------------------------------------------
 
@@ -196,11 +213,15 @@ object IndexStore {
 
   /** Train the full IVF×PQ(+residual) index for `sfDir`'s embeddings
     * into `dir` through a shadow directory + swap. The training calls
-    * are LITERALLY q65/q68's build stages — see the object doc. */
-  def build(spark: SparkSession, sfDir: String, dir: String): BuildInfo = {
+    * are LITERALLY q65/q68's build stages — see the object doc.
+    * `knownIdentity` forwards (n, fp) when the caller (ensure's
+    * rebuild path) has already scanned the corpus — without it every
+    * rebuild would pay the identity scan twice back to back. */
+  def build(spark: SparkSession, sfDir: String, dir: String,
+      knownIdentity: Option[(Long, Long)] = None): BuildInfo = {
     val t0 = System.nanoTime()
     val raw = Tables.load(spark, sfDir, "embeddings")
-    val (n, fp) = countAndFingerprint(raw)
+    val (n, fp) = knownIdentity.getOrElse(countAndFingerprint(raw))
     val nl = Similarity.nlistFor(n)
     val e = Similarity.prepped(spark, sfDir).filter(col("nrm") > 0)
 
@@ -220,9 +241,17 @@ object IndexStore {
       .select(col("vec_id"), col("cell"), col("sub"), col("code"))
     val baseline = meanResNorm(rsv)
 
-    val shadow = s"${dir}__shadow"
+    // per-attempt-unique shadow: two builders (different JVMs share no
+    // lock) must never interleave their parquet output inside one
+    // shadow dir — each writes a complete candidate, last promote
+    // wins. Crashed attempts strand their shadow, so sweep stale ones
+    // first (quiesced-maintenance contract: nothing else is mid-build
+    // here; a swept CONCURRENT builder fails loudly at write/promote,
+    // never corrupts the live index).
+    val shadow = s"${dir}__shadow_${java.util.UUID.randomUUID().toString.take(8)}"
     val (fs, sp) = graft.Scratch.fs(spark, shadow)
-    if (fs.exists(sp)) fs.delete(sp, true)
+    val stale = fs.globStatus(new org.apache.hadoop.fs.Path(s"${dir}__shadow_*"))
+    if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
     cents.coalesce(1).write.parquet(s"$shadow/centroids")
     cbook.coalesce(1).write.parquet(s"$shadow/codebook")
     rcbook.coalesce(1).write.parquet(s"$shadow/rcodebook")
@@ -237,14 +266,8 @@ object IndexStore {
       AnnIndexMeta(formatVersion, n, fp, nl, baseline, 0L,
         Similarity.pqSubspaces, Similarity.pqCodes,
         Similarity.lloydIters, Similarity.pqLloydIters))
-    val live = new org.apache.hadoop.fs.Path(dir)
-    // first-ever build: no live dir to swap aside (LocalFileSystem's
-    // rename of a missing source THROWS via its copy fallback), and
-    // rename into a missing parent silently returns false — so make
-    // the parent and rename directly; only a rebuild swaps
-    fs.mkdirs(live.getParent)
-    if (fs.exists(live)) graft.sources.ParquetSink.swapInto(fs, sp, live)
-    else fs.rename(sp, live)
+    graft.sources.ParquetSink.promote(fs, sp,
+      new org.apache.hadoop.fs.Path(dir))
     BuildInfo(dir, n, nl, builtNow = true,
       buildSec = (System.nanoTime() - t0) / 1e9)
   }
@@ -272,7 +295,7 @@ object IndexStore {
             countAndFingerprint(Tables.load(spark, sfDir, "embeddings"))
           if (current(m, n, fp))
             BuildInfo(dir, m.n, m.nl, builtNow = false, buildSec = 0.0)
-          else build(spark, sfDir, dir)
+          else build(spark, sfDir, dir, knownIdentity = Some((n, fp)))
         case None => build(spark, sfDir, dir)
       }
     }
@@ -288,8 +311,16 @@ object IndexStore {
     import graft.functions.VectorFunctions.dotD
     val m = readMeta(spark, dir).getOrElse(throw new IllegalStateException(
       s"no index at $dir — build() before appendBatch()"))
-    require(m.version == formatVersion,
-      s"index at $dir is format v${m.version}, code is v$formatVersion")
+    // the FULL dial/format guard, not just the version: encoding the
+    // batch through pqAssign/subVectors against artifacts built under
+    // different dials silently mis-joins (wrong subspace count drops
+    // rows; wrong code count mis-scores) — the append would "succeed",
+    // report a drift, and be thrown away by the next ensure's rebuild
+    require(dialsMatch(m),
+      s"index at $dir was built under different dials/format " +
+        s"(meta: v${m.version}, sub=${m.subspaces}, codes=${m.pq_codes}, " +
+        s"lloyd=${m.lloyd_iters}/${m.pq_lloyd_iters}) — rebuild before " +
+        "appending")
     val v = col("embedding").cast("array<double>")
     val pe0 = batch
       .select(col("vec_id"), col("embedding"), v.as("v"),

@@ -69,6 +69,22 @@ object ParquetSink {
     fs.delete(old, true)
   }
 
+  /** Promote `shadow` to `live` whether or not a live copy exists yet:
+    * swap when it does, plain rename when it does not. The first-write
+    * path cannot go through [[swapInto]] — LocalFileSystem's rename of
+    * a MISSING source throws via its copy fallback instead of
+    * returning false, and a rename into a missing PARENT silently
+    * returns false (no exception, no data) — so it makes the parent
+    * and renames directly. One definition for every shadow-promoting
+    * writer (index store meta + dirs today), so the two rename caveats
+    * live in one place. */
+  private[graft] def promote(fs: FileSystem, shadow: Path, live: Path): Unit =
+    if (fs.exists(live)) swapInto(fs, shadow, live)
+    else {
+      fs.mkdirs(live.getParent)
+      fs.rename(shadow, live)
+    }
+
   /** Write `df` as ONE parquet object at `dest` (a file path, not a
     * directory): single-task shadow write, then move the part file into
     * place. Overwrite of an existing object is the reference's blob

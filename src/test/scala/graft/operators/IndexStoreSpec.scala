@@ -69,7 +69,10 @@ class IndexStoreSpec extends SparkSpec {
       deleteDir(s"$corpus/embeddings.parquet")
       shifted.write.parquet(s"$corpus/embeddings.parquet")
       assert(IndexStore.ensure(spark, corpus).builtNow)
-    } finally deleteDir(IndexStore.dirFor(spark, corpus))
+    } finally {
+      deleteDir(IndexStore.dirFor(spark, corpus))
+      deleteDir(corpus)
+    }
   }
 
   test("appendBatch: batch-indexed vectors are served, the maintained " +
@@ -123,7 +126,10 @@ class IndexStoreSpec extends SparkSpec {
         info(s"batch-neighbor pairs found: $gotB/${exB.size}")
         assert(exB.nonEmpty && gotB.toDouble / exB.size >= 0.6)
       } finally System.clearProperty("graft.ann.nprobe")
-    } finally deleteDir(idxDir)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
   }
 
   test("appendBatch replay is idempotent and appending nothing is a no-op") {
@@ -138,7 +144,8 @@ class IndexStoreSpec extends SparkSpec {
       // build an index of the BASE slice only, directly at the stable
       // dir, then bring it up to the corpus incrementally
       val baseCorpus = writeCorpus(all.filter(!isBatch))
-      IndexStore.build(spark, baseCorpus, idxDir)
+      try IndexStore.build(spark, baseCorpus, idxDir)
+      finally deleteDir(baseCorpus)
       val first = IndexStore.appendBatch(spark, idxDir, batch)
       assert(first.appended > 0)
       val before = rows(IndexStore.q69KnnIvfPqIdx(spark, corpus))
@@ -147,7 +154,10 @@ class IndexStoreSpec extends SparkSpec {
       val replay = IndexStore.appendBatch(spark, idxDir, batch)
       assert(replay.appended === 0L && replay.drift.isEmpty)
       assert(rows(IndexStore.q69KnnIvfPqIdx(spark, corpus)) === before)
-    } finally deleteDir(idxDir)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
   }
 
   test("staleness drift: centroid-aligned batches read low, the retrain " +
@@ -175,6 +185,9 @@ class IndexStoreSpec extends SparkSpec {
       // the advisory threshold is pure arithmetic on the metric
       assert(!IndexStore.AppendStats(1, Some(1.0)).retrainAdvised)
       assert(IndexStore.AppendStats(1, Some(1.6)).retrainAdvised)
-    } finally deleteDir(idxDir)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
   }
 }
