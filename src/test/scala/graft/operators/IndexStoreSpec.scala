@@ -52,6 +52,20 @@ class IndexStoreSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q69's codes scan is dynamically partition-pruned to the probed " +
+    "cells") {
+    // the 100 TB claim is that a query READS only its probed cells'
+    // partitions, not just that a join filters them later — pinned
+    // here so dropping partitionBy("cell") from the codes write (or a
+    // join shape change that defeats DPP) fails loudly
+    IndexStore.ensure(spark, sfDir)
+    val df = IndexStore.q69KnnIvfPqIdx(spark, sfDir)
+    df.collect() // AQE: the final plan exists only after execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "codes scan lost its dynamic partition pruning")
+  }
+
   test("ensure reuses a current index and rebuilds on corpus change") {
     val base = graft.sources.Tables.load(spark, sfDir, "embeddings")
     val corpus = writeCorpus(base.filter(col("vec_id") < 300))
