@@ -60,7 +60,12 @@ object ScaleProbe {
       "q59_incremental_ingest", "q60_contamination_bloom",
       "q61_knn_pq", "q62_zorder_skip", "q63_segment_dedup",
       "q64_repetition", "q65_knn_ivfpq", "q66_domain_mix",
-      "q67_pack_sequences", "q68_knn_ivfpq_res").foreach(t)
+      "q67_pack_sequences", "q68_knn_ivfpq_res",
+      // persisted-index pair: first call builds (ensure), so probe
+      // runs see build+query — compare against q65/q68 to see the
+      // in-query-training overhead at scale, and a second targeted
+      // run (index now current) isolates query-side scaling
+      "q69_knn_ivfpq_idx", "q70_knn_ivfpq_res_idx").foreach(t)
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f3(v) }
