@@ -121,6 +121,55 @@ object Verify {
     (staticEntries ++ residualEntry).toMap
   }
 
+  /** Persisted-index twins: each maps to the in-query variant it must
+    * match BIT-IDENTICALLY (IndexStore serves the same artifacts the
+    * twin trains in-query; every aggregate is fixed-point and parquet
+    * round-trips doubles exactly). */
+  val idxTwins: Map[String, String] = Map(
+    "q69_knn_ivfpq_idx"     -> "q65_knn_ivfpq",
+    "q70_knn_ivfpq_res_idx" -> "q68_knn_ivfpq_res")
+
+  /** Enforce the twin invariant on the dumps of THIS run: a
+    * persisted-index dump that differs from its in-query twin's dump
+    * in ANY row is deleted (hard driver FAIL). This is the detector
+    * for the one freshness hole the corpus fingerprint + dial check
+    * cannot see — a same-dial ALGORITHM change that forgot to bump
+    * IndexStore.formatVersion would leave a stale-but-plausible
+    * persisted index serving old results, and recall floors alone
+    * could still pass it. Runs only when both twins were dumped by
+    * this run (a targeted q69-only re-gate has no fresh twin to trust
+    * — the recall floor still applies there). */
+  def enforceTwinIdentity(spark: SparkSession, outDir: String,
+      names: Iterable[String]): Unit = {
+    val selected = names.toSet
+    idxTwins.foreach { case (idx, live) =>
+      if (selected.contains(idx) && selected.contains(live)) {
+        val (iDir, lDir) =
+          (new java.io.File(s"$outDir/$idx"), new java.io.File(s"$outDir/$live"))
+        if (iDir.exists() && lDir.exists()) {
+          val differs =
+            try {
+              def rows(d: java.io.File) = spark.read.parquet(d.toString)
+                .collect().map(_.toSeq).toSet
+              rows(iDir) != rows(lDir)
+            } catch { case e: Throwable =>
+              System.err.println(s"[verify] twin compare $idx vs $live " +
+                s"unreadable (${e.getMessage}); failing $idx — " +
+                "unverifiable identity is not a pass")
+              true
+            }
+          if (differs) {
+            System.err.println(s"[verify] $idx diverged from its " +
+              s"in-query twin $live — the persisted index is serving " +
+              "stale artifacts (same-dial algorithm change without a " +
+              "formatVersion bump?); deleting its dump")
+            org.apache.hadoop.fs.FileUtil.fullyDelete(iDir)
+          }
+        }
+      }
+    }
+  }
+
   /** Measures the gate, DELETES every below-floor dump (the driver's
     * rows-check then records a hard FAIL — a missing dump — instead of
     * a silent rows-only pass), records all measured values in
@@ -238,6 +287,9 @@ object Verify {
       tasks.foreach(_.get())
     } finally pool.shutdown()
 
+    // twin identity BEFORE the recall gate: a diverged q69/q70 dump is
+    // deleted here, and the gate then simply skips its missing dump
+    enforceTwinIdentity(spark, outDir, selected.keys)
     enforceAnnGate(spark, sfDir, outDir, selected.keys)
 
     val json = SparkEntry.oracleSql

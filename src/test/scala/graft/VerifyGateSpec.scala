@@ -119,4 +119,37 @@ class VerifyGateSpec extends SparkSpec {
       Seq("q1_agg", "q35_knn_brute")).isEmpty)
     assert(!new java.io.File(s"$outDir/ann_recall.json").exists())
   }
+
+  test("twin identity: a persisted-index dump diverging from its " +
+    "in-query twin is deleted; an identical one survives") {
+    val outDir = Files.createTempDirectory("graft_twin").toString
+    val exact = graft.operators.Similarity.q35KnnBrute(spark, sfDir)
+    val all = Seq("q65_knn_ivfpq", "q69_knn_ivfpq_idx",
+      "q68_knn_ivfpq_res", "q70_knn_ivfpq_res_idx")
+    // q69 identical to q65 → survives. q70 differs from q68 in ONE
+    // neighbor id — the stale-persisted-artifact shape (same-dial
+    // algorithm change without a formatVersion bump) that recall
+    // floors alone can pass — → deleted, hard driver FAIL.
+    dump(exact, outDir, "q65_knn_ivfpq")
+    dump(exact, outDir, "q69_knn_ivfpq_idx")
+    dump(exact, outDir, "q68_knn_ivfpq_res")
+    val oneOff = exact.withColumn("neighbor_id",
+      when(col("rank") === 1 && col("query_id") === 0L,
+        col("neighbor_id") + lit(1L)).otherwise(col("neighbor_id")))
+    dump(oneOff, outDir, "q70_knn_ivfpq_res_idx")
+    Verify.enforceTwinIdentity(spark, outDir, all)
+    assert(new java.io.File(s"$outDir/q69_knn_ivfpq_idx").exists())
+    assert(!new java.io.File(s"$outDir/q70_knn_ivfpq_res_idx").exists(),
+      "diverged twin dump must be deleted")
+    // the in-query twins are never touched by the twin check
+    assert(new java.io.File(s"$outDir/q65_knn_ivfpq").exists())
+    assert(new java.io.File(s"$outDir/q68_knn_ivfpq_res").exists())
+
+    // targeted run without the twin: nothing to compare against — the
+    // check must not delete (the recall floor still gates it)
+    val out2 = Files.createTempDirectory("graft_twin2").toString
+    dump(oneOff, out2, "q70_knn_ivfpq_res_idx")
+    Verify.enforceTwinIdentity(spark, out2, Seq("q70_knn_ivfpq_res_idx"))
+    assert(new java.io.File(s"$out2/q70_knn_ivfpq_res_idx").exists())
+  }
 }
