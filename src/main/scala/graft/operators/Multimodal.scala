@@ -236,9 +236,18 @@ object Multimodal {
     * so a candidate is accepted only when a SECOND header with the same
     * version/layer/sample-rate sits exactly one computed frame length
     * ahead (the standard detector move), or — for a truncated
-    * single-frame file — the payload still contains the full computed
-    * frame (a claimed frame running past the payload end is rejected,
-    * closing the short-high-entropy-blob false-accept window).
+    * single-frame file — the header sits at the STREAM START (offset 0
+    * or right after the ID3 tag, where a real MP3's first frame lives)
+    * and the payload still contains the full computed frame. Both
+    * anchor conditions are load-bearing: frame-contained alone still
+    * accepted any random 4 KB blob whose pseudo-header's frame
+    * happened to end within 4 bytes of the payload end (~1/1000 odds,
+    * caught by the 150-blob fuzz test), and the lone-frame path can
+    * only ever fire in that ≤ 4-byte tail window because a payload
+    * with ≥ 4 bytes after the frame reaches the second-header check
+    * instead. A resync-after-junk stream truncated to a single frame
+    * is therefore rejected — with neither a clean start nor a second
+    * frame there is no second piece of evidence left.
     * Corrupt/no-sync → None, never a fabricated rate. */
   private[operators] def mp3FrameHeader(p: Array[Byte]): Option[(Int, Int)] = {
     var i = 0
@@ -249,6 +258,7 @@ object Multimodal {
     }
     // bounded resync scan: real decoders hunt for sync after junk; cap
     // the hunt so a huge non-MP3 binary costs O(window), not O(n)
+    val scanStart = i
     val limit = math.min(p.length - 4, i + 4096)
     while (i <= limit) {
       mp3HeaderAt(p, i) match {
@@ -260,14 +270,16 @@ object Multimodal {
                 n.version == h.version && n.layer == h.layer &&
                   n.rateIdx == h.rateIdx)
             else
-              // Truncated single-frame concession, TIGHTENED: the
-              // payload must at least CONTAIN the full computed frame.
-              // Accepting a lone header whose frame runs past the end
-              // would let a ~300-byte random blob (≈300 offsets at
-              // ~1/5000 pseudo-sync odds, frame lengths up to ~4 KB
-              // that can never be disproved) fabricate metadata ~6% of
-              // the time.
-              next <= p.length
+              // Truncated single-frame concession, ANCHORED: the frame
+              // must be fully contained AND start where a real MP3's
+              // first frame starts (offset 0 / post-ID3). Containment
+              // alone still passed random 4 KB blobs whose
+              // pseudo-header's frame ended inside the 4-byte tail
+              // window (see the scaladoc); start-anchoring cuts the
+              // false-accept odds to ~1/5000 per payload × the tail
+              // window, while every cleanly-truncated real file (frame
+              // at stream start) still parses.
+              i == scanStart && next <= p.length
           if (confirmed) return Some((h.rate, h.channels))
         case None => ()
       }

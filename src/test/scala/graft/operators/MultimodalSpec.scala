@@ -259,6 +259,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("full audio-detection chain never fabricates metadata from " +
+    "random payloads") {
+    // every detector in decodeAudio's orElse chain (javax WAV/AIFF/AU,
+    // FLAC, OGG Opus/Vorbis, MP3 incl. the truncated-frame concession)
+    // fuzzed together: 50 seeds × three sizes spanning the short-blob
+    // window the MP3 lone-frame rule was tightened for, the typical
+    // header-probe size, and a full resync-scan window. Deterministic
+    // seeds — a failure names its (seed, size) via media_id.
+    val recs = for {
+      seed <- 0 until 50
+      (size, sIdx) <- Seq(300, 512, 4096).zipWithIndex
+    } yield {
+      val r = new scala.util.Random(seed)
+      val b = new Array[Byte](size)
+      r.nextBytes(b)
+      Multimodal.MediaRecord(seed * 10L + sIdx, "audio/unknown", b)
+    }
+    val got = Multimodal.decodeFeatures(spark.createDataset(recs)).collect()
+    val fabricated = got.filter(f => f.sample_rate != -1 || f.channels != -1)
+    assert(fabricated.isEmpty,
+      s"fabricated metadata for: ${fabricated.map(_.media_id).mkString(",")}")
+  }
+
   test("MP3 detection demands a CONSISTENT second frame when the " +
     "payload is long enough to hold one") {
     // V1 Layer III 128 kbps @ 44100: frame length 144000*128/44100 = 417
@@ -297,7 +320,19 @@ class MultimodalSpec extends SparkSpec {
       // one byte SHORT of the full frame → frame cannot be contained,
       // lone header rejected
       Multimodal.MediaRecord(6L, "audio/mpeg",
-        h44 ++ Array.fill(412)(0x00.toByte))))
+        h44 ++ Array.fill(412)(0x00.toByte)),
+      // ANCHORING boundary pair for the lone-frame concession:
+      // a truncated single frame right after an ID3 tag starts at the
+      // scan start — a real file shape, accepted...
+      Multimodal.MediaRecord(7L, "audio/mpeg",
+        Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 20) ++
+          Array.fill(20)(0x55.toByte) ++ h44 ++ filler),
+      // ...but the same lone contained frame behind resync JUNK is
+      // not: with neither a clean start nor a second frame there is
+      // no second piece of evidence (this shape is exactly how random
+      // 4 KB blobs were fabricating metadata)
+      Multimodal.MediaRecord(8L, "audio/mpeg",
+        Array.fill(33)(0x11.toByte) ++ h44 ++ filler)))
     val got = Multimodal.decodeFeatures(media).collect()
       .map(f => f.media_id -> f).toMap
     assert(got(1L).sample_rate === 44100 && got(1L).channels === 2)
@@ -305,6 +340,8 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).sample_rate === -1 && got(3L).channels === -1)
     assert(got(4L).sample_rate === -1 && got(4L).channels === -1)
     assert(got(5L).sample_rate === 44100 && got(5L).channels === 2)
+    assert(got(7L).sample_rate === 44100 && got(7L).channels === 2)
+    assert(got(8L).sample_rate === -1 && got(8L).channels === -1)
     assert(got(6L).sample_rate === -1 && got(6L).channels === -1)
     // sweep 20 short random payloads through the parser directly —
     // the false-accept window is now only frames ending in the last
