@@ -89,6 +89,37 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("stale dials: ensure rebuilds and appendBatch refuses an index " +
+    "whose meta was built under different dials") {
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val corpus = writeCorpus(all.filter(col("vec_id") < 200))
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    try {
+      IndexStore.ensure(spark, corpus)
+      // doctor the persisted meta to claim a different PQ geometry —
+      // the stale-artifact shape a code-dial change leaves behind
+      // (meta is plain parquet; rewrite through a temp copy)
+      val doctored = spark.read.parquet(s"$idxDir/meta")
+        .withColumn("subspaces", lit(4)).collect()
+      val schema = spark.read.parquet(s"$idxDir/meta").schema
+      deleteDir(s"$idxDir/meta")
+      spark.createDataFrame(
+          java.util.Arrays.asList(doctored: _*), schema)
+        .coalesce(1).write.parquet(s"$idxDir/meta")
+      // appendBatch must refuse: encoding against a codebook of a
+      // different geometry would silently mis-join
+      val e = intercept[IllegalArgumentException] {
+        IndexStore.appendBatch(spark, idxDir, all.filter(col("vec_id") >= 200))
+      }
+      assert(e.getMessage.contains("different dials"))
+      // ensure must rebuild, not serve the stale artifacts
+      assert(IndexStore.ensure(spark, corpus).builtNow)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
   test("appendBatch: batch-indexed vectors are served, the maintained " +
     "fingerprint matches the grown corpus, recall stays within eps of " +
     "a full rebuild") {
