@@ -380,13 +380,17 @@ object IndexStore {
   private def readCodes(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).withColumn("cell", col("cell").cast("long"))
 
-  /** q69: [[Similarity.q65KnnIvfPq]] served from the persisted index —
-    * same artifacts, same query expressions, bit-identical result
-    * (IndexStoreSpec pins it); the in-query Lloyd training is replaced
-    * by three parquet reads, and only the probed cells' code
-    * partitions are scanned. */
-  def q69KnnIvfPqIdx(spark: SparkSession, sfDir: String): DataFrame = {
-    val info = ensure(spark, sfDir)
+  /** IVF×PQ top-k served from a VALIDATED index — the query-many half
+    * of the lifecycle a session-holding deployment runs: one
+    * [[ensure]] (or [[build]]) buys the `info` handle, then every
+    * query against it skips revalidation (no corpus identity scan —
+    * the caller owns freshness between ensures, exactly the
+    * maintenance discipline [[appendBatch]] supports). Same
+    * expressions as [[Similarity.q65KnnIvfPq]], bit-identical
+    * results; only the probed cells' code partitions are scanned
+    * (plan-asserted DPP). */
+  def queryIvfPq(spark: SparkSession, sfDir: String,
+      info: BuildInfo): DataFrame = {
     val dir = info.dir
     val qe = queryVecs(spark, sfDir)
     val cents = spark.read.parquet(s"$dir/centroids")
@@ -402,12 +406,21 @@ object IndexStore {
     Similarity.rerankTopK(Tables.load(spark, sfDir, "embeddings"), cand)
   }
 
-  /** q70: [[Similarity.q68KnnIvfPqRes]] served from the persisted
-    * index — residual codes + shared residual codebook, exact
-    * per-(query, probed-cell) term recovered from [[Similarity
-    * .cellRanks]] exactly as q68 does, bit-identical result. */
-  def q70KnnIvfPqResIdx(spark: SparkSession, sfDir: String): DataFrame = {
-    val info = ensure(spark, sfDir)
+  /** q69: [[Similarity.q65KnnIvfPq]] served from the persisted index —
+    * same artifacts, same query expressions, bit-identical result
+    * (IndexStoreSpec pins it); the in-query Lloyd training is replaced
+    * by three parquet reads. The driver contract is stateless, so each
+    * call revalidates via [[ensure]]; [[queryIvfPq]] is the
+    * validate-once entry a session-holding caller uses instead. */
+  def q69KnnIvfPqIdx(spark: SparkSession, sfDir: String): DataFrame =
+    queryIvfPq(spark, sfDir, ensure(spark, sfDir))
+
+  /** Residual IVF×PQ top-k from a VALIDATED index (see [[queryIvfPq]]
+    * for the validate-once contract): residual codes + shared residual
+    * codebook, exact per-(query, probed-cell) term recovered from
+    * [[Similarity.cellRanks]] exactly as q68 does. */
+  def queryIvfPqRes(spark: SparkSession, sfDir: String,
+      info: BuildInfo): DataFrame = {
     val dir = info.dir
     val qe = queryVecs(spark, sfDir)
     val cents = spark.read.parquet(s"$dir/centroids")
@@ -425,4 +438,11 @@ object IndexStore {
       approxScore = max(col("ct")) + Similarity.adcSum)
     Similarity.rerankTopK(Tables.load(spark, sfDir, "embeddings"), cand)
   }
+
+  /** q70: [[Similarity.q68KnnIvfPqRes]] served from the persisted
+    * index — bit-identical result (IndexStoreSpec pins it). Stateless
+    * driver contract → per-call [[ensure]]; session-holding callers
+    * use [[queryIvfPqRes]] with a kept `info`. */
+  def q70KnnIvfPqResIdx(spark: SparkSession, sfDir: String): DataFrame =
+    queryIvfPqRes(spark, sfDir, ensure(spark, sfDir))
 }
