@@ -20,7 +20,18 @@ coordinates stay iid-ish), while cross-replica cosines behave like
 independent draws: cos(v, rev v) ~ N(0, 1/64), cos(v, -v) = -1. The
 result: 4N near-uniform vectors with no privileged pairs.
 
-Run:  python3 scripts/make_ann_calib.py [src_sf_dir] [out_dir]
+For factors beyond 4 (the 16x corpus of the fourth dial calibration
+point), replicas are CIRCULAR SHIFTS x global negation: shift by
+(r % 8)*8 coordinates, negate for r >= 8. A circular shift is a
+permutation (orthogonal, distribution-preserving), and the cosine
+between two distinct-lag shifts of the same vector is the vector's
+autocorrelation at that lag ~ N(0, 1/64) for iid-ish coordinates —
+the same decorrelation quality as the reverse/negate maps. The one
+privileged pair per base vector, (r, r+8) at cosine exactly -1, is
+harmless for top-k.
+
+Run:  python3 scripts/make_ann_calib.py [src_sf_dir] [out_dir] [factor]
+      factor in {4 (default), 16}
 """
 import os
 import sys
@@ -29,6 +40,9 @@ import duckdb
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf4ann"
+factor = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+if factor not in (4, 16):
+    sys.exit("factor must be 4 or 16")
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 
@@ -42,12 +56,21 @@ if max_id >= 1000000:
     sys.exit(f"source corpus vec_ids reach {max_id} >= 1000000: replica "
              "offsets would collide — raise the offset for this corpus")
 
-variants = {
-    0: "e.embedding",
-    1: "list_reverse(e.embedding)",
-    2: "list_transform(e.embedding, x -> -x)",
-    3: "list_transform(list_reverse(e.embedding), x -> -x)",
-}
+if factor == 4:
+    variants = {
+        0: "e.embedding",
+        1: "list_reverse(e.embedding)",
+        2: "list_transform(e.embedding, x -> -x)",
+        3: "list_transform(list_reverse(e.embedding), x -> -x)",
+    }
+else:
+    def shifted(r):
+        s = (r % 8) * 8
+        base = ("e.embedding" if s == 0
+                else f"e.embedding[{s + 1}:64] || e.embedding[1:{s}]")
+        return (base if r < 8
+                else f"list_transform({base}, x -> -x)")
+    variants = {r: shifted(r) for r in range(16)}
 selects = "\nUNION ALL\n".join(
     f"""SELECT e.vec_id + {r}*1000000 AS vec_id,
                {expr}::FLOAT[] AS embedding, e.label

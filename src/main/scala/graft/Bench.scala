@@ -40,6 +40,11 @@ object Bench {
     // inflating run 1 of 3, and a stale index from a prior
     // bench/verify run never serves here (the delete forces the
     // rebuild).
+    // build failure is a SEPARATE field, never a -1.0 duration: a
+    // consumer that averages/plots index_build_sec must not ingest a
+    // sentinel as a real measurement (q69/q70 surface their own errors
+    // in the timing loop below either way)
+    var indexBuildErr: Option[String] = None
     val indexBuildSec: Option[Double] =
       if (!SparkEntry.queries.contains("q69_knn_ivfpq_idx")) None
       else try {
@@ -49,7 +54,9 @@ object Bench {
         Some(operators.IndexStore.ensure(spark, sfDir).buildSec)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] index build failed: ${e.getMessage}")
-        Some(-1.0) // q69/q70 will surface their own errors below
+        indexBuildErr =
+          Some(e.toString.replaceAll("[\"\\\\\n]", " ").take(200))
+        None
       }
     var errors = Map.empty[String, String]
     val spreads = SparkEntry.queries.map { case (name, fn) =>
@@ -87,7 +94,9 @@ object Bench {
       s"${Json.str(k)}:{\"med\":${f3(med)},\"min\":${f3(mn)},\"max\":${f3(mx)}}"
     }.mkString("{", ",", "}")
     val idxField = indexBuildSec
-      .map(s => s""","index_build_sec":${f3(s)}""").getOrElse("")
+      .map(s => s""","index_build_sec":${f3(s)}""").getOrElse("") +
+      indexBuildErr
+        .map(m => s""","index_build_error":${Json.str(m)}""").getOrElse("")
     val spreadJson =
       s"""{"queries":$spreadQs,"n":$runsPerQuery$idxField,"sf":${Json.str(sfDir)}}"""
     try java.nio.file.Files.writeString(

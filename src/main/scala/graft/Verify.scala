@@ -149,8 +149,13 @@ object Verify {
         if (iDir.exists() && lDir.exists()) {
           val differs =
             try {
+              // row→count MAP, not a Set: a duplicated row in one dump
+              // (e.g. a double-insert regression — one of the failure
+              // classes this detector exists for) must fail the
+              // compare even when the distinct row sets match
               def rows(d: java.io.File) = spark.read.parquet(d.toString)
-                .collect().map(_.toSeq).toSet
+                .collect().map(_.toSeq).groupBy(identity)
+                .map { case (r, g) => (r, g.size) }
               rows(iDir) != rows(lDir)
             } catch { case e: Throwable =>
               System.err.println(s"[verify] twin compare $idx vs $live " +

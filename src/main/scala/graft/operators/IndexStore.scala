@@ -12,7 +12,8 @@ import graft.sources.Tables
   * product encoder (Janino cannot resolve the accessor). */
 private[operators] final case class AnnIndexMeta(version: Int, n: Long,
   fp: Long, nl: Int, res_norm: Double, appended_n: Long, subspaces: Int,
-  pq_codes: Int, lloyd_iters: Int, pq_lloyd_iters: Int)
+  pq_codes: Int, lloyd_iters: Int, pq_lloyd_iters: Int,
+  app_res_sum: Double)
 
 /** Persisted build-once / query-many ANN index (the FAISS
   * train/add/search lifecycle, re-expressed as parquet tables + joins).
@@ -79,11 +80,16 @@ private[operators] final case class AnnIndexMeta(version: Int, n: Long,
   * — a crash at any instant leaves a complete index on disk (live or
   * at `__old`), never a half-built one, and two builders (even in
   * different JVMs, which share no lock) can never interleave parquet
-  * output inside one shadow. [[appendBatch]] appends codes first and
-  * swaps `meta` last: a crash between leaves appended rows invisible
-  * to the fingerprint, which the next `ensure` detects as a mismatch
-  * and repairs by rebuild, and the anti-join keeps a replayed append
-  * from double-inserting.
+  * output inside one shadow. [[appendBatch]] appends codes first,
+  * rcodes second, and swaps `meta` last: a crash in either window
+  * leaves appended rows invisible to the fingerprint, which the next
+  * `ensure` detects as a mismatch and repairs by rebuild, and the
+  * anti-join keeps a replayed append from double-inserting. The
+  * codes→rcodes window additionally leaves the index TORN (q69 serves
+  * the rows, q70 skips them); a replayed append detects exactly that
+  * state, re-derives the missing rcodes rows (reported as
+  * `AppendStats.repaired`), and refuses loudly when the torn ids are
+  * not in its batch and so cannot be repaired locally.
   *
   * Concurrency contract (same as [[graft.sources.Maintenance]]):
   * REBUILDS AND APPENDS RUN QUIESCED — no q69/q70 mid-flight.
@@ -108,13 +114,35 @@ object IndexStore {
   final case class BuildInfo(dir: String, n: Long, nl: Int,
     builtNow: Boolean, buildSec: Double)
 
+  /** Rebuild policy for [[ensure]]: beyond freshness (corpus identity +
+    * dials), rebuild when the appends since the last build say the
+    * trained artifacts no longer describe the data —
+    *  - `driftAt`: accumulated drift (appended-row-weighted mean
+    *    residual norm ÷ build baseline, [[accumulatedDrift]]) at or
+    *    above this ratio → the coarse cells have stopped expressing
+    *    the corpus; rebuild.
+    *  - `appendFractionAt`: appended_n / n at or above this fraction →
+    *    even drift-free growth eventually deserves a retrain (cells
+    *    sized for the build-time corpus, codebooks that never saw half
+    *    the data); rebuild.
+    * A rebuild resets both counters (fresh baseline, appended_n = 0),
+    * so a policy violation triggers exactly ONE rebuild, not one per
+    * ensure. */
+  final case class RebuildPolicy(driftAt: Double = driftRetrainAt,
+      appendFractionAt: Double = 0.5)
+
   /** @param appended rows actually indexed (0 on a pure replay)
+    * @param repaired rows whose rcodes were re-derived because a prior
+    *                 append crashed between the codes and rcodes writes
+    *                 (torn index — q70 was silently skipping them); > 0
+    *                 tells the caller a crash window was healed
     * @param drift    batch mean residual norm ÷ build baseline — None
-    *                 when nothing fresh was appended. > 1 means the
-    *                 batch sits farther from the trained centroids
+    *                 when nothing was appended or repaired. > 1 means
+    *                 the batch sits farther from the trained centroids
     *                 than the build corpus did; ≥ [[driftRetrainAt]]
     *                 advises a rebuild. */
-  final case class AppendStats(appended: Long, drift: Option[Double]) {
+  final case class AppendStats(appended: Long, repaired: Long,
+      drift: Option[Double]) {
     def retrainAdvised: Boolean = drift.exists(_ >= driftRetrainAt)
   }
 
@@ -191,6 +219,19 @@ object IndexStore {
     dialsMatch(m) && m.n == n && m.fp == fp &&
       m.nl == Similarity.nlistFor(n)
 
+  /** Accumulated drift of every append since the last build:
+    * appended-row-weighted mean residual norm ÷ build baseline (the
+    * integral of the per-batch [[AppendStats.drift]] readings). None
+    * until something was appended. */
+  private[operators] def accumulatedDrift(m: AnnIndexMeta): Option[Double] =
+    if (m.appended_n > 0 && m.res_norm > 0)
+      Some((m.app_res_sum / m.appended_n) / m.res_norm)
+    else None
+
+  private def policyViolated(m: AnnIndexMeta, p: RebuildPolicy): Boolean =
+    accumulatedDrift(m).exists(_ >= p.driftAt) ||
+      (m.n > 0 && m.appended_n.toDouble / m.n >= p.appendFractionAt)
+
   // --- build -----------------------------------------------------------------
 
   /** Mean residual norm over `rsv` (vec_id, …, sub, sv) — the
@@ -265,7 +306,8 @@ object IndexStore {
     writeMeta(spark, shadow,
       AnnIndexMeta(formatVersion, n, fp, nl, baseline, 0L,
         Similarity.pqSubspaces, Similarity.pqCodes,
-        Similarity.lloydIters, Similarity.pqLloydIters))
+        Similarity.lloydIters, Similarity.pqLloydIters,
+        app_res_sum = 0.0))
     graft.sources.ParquetSink.promote(fs, sp,
       new org.apache.hadoop.fs.Path(dir))
     BuildInfo(dir, n, nl, builtNow = true,
@@ -285,20 +327,35 @@ object IndexStore {
     * and after each ingest batch, then queries against the returned
     * dir — the scan amortizes exactly like the build does. There is
     * deliberately no mtime/size shortcut: only the content fingerprint
-    * can see an in-place corpus rewrite. */
-  def ensure(spark: SparkSession, sfDir: String): BuildInfo =
+    * can see an in-place corpus rewrite.
+    *
+    * `policy`: beyond freshness, a [[RebuildPolicy]] also rebuilds a
+    * CURRENT index whose accumulated append drift or append fraction
+    * crossed the policy's thresholds — the deployment form of
+    * [[AppendStats.retrainAdvised]] (advice a stateless caller might
+    * never act on becomes a guarantee). The rebuild resets both
+    * counters, so one violation = one rebuild. */
+  def ensure(spark: SparkSession, sfDir: String,
+      policy: Option[RebuildPolicy] = None): BuildInfo =
     synchronized {
       val dir = dirFor(spark, sfDir)
       readMeta(spark, dir) match {
         case Some(m) =>
           val (n, fp) =
             countAndFingerprint(Tables.load(spark, sfDir, "embeddings"))
-          if (current(m, n, fp))
+          if (current(m, n, fp) && !policy.exists(policyViolated(m, _)))
             BuildInfo(dir, m.n, m.nl, builtNow = false, buildSec = 0.0)
           else build(spark, sfDir, dir, knownIdentity = Some((n, fp)))
         case None => build(spark, sfDir, dir)
       }
     }
+
+  /** Is there a (readable) persisted index at `dir`? The streaming
+    * ingest sink uses this to detect a crashed bootstrap (corpus
+    * written, build never ran) and re-ensure instead of calling
+    * [[appendBatch]] into a void. */
+  def hasIndex(spark: SparkSession, dir: String): Boolean =
+    readMeta(spark, dir).isDefined
 
   // --- incremental maintenance ----------------------------------------------
 
@@ -326,29 +383,68 @@ object IndexStore {
       .select(col("vec_id"), col("embedding"), v.as("v"),
         sqrt(dotD(v, v)).as("nrm"))
       .filter(col("nrm") > 0)
-    // replay idempotence: already-indexed ids are not fresh. The codes
-    // table is the membership authority (meta can lag it by one crash
-    // window — see object doc).
-    val existing = spark.read.parquet(s"$dir/codes")
+    // Membership, and TORN-state detection. Codes are written before
+    // rcodes, so after any crash:
+    //   fresh = not in codes            → full append (codes + rcodes)
+    //   torn  = in codes, not in rcodes → a prior append crashed
+    //           between the two writes; q69 serves these vectors while
+    //           q70 silently skips them. Re-derive and append ONLY
+    //           their rcodes rows here (repair), and count them into
+    //           meta — the crash happened before the meta write, so
+    //           they were never fingerprinted.
+    // The rcodes distinct scan is the price of detection — same IO
+    // class as the codes scan the anti-join already paid.
+    val codesIds = spark.read.parquet(s"$dir/codes")
       .select(col("vec_id")).distinct()
+    val rcodesIds = spark.read.parquet(s"$dir/rcodes")
+      .select(col("vec_id")).distinct()
+    val tornIds = graft.Materialize(
+      codesIds.join(rcodesIds, Seq("vec_id"), "left_anti"))
+    // a torn id OUTSIDE this batch cannot be repaired here (no
+    // embedding to re-encode) — fail loudly so the caller re-ensures
+    // (rebuild) instead of continuing to serve degraded q70 results
+    val unrepairable =
+      tornIds.join(pe0.select("vec_id"), Seq("vec_id"), "left_anti")
+    if (!unrepairable.isEmpty)
+      throw new IllegalStateException(
+        s"index at $dir is torn (codes rows without rcodes rows, for " +
+          "vec_ids outside this batch — a prior append crashed between " +
+          "the two writes) and this batch cannot repair it; run " +
+          "ensure() to rebuild before appending")
+    val freshPe = pe0.join(codesIds, Seq("vec_id"), "left_anti")
+    val tornPe = pe0.join(tornIds, Seq("vec_id"), "left_semi")
     val pe = graft.Materialize(
-      pe0.join(existing, Seq("vec_id"), "left_anti"))
+      freshPe.withColumn("is_fresh", lit(true))
+        .unionByName(tornPe.withColumn("is_fresh", lit(false))))
     val fpRow = pe
-      .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id, embedding))"))
+      .agg(count(when(col("is_fresh"), lit(1))), count(lit(1)),
+        expr("bit_xor(xxhash64(vec_id, embedding))"))
       .head()
     val freshN = fpRow.getLong(0)
-    if (freshN == 0) return AppendStats(0L, None)
-    val freshFp = fpRow.getLong(1)
+    val allN = fpRow.getLong(1)
+    if (allN == 0) return AppendStats(0L, 0L, None)
+    val tornN = allN - freshN
+    val allFp = fpRow.getLong(2)
 
     val cents = spark.read.parquet(s"$dir/centroids")
     val e = pe.select(col("vec_id"), col("v"), col("nrm"))
     val home = Similarity.cellRanks(e, cents).filter(col("cr") === 1)
       .select(col("vec_id"), col("cell"))
-    val sv = Similarity.subVectors(e)
-    val codes = Similarity
-      .pqAssign(sv, spark.read.parquet(s"$dir/codebook"))
-      .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
-      .join(home, Seq("vec_id"))
+    if (freshN > 0) {
+      val eFresh = pe.filter(col("is_fresh"))
+        .select(col("vec_id"), col("v"), col("nrm"))
+      val codes = Similarity
+        .pqAssign(Similarity.subVectors(eFresh),
+          spark.read.parquet(s"$dir/codebook"))
+        .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
+        .join(home, Seq("vec_id"))
+      codes.repartition(col("cell")).write.partitionBy("cell")
+        .mode(SaveMode.Append).parquet(s"$dir/codes")
+    }
+    // rcodes carry fresh AND repaired rows (torn ids are already in
+    // codes — re-deriving their cell/rcodes from the same centroids is
+    // deterministic, so the repair matches what the crashed append
+    // would have written)
     val rsv = graft.Materialize(
       Similarity.residualSubVectors(e, home, cents))
     val rcodes = Similarity
@@ -356,13 +452,12 @@ object IndexStore {
       .select(col("vec_id"), col("cell"), col("sub"), col("code"))
     val batchRes = meanResNorm(rsv)
 
-    codes.repartition(col("cell")).write.partitionBy("cell")
-      .mode(SaveMode.Append).parquet(s"$dir/codes")
     rcodes.repartition(col("cell")).write.partitionBy("cell")
       .mode(SaveMode.Append).parquet(s"$dir/rcodes")
-    writeMeta(spark, dir, m.copy(n = m.n + freshN, fp = m.fp ^ freshFp,
-      appended_n = m.appended_n + freshN))
-    AppendStats(freshN,
+    writeMeta(spark, dir, m.copy(n = m.n + allN, fp = m.fp ^ allFp,
+      appended_n = m.appended_n + allN,
+      app_res_sum = m.app_res_sum + batchRes * allN))
+    AppendStats(freshN, tornN,
       if (m.res_norm > 0) Some(batchRes / m.res_norm) else None)
   }
 

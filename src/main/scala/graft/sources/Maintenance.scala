@@ -91,4 +91,48 @@ object Maintenance {
       d => Dedup.minhashBands(Dedup.shingleIndex(d)))
     (shDropped, bandsDropped)
   }
+
+  /** Compact the persisted ANN index's cell-partitioned codes tables
+    * ([[graft.operators.IndexStore]] at `indexDir`). Every
+    * `appendBatch` lands new part files into each touched `cell=`
+    * partition; hundreds of batches accumulate slivers exactly where
+    * the DPP-pruned q69/q70 read path opens files — the classic
+    * long-lived-index degradation. This rewrites `codes` and `rcodes`
+    * back to ONE file per cell (the build-time layout: `repartition
+    * (cell)` + `partitionBy(cell)`) through a shadow directory +
+    * recoverable swap per table.
+    *
+    * Content is untouched — rows, schema and `cell=` directory names
+    * are exactly what build/append wrote — so q69/q70 results are
+    * bit-identical pre/post and `meta` (fingerprint, counters) stays
+    * valid without modification.
+    *
+    * Concurrency contract: run QUIESCED like every shadow-swap here —
+    * no appendBatch or rebuild mid-compaction (an append landing in a
+    * swapped-away dir would be deleted with it, leaving the index
+    * behind its meta until the next ensure rebuilds). A crash between
+    * the two table swaps leaves one compacted and one not — both still
+    * complete and correct.
+    *
+    * @return (part files before, part files after) across both tables */
+  def compactAnnIndex(spark: SparkSession, indexDir: String): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    def one(name: String): (Int, Int) = {
+      val dir = s"$indexDir/$name"
+      val fs = new Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def files(): Int =
+        fs.globStatus(new Path(dir + "/cell=*/*.parquet")).length
+      val before = files()
+      val df = spark.read.parquet(dir)
+      val shadow = new Path(dir + "__compact")
+      df.repartition(col("cell")).write.mode(SaveMode.Overwrite)
+        .partitionBy("cell").parquet(shadow.toString)
+      ParquetSink.swapInto(fs, shadow, new Path(dir))
+      (before, files())
+    }
+    val codes = one("codes")
+    val rcodes = one("rcodes")
+    (codes._1 + rcodes._1, codes._2 + rcodes._2)
+  }
 }

@@ -82,7 +82,15 @@ object ParquetSink {
     if (fs.exists(live)) swapInto(fs, shadow, live)
     else {
       fs.mkdirs(live.getParent)
-      fs.rename(shadow, live)
+      // a false return (e.g. live created between the exists check and
+      // the rename) would otherwise strand the shadow with NO live copy
+      // and no signal — the next ensure would silently rebuild over an
+      // invisible failure. Fail loudly instead; the shadow stays on
+      // disk for inspection.
+      if (!fs.rename(shadow, live))
+        throw new java.io.IOException(
+          s"promote: rename $shadow -> $live returned false " +
+            "(live created concurrently?); shadow left in place")
     }
 
   /** Write `df` as ONE parquet object at `dest` (a file path, not a

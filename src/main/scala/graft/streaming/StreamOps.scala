@@ -250,6 +250,62 @@ object StreamOps {
       ()
     }
 
+  /** Streaming vector ingest: the embeddings counterpart of
+    * [[incrementalIngestStream]] — every micro-batch of vectors
+    * (vec_id, embedding) is appended to the corpus at
+    * `<corpusDir>/embeddings.parquet` AND indexed into the persisted
+    * ANN index ([[graft.operators.IndexStore.appendBatch]] — cost ∝
+    * batch, no retrain), so q69/q70 serve the grown corpus with no
+    * rebuild: `appendBatch` xor-composes the corpus fingerprint, and
+    * the next `ensure` validates without building.
+    *
+    * Delivery: at-least-once foreachBatch made effectively-once by two
+    * anti-joins — the sink drops batch rows whose vec_id is already in
+    * the corpus, and appendBatch drops ids already in the index. Write
+    * order is INDEX FIRST, corpus second: a crash between them leaves
+    * the index ahead of the corpus, and the replay self-heals (the
+    * rows are still corpus-fresh, appendBatch no-ops on them, the
+    * corpus append completes the pair — fingerprints agree again). The
+    * reverse order would strand the index behind silently until an
+    * ensure noticed. A crashed BOOTSTRAP (corpus written, build never
+    * ran) is detected by [[graft.operators.IndexStore.hasIndex]] and
+    * repaired by ensure on the next batch.
+    *
+    * The per-batch index cost is the batch-side encode plus the
+    * anti-join scans of the corpus/codes id columns — at real scale
+    * those are single-column columnar reads, co-located when the
+    * corpus is bucketed by vec_id ([[graft.operators.Layout]]).
+    * Retrain policy stays with the caller: run `ensure(...,
+    * Some(RebuildPolicy(...)))` on an ingest cadence to turn the
+    * accumulated-drift advisory into a guaranteed rebuild. */
+  def vectorIngestStream(vecs: DataFrame, corpusDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      import graft.operators.IndexStore
+      val spark = batch.sparkSession
+      val table = s"$corpusDir/embeddings.parquet"
+      val idxDir = IndexStore.dirFor(spark, corpusDir)
+      val b = batch.dropDuplicates("vec_id")
+      val (fs, marker) = graft.Scratch.fs(spark, s"$table/_SUCCESS")
+      if (!fs.exists(marker)) {
+        // bootstrap: first batch becomes the corpus, index built on it
+        b.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(table)
+        IndexStore.ensure(spark, corpusDir)
+      } else {
+        if (!IndexStore.hasIndex(spark, idxDir))
+          IndexStore.ensure(spark, corpusDir) // crashed bootstrap replay
+        val corpusIds = spark.read.parquet(table).select("vec_id")
+        val fresh = graft.Materialize(
+          b.join(corpusIds, Seq("vec_id"), "left_anti"))
+        if (!fresh.isEmpty) {
+          IndexStore.appendBatch(spark, idxDir, fresh)
+          fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(table)
+        }
+      }
+      ()
+    }
+
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long,

@@ -205,6 +205,139 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("appendBatch repairs a torn index (codes without rcodes) on " +
+    "replay and refuses when the torn ids are outside its batch") {
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val isBatch = col("vec_id") >= 10 && pmod(xxhash64(col("vec_id")), lit(10)) === 1
+    val batch = all.filter(isBatch)
+    val corpus = writeCorpus(all) // full corpus up front (replay shape)
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    try {
+      val baseCorpus = writeCorpus(all.filter(!isBatch))
+      try IndexStore.build(spark, baseCorpus, idxDir)
+      finally deleteDir(baseCorpus)
+      // snapshot rcodes + meta, run a full append, then restore them —
+      // exactly the on-disk state a crash between the codes and rcodes
+      // writes leaves behind (codes has the batch, rcodes/meta do not)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val (fs, _) = graft.Scratch.fs(spark, idxDir)
+      def cp(from: String, to: String): Unit =
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(from), fs,
+          new org.apache.hadoop.fs.Path(to), false, conf)
+      cp(s"$idxDir/rcodes", s"$idxDir/rcodes__snap")
+      cp(s"$idxDir/meta", s"$idxDir/meta__snap")
+      val first = IndexStore.appendBatch(spark, idxDir, batch)
+      assert(first.appended > 0 && first.repaired === 0L)
+      deleteDir(s"$idxDir/rcodes"); deleteDir(s"$idxDir/meta")
+      cp(s"$idxDir/rcodes__snap", s"$idxDir/rcodes")
+      cp(s"$idxDir/meta__snap", s"$idxDir/meta")
+      deleteDir(s"$idxDir/rcodes__snap"); deleteDir(s"$idxDir/meta__snap")
+      // a DIFFERENT batch cannot repair the torn ids → loud refusal
+      // (the caller must re-ensure), never a silent degraded append
+      val other = all.filter(col("vec_id") >= 10 &&
+        pmod(xxhash64(col("vec_id")), lit(10)) === 2)
+      val e = intercept[IllegalStateException] {
+        IndexStore.appendBatch(spark, idxDir, other)
+      }
+      assert(e.getMessage.contains("torn"))
+      // the REPLAYED batch heals the tear: rcodes rows re-derived
+      // (deterministic — same centroids/codebooks), meta counts the
+      // rows the crash left unfingerprinted
+      val replay = IndexStore.appendBatch(spark, idxDir, batch)
+      assert(replay.appended === 0L)
+      assert(replay.repaired === batch.count())
+      assert(replay.drift.isDefined)
+      // codes and rcodes agree again, and the maintained fingerprint
+      // matches the grown corpus — no rebuild needed
+      val codesIds = spark.read.parquet(s"$idxDir/codes")
+        .select("vec_id").distinct()
+      val rcodesIds = spark.read.parquet(s"$idxDir/rcodes")
+        .select("vec_id").distinct()
+      assert(codesIds.join(rcodesIds, Seq("vec_id"), "left_anti").isEmpty)
+      assert(!IndexStore.ensure(spark, corpus).builtNow)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
+  test("ensure with a RebuildPolicy rebuilds exactly once per violation " +
+    "and resets the counters") {
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val corpus = writeCorpus(all.filter(col("vec_id") < 400))
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    try {
+      IndexStore.ensure(spark, corpus)
+      // drift axis: append a same-distribution slice and read its
+      // MEASURED drift; the policy assertions then bracket that value
+      // (this test pins the policy MECHANISM — the drift magnitudes
+      // themselves are pinned by the staleness-drift test)
+      val batch = all.filter(col("vec_id") >= 400)
+      batch.write.mode("append").parquet(s"$corpus/embeddings.parquet")
+      val drift = IndexStore.appendBatch(spark, idxDir, batch).drift.get
+      val lenient = IndexStore.RebuildPolicy(driftAt = drift * 1.5,
+        appendFractionAt = 1.0)
+      assert(!IndexStore.ensure(spark, corpus, Some(lenient)).builtNow)
+      val strict = IndexStore.RebuildPolicy(driftAt = drift * 0.99,
+        appendFractionAt = 1.0)
+      assert(IndexStore.ensure(spark, corpus, Some(strict)).builtNow)
+      // exactly once: the rebuild reset the counters (fresh baseline,
+      // appended_n = 0), so the same strict policy now validates
+      assert(!IndexStore.ensure(spark, corpus, Some(strict)).builtNow)
+      // append-fraction axis: a drift-free violation purely by volume
+      val synth = all.filter(col("vec_id") < 100)
+        .withColumn("vec_id", col("vec_id") + 200000L)
+      synth.write.mode("append").parquet(s"$corpus/embeddings.parquet")
+      IndexStore.appendBatch(spark, idxDir, synth)
+      val byVolume = IndexStore.RebuildPolicy(driftAt = 1e9,
+        appendFractionAt = 0.1) // 100 appended of 600 total = 0.167
+      assert(IndexStore.ensure(spark, corpus, Some(byVolume)).builtNow)
+      assert(!IndexStore.ensure(spark, corpus, Some(byVolume)).builtNow)
+      // queries stay green on the rebuilt index
+      assert(rows(IndexStore.q69KnnIvfPqIdx(spark, corpus)).size ===
+        Similarity.knnQueries * Similarity.k)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
+  test("compactAnnIndex collapses per-cell append slivers; results and " +
+    "fingerprint are untouched") {
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val corpus = writeCorpus(all.filter(col("vec_id") < 350))
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    try {
+      assert(IndexStore.ensure(spark, corpus).builtNow)
+      // two appends land extra part files in every touched cell
+      for (lo <- Seq(350L, 425L)) {
+        val b = all.filter(col("vec_id") >= lo && col("vec_id") < lo + 75)
+        b.write.mode("append").parquet(s"$corpus/embeddings.parquet")
+        IndexStore.appendBatch(spark, idxDir, b)
+      }
+      def maxFilesPerCell(sub: String): Int =
+        new java.io.File(s"$idxDir/$sub").listFiles()
+          .filter(_.getName.startsWith("cell="))
+          .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+      assert(maxFilesPerCell("codes") > 1)
+      val before69 = rows(IndexStore.q69KnnIvfPqIdx(spark, corpus))
+      val before70 = rows(IndexStore.q70KnnIvfPqResIdx(spark, corpus))
+      val (before, after) =
+        graft.sources.Maintenance.compactAnnIndex(spark, idxDir)
+      assert(after < before)
+      assert(maxFilesPerCell("codes") === 1)
+      assert(maxFilesPerCell("rcodes") === 1)
+      // layout-only: bit-identical serving, fingerprint still current
+      assert(rows(IndexStore.q69KnnIvfPqIdx(spark, corpus)) === before69)
+      assert(rows(IndexStore.q70KnnIvfPqResIdx(spark, corpus)) === before70)
+      assert(!IndexStore.ensure(spark, corpus).builtNow)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
   test("staleness drift: centroid-aligned batches read low, the retrain " +
     "threshold fires on drifted ones") {
     val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
@@ -228,8 +361,8 @@ class IndexStoreSpec extends SparkSpec {
       assert(centroidDrift < normalDrift)
       assert(normalDrift > 0.7 && normalDrift < 1.3)
       // the advisory threshold is pure arithmetic on the metric
-      assert(!IndexStore.AppendStats(1, Some(1.0)).retrainAdvised)
-      assert(IndexStore.AppendStats(1, Some(1.6)).retrainAdvised)
+      assert(!IndexStore.AppendStats(1, 0, Some(1.0)).retrainAdvised)
+      assert(IndexStore.AppendStats(1, 0, Some(1.6)).retrainAdvised)
     } finally {
       deleteDir(idxDir)
       deleteDir(corpus)

@@ -329,6 +329,60 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("vector ingest stream: batches append to corpus and index, " +
+    "replay is a no-op, q69 serves the grown corpus without a rebuild") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.IndexStore
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    def slice(lo: Long, hi: Long): Seq[(Long, Array[Float])] =
+      all.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .as[(Long, Array[Float])].collect().toSeq
+    val boot = slice(0, 300)
+    val b1 = slice(300, 400)
+    val b2 = slice(400, 500)
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_vec_ingest").toString + "/corpus"
+    val idxDir = IndexStore.dirFor(spark, corpusDir)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.vectorIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), corpusDir)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_vec_ingest_ckpt").toString)
+      .start()
+    try {
+      // batch 1 bootstraps: corpus written, index built on it
+      ms.addData(boot)
+      q.processAllAvailable()
+      val table = s"$corpusDir/embeddings.parquet"
+      assert(spark.read.parquet(table).count() === boot.size.toLong)
+      assert(IndexStore.hasIndex(spark, idxDir))
+      // growth batch, then the SAME batch replayed, then another batch
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b1); q.processAllAvailable() // replay → no-op
+      ms.addData(b2); q.processAllAvailable()
+      val expected = (boot.size + b1.size + b2.size).toLong
+      assert(spark.read.parquet(table).count() === expected)
+      // the index followed incrementally: every corpus vector is in
+      // both codes tables, and ensure validates with NO rebuild (the
+      // xor fingerprint was maintained append by append)
+      assert(spark.read.parquet(s"$idxDir/codes")
+        .select("vec_id").distinct().count() === expected)
+      assert(spark.read.parquet(s"$idxDir/rcodes")
+        .select("vec_id").distinct().count() === expected)
+      assert(!IndexStore.ensure(spark, corpusDir).builtNow)
+      // q69 serves the grown corpus
+      val res = IndexStore.q69KnnIvfPqIdx(spark, corpusDir)
+      assert(res.count() ===
+        (graft.operators.Similarity.knnQueries *
+          graft.operators.Similarity.k).toLong)
+    } finally {
+      q.stop()
+      val (fs, p) = graft.Scratch.fs(spark, idxDir)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   test("ingest crash-replay: two mutually-near-dup docs in one crashed " +
     "batch are both re-admitted") {
     // the sink writes indexes BEFORE the corpus; a crash between them
