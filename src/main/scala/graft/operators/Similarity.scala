@@ -217,12 +217,18 @@ object Similarity {
     *    a probed cell keeps describing a comparable neighborhood;
     *  - [[nprobeFor]]: the (nl/16)^1.45 growth curve fitted through
     *    the two small calibrated sizes, CAPPED at a 0.45 probe
-    *    fraction. Three measured (N, nl, minimal np for recall 0.78)
+    *    fraction. Four measured (N, nl, minimal np for recall 0.78)
     *    points: (500, 16, 5 — fraction 0.31), (2000, 31, 13 — 0.42),
     *    (8000, 63, 18 — 0.29; measured round 10 on the decorrelated
     *    4× corpus of scripts/make_ann_calib.py — a constant fraction
     *    does not hold between the first two sizes, 10/31 probes read
-    *    0.62, but the third size needs LESS than fraction-constant).
+    *    0.62, but the third size needs LESS than fraction-constant),
+    *    and (32000, 125, 36 — 0.29; measured round 11 on the 16×
+    *    circular-shift corpus, sweep in ANN_CALIB_r11_32k.json — the
+    *    needed fraction FLATTENS at ~0.29 across the last decade, so
+    *    the 0.45 cap stays a safe upper bound: the capped default
+    *    np=56 reads recall 0.96 there, over-delivering rather than
+    *    decaying).
     *    The round-9 two-point exponent alone does not generalize: it
     *    predicts np=36 at nl=63 (measured recall 0.92 — 2× the scan
     *    cost of the 0.78 target) and reaches np=nl (brute-force
