@@ -17,8 +17,15 @@ object IsoBench {
     val unknown = names.toSet -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = GraftSession.local("graft-isobench")
-    // same warmup as Bench so run 1 is comparable
+    // the FULL Bench warmup (JIT + every table's parquet footers) so
+    // run 1 is comparable — without the footer loop, run 1 here would
+    // absorb first-touch metadata reads Bench's timed runs never pay,
+    // biasing the query-vs-context adjudication this tool exists for
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    graft.sources.Tables.all.foreach { t =>
+      try graft.sources.Tables.load(spark, sfDir, t).limit(1).collect()
+      catch { case _: Throwable => () }
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).map { i =>

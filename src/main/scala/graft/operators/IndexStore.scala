@@ -232,6 +232,29 @@ object IndexStore {
     accumulatedDrift(m).exists(_ >= p.driftAt) ||
       (m.n > 0 && m.appended_n.toDouble / m.n >= p.appendFractionAt)
 
+  /** Are the codes tables present and mutually consistent? Catches the
+    * two states `meta` + the corpus fingerprint CANNOT see, because the
+    * rows involved are in neither: (a) a compaction/swap crash that
+    * left a codes dir missing entirely (meta still current → without
+    * this probe ensure would serve FileNotFoundException forever), and
+    * (b) a torn append whose rows never reached the corpus (ghost
+    * codes rows, rcodes behind — appendBatch refuses with "run
+    * ensure()", so ensure must actually see the tear to make that
+    * recovery true). rcodes ⊆ codes by write order, so equal distinct
+    * id counts ⇔ consistent. Cost: two distinct-count scans of the
+    * 3-int-column codes tables — small next to the corpus fingerprint
+    * scan ensure already pays. */
+  private def tablesIntact(spark: SparkSession, dir: String): Boolean =
+    try {
+      def ids(t: String): Long = spark.read.parquet(s"$dir/$t")
+        .agg(countDistinct(col("vec_id"))).head().getLong(0)
+      ids("codes") == ids("rcodes")
+    } catch { case e: Throwable =>
+      System.err.println(s"[annidx] codes tables unreadable at $dir " +
+        s"(${e.getMessage}); rebuilding")
+      false
+    }
+
   // --- build -----------------------------------------------------------------
 
   /** Mean residual norm over `rsv` (vec_id, …, sub, sv) — the
@@ -320,8 +343,10 @@ object IndexStore {
     * concurrent builds of the same dir would race the swap).
     *
     * Cost note: validation is one 2-column corpus scan (vec_id +
-    * embedding feed the fingerprint) — the price of NEVER serving a
-    * stale index without any session state. q69/q70 pay it per call
+    * embedding feed the fingerprint) plus the [[tablesIntact]] probe
+    * (two distinct-count scans of the int-column codes tables) — the
+    * price of NEVER serving a stale OR structurally damaged index
+    * without any session state. q69/q70 pay it per call
     * because the driver contract gives them nowhere to remember a
     * validated index; a real deployment calls ensure at session start
     * and after each ingest batch, then queries against the returned
@@ -343,7 +368,8 @@ object IndexStore {
         case Some(m) =>
           val (n, fp) =
             countAndFingerprint(Tables.load(spark, sfDir, "embeddings"))
-          if (current(m, n, fp) && !policy.exists(policyViolated(m, _)))
+          if (current(m, n, fp) && !policy.exists(policyViolated(m, _))
+              && tablesIntact(spark, dir))
             BuildInfo(dir, m.n, m.nl, builtNow = false, buildSec = 0.0)
           else build(spark, sfDir, dir, knownIdentity = Some((n, fp)))
         case None => build(spark, sfDir, dir)
@@ -402,7 +428,11 @@ object IndexStore {
       codesIds.join(rcodesIds, Seq("vec_id"), "left_anti"))
     // a torn id OUTSIDE this batch cannot be repaired here (no
     // embedding to re-encode) — fail loudly so the caller re-ensures
-    // (rebuild) instead of continuing to serve degraded q70 results
+    // instead of continuing to serve degraded q70 results. ensure's
+    // tablesIntact probe sees exactly this state (distinct id counts
+    // differ between codes and rcodes), so "run ensure()" genuinely
+    // rebuilds — even when the torn rows reached neither the corpus
+    // nor meta and the fingerprint alone would validate.
     val unrepairable =
       tornIds.join(pe0.select("vec_id"), Seq("vec_id"), "left_anti")
     if (!unrepairable.isEmpty)
@@ -418,13 +448,21 @@ object IndexStore {
         .unionByName(tornPe.withColumn("is_fresh", lit(false))))
     val fpRow = pe
       .agg(count(when(col("is_fresh"), lit(1))), count(lit(1)),
+        countDistinct(col("vec_id")),
         expr("bit_xor(xxhash64(vec_id, embedding))"))
       .head()
     val freshN = fpRow.getLong(0)
     val allN = fpRow.getLong(1)
     if (allN == 0) return AppendStats(0L, 0L, None)
+    // duplicate vec_ids WITHIN one batch would double-insert codes rows
+    // (16 instead of 8 per vector — the ADC sum then double-counts that
+    // vector's subspaces and corrupts the shortlist ordering). vec_id
+    // is the key; refuse loudly like every keyed sink here does.
+    require(fpRow.getLong(2) == allN,
+      s"batch contains duplicate vec_id rows (${allN - fpRow.getLong(2)} " +
+        "extras) — deduplicate on vec_id before appendBatch")
     val tornN = allN - freshN
-    val allFp = fpRow.getLong(2)
+    val allFp = fpRow.getLong(3)
 
     val cents = spark.read.parquet(s"$dir/centroids")
     val e = pe.select(col("vec_id"), col("v"), col("nrm"))

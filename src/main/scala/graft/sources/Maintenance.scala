@@ -107,32 +107,39 @@ object Maintenance {
     * bit-identical pre/post and `meta` (fingerprint, counters) stays
     * valid without modification.
     *
-    * Concurrency contract: run QUIESCED like every shadow-swap here —
-    * no appendBatch or rebuild mid-compaction (an append landing in a
-    * swapped-away dir would be deleted with it, leaving the index
-    * behind its meta until the next ensure rebuilds). A crash between
-    * the two table swaps leaves one compacted and one not — both still
-    * complete and correct.
+    * Concurrency contract: in-JVM this SERIALIZES on IndexStore's lock
+    * (the one ensure/appendBatch use), so a same-process append can
+    * never land part files into a directory mid-swap. Cross-JVM the
+    * quiesced-maintenance contract applies as everywhere here — an
+    * append that raced the swap from another process would be deleted
+    * with the swapped-away dir, a loss `meta`'s fingerprint cannot see
+    * (the appended rows ARE in meta and the corpus). A crash between
+    * the two table swaps leaves one table compacted and one not (both
+    * complete and correct); a crash INSIDE a swap can leave a codes
+    * dir missing entirely — ensure's integrity probe detects exactly
+    * that (missing/inconsistent codes tables) and rebuilds, so the
+    * index self-heals instead of serving FileNotFoundException.
     *
     * @return (part files before, part files after) across both tables */
-  def compactAnnIndex(spark: SparkSession, indexDir: String): (Int, Int) = {
-    import org.apache.spark.sql.functions.col
-    def one(name: String): (Int, Int) = {
-      val dir = s"$indexDir/$name"
-      val fs = new Path(dir).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      def files(): Int =
-        fs.globStatus(new Path(dir + "/cell=*/*.parquet")).length
-      val before = files()
-      val df = spark.read.parquet(dir)
-      val shadow = new Path(dir + "__compact")
-      df.repartition(col("cell")).write.mode(SaveMode.Overwrite)
-        .partitionBy("cell").parquet(shadow.toString)
-      ParquetSink.swapInto(fs, shadow, new Path(dir))
-      (before, files())
+  def compactAnnIndex(spark: SparkSession, indexDir: String): (Int, Int) =
+    graft.operators.IndexStore.synchronized {
+      import org.apache.spark.sql.functions.col
+      def one(name: String): (Int, Int) = {
+        val dir = s"$indexDir/$name"
+        val fs = new Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        def files(): Int =
+          fs.globStatus(new Path(dir + "/cell=*/*.parquet")).length
+        val before = files()
+        val df = spark.read.parquet(dir)
+        val shadow = new Path(dir + "__compact")
+        df.repartition(col("cell")).write.mode(SaveMode.Overwrite)
+          .partitionBy("cell").parquet(shadow.toString)
+        ParquetSink.swapInto(fs, shadow, new Path(dir))
+        (before, files())
+      }
+      val codes = one("codes")
+      val rcodes = one("rcodes")
+      (codes._1 + rcodes._1, codes._2 + rcodes._2)
     }
-    val codes = one("codes")
-    val rcodes = one("rcodes")
-    (codes._1 + rcodes._1, codes._2 + rcodes._2)
-  }
 }

@@ -262,6 +262,53 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("ensure rebuilds an index whose codes tables are missing or " +
+    "mutually inconsistent, even when meta still validates") {
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val corpus = writeCorpus(all.filter(col("vec_id") < 300))
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    try {
+      assert(IndexStore.ensure(spark, corpus).builtNow)
+      // a compaction-swap crash can delete a codes dir while meta and
+      // the corpus fingerprint still agree — ensure must rebuild, not
+      // serve FileNotFoundException forever
+      deleteDir(s"$idxDir/rcodes")
+      assert(IndexStore.ensure(spark, corpus).builtNow)
+      assert(!IndexStore.ensure(spark, corpus).builtNow)
+      // GHOST torn rows: codes rows whose vectors reached neither the
+      // corpus nor meta (an ingest crash mid-appendBatch before the
+      // corpus write). The fingerprint validates — only the
+      // codes-vs-rcodes distinct-id probe can see this — and without
+      // a rebuild appendBatch would refuse such an index forever.
+      val ghost = spark.read.parquet(s"$idxDir/codes").limit(8)
+        .withColumn("vec_id", col("vec_id") + 900000L)
+      ghost.write.mode("append").partitionBy("cell")
+        .parquet(s"$idxDir/codes")
+      assert(IndexStore.ensure(spark, corpus).builtNow)
+      assert(!IndexStore.ensure(spark, corpus).builtNow)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
+  test("appendBatch refuses a batch with duplicate vec_id rows") {
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val corpus = writeCorpus(all.filter(col("vec_id") < 300))
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    try {
+      IndexStore.ensure(spark, corpus)
+      val batch = all.filter(col("vec_id") >= 300 && col("vec_id") < 320)
+      val e = intercept[IllegalArgumentException] {
+        IndexStore.appendBatch(spark, idxDir, batch.union(batch))
+      }
+      assert(e.getMessage.contains("duplicate vec_id"))
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
   test("ensure with a RebuildPolicy rebuilds exactly once per violation " +
     "and resets the counters") {
     val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
