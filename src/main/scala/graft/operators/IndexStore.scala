@@ -241,14 +241,22 @@ object IndexStore {
     * codes rows, rcodes behind — appendBatch refuses with "run
     * ensure()", so ensure must actually see the tear to make that
     * recovery true). rcodes ⊆ codes by write order, so equal distinct
-    * id counts ⇔ consistent. Cost: two distinct-count scans of the
+    * id counts ⇔ consistent. Cost: one distinct-count job over the
     * 3-int-column codes tables — small next to the corpus fingerprint
     * scan ensure already pays. */
   private def tablesIntact(spark: SparkSession, dir: String): Boolean =
     try {
-      def ids(t: String): Long = spark.read.parquet(s"$dir/$t")
-        .agg(countDistinct(col("vec_id"))).head().getLong(0)
-      ids("codes") == ids("rcodes")
+      // ONE job (tagged union → two distinct counts), not two: the
+      // probe runs on every stateless q69/q70 call, and per-job
+      // scheduling overhead is what it costs at small scale
+      def ids(t: String, tag: Boolean) = spark.read.parquet(s"$dir/$t")
+        .select(col("vec_id"), lit(tag).as("c"))
+      val r = ids("codes", tag = true)
+        .unionByName(ids("rcodes", tag = false))
+        .agg(countDistinct(when(col("c"), col("vec_id"))),
+          countDistinct(when(!col("c"), col("vec_id"))))
+        .head()
+      r.getLong(0) == r.getLong(1)
     } catch { case e: Throwable =>
       System.err.println(s"[annidx] codes tables unreadable at $dir " +
         s"(${e.getMessage}); rebuilding")
@@ -344,7 +352,7 @@ object IndexStore {
     *
     * Cost note: validation is one 2-column corpus scan (vec_id +
     * embedding feed the fingerprint) plus the [[tablesIntact]] probe
-    * (two distinct-count scans of the int-column codes tables) — the
+    * (one distinct-count job over the int-column codes tables) — the
     * price of NEVER serving a stale OR structurally damaged index
     * without any session state. q69/q70 pay it per call
     * because the driver contract gives them nowhere to remember a
