@@ -232,19 +232,30 @@ object IndexStore {
     accumulatedDrift(m).exists(_ >= p.driftAt) ||
       (m.n > 0 && m.appended_n.toDouble / m.n >= p.appendFractionAt)
 
-  /** Are the codes tables present and mutually consistent? Catches the
-    * two states `meta` + the corpus fingerprint CANNOT see, because the
-    * rows involved are in neither: (a) a compaction/swap crash that
-    * left a codes dir missing entirely (meta still current → without
-    * this probe ensure would serve FileNotFoundException forever), and
-    * (b) a torn append whose rows never reached the corpus (ghost
-    * codes rows, rcodes behind — appendBatch refuses with "run
-    * ensure()", so ensure must actually see the tear to make that
-    * recovery true). rcodes ⊆ codes by write order, so equal distinct
-    * id counts ⇔ consistent. Cost: one distinct-count job over the
-    * 3-int-column codes tables — small next to the corpus fingerprint
-    * scan ensure already pays. */
-  private def tablesIntact(spark: SparkSession, dir: String): Boolean =
+  /** Are the codes tables present and consistent with `m`? Catches the
+    * three states the corpus fingerprint CANNOT see, because the rows
+    * involved are in neither the corpus nor `meta`: (a) a
+    * compaction/swap crash that left a codes dir missing entirely
+    * (meta still current → without this probe ensure would serve
+    * FileNotFoundException forever), (b) a torn append whose rows
+    * never reached the corpus (ghost codes rows, rcodes behind —
+    * appendBatch refuses with "run ensure()", so ensure must actually
+    * see the tear to make that recovery true), and (c) ghost rows in
+    * BOTH tables — an index-first ingest that crashed between the
+    * rcodes append and the meta write and never replayed leaves codes
+    * and rcodes AGREEING with each other while both carry rows meta
+    * never counted; those ghosts occupy ADC shortlist slots (the
+    * re-rank join drops them, silently displacing real candidates and
+    * breaking q69/q65 twin identity). The invariant every healthy
+    * state satisfies — build writes exactly meta.n ids, appendBatch
+    * bumps meta.n by exactly the ids it appended, meta written last —
+    * is `codes distinct ids == rcodes distinct ids == meta.n`; each
+    * crash window breaks one equality. Cost: one distinct-count job
+    * over the 3-int-column codes tables — small next to the corpus
+    * fingerprint scan ensure already pays (which has just validated
+    * meta.n against the live corpus, making it the trusted side). */
+  private def tablesIntact(spark: SparkSession, dir: String,
+      m: AnnIndexMeta): Boolean =
     try {
       // ONE job (tagged union → two distinct counts), not two: the
       // probe runs on every stateless q69/q70 call, and per-job
@@ -256,7 +267,7 @@ object IndexStore {
         .agg(countDistinct(when(col("c"), col("vec_id"))),
           countDistinct(when(!col("c"), col("vec_id"))))
         .head()
-      r.getLong(0) == r.getLong(1)
+      r.getLong(0) == r.getLong(1) && r.getLong(0) == m.n
     } catch { case e: Throwable =>
       System.err.println(s"[annidx] codes tables unreadable at $dir " +
         s"(${e.getMessage}); rebuilding")
@@ -377,7 +388,7 @@ object IndexStore {
           val (n, fp) =
             countAndFingerprint(Tables.load(spark, sfDir, "embeddings"))
           if (current(m, n, fp) && !policy.exists(policyViolated(m, _))
-              && tablesIntact(spark, dir))
+              && tablesIntact(spark, dir, m))
             BuildInfo(dir, m.n, m.nl, builtNow = false, buildSec = 0.0)
           else build(spark, sfDir, dir, knownIdentity = Some((n, fp)))
         case None => build(spark, sfDir, dir)

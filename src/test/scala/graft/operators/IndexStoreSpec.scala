@@ -286,6 +286,27 @@ class IndexStoreSpec extends SparkSpec {
         .parquet(s"$idxDir/codes")
       assert(IndexStore.ensure(spark, corpus).builtNow)
       assert(!IndexStore.ensure(spark, corpus).builtNow)
+      // GHOSTS IN BOTH TABLES: an index-first ingest that crashed
+      // between the rcodes append and the meta write — and never
+      // replayed — leaves codes and rcodes AGREEING with each other
+      // while meta never counted the rows (and the fingerprint still
+      // validates: the vectors reached neither corpus nor meta). The
+      // codes-vs-rcodes compare passes here; only the count-vs-meta.n
+      // leg of the probe can see it. Without a rebuild the ghosts
+      // occupy ADC shortlist slots and break q69/q65 twin identity.
+      def ghostOf(t: String) = {
+        val df = spark.read.parquet(s"$idxDir/$t")
+        val vid = df.agg(org.apache.spark.sql.functions.min("vec_id"))
+          .head().getLong(0)
+        df.filter(col("vec_id") === vid)
+          .withColumn("vec_id", col("vec_id") + 900000L)
+      }
+      ghostOf("codes").write.mode("append").partitionBy("cell")
+        .parquet(s"$idxDir/codes")
+      ghostOf("rcodes").write.mode("append").partitionBy("cell")
+        .parquet(s"$idxDir/rcodes")
+      assert(IndexStore.ensure(spark, corpus).builtNow)
+      assert(!IndexStore.ensure(spark, corpus).builtNow)
     } finally {
       deleteDir(idxDir)
       deleteDir(corpus)
