@@ -11,6 +11,29 @@ package graft
 object Bench {
   private val runsPerQuery = 3
 
+  /** Untimed JIT/codegen + parquet-footer warmup. Shared with
+    * [[IsoBench]] BY DEFINITION, not by copy: IsoBench exists to
+    * adjudicate query-vs-context for full-bench readings, which is
+    * only valid while its run-1 conditions match a bench run's —
+    * one shared body keeps that true under any future warmup tweak. */
+  private[graft] def warmup(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    graft.sources.Tables.all.foreach { t =>
+      try graft.sources.Tables.load(spark, sfDir, t).limit(1).collect()
+      catch { case _: Throwable => () }
+    }
+  }
+
+  /** One timed materialization through the noop sink: every row runs
+    * the FULL plan — count() would let Catalyst eliminate final
+    * sorts/projections. Seconds. Shared with [[IsoBench]]. */
+  private[graft] def timeNoop(df: org.apache.spark.sql.DataFrame): Double = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // clear any prior spread up front: if this run dies mid-bench, a
@@ -24,11 +47,7 @@ object Bench {
     val spark = GraftSession.local("graft-bench")
     // Untimed warmup: JIT/codegen paths and parquet footers, so the
     // first measured query doesn't absorb session startup.
-    spark.range(1000000).selectExpr("sum(id * 2)").collect()
-    graft.sources.Tables.all.foreach { t =>
-      try graft.sources.Tables.load(spark, sfDir, t).limit(1).collect()
-      catch { case _: Throwable => () }
-    }
+    warmup(spark, sfDir)
     // Persisted-index lifecycle, reported SEPARATELY: delete the
     // stable index dir and rebuild it COLD, once, before the timing
     // loop — the q69/q70 medians below then carry NO TRAINING, only
@@ -61,13 +80,8 @@ object Bench {
     var errors = Map.empty[String, String]
     val spreads = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runsPerQuery).flatMap { _ =>
-        val t0 = System.nanoTime()
-        // noop write materializes every row through the FULL plan —
-        // count() would let Catalyst eliminate final sorts/projections.
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
+        try Some(timeNoop(fn(spark, sfDir)))
+        catch {
           case e: Throwable =>
             errors += name -> e.toString.replaceAll("[\"\\\\\n]", " ").take(200)
             None

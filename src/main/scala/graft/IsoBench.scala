@@ -20,18 +20,14 @@ object IsoBench {
     // the FULL Bench warmup (JIT + every table's parquet footers) so
     // run 1 is comparable — without the footer loop, run 1 here would
     // absorb first-touch metadata reads Bench's timed runs never pay,
-    // biasing the query-vs-context adjudication this tool exists for
-    spark.range(1000000).selectExpr("sum(id * 2)").collect()
-    graft.sources.Tables.all.foreach { t =>
-      try graft.sources.Tables.load(spark, sfDir, t).limit(1).collect()
-      catch { case _: Throwable => () }
-    }
+    // biasing the query-vs-context adjudication this tool exists for.
+    // Shared body, not a copy: a warmup tweak in Bench reaches here
+    // automatically, keeping the adjudication valid by construction.
+    Bench.warmup(spark, sfDir)
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).map { i =>
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val s = (System.nanoTime() - t0) / 1e9
+        val s = Bench.timeNoop(fn(spark, sfDir))
         println(f"[iso] $name run$i $s%.3f s")
         s
       }

@@ -260,8 +260,17 @@ object IndexStore {
       // ONE job (tagged union → two distinct counts), not two: the
       // probe runs on every stateless q69/q70 call, and per-job
       // scheduling overhead is what it costs at small scale
-      def ids(t: String, tag: Boolean) = spark.read.parquet(s"$dir/$t")
-        .select(col("vec_id"), lit(tag).as("c"))
+      def ids(t: String, tag: Boolean) =
+        try spark.read.parquet(s"$dir/$t")
+          .select(col("vec_id"), lit(tag).as("c"))
+        catch { case _: Throwable if m.n == 0 =>
+          // an n=0 build legitimately writes NO part files (nothing to
+          // index), which parquet cannot infer a schema from — that is
+          // an intact empty table, not damage (without this branch an
+          // empty corpus would rebuild on every ensure). A READABLE
+          // table with ghost rows still fails the count-vs-meta.n leg.
+          spark.range(0).select(col("id").as("vec_id"), lit(tag).as("c"))
+        }
       val r = ids("codes", tag = true)
         .unionByName(ids("rcodes", tag = false))
         .agg(countDistinct(when(col("c"), col("vec_id"))),

@@ -128,8 +128,13 @@ object Maintenance {
         val dir = s"$indexDir/$name"
         val fs = new Path(dir).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        def files(): Int =
-          fs.globStatus(new Path(dir + "/cell=*/*.parquet")).length
+        def files(): Int = {
+          // globStatus returns NULL (not empty) when the parent path is
+          // missing — e.g. compaction pointed at a never-built indexDir;
+          // let the parquet read below fail with its meaningful error
+          val st = fs.globStatus(new Path(dir + "/cell=*/*.parquet"))
+          if (st == null) 0 else st.length
+        }
         val before = files()
         val df = spark.read.parquet(dir)
         val shadow = new Path(dir + "__compact")

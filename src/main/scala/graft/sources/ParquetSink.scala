@@ -64,8 +64,22 @@ object ParquetSink {
   private[graft] def swapInto(fs: FileSystem, shadow: Path, path: Path): Unit = {
     val old = new Path(path.toString + "__old")
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(path, old)
-    fs.rename(shadow, path)
+    // both renames checked: a false return (IO error, concurrent
+    // recreation of the target) would otherwise leave the STALE table
+    // live — or, on LocalFileSystem, move the shadow INSIDE the still-
+    // present live dir — with no signal, and the next
+    // validate-and-rebuild consumer would silently paper over the
+    // failed write (the same silent-false mode [[promote]] guards)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(
+        s"swapInto: rename $path -> $old returned false; live table " +
+          "untouched, shadow left in place")
+    if (!fs.rename(shadow, path)) {
+      val restored = fs.rename(old, path)
+      throw new java.io.IOException(
+        s"swapInto: rename $shadow -> $path returned false; previous " +
+          (if (restored) "table restored" else s"table stranded at $old"))
+    }
     fs.delete(old, true)
   }
 

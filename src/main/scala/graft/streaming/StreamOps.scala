@@ -298,7 +298,23 @@ object StreamOps {
         val fresh = graft.Materialize(
           b.join(corpusIds, Seq("vec_id"), "left_anti"))
         if (!fresh.isEmpty) {
-          IndexStore.appendBatch(spark, idxDir, fresh)
+          try IndexStore.appendBatch(spark, idxDir, fresh)
+          catch {
+            case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
+              // the index EXISTS but cannot accept this batch: built
+              // under different dials/format (a deploy changed them),
+              // or torn beyond this batch's repair (checkpoint loss
+              // re-keyed the batches) — exactly the states whose
+              // refusal message prescribes ensure(). Without this the
+              // stream crash-loops forever on checkpoint replay of the
+              // same batch into the same state; with it the batch pays
+              // one rebuild (from the corpus, which by write order
+              // never contains un-indexed rows) and proceeds.
+              System.err.println(s"[vecingest] appendBatch refused " +
+                s"(${e.getMessage}); rebuilding index once and retrying")
+              IndexStore.ensure(spark, corpusDir)
+              IndexStore.appendBatch(spark, idxDir, fresh)
+          }
           fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(table)
         }

@@ -313,6 +313,24 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("ensure on an empty corpus builds once and validates thereafter") {
+    // an n=0 build writes NO part files under the partitioned codes
+    // tables (nothing to index); the integrity probe must read that as
+    // an intact empty index, not damage — otherwise every ensure on an
+    // empty corpus (e.g. a stream bootstrapped with an empty batch)
+    // pays a rebuild forever
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val corpus = writeCorpus(all.limit(0))
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    try {
+      assert(IndexStore.ensure(spark, corpus).builtNow)
+      assert(!IndexStore.ensure(spark, corpus).builtNow)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
   test("appendBatch refuses a batch with duplicate vec_id rows") {
     val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
     val corpus = writeCorpus(all.filter(col("vec_id") < 300))

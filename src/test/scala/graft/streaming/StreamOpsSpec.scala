@@ -383,6 +383,52 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("vector ingest stream self-heals an index that refuses the " +
+    "append instead of crash-looping") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.IndexStore
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    def slice(lo: Long, hi: Long): Seq[(Long, Array[Float])] =
+      all.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .as[(Long, Array[Float])].collect().toSeq
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_vec_heal").toString + "/corpus"
+    val idxDir = IndexStore.dirFor(spark, corpusDir)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.vectorIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), corpusDir)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_vec_heal_ckpt").toString)
+      .start()
+    try {
+      ms.addData(slice(0, 300))
+      q.processAllAvailable()
+      // doctor the index into a torn state NO batch can repair: ghost
+      // codes rows whose ids are outside every future batch. A bare
+      // appendBatch refuses this forever ("run ensure()"); checkpoint
+      // replay would re-deliver the same batch into the same state —
+      // the crash loop the sink's rebuild-once fallback exists for
+      val ghost = spark.read.parquet(s"$idxDir/codes").limit(8)
+        .withColumn("vec_id", col("vec_id") + 900000L)
+      ghost.write.mode("append").partitionBy("cell")
+        .parquet(s"$idxDir/codes")
+      val b1 = slice(300, 400)
+      ms.addData(b1)
+      q.processAllAvailable() // throws if the sink crash-looped
+      val table = s"$corpusDir/embeddings.parquet"
+      assert(spark.read.parquet(table).count() === 400L)
+      // the rebuild purged the ghosts and the retry appended the batch
+      assert(spark.read.parquet(s"$idxDir/codes")
+        .select("vec_id").distinct().count() === 400L)
+      assert(!IndexStore.ensure(spark, corpusDir).builtNow)
+    } finally {
+      q.stop()
+      val (fs, p) = graft.Scratch.fs(spark, idxDir)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   test("ingest crash-replay: two mutually-near-dup docs in one crashed " +
     "batch are both re-admitted") {
     // the sink writes indexes BEFORE the corpus; a crash between them
