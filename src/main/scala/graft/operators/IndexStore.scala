@@ -89,7 +89,16 @@ private[operators] final case class AnnIndexMeta(version: Int, n: Long,
   * the rows, q70 skips them); a replayed append detects exactly that
   * state, re-derives the missing rcodes rows (reported as
   * `AppendStats.repaired`), and refuses loudly when the torn ids are
-  * not in its batch and so cannot be repaired locally.
+  * not in its batch and so cannot be repaired locally. The
+  * rcodes→meta window converges by REBUILD, not incremental repair —
+  * deliberately: a replayed append sees its rows in both tables and
+  * no-ops, and it must NOT "complete" the missing meta write, because
+  * an uncounted batch is indistinguishable from a replayed COMPLETED
+  * batch when a DIFFERENT append crashed uncounted (xoring the wrong
+  * batch's fingerprint into meta would corrupt it — xor REMOVES an
+  * already-counted batch). The state is always detected: before the
+  * ingest's corpus append the count-vs-meta.n probe leg sees it;
+  * after, the corpus fingerprint mismatches.
   *
   * Concurrency contract (same as [[graft.sources.Maintenance]]):
   * REBUILDS AND APPENDS RUN QUIESCED — no q69/q70 mid-flight.
@@ -166,8 +175,20 @@ object IndexStore {
     val r = raw.select(col("vec_id"), col("embedding"),
         sqrt(dotD(v, v)).as("nrm"))
       .filter(col("nrm") > 0)
-      .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id, embedding))"))
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id, embedding))"),
+        countDistinct(col("vec_id")))
       .head()
+    // vec_id is the index key — refuse a duplicate-keyed corpus loudly
+    // (same discipline as appendBatch). Silently proceeding would set
+    // meta.n to the ROW count while codes hold DISTINCT ids, failing
+    // the integrity probe's count leg on every ensure: an infinite
+    // silent rebuild loop instead of one actionable error. (Identical
+    // duplicate rows also xor-cancel OUT of the fingerprint, so the
+    // fingerprint alone cannot see them.)
+    require(r.getLong(2) == r.getLong(0),
+      s"embeddings corpus contains ${r.getLong(0) - r.getLong(2)} " +
+        "duplicate vec_id rows — vec_id is the index key; deduplicate " +
+        "the corpus before indexing")
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
@@ -260,16 +281,26 @@ object IndexStore {
       // ONE job (tagged union → two distinct counts), not two: the
       // probe runs on every stateless q69/q70 call, and per-job
       // scheduling overhead is what it costs at small scale
+      def tableDirExists(t: String): Boolean = {
+        val (fs, p) = graft.Scratch.fs(spark, s"$dir/$t")
+        fs.exists(p)
+      }
       def ids(t: String, tag: Boolean) =
         try spark.read.parquet(s"$dir/$t")
           .select(col("vec_id"), lit(tag).as("c"))
-        catch { case _: Throwable if m.n == 0 =>
-          // an n=0 build legitimately writes NO part files (nothing to
-          // index), which parquet cannot infer a schema from — that is
-          // an intact empty table, not damage (without this branch an
-          // empty corpus would rebuild on every ensure). A READABLE
-          // table with ghost rows still fails the count-vs-meta.n leg.
-          spark.range(0).select(col("id").as("vec_id"), lit(tag).as("c"))
+        catch {
+          case scala.util.control.NonFatal(_)
+              if m.n == 0 && tableDirExists(t) =>
+            // an n=0 build legitimately writes NO part files under the
+            // partitioned dir (nothing to index), which parquet cannot
+            // infer a schema from — that is an intact empty table, not
+            // damage (without this branch an empty corpus would rebuild
+            // on every ensure). Guarded narrowly: the dir must EXIST
+            // (a swap crash that deleted it entirely is damage even at
+            // n=0 — fall through to the outer catch and rebuild) and
+            // the error must be non-fatal. A READABLE table with ghost
+            // rows still fails the count-vs-meta.n leg.
+            spark.range(0).select(col("id").as("vec_id"), lit(tag).as("c"))
         }
       val r = ids("codes", tag = true)
         .unionByName(ids("rcodes", tag = false))
@@ -432,6 +463,14 @@ object IndexStore {
         s"(meta: v${m.version}, sub=${m.subspaces}, codes=${m.pq_codes}, " +
         s"lloyd=${m.lloyd_iters}/${m.pq_lloyd_iters}) — rebuild before " +
         "appending")
+    // an n=0 index has NO cells/codebooks — the home-cell join below
+    // would silently drop every appended row (nothing written, meta.n
+    // bumped anyway). Refuse loudly; the streaming sink's
+    // rebuild-once-and-retry fallback turns this into one ensure()
+    // against the by-then-non-empty corpus.
+    require(m.n > 0,
+      s"index at $dir was trained on an empty corpus (n=0) and has no " +
+        "cells to assign into — run ensure() once the corpus has rows")
     val v = col("embedding").cast("array<double>")
     val pe0 = batch
       .select(col("vec_id"), col("embedding"), v.as("v"),
@@ -552,6 +591,11 @@ object IndexStore {
     * (plan-asserted DPP). */
   def queryIvfPq(spark: SparkSession, sfDir: String,
       info: BuildInfo): DataFrame = {
+    // an n=0 index has no persisted part files to serve from (nothing
+    // was indexed) — delegate to the in-query twin, which is free at
+    // n=0 (no data to train on) and gives twin-identical output BY
+    // CONSTRUCTION, including its schema
+    if (info.n == 0) return Similarity.q65KnnIvfPq(spark, sfDir)
     val dir = info.dir
     val qe = queryVecs(spark, sfDir)
     val cents = spark.read.parquet(s"$dir/centroids")
@@ -582,6 +626,8 @@ object IndexStore {
     * [[Similarity.cellRanks]] exactly as q68 does. */
   def queryIvfPqRes(spark: SparkSession, sfDir: String,
       info: BuildInfo): DataFrame = {
+    // see queryIvfPq: n=0 → the twin, free and identical by construction
+    if (info.n == 0) return Similarity.q68KnnIvfPqRes(spark, sfDir)
     val dir = info.dir
     val qe = queryVecs(spark, sfDir)
     val cents = spark.read.parquet(s"$dir/centroids")

@@ -287,7 +287,15 @@ object StreamOps {
       val idxDir = IndexStore.dirFor(spark, corpusDir)
       val b = batch.dropDuplicates("vec_id")
       val (fs, marker) = graft.Scratch.fs(spark, s"$table/_SUCCESS")
-      if (!fs.exists(marker)) {
+      if (b.isEmpty) {
+        // an EMPTY batch must not bootstrap: a zero-row corpus write
+        // can be schema-bearing-file-less (unreadable), and the n=0
+        // index it would build has no cells for later appends to
+        // assign into — leave bootstrapping to the first batch that
+        // carries rows (post-bootstrap an empty batch is a no-op
+        // anyway: `fresh` below would be empty)
+        ()
+      } else if (!fs.exists(marker)) {
         // bootstrap: first batch becomes the corpus, index built on it
         b.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(table)
         IndexStore.ensure(spark, corpusDir)

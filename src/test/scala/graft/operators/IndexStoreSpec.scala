@@ -325,6 +325,42 @@ class IndexStoreSpec extends SparkSpec {
     try {
       assert(IndexStore.ensure(spark, corpus).builtNow)
       assert(!IndexStore.ensure(spark, corpus).builtNow)
+      // the n=0 index has no part files to serve from — the query
+      // paths delegate to the in-query twins (free at n=0), staying
+      // twin-identical by construction instead of throwing on the
+      // schema-less empty codes dirs
+      assert(rows(IndexStore.q69KnnIvfPqIdx(spark, corpus)) ===
+        rows(Similarity.q65KnnIvfPq(spark, corpus)))
+      assert(rows(IndexStore.q70KnnIvfPqResIdx(spark, corpus)) ===
+        rows(Similarity.q68KnnIvfPqRes(spark, corpus)))
+      // an n=0 index has no cells — appending into it would silently
+      // drop every row; refused loudly instead
+      val batch = all.filter(col("vec_id") < 20)
+      val e = intercept[IllegalArgumentException] {
+        IndexStore.appendBatch(spark, idxDir, batch)
+      }
+      assert(e.getMessage.contains("empty corpus"))
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
+  test("ensure refuses a corpus with duplicate vec_id rows instead of " +
+    "rebuilding forever") {
+    // duplicate rows xor-cancel out of the fingerprint and would set
+    // meta.n to the ROW count while codes hold DISTINCT ids — the
+    // integrity probe would then fail every ensure into a silent
+    // infinite rebuild loop; a loud refusal is the only honest answer
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val slice = all.filter(col("vec_id") < 100)
+    val corpus = writeCorpus(slice.union(slice.limit(3)))
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IndexStore.ensure(spark, corpus)
+      }
+      assert(e.getMessage.contains("duplicate vec_id"))
     } finally {
       deleteDir(idxDir)
       deleteDir(corpus)
