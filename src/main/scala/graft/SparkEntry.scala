@@ -221,8 +221,12 @@ object SparkEntry {
       val sw = graft.operators.Dedup.segmentWords
       // coalesce(text, '') mirrors the Spark side: null-text docs keep
       // their row instead of vanishing from the unnest
+      // raw split, not toksSql: q63's contract keeps blank/null docs as
+      // one empty segment ("no document vanishes"), so the phantom ''
+      // token is load-bearing here. Whitespace class spelled out for
+      // the same Java-vs-RE2 \s reason as normSql.
       val toksNn =
-        """string_split(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))), ' ')"""
+        """string_split(lower(trim(regexp_replace(coalesce(text, ''), '[ \t\n\x0B\f\r]+', ' ', 'g'))), ' ')"""
       s"""WITH tok AS (SELECT doc_id, $toksNn AS t FROM documents),
         |seg AS (SELECT doc_id, u.i AS seg_idx, u.seg AS seg FROM (
         |  SELECT doc_id,
@@ -379,9 +383,9 @@ object SparkEntry {
     "q21_quality" ->
       s"""WITH s AS (SELECT doc_id,
         |    CAST(len($toksSql) AS INT) AS tok_cnt,
-        |    CAST(length(replace($normSql, ' ', '')) AS DOUBLE)/len($toksSql) AS avg_token_len,
+        |    CAST(length(replace($normSql, ' ', '')) AS DOUBLE)/NULLIF(len($toksSql), 0) AS avg_token_len,
         |    CAST(len(list_filter($toksSql, t -> t IN ('a','the','and','of','in'))) AS DOUBLE)
-        |      /len($toksSql) AS stop_ratio
+        |      /NULLIF(len($toksSql), 0) AS stop_ratio
         |  FROM documents)
         |SELECT doc_id, tok_cnt, avg_token_len, stop_ratio,
         |  CAST(tok_cnt AS DOUBLE)*(1.0 - stop_ratio) AS score
@@ -641,7 +645,7 @@ object SparkEntry {
         |  CAST(SUM(len($toksSql)) AS BIGINT) AS sum_ws_tokens,
         |  CAST(SUM(len(regexp_extract_all($normSql,
         |    '${TextAnalysis.bpePattern.replace("'", "''")}'))) AS DOUBLE)
-        |    / SUM(len($toksSql)) AS tokens_per_word
+        |    / NULLIF(SUM(len($toksSql)), 0) AS tokens_per_word
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q48_salted_hotkeys" ->
       """SELECT l_returnflag AS key, COUNT(*) AS n,
@@ -807,10 +811,19 @@ object SparkEntry {
   /** DuckDB SQL fragments shared by the text/dedup/similarity oracles —
     * must stay in lockstep with graft.functions.TextFunctions. DuckDB's
     * regexp_replace needs the 'g' flag to match Spark's replace-all. */
+  // the whitespace class is spelled out, not '\s': Spark's Java regex
+  // \s includes \x0B (vertical tab) while DuckDB's RE2 \s does not — a
+  // document containing 0x0B would normalize differently in the two
+  // engines and silently break every derived token/fingerprint value.
+  // The class below IS Java's \s, so the engines agree on all input.
   private val normSql =
-    """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+    """lower(trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))"""
+  // list_filter drops the ONE phantom token a blank document's
+  // normal form produces (string_split('', ' ') = ['']) — the twin of
+  // TextFunctions.tokens' empty-list guard; non-blank docs never
+  // contain an empty token (the normal form is single-spaced)
   private val toksSql =
-    s"""string_split($normSql, ' ')"""
+    s"""list_filter(string_split($normSql, ' '), t -> t != '')"""
 
   /** DuckDB twin of TextFunctions.saltedBucket — the portable salted
     * md5 bucket every sampling/split/mixing/sharding oracle derives

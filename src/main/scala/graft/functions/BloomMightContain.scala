@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.graftbridge.DeclaredInputTypes
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
@@ -32,9 +31,26 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 final case class BloomMightContain(child: Expression,
     bloomBytes: Array[Byte])
-    extends UnaryExpression with DeclaredInputTypes {
+    extends UnaryExpression {
 
-  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
+  // STRICT string check, deliberately NOT the implicit-cast contract
+  // the other expressions here use: a numeric probe column would be
+  // silently coerced to its decimal-string bytes, while a filter built
+  // from that column inserted LONG bytes (putLong) — every probe would
+  // miss, and the "false negatives cannot occur" guarantee above would
+  // fail invisibly (rows dropped before the exact join). Rejecting at
+  // analysis forces the caller to probe the same representation the
+  // filter was built from.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain requires a STRING probe column (the filter " +
+          s"bytes were built from string insertions); got " +
+          s"${child.dataType.catalogString} — probing a cast's bytes " +
+          "would yield false negatives")
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
 

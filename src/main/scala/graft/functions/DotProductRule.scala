@@ -50,11 +50,18 @@ object DotProductRule extends Rule[LogicalPlan] {
           ZipWith(left, right,
             LambdaFunction(Multiply(DirectOrCastVar(x), DirectOrCastVar(y), _),
               Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
-          Literal(0.0, DoubleType),
+          // bit-pattern guard, not just the 0.0 constant pattern:
+          // Scala's numeric pattern equality treats -0.0 == 0.0, but a
+          // -0.0 zero is observable (empty arrays fold to -0.0 in the
+          // HOF form vs +0.0 in DotProductF64) and a session-wide rule
+          // must be bit-exact for everything it matches
+          zero @ Literal(0.0, DoubleType),
           LambdaFunction(Add(DirectOrCastVar(acc), DirectOrCastVar(v), _),
             Seq(ma: NamedLambdaVariable, mv: NamedLambdaVariable), _),
           LambdaFunction(fin: NamedLambdaVariable, Seq(ff: NamedLambdaVariable), _))
           if isDoubleArray(left) && isDoubleArray(right) &&
+            java.lang.Double.doubleToRawLongBits(
+              zero.value.asInstanceOf[Double]) == 0L &&
             x.exprId == zx.exprId && y.exprId == zy.exprId &&
             acc.exprId == ma.exprId && v.exprId == mv.exprId &&
             fin.exprId == ff.exprId &&

@@ -23,7 +23,14 @@ final case class SimHashAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Int]] {
+    extends TypedImperativeAggregate[Array[Int]]
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
+
+  // update() casts the evaluated child straight to Long — same
+  // mid-task ClassCastException hazard (an INT or DECIMAL hash column
+  // analyzes fine) the contract on TopKAgg exists for; the analyzer
+  // now coerces INT→BIGINT / rejects non-numeric at analysis time
+  override def declaredInputTypes: Seq[DataType] = Seq(LongType)
 
   private val bits = 60
 

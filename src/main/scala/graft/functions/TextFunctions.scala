@@ -23,9 +23,20 @@ object TextFunctions {
   /** Token list of the normal form. The normal form is trimmed and
     * single-spaced, so a literal single-space split equals
     * `regexp_extract_all('\\S+')` — and skips the regex engine, which
-    * measured ~0.4 ms/doc (the dominant cost of every token query). */
-  def tokens(c: Column): Column =
-    split(normText(c), " ")
+    * measured ~0.4 ms/doc (the dominant cost of every token query).
+    *
+    * The ONE case where a bare split diverges from the extract-all
+    * form is blank/whitespace-only text: its normal form is '', whose
+    * split is [''] — one phantom token, which would count blank docs
+    * as 1 token in budgets and hand them a perfect q21 quality score
+    * (stop_ratio 0). Guarded to the empty list instead; the oracle
+    * twin (SparkEntry.toksSql) filters the same phantom with
+    * list_filter. NULL text still yields NULL (split of NULL). */
+  def tokens(c: Column): Column = {
+    val nt = normText(c)
+    when(nt === "", array().cast("array<string>"))
+      .otherwise(split(nt, " "))
+  }
 
   /** Deterministic document fingerprint: md5 of the normal form (both
     * Spark and DuckDB emit lowercase hex). */
@@ -81,11 +92,14 @@ object TextFunctions {
   def tokenCount(c: Column): Column = when(c.isNotNull, size(tokens(c)))
 
   /** Ratio of tokens belonging to `words`, one double division.
-    * NULL token list → NULL ratio (same settings-independence guard as
-    * [[tokenCount]]: on an ANSI-off/legacy-sizeOfNull deployment an
-    * unguarded NULL list yields -1/-1 = 1.0). */
+    * NULL or EMPTY token list → NULL ratio (a 0-token doc has no
+    * defined ratio — an unguarded 0.0/0 is NaN on Spark but
+    * version-dependent NULL/NaN on DuckDB, so the NULL is pinned
+    * explicitly on both sides; the size(toks) > 0 predicate also
+    * covers the ANSI-off/legacy-sizeOfNull deployment where
+    * size(NULL) is -1, not NULL). */
   def wordRatio(toks: Column, words: Seq[String]): Column =
-    when(toks.isNotNull,
+    when(size(toks) > 0,
       size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
         .cast("double") / size(toks))
 }

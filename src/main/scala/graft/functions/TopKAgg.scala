@@ -117,9 +117,30 @@ object TopKAgg {
     val ids = new Array[Long](k)
     var size = 0
 
+    /** Descending score compare under Spark's DoubleType total order
+      * (NaN greater than every double and equal to itself, -0.0 ==
+      * 0.0). A bare primitive `>`/`==` is NOT total under NaN — every
+      * comparison with it is false, so a NaN entering a not-yet-full
+      * buffer both lands out of order and stops later candidates'
+      * insertion walks early, making results arrival-order dependent.
+      * Internal call sites filter NaN scores, but the SQL-registered
+      * topk_agg cannot assume that; with this order a NaN score ranks
+      * first, exactly as the `ORDER BY s DESC` window oracle ranks it. */
+    @inline private def cmpS(a: Double, b: Double): Int =
+      if (a < b) -1
+      else if (a > b) 1
+      else if (a == b) 0 // includes -0.0 vs 0.0: equal, as in Spark
+      else {             // at least one NaN
+        val an = java.lang.Double.isNaN(a)
+        val bn = java.lang.Double.isNaN(b)
+        if (an && bn) 0 else if (an) 1 else -1
+      }
+
     /** true if (s1, i1) ranks strictly before (s2, i2). */
-    @inline private def before(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 > s2 || (s1 == s2 && i1 < i2)
+    @inline private def before(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = cmpS(s1, s2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
 
     def offer(s: Double, i: Long): Unit = {
       if (size == k && !before(s, i, scores(size - 1), ids(size - 1))) return

@@ -32,11 +32,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * stays branch-free.
   */
 final case class DotProductF64(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
 
-  // Inputs must be array<double>; call sites ([[VectorFunctions]])
-  // cast explicitly, so no ExpectsInputTypes contract is needed (that
-  // trait's AbstractDataType is private[sql] in Spark 4).
+  // Scala call sites ([[VectorFunctions]]) cast explicitly, but the
+  // SQL-registered dot_f64 has no such guarantee: without an input
+  // contract an array<float> argument passes analysis and then
+  // getDouble reads 8 bytes per 4-byte element — silently wrong
+  // numbers, no exception. The (bridged) implicit-cast contract makes
+  // the analyzer coerce array<float>→array<double> / reject
+  // non-arrays at ANALYSIS time.
+  override def declaredInputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f64"
 

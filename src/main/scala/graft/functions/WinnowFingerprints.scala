@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
@@ -26,9 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * an empty fingerprint set.
   */
 final case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
 
   require(k >= 1 && w >= 1, "k-gram and window sizes must be >= 1")
+
+  // same analysis-time string contract as WordShingles: eval casts to
+  // UTF8String, so a non-string SQL argument must coerce or fail at
+  // analysis, not ClassCastException mid-task
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprints"

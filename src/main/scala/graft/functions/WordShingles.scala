@@ -23,9 +23,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * so DuckDB oracles reproduce them exactly.
   */
 final case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.graftbridge.DeclaredInputTypes {
 
   require(n >= 1, "shingle width must be >= 1")
+
+  // eval casts the child straight to UTF8String; without the contract
+  // a SQL caller's non-string column (word_shingles(doc_id, 3))
+  // analyzes fine and throws ClassCastException mid-task — the
+  // implicit-cast contract stringifies/rejects at analysis time
+  override def declaredInputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"

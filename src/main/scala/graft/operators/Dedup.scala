@@ -807,13 +807,17 @@ object Dedup {
     * row (the document was pure boilerplate), not a missing row. */
   def q63SegmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val sw = segmentWords
-    // coalesce BEFORE tokenizing: a NULL text must yield the one-empty-
-    // token list (same as an empty string) so the document still gets
-    // its row — "no document vanishes" includes null-text documents
+    // coalesce BEFORE tokenizing, and a RAW split (not
+    // TextFunctions.tokens, which maps blank text to the EMPTY list):
+    // this operator's contract is "no document vanishes", which
+    // includes null/blank-text documents — they must keep the
+    // one-empty-token list so they yield exactly one (empty) segment
+    // and so one clean_text row. The oracle twin (toksNn in
+    // SparkEntry) is the same raw string_split for the same reason.
     val toks = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
-        graft.functions.TextFunctions.tokens(coalesce(col("text"), lit("")))
-          .as("t"))
+        split(graft.functions.TextFunctions.normText(
+          coalesce(col("text"), lit(""))), " ").as("t"))
       .filter(size(col("t")) >= 1)
     val segs = toks
       .select(col("doc_id"),

@@ -51,8 +51,12 @@ object TextAnalysis {
         // guard as tokenCount: DuckDB's len(NULL) is NULL and every
         // derived stat must agree engine-to-engine on null rows
         when(col("toks").isNotNull, size(col("toks"))).as("tok_cnt"),
+        // denominator NULL when 0 tokens (blank doc): x/NULL is NULL
+        // on both engines, where x/0 would be Spark NaN vs a
+        // version-dependent DuckDB NULL/NaN — the oracle guards with
+        // NULLIF identically
         (length(regexp_replace(normText(col("text")), " ", "")).cast("double")
-          / when(col("toks").isNotNull, size(col("toks"))))
+          / when(size(col("toks")) > 0, size(col("toks"))))
           .as("avg_token_len"),
         wordRatio(col("toks"), stopwords).as("stop_ratio"))
       .withColumn("score",
@@ -139,7 +143,10 @@ object TextAnalysis {
         sum(col("bpe")).as("sum_bpe_tokens"),
         sum(col("ws")).as("sum_ws_tokens"))
       .withColumn("tokens_per_word",
-        col("sum_bpe_tokens").cast("double") / col("sum_ws_tokens"))
+        // NULL when a language group has 0 whitespace tokens (all-blank
+        // docs): same NULL-not-NaN division discipline as q21
+        col("sum_bpe_tokens").cast("double") /
+          when(col("sum_ws_tokens") > 0, col("sum_ws_tokens")))
       .orderBy(col("lang"))
 
   /** Per-language sampling rates (percent): downsample the dominant

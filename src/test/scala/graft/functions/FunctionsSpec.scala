@@ -22,6 +22,24 @@ class FunctionsSpec extends SparkSpec {
     assert(got === Seq("the", "quick", "fox"))
   }
 
+  test("tokens: blank text yields the EMPTY list (no phantom token), " +
+    "NULL stays NULL; wordRatio of 0 tokens is NULL") {
+    // a blank doc's normal form is '', whose bare split would be ['']
+    // — one phantom token that counted blank docs into token budgets
+    // and scored them 1.0 on q21 quality; pinned to [] / NULL ratio,
+    // in lockstep with the oracle's list_filter + NULLIF twins
+    val df = Seq(Some(""), Some("  \t\n "), None, Some("a  b"))
+      .toDF("t")
+      .select(col("t"), tokens(col("t")).as("toks"))
+      .select(size(col("toks")).as("n"),
+        wordRatio(col("toks"), Seq("a")).as("r"))
+      .collect()
+    assert(df(0).getInt(0) === 0 && df(0).isNullAt(1))
+    assert(df(1).getInt(0) === 0 && df(1).isNullAt(1))
+    assert(df(2).isNullAt(0) && df(2).isNullAt(1))
+    assert(df(3).getInt(0) === 2 && df(3).getDouble(1) === 0.5)
+  }
+
   test("WordShingles matches the HOF formulation exactly") {
     val df = Seq(
       "a b c d e",
@@ -158,5 +176,15 @@ class FunctionsSpec extends SparkSpec {
     assert(survivors(strangers) <= 500)
     // null stays null → filtered out, matching SQL three-valued logic
     assert(survivors(Seq(null.asInstanceOf[String])) === 0L)
+    // STRICT type check: a numeric probe column must be REJECTED at
+    // analysis, not implicitly cast — the filter was built from string
+    // bytes, and probing a long's decimal-string bytes against a
+    // putLong-built filter would return false for every inserted value
+    // (false negatives, silently dropped rows)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(5).select(Bridge.column(
+        BloomMightContain(Bridge.expression(col("id")), bytes))).collect()
+    }
+    assert(e.getMessage.contains("STRING probe"))
   }
 }
