@@ -475,10 +475,16 @@ object SparkEntry {
         |WHERE ${cosSql("l", "r")} >= 0.42
         |ORDER BY vec_a, vec_b""".stripMargin,
     "q35_knn_brute" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      // nz mirrors the Spark side's nrm > 0 filter: a zero-norm vector
+      // is neither a neighbor nor a query (its cosine is NaN on Spark
+      // — ranked FIRST desc — but NULL here — ranked last), and the
+      // ANN paths exclude it by rule, so the exact baseline must too
+      s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE ${dotSql("embedding", "embedding")} > 0),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM nz WHERE vec_id < 10),
         |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
         |    ${cosSql2("qe", "e.embedding")} AS cosine
-        |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+        |  FROM q JOIN nz e ON e.vec_id <> q.query_id)
         |SELECT query_id, neighbor_id, cosine, rank FROM (
         |  SELECT query_id, neighbor_id, cosine,
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id

@@ -128,9 +128,19 @@ object Similarity {
   }
 
   /** q35: brute-force top-k cosine neighbors for the query batch
-    * (vec_id < 10), deterministic tie-break on neighbor id. */
+    * (vec_id < 10), deterministic tie-break on neighbor id.
+    *
+    * Zero-norm vectors are excluded from BOTH sides of the pairing:
+    * their cosine is NaN (0/0), which Spark's descending sort ranks
+    * FIRST (the zero vector would be everyone's #1 "neighbor") while
+    * the DuckDB oracle's NULL ranks last — and every ANN path excludes
+    * them by rule ([[rerankTopK]]'s isnan filter). The exact baseline
+    * must share the "a zero vector is neither a neighbor nor a query"
+    * semantics, or the recall gates would measure ANN against an
+    * answer it is FORBIDDEN to return. The oracle applies the same
+    * norm filter. */
   def q35KnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = prepped(spark, sfDir)
+    val e = prepped(spark, sfDir).filter(col("nrm") > 0)
     val q = e.filter(col("vec_id") < knnQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
@@ -289,7 +299,7 @@ object Similarity {
     * argmin‖û−m‖² = argmax(dot(û,m) − ‖m‖²/2) = argmax(dot(v,m)/‖v‖ − ‖m‖²/2)
     * — a codegen'd dot product plus a per-centroid scalar, no
     * element-wise array math anywhere in the N-row path. */
-  private def cellScore(cents: DataFrame): Column =
+  private def cellScore: Column =
     dotD(col("v"), col("cv")) / col("nrm") - col("cn")
 
   private def withHalfNormSq(cents: DataFrame): DataFrame =
@@ -312,7 +322,7 @@ object Similarity {
     for (_ <- 1 to lloydIters) {
       val assigned = e.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-          cellScore(cents).as("cd"))
+          cellScore.as("cd"))
         .withColumn("cr", row_number().over(wCell))
         .filter(col("cr") === 1)
       // exact fixed-point per-dimension mean of the assigned UNIT
@@ -343,12 +353,18 @@ object Similarity {
       .orderBy(col("cd").desc, col("cell"))
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("nrm"), col("cell"),
-        cellScore(cents).as("cd"))
+        cellScore.as("cd"))
       .withColumn("cr", row_number().over(wCell))
   }
 
   def q41KnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = prepped(spark, sfDir)
+    // nrm > 0 like every sibling trainer (q61/q65/q68, IndexStore
+    // .build): an unfiltered zero-norm vector seeds or updates a NaN
+    // centroid (0.0/0.0), and NaN cellScores rank FIRST under the
+    // descending sort — one bad vector collapses every assignment
+    // into the NaN cell and the "ANN" probe degenerates to a full
+    // corpus scan
+    val e = prepped(spark, sfDir).filter(col("nrm") > 0)
     val nl = nlistFor(e.count())
     val np = nprobeFor(nl)
     val cents = kmeansCentroids(e, nl)
@@ -376,9 +392,13 @@ object Similarity {
     * k (cosine, id) pairs per query leave each map task — no per-query
     * candidate sort, same (cosine DESC, id ASC) total order as a
     * row_number window. Degenerate (zero-norm → NaN cosine) candidates
-    * are excluded before ranking: a zero vector is not a neighbor under
-    * either a window (NaN sorts first descending) or TopKAgg (primitive
-    * compare drops it), so the exclusion makes the semantics explicit.
+    * are excluded before ranking, and that isnan filter is
+    * LOAD-BEARING, not belt-and-braces: under Spark's double order a
+    * NaN ranks FIRST descending — both a window and TopKAgg (which
+    * implements exactly that total order) would hand a zero vector
+    * rank 1 for every query. The filter is the single place the
+    * "a zero vector is not a neighbor" rule is enforced for all ANN
+    * variants (q35 applies the same rule to the exact baseline).
     * Shared by [[q36KnnLsh]], [[q41KnnIvf]], [[q61KnnPq]],
     * [[q65KnnIvfPq]] and [[q68KnnIvfPqRes]] — every ANN variant
     * surfaces exact cosines through this one rule. */
@@ -510,9 +530,12 @@ object Similarity {
   }
 
   private[operators] def pqCodebook(sv: DataFrame): DataFrame = {
-    def halfNorm(c: DataFrame): DataFrame =
-      c.withColumn("cn", dotD(col("cv"), col("cv")) / 2)
-    var cents = halfNorm(sv
+    // ONE half-squared-norm definition (withHalfNormSq) for both the
+    // IVF centroids and the PQ codebooks: the assignment rule
+    // (cd = dot − cn) depends on it, and two local copies could drift
+    // apart — exactly the divergence the shared-pqAssign structure
+    // exists to prevent
+    var cents = withHalfNormSq(sv
       .withColumn("h", xxhash64(col("vec_id")))
       .groupBy(col("sub"),
         pmod(col("h"), lit(pqCodes)).cast("int").as("code"))
@@ -520,7 +543,7 @@ object Similarity {
     cents = graft.Materialize(cents)
     for (_ <- 1 to pqLloydIters) {
       val assigned = pqAssign(sv, cents)
-      cents = graft.Materialize(halfNorm(assigned
+      cents = graft.Materialize(withHalfNormSq(assigned
         .select(col("sub"), col("code"), posexplode(col("sv")))
         .groupBy(col("sub"), col("code"), col("pos"))
         .agg((sum(floor(col("col") * 1e6).cast("long"))

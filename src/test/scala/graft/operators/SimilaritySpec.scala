@@ -173,4 +173,36 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= Similarity.pairThreshold)
     }
   }
+
+  test("a zero-norm vector is neither a neighbor nor a seed: q35 " +
+    "excludes it and q41 trains/serves unpoisoned") {
+    // corpus = real slice + one all-zero embedding. Unfiltered, the
+    // zero vector's cosine is NaN — Spark ranks NaN FIRST descending,
+    // so it would be every query's #1 "neighbor" in q35 while every
+    // ANN path excludes it (rerankTopK), breaking recall gates; and a
+    // zero-norm SEED in q41's k-means yields a NaN centroid that wins
+    // every assignment (quantizer collapse). Both paths filter nrm > 0.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_zeronorm").toString
+    val slice = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 300)
+    val zero = spark.createDataFrame(
+      java.util.List.of(Row(999999L, Array.fill(64)(0.0f), 0)),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+    slice.unionByName(zero).write.parquet(s"$base/embeddings.parquet")
+    val brute = Similarity.q35KnnBrute(spark, base)
+    assert(brute.filter(col("neighbor_id") === 999999L).isEmpty)
+    assert(brute.count() ===
+      (Similarity.knnQueries * Similarity.k).toLong)
+    val ivf = Similarity.q41KnnIvf(spark, base)
+    assert(ivf.filter(col("neighbor_id") === 999999L).isEmpty)
+    assert(!ivf.isEmpty)
+    // no NaN cosine anywhere in either result
+    assert(brute.filter(isnan(col("cosine"))).isEmpty)
+    assert(ivf.filter(isnan(col("cosine"))).isEmpty)
+  }
 }
