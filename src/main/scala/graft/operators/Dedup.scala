@@ -31,22 +31,42 @@ object Dedup {
 
   // --- exact -------------------------------------------------------------
 
-  /** Exact dedup with a deterministic keeper: first row per fingerprint
-    * ordered by the tie-break columns. groupBy+min would only return the
-    * keys; row_number keeps the whole surviving row. */
+  /** Exact dedup with a deterministic keeper: the row with the smallest
+    * tie-break value per fingerprint, as a MAP-SIDE-COMBINABLE aggregate
+    * — `min_by(whole row, tie-break)` — never a window. A
+    * `row_number() over partitionBy(fp)` keeper funnels EVERY copy of
+    * the hottest fingerprint into one task, and real corpora are
+    * exactly that skewed (billions of byte-identical boilerplate/empty
+    * documents share one fingerprint); window partitions are also the
+    * one shuffle shape AQE's skew handling cannot split. The aggregate
+    * form reduces each map partition to one candidate row per
+    * fingerprint before the shuffle, so the hot key moves O(partitions)
+    * rows instead of O(copies) and no task ever holds a fingerprint's
+    * full duplicate set.
+    *
+    * Deterministic iff `tieBreak` is unique within a fingerprint group
+    * (every caller uses the table's primary key, `doc_id`); on a
+    * genuine tie the kept row among the tied ones is engine-chosen —
+    * identical to the `row_number` contract this replaces. Columns are
+    * packed into the aggregation buffer, so callers that drop wide
+    * columns afterwards should select them away BEFORE deduping (q30
+    * does) — pruning cannot reach below the packed struct. */
   def exactDedup(df: DataFrame, fp: Column, tieBreak: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(fp).orderBy(tieBreak: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val cols = df.columns.toSeq
+    df.groupBy(fp.as("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), struct(tieBreak: _*)).as("__row"))
+      .select(cols.map(c => col(s"__row.`$c`").as(c)): _*)
   }
 
-  /** q30: exact-dedup survivors of `documents` by content fingerprint. */
+  /** q30: exact-dedup survivors of `documents` by content fingerprint.
+    * Output columns are selected before the dedup so the scan reads
+    * (and the keeper aggregate carries) only what the query returns —
+    * see the pruning note on [[exactDedup]]. */
   def q30ExactDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
       .withColumn("fp", fingerprint(col("text")))
-    exactDedup(d, col("fp"), Seq(col("doc_id")))
       .select(col("doc_id"), col("fp"), col("lang"))
+    exactDedup(d, col("fp"), Seq(col("doc_id")))
       .orderBy(col("doc_id"))
   }
 

@@ -192,10 +192,15 @@ object TextAnalysis {
   }
 
   /** q19: per-(source, lang) corpus digest with a grouped string
-    * aggregation — the sorted head of each group's doc ids rendered as
-    * a CSV sample column. collect_list alone is order-nondeterministic;
-    * sort_array pins it, slice bounds it (the collected list is only
-    * ever per-group, never global). */
+    * aggregation — the 5 smallest doc ids of each group rendered as a
+    * CSV sample column. The head comes from the BOUNDED-BUFFER
+    * [[graft.functions.TopKAgg]] (5 slots per group, map-side
+    * combinable, scored by the negated id so "top" = smallest), not
+    * `slice(sort_array(collect_list(...)), 1, 5)`: collect_list
+    * buffers EVERY id of the group before the slice throws all but 5
+    * away — a billion-doc (source, lang) group is a straight
+    * aggregation-buffer OOM, where the k-slot buffer never holds more
+    * than 5. The negated-double score is exact for ids below 2^53. */
   def q19SourceDigest(spark: SparkSession, sfDir: String): DataFrame =
     Tables.load(spark, sfDir, "documents")
       .groupBy(col("source"), col("lang"))
@@ -203,17 +208,28 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"),
+        graft.functions.TopKAgg.topkAgg(
+          -col("doc_id").cast("double"), col("doc_id"), 5).as("top"))
+      .select(col("source"), col("lang"), col("n_docs"), col("min_chars"),
+        col("max_chars"),
         concat_ws(",",
-          slice(sort_array(collect_list(col("doc_id"))), 1, 5)
-            .cast("array<string>")).as("sample_ids"))
+          transform(col("top"), e => e.getField("id").cast("string")))
+          .as("sample_ids"))
       .orderBy(col("source"), col("lang"))
 
   /** q23: content fingerprint (md5 of the normal form) + per-fingerprint
-    * cardinality via a window — the primitive exact dedup builds on. */
+    * cardinality — the primitive exact dedup builds on. The count is a
+    * map-side-combinable groupBy joined back on the fingerprint, NOT a
+    * `count over partitionBy(fp)` window: a boilerplate fingerprint
+    * shared by billions of rows would put the whole group in one window
+    * task, and AQE can split a skewed sort-merge-join partition but
+    * never a window partition ([[graft.operators.Dedup.exactDedup]]
+    * makes the same trade for the same reason). */
   def q23Fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.load(spark, sfDir, "documents")
-      .withColumn("fp", fingerprint(col("text")))
-    d.withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val counts = d.groupBy(col("fp")).agg(count(lit(1)).as("n_same"))
+    d.join(counts, "fp")
       .select(col("doc_id"), col("fp"), col("n_same"))
       .orderBy(col("doc_id"))
   }

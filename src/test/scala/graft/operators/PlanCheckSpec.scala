@@ -155,6 +155,33 @@ class PlanCheckSpec extends SparkSpec {
       _.references.exists(_.name == "o_orderpriority")))
   }
 
+  test("fingerprint-keyed operators plan no Window at all (hot-fp skew)") {
+    // q30/q23 (and every exactDedup call site) key on the content
+    // fingerprint, whose hottest value at corpus scale is shared by
+    // billions of boilerplate/empty docs. A Window partitioned by fp
+    // puts that whole group in ONE task and AQE cannot split a window
+    // partition — so these operators must plan aggregates (+ joins)
+    // only: min_by keeper / groupBy-count-join-back. Any WindowExec
+    // here is the straggler shape creeping back in.
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq(
+      "q30" -> Dedup.q30ExactDedup(spark, sfDir),
+      "q23" -> TextAnalysis.q23Fingerprint(spark, sfDir)).foreach {
+      case (name, df) =>
+        val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+        assert(wins.isEmpty, s"$name plans a Window over the fingerprint")
+    }
+  }
+
+  test("q19 per-group id sample is the bounded TopKAgg, not collect_list") {
+    // collect_list buffers every id of a (source, lang) group before
+    // slicing to 5 — an aggregation-buffer OOM at a billion-doc group.
+    val a = TextAnalysis.q19SourceDigest(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert(a.contains("topk_agg"), "q19 lost the bounded-buffer top-k")
+    assert(!a.contains("collect_list"), "unbounded collect_list is back")
+  }
+
   test("no query plans a partition-less WindowExec (single-task funnel)") {
     // A Window with an empty partitionSpec moves EVERY row through one
     // task — the classic silent scale-killer. Sweep the entire driver
