@@ -26,6 +26,21 @@ class DedupSpec extends SparkSpec {
     assert(got.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
   }
 
+  test("exactDedup keeps ONE row even for fully duplicated rows") {
+    // the ingest-replay shape: a batch can carry byte-identical rows
+    // (same doc_id AND same text), so the keeper must collapse ties on
+    // the tie-break itself to one survivor — a keeper that joins back
+    // on (fp, tie-break) equality would keep every tied copy and a
+    // replayed batch would admit duplicates into the corpus
+    val df = Seq(
+      (7L, "same doc twice"), (7L, "same doc twice"), (9L, "distinct"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDedup(
+      df.withColumn("fp", fingerprint(col("text"))),
+      col("fp"), Seq(col("doc_id")))
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq === Seq(7L, 9L))
+  }
+
   test("minhash LSH pairs == exact-Jaccard pairs at threshold 0.5") {
     val exact = {
       val docs = graft.sources.Tables.load(spark, sfDir, "documents")
