@@ -119,7 +119,14 @@ object ParquetSink {
     val part = fs.globStatus(new Path(tmp, "part-*.parquet"))(0).getPath
     fs.mkdirs(dest.getParent)
     if (fs.exists(dest)) fs.delete(dest, false)
-    fs.rename(part, dest)
+    // checked like swapInto/promote: an unchecked false here would
+    // delete the tmp dir holding the ONLY copy of the data right after
+    // a silently failed move — loud failure keeps the part file on
+    // disk for recovery instead
+    if (!fs.rename(part, dest))
+      throw new java.io.IOException(
+        s"writeSingleFile: rename $part -> $dest returned false " +
+          "(destination recreated concurrently?); staged file kept")
     fs.delete(tmp, true)
   }
 
