@@ -41,8 +41,8 @@ import duckdb
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf4ann"
 factor = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-if factor not in (4, 16):
-    sys.exit("factor must be 4 or 16")
+if factor not in (4, 16, 64):
+    sys.exit("factor must be 4, 16 or 64")
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 
@@ -64,13 +64,21 @@ if factor == 4:
         3: "list_transform(list_reverse(e.embedding), x -> -x)",
     }
 else:
+    # factor 16: 8 lag-8 circular shifts x negation; factor 64: 32
+    # lag-2 shifts x negation. Any distinct-lag pair's cross-cosine is
+    # the autocorrelation at that lag ~ N(0, 1/64); the one privileged
+    # pair per base vector (same lag, opposite sign, cosine exactly -1)
+    # is harmless for top-k — same argument as the 16x corpus.
+    half = factor // 2
+    step = 64 // half
+
     def shifted(r):
-        s = (r % 8) * 8
+        s = (r % half) * step
         base = ("e.embedding" if s == 0
                 else f"e.embedding[{s + 1}:64] || e.embedding[1:{s}]")
-        return (base if r < 8
+        return (base if r < half
                 else f"list_transform({base}, x -> -x)")
-    variants = {r: shifted(r) for r in range(16)}
+    variants = {r: shifted(r) for r in range(factor)}
 selects = "\nUNION ALL\n".join(
     f"""SELECT e.vec_id + {r}*1000000 AS vec_id,
                {expr}::FLOAT[] AS embedding, e.label

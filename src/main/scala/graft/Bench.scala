@@ -27,8 +27,20 @@ object Bench {
 
   /** One timed materialization through the noop sink: every row runs
     * the FULL plan — count() would let Catalyst eliminate final
-    * sorts/projections. Seconds. Shared with [[IsoBench]]. */
-  private[graft] def timeNoop(df: org.apache.spark.sql.DataFrame): Double = {
+    * sorts/projections. Seconds. Shared with [[IsoBench]].
+    *
+    * BY-NAME parameter, deliberately: queries that call
+    * [[graft.Materialize]] run an EAGER localCheckpoint during plan
+    * construction — often the query's dominant cost (tokenize+shingle
+    * for the dedup family). A by-value signature evaluated the
+    * argument before t0, silently excluding that work from every
+    * recorded number (caught round 11 when an eager checkpoint made a
+    * 28 s probe query "measure" 0.7 s); ScaleProbe always timed build +
+    * execution together, which is the honest basis this restores.
+    * Records from rounds ≤ 11 under-time the Materialize-using queries
+    * by their build phase — compare against them per-query with that
+    * caveat. */
+  private[graft] def timeNoop(df: => org.apache.spark.sql.DataFrame): Double = {
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9

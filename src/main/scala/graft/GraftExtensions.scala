@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF64, TopKAgg, WinnowFingerprints, WordShingles}
+import graft.functions.{DotProductF64, NgramTopCount, TopKAgg, WinnowFingerprints, WordShingles}
 
 /** SparkSessionExtensions hook: registers the engine's native Catalyst
   * expressions as SQL functions, so `spark.sql` users get the same
@@ -55,6 +55,19 @@ object GraftExtensions {
               s"word_shingles width must be a literal, got $other")
         }
         WordShingles(args.head, n)
+      }),
+    (FunctionIdentifier("ngram_top_count"),
+      new ExpressionInfo(classOf[NgramTopCount].getName, "ngram_top_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "ngram_top_count(text, n) takes two args")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other =>
+            throw new IllegalArgumentException(
+              s"ngram_top_count width must be a literal, got $other")
+        }
+        NgramTopCount(args.head, n)
       }),
     (FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName,

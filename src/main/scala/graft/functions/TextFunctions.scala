@@ -53,6 +53,14 @@ object TextFunctions {
     Bridge.column(WordShingles(Bridge.expression(normText(text)), n))
   }
 
+  /** Max multiplicity among word n-grams of raw text — the per-row
+    * repetition statistic (see [[NgramTopCount]]); 0 below n tokens,
+    * NULL on NULL text. */
+  def ngramTopCount(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(NgramTopCount(Bridge.expression(normText(text)), n))
+  }
+
   /** Winnowing fingerprint set of raw text: sorted distinct window-min
     * rolling hashes over character k-grams of the normal form — see
     * [[WinnowFingerprints]] for the scheme and portability contract. */

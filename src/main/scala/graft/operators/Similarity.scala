@@ -227,18 +227,21 @@ object Similarity {
     *    a probed cell keeps describing a comparable neighborhood;
     *  - [[nprobeFor]]: the (nl/16)^1.45 growth curve fitted through
     *    the two small calibrated sizes, CAPPED at a 0.45 probe
-    *    fraction. Four measured (N, nl, minimal np for recall 0.78)
+    *    fraction. Five measured (N, nl, minimal np for recall 0.78)
     *    points: (500, 16, 5 — fraction 0.31), (2000, 31, 13 — 0.42),
     *    (8000, 63, 18 — 0.29; measured round 10 on the decorrelated
     *    4× corpus of scripts/make_ann_calib.py — a constant fraction
     *    does not hold between the first two sizes, 10/31 probes read
     *    0.62, but the third size needs LESS than fraction-constant),
-    *    and (32000, 125, 36 — 0.29; measured round 11 on the 16×
-    *    circular-shift corpus, sweep in ANN_CALIB_r11_32k.json — the
-    *    needed fraction FLATTENS at ~0.29 across the last decade, so
-    *    the 0.45 cap stays a safe upper bound: the capped default
-    *    np=56 reads recall 0.96 there, over-delivering rather than
-    *    decaying).
+    *    (32000, 125, 36 — 0.288; round 11 on the 16× circular-shift
+    *    corpus, sweep in ANN_CALIB_r11_32k.json), and (128000, 250,
+    *    56 — 0.224; round 11 on the 64× lag-2-shift corpus, sweep in
+    *    ANN_CALIB_r11_128k.json). The needed fraction FALLS
+    *    monotonically across the last three decades (0.29 → 0.288 →
+    *    0.224 — finer √N quantization describes each neighborhood
+    *    better), so the 0.45 cap is a safely conservative upper bound
+    *    that increasingly over-delivers (capped defaults read 0.96 at
+    *    32k, 0.98 at 128k) rather than decaying.
     *    The round-9 two-point exponent alone does not generalize: it
     *    predicts np=36 at nl=63 (measured recall 0.92 — 2× the scan
     *    cost of the 0.78 target) and reaches np=nl (brute-force

@@ -250,36 +250,50 @@ object TextAnalysis {
     *  - `dup_trigram_frac`: fraction of trigram SLOTS occupied by a
     *    repeated trigram, i.e. 1 − distinct/total.
     *
-    * Scale shape: the bigram count is explode → two hash aggregates
-    * keyed by (doc_id, gram) then doc_id — map-side combinable, no
-    * windows; the trigram DISTINCT count never shuffles grams at all —
-    * it is `size(shingles3(text))`, the same single-pass native
-    * expression the MinHash pipeline uses, evaluated per row. Both
-    * fractions are per-row double divisions of exact integer counts, so
-    * the DuckDB oracle matches bit-for-bit. Degenerate docs (< 2 / < 3
-    * words) get NULL fractions, never a division blow-up. */
+    * Scale shape: BOTH signals are per-row native expressions — the
+    * top-bigram multiplicity is [[graft.functions.NgramTopCount]] (one
+    * tight loop per document, same family as the trigram side's
+    * `size(shingles3(text))`) — so the whole query is one scan with
+    * ZERO joins and ZERO shuffles before the final sort. An earlier
+    * revision computed the bigram max by explode → groupBy(doc, gram)
+    * → groupBy(doc) + two left joins, which ships every bigram STRING
+    * of the corpus through two exchanges just to discard them; the
+    * statistic is a pure function of one row, so no corpus-wide
+    * exchange belongs in the plan. Both fractions are per-row double
+    * divisions of exact integer counts, so the DuckDB oracle matches
+    * bit-for-bit. Degenerate docs (< 2 / < 3 words) get NULL
+    * fractions, never a division blow-up. */
   def q64RepetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.load(spark, sfDir, "documents")
-    val toks = docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      // long: DuckDB len() is BIGINT — keep the oracle schema identical.
-      // NULL text → NULL n_words (not sizeOfNull's -1), matching the
-      // oracle's len(NULL) = NULL so the fraction CASEs agree on nulls.
-      .withColumn("n_words",
-        when(col("t").isNotNull, size(col("t"))).cast("long"))
-    val topBigram = toks.filter(col("n_words") >= 2)
+    // The three text scalars are cut from the text by a HASH-shuffle of
+    // the 4 compact integer columns before the fraction projection and
+    // the sort, for two measured reasons:
+    //  - stacked projections collapse into one (CollapseProject),
+    //    inlining each text expression into every downstream reference
+    //    — n_words alone is referenced five times across the fraction
+    //    conditions/divisors and the flagged re-expansion;
+    //  - a global orderBy's range-partitioner SAMPLING pass executes
+    //    the unshuffled child once more, doubling whatever survives
+    //    the first problem.
+    // Together those re-ran the normalize+split work ~4× per row
+    // (33 s vs 8 s single-evaluation cost at the 4× probe corpus). The
+    // hash exchange (no sampling pass of its own, unlike a range one)
+    // materializes shuffle files the sort's sampling pass re-reads, so
+    // every text expression runs EXACTLY once per row and what
+    // shuffles is integers, never text.
+    val base = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
-      .select(col("doc_id"),
-        array_join(slice(col("t"), col("i"), lit(2)), " ").as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("max_bigram"))
-    val triDistinct = docs.select(col("doc_id"),
-      size(shingles3(col("text"))).as("n_tri_distinct"))
-    toks.select(col("doc_id"), col("n_words"))
-      .join(topBigram, Seq("doc_id"), "left")
-      .join(triDistinct, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
+        // long: DuckDB len() is BIGINT — keep the oracle schema
+        // identical. NULL text → NULL n_words (not sizeOfNull's -1),
+        // matching the oracle's len(NULL) = NULL so the fraction CASEs
+        // agree on nulls.
+        when(col("text").isNotNull, size(tokens(col("text"))))
+          .cast("long").as("n_words"),
+        graft.functions.TextFunctions.ngramTopCount(col("text"), 2)
+          .as("max_bigram"),
+        size(shingles3(col("text"))).as("n_tri_distinct"))
+      .repartition(col("doc_id"))
+      .orderBy(col("doc_id"))
+    base.select(col("doc_id"), col("n_words"),
         when(col("n_words") >= 2,
           col("max_bigram").cast("double") /
             (col("n_words") - 1).cast("double")).as("top_bigram_frac"),
@@ -289,7 +303,6 @@ object TextAnalysis {
       .withColumn("flagged",
         coalesce(col("top_bigram_frac") > topBigramFracMax, lit(false)) ||
           coalesce(col("dup_trigram_frac") > dupTrigramFracMax, lit(false)))
-      .orderBy(col("doc_id"))
   }
 
   /** Per-source mixture weights for q66; sources not listed get

@@ -64,6 +64,48 @@ class FunctionsSpec extends SparkSpec {
     assert(native(2) === Seq("a b c", "b c a", "c a b"))
   }
 
+  test("NgramTopCount == the explode/groupBy bigram max, plus edges") {
+    // the per-row expression replaced q64's two-shuffle aggregate; it
+    // must produce the identical integer on every document shape
+    val df = Seq(
+      Some("a b a b a c"),        // bigrams: ab,ba,ab,ba,ac → max 2
+      Some("x x x x"),            // xx ×3 → 3
+      Some("one"),                // < 2 tokens → 0
+      Some(""), Some(" \t "),     // blank → 0
+      None,                       // NULL → NULL
+      Some("Q w E q W e q w")     // case-folds via normText: qw ×3
+    ).toDF("t")
+    val got = df.select(ngramTopCount(col("t"), 2)).collect()
+    assert(got(0).getLong(0) === 2L)
+    assert(got(1).getLong(0) === 3L)
+    assert(got(2).getLong(0) === 0L)
+    assert(got(3).getLong(0) === 0L && got(4).getLong(0) === 0L)
+    assert(got(5).isNullAt(0))
+    assert(got(6).getLong(0) === 3L)
+    // cross-check against the aggregate formulation on real fixture text
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val agg = docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.sequence(
+            org.apache.spark.sql.functions.lit(1), size(col("t")) - 1)).as("i"),
+        col("t"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.array_join(
+          org.apache.spark.sql.functions.slice(col("t"), col("i"),
+            org.apache.spark.sql.functions.lit(2)), " ").as("g"))
+      .groupBy(col("doc_id"), col("g")).count()
+      .groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.max(col("count")).as("m"))
+      .as[(Long, Long)].collect().toMap
+    val native = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), ngramTopCount(col("text"), 2).as("m"))
+      .as[(Long, Long)].collect().toMap
+    agg.foreach { case (id, m) => assert(native(id) === m, s"doc $id") }
+  }
+
   test("dotD matches the interpreted fold bit-for-bit") {
     val df = graft.sources.Tables.load(spark, sfDir, "embeddings")
       .select(col("embedding").cast("array<double>").as("v"))
