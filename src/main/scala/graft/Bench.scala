@@ -123,8 +123,13 @@ object Bench {
       .map(s => s""","index_build_sec":${f3(s)}""").getOrElse("") +
       indexBuildErr
         .map(m => s""","index_build_error":${Json.str(m)}""").getOrElse("")
+    // timing_basis marks the round-11 basis change (see timeNoop's doc):
+    // "plan+exec" totals are NOT comparable to earlier records'
+    // exec-only numbers for Materialize-using queries — the artifact
+    // must say so itself, or a cross-round diff reads as a regression
+    val basisField = s""","timing_basis":"plan+exec""""
     val spreadJson =
-      s"""{"queries":$spreadQs,"n":$runsPerQuery$idxField,"sf":${Json.str(sfDir)}}"""
+      s"""{"queries":$spreadQs,"n":$runsPerQuery$idxField$basisField,"sf":${Json.str(sfDir)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(spreadPath), spreadJson)
     catch { case e: Throwable =>
@@ -142,7 +147,7 @@ object Bench {
     val worst = contaminated.headOption
       .map { case (k, r) => s""","worst":${Json.str(s"$k:${f3(r)}x")}""" }
       .getOrElse("")
-    println(s"""{"noise":{"contaminated":${contaminated.size}$worst$idxField,"spread":${Json.str(spreadPath)}}}""")
+    println(s"""{"noise":{"contaminated":${contaminated.size}$worst$idxField$basisField,"spread":${Json.str(spreadPath)}}}""")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors

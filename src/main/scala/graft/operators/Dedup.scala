@@ -794,12 +794,20 @@ object Dedup {
     * larger id of each pair) needs exactly this. */
   def q50DedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = nearDupPairs(shingled(spark, sfDir), 0.5)
-    val w = Window.partitionBy(col("cluster_id"))
     // the O(log n) star algorithm carries the driver query; q54 runs
     // the plain propagation, so the oracle gate exercises both
-    connectedComponentsStar(pairs, "doc_a", "doc_b")
+    val labels = connectedComponentsStar(pairs, "doc_a", "doc_b")
       .select(col("vtx").as("doc_id"), col("comp").as("cluster_id"))
-      .withColumn("n_members", count(lit(1)).over(w))
+    // cluster size as a map-side-combinable aggregate joined back —
+    // never count().over(partitionBy(cluster_id)): dedup graphs have
+    // exactly the mega-cluster skew (one boilerplate clump spanning a
+    // large corpus fraction) that funnels a window partition into one
+    // task, and window partitions are the shuffle shape AQE's skew
+    // handling cannot split (same argument as [[exactDedup]]'s keeper)
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_members"))
       .orderBy(col("doc_id"))
   }
 
@@ -816,15 +824,22 @@ object Dedup {
     * units.
     *
     * Scale shape: one explode to (doc_id, seg_idx, segment), then the
-    * corpus-wide keeper is a hash aggregate on the segment's md5
-    * FINGERPRINT — the shuffle carries 32-hex keys, never segment
-    * text, and `min(struct(doc_id, seg_idx))` (the q30 keeper rule
-    * generalized to spans) is map-side combinable, so no window over
-    * a giant partition anywhere. Survivors rejoin on the fingerprint
-    * and reassemble per document with the array_sort(collect_list)
-    * pattern — order restored from seg_idx, no re-sort of the corpus.
-    * Dropping ALL of a document's segments leaves an empty clean_text
-    * row (the document was pure boilerplate), not a missing row. */
+    * corpus-wide keeper is ONE hash aggregate on the segment's md5
+    * FINGERPRINT — `min(struct(doc_id, seg_idx, seg))` (the q30 keeper
+    * rule generalized to spans; the unique (doc_id, seg_idx) prefix
+    * decides, the text rides along) — map-side combinable, so no
+    * window over a giant partition anywhere and the hottest
+    * boilerplate fingerprint moves O(partitions) candidate rows, not
+    * O(copies). Carrying the text inside the aggregate means the
+    * keeper shuffle moves each DISTINCT segment at most once per map
+    * partition and the former verify join (which re-shuffled every
+    * copy of the corpus text on the composite key) disappears; the
+    * only other text movement is the survivors' reassembly
+    * groupBy(doc_id) with the array_sort(collect_list) pattern —
+    * order restored from seg_idx, no re-sort of the corpus. The
+    * per-doc totals aggregate shuffles counts only. Dropping ALL of a
+    * document's segments leaves an empty clean_text row (the document
+    * was pure boilerplate), not a missing row. */
   def q63SegmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val sw = segmentWords
     // coalesce BEFORE tokenizing, and a RAW split (not
@@ -849,11 +864,10 @@ object Dedup {
         array_join(slice(col("t"), col("seg_idx") * sw + 1, lit(sw)), " ")
           .as("seg"))
       .withColumn("fp", md5(col("seg")))
-    val keeper = segs.groupBy(col("fp"))
-      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("k"))
-      .select(col("fp"), col("k.doc_id").as("doc_id"),
-        col("k.seg_idx").as("seg_idx"))
-    val kept = segs.join(keeper, Seq("fp", "doc_id", "seg_idx"))
+    val kept = segs.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.seg_idx").as("seg_idx"),
+        col("k.seg").as("seg"))
     val totals = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
     val reassembled = kept.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("seg_idx"), col("seg"))))

@@ -164,9 +164,15 @@ class PlanCheckSpec extends SparkSpec {
     // only: min_by keeper / groupBy-count-join-back. Any WindowExec
     // here is the straggler shape creeping back in.
     import org.apache.spark.sql.execution.window.WindowExec
+    // q50/q63 key on cluster_id / segment fingerprint — same skew
+    // class: ONE boilerplate clump or segment can span a large corpus
+    // fraction, so cluster size and the segment keeper must be
+    // aggregates too (count-join-back / min(struct) carrying the text)
     Seq(
       "q30" -> Dedup.q30ExactDedup(spark, sfDir),
-      "q23" -> TextAnalysis.q23Fingerprint(spark, sfDir)).foreach {
+      "q23" -> TextAnalysis.q23Fingerprint(spark, sfDir),
+      "q50" -> Dedup.q50DedupClusters(spark, sfDir),
+      "q63" -> Dedup.q63SegmentDedup(spark, sfDir)).foreach {
       case (name, df) =>
         val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
         assert(wins.isEmpty, s"$name plans a Window over the fingerprint")
