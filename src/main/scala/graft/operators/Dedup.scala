@@ -796,8 +796,11 @@ object Dedup {
     val pairs = nearDupPairs(shingled(spark, sfDir), 0.5)
     // the O(log n) star algorithm carries the driver query; q54 runs
     // the plain propagation, so the oracle gate exercises both
-    val labels = connectedComponentsStar(pairs, "doc_a", "doc_b")
-      .select(col("vtx").as("doc_id"), col("comp").as("cluster_id"))
+    // materialized: consumed by BOTH the size aggregate and the join
+    // below — without this the star forest's final labeling pass (vertex
+    // union + member min + left join) executes once per branch
+    val labels = materialize(connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .select(col("vtx").as("doc_id"), col("comp").as("cluster_id")))
     // cluster size as a map-side-combinable aggregate joined back —
     // never count().over(partitionBy(cluster_id)): dedup graphs have
     // exactly the mega-cluster skew (one boilerplate clump spanning a
