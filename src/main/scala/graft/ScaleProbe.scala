@@ -25,6 +25,13 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", 64)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bench's untimed warmup (JIT/codegen + parquet footers), for the
+    // same reason Bench and IsoBench share it: without it the FIRST
+    // probed query absorbs session cold-start, which matters most in
+    // targeted runs ("ScaleProbe q50 ...") where that query is the
+    // point — a round-11 targeted q50 probe read 26-28 s cold vs
+    // 18.3 s after a warm predecessor, a 45% phantom regression.
+    Bench.warmup(spark, sfDir)
     val only = args.toSet
     var times = Vector.empty[(String, Double)]
     var errors = Map.empty[String, String]

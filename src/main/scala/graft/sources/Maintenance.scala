@@ -17,8 +17,13 @@ object Maintenance {
       targetRowsPerFile: Long): (Int, Int) = {
     val fs = new Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    def parquetFiles(): Int =
-      fs.globStatus(new Path(path + "/*.parquet")).length
+    def parquetFiles(): Int = {
+      // globStatus returns NULL (not empty) for a missing parent dir —
+      // same guard as compactAnnIndex: let the parquet read below fail
+      // with its meaningful error instead of an NPE here
+      val st = fs.globStatus(new Path(path + "/*.parquet"))
+      if (st == null) 0 else st.length
+    }
     val before = parquetFiles()
     val df = spark.read.parquet(path)
     val n = df.count()
