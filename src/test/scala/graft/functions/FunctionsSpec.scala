@@ -106,6 +106,34 @@ class FunctionsSpec extends SparkSpec {
     agg.foreach { case (id, m) => assert(native(id) === m, s"doc $id") }
   }
 
+  test("NgramTopCount: 300-case randomized cross-check vs a reference " +
+    "count, n in {1,2,3}") {
+    // independent reference over the SAME normal form the column path
+    // feeds the expression (lowercase + collapsed whitespace)
+    def ref(raw: String, n: Int): Long = {
+      val toks = raw.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) 0L
+      else toks.sliding(n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).values.map(_.size).max.toLong
+    }
+    val rng = new scala.util.Random(7)
+    // small vocab forces real collisions; mixed-case + ragged
+    // whitespace + unicode letters exercise the normText contract
+    val vocab = Vector("a", "B", "ab", "Ü", "xy", "ß", "q1", "-", "''")
+    val cases = (1 to 100).map { _ =>
+      val len = rng.nextInt(12)
+      (0 until len).map(_ => vocab(rng.nextInt(vocab.size)))
+        .mkString(if (rng.nextBoolean()) " " else "  \t")
+    } :+ "" :+ "   " :+ "a"
+    for (n <- 1 to 3) {
+      val got = cases.toDF("t")
+        .select(ngramTopCount(col("t"), n)).as[Long].collect()
+      cases.zip(got).foreach { case (s, g) =>
+        assert(g === ref(s, n), s"n=$n text=<$s>")
+      }
+    }
+  }
+
   test("dotD matches the interpreted fold bit-for-bit") {
     val df = graft.sources.Tables.load(spark, sfDir, "embeddings")
       .select(col("embedding").cast("array<double>").as("v"))

@@ -188,6 +188,19 @@ class PlanCheckSpec extends SparkSpec {
     assert(!a.contains("collect_list"), "unbounded collect_list is back")
   }
 
+  test("q64 plans no join and no window — per-row expressions only") {
+    // the repetition signals are pure functions of one document; the
+    // pre-rework shape (explode -> groupBy(doc, gram) -> groupBy(doc)
+    // + two joins) shipped every bigram string of the corpus through
+    // two exchanges — any join or window here is that shape returning
+    val p = plan(TextAnalysis.q64RepetitionSignals(spark, sfDir))
+    assert(!p.contains("Join"), "q64 regained a join")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val wins = TextAnalysis.q64RepetitionSignals(spark, sfDir)
+      .queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.isEmpty, "q64 plans a Window")
+  }
+
   test("no query plans a partition-less WindowExec (single-task funnel)") {
     // A Window with an empty partitionSpec moves EVERY row through one
     // task — the classic silent scale-killer. Sweep the entire driver
