@@ -359,7 +359,7 @@ object SparkEntry {
     "q17_append" ->
       s"""WITH $upsertFrames
         |SELECT * FROM old_f UNION ALL SELECT * FROM new_f
-        |ORDER BY o_orderkey, o_orderstatus, o_totalprice""".stripMargin,
+        |ORDER BY o_orderkey, o_orderstatus NULLS FIRST, o_totalprice""".stripMargin,
     "q18_schema_infer" ->
       """WITH mx AS (SELECT max(length(text)) AS n FROM documents),
         |rng AS (SELECT min(n_chars * 10000000) AS lo, max(n_chars * 10000000) AS hi FROM documents)
@@ -435,7 +435,13 @@ object SparkEntry {
         |batch_u AS (SELECT doc_id, lang, text, md5($normSql) AS fp FROM incoming
         |  QUALIFY row_number() OVER (PARTITION BY md5($normSql) ORDER BY doc_id) = 1),
         |fresh AS (SELECT * FROM batch_u
-        |  WHERE fp NOT IN (SELECT md5($normSql) FROM corpus)),
+        |  -- NOT EXISTS, not NOT IN: a null-text corpus doc makes
+        |  -- md5(...) NULL, and one NULL inside a NOT IN list poisons
+        |  -- EVERY membership test to NULL (zero fresh rows) — while
+        |  -- the engine's left_anti keeps them. NOT EXISTS's equality
+        |  -- matches left_anti null semantics exactly.
+        |  WHERE NOT EXISTS (SELECT 1 FROM corpus
+        |    WHERE md5($normSql) = batch_u.fp)),
         |tok_f AS (SELECT doc_id, $toksSql AS t FROM fresh),
         |shf AS (SELECT doc_id,
         |  list_distinct(list_transform(range(1, len(t)-1),

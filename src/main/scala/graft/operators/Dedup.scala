@@ -695,14 +695,14 @@ object Dedup {
     val clean = uniq.filter(col("doc_id") >= contamProbes)
       .join(clusterDrop, Seq("doc_id"), "left_anti")
       .join(contam, Seq("doc_id"), "left_anti")
-    // deterministic stratified sample (q52 rates)
-    val bucket = pmod(graft.functions.TextFunctions.h60(
-      concat(col("doc_id").cast("string"), lit(":sample"))), lit(100))
-    val rate = TextAnalysis.sampleRates.foldLeft(
-      lit(TextAnalysis.defaultSampleRate)) {
-      case (acc, (l, r)) => when(col("lang") === l, r).otherwise(acc)
-    }
-    clean.filter(bucket < rate)
+    // deterministic stratified sample — q52's exact rule by
+    // construction: saltedBucket is "the ONE membership rule" (its
+    // oracle twin is SparkEntry.bucketSql) and sampleRateExpr the one
+    // rate ladder; an inline copy here would silently desync from the
+    // oracle pair on any future change to either
+    val bucket = graft.functions.TextFunctions.saltedBucket(
+      col("doc_id"), "sample", 100)
+    clean.filter(bucket < TextAnalysis.sampleRateExpr)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("tok_cnt")).as("sum_tokens"),

@@ -46,10 +46,16 @@ object LoadQueries {
     Upsert.upsert(newFrame(spark, sfDir), oldFrame(spark, sfDir),
       Seq("o_orderkey"))
 
-  /** O13/O17 append semantics: plain multiset union. */
+  /** O13/O17 append semantics: plain multiset union. o_orderstatus is
+    * nullable here (the delta nulls every 8th key) and appears UNDER a
+    * duplicated sort prefix (old+new rows share o_orderkey), so its
+    * null position is result-order-bearing: Spark's ASC default is
+    * NULLS FIRST while DuckDB's is NULLS LAST — both sides must spell
+    * it out or the deterministic-order contract silently breaks. */
   def q17Append(spark: SparkSession, sfDir: String): DataFrame =
     Upsert.append(newFrame(spark, sfDir), oldFrame(spark, sfDir))
-      .orderBy(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"), col("o_orderstatus").asc_nulls_first,
+        col("o_totalprice"))
 
   /** O5-O8 schema inference exposed as a query: (col_name, sql_type) for
     * a frame with a wide string (documents.text > 255 chars), a value

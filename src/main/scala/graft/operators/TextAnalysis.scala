@@ -156,6 +156,14 @@ object TextAnalysis {
     "en" -> 20, "de" -> 60, "es" -> 60, "fr" -> 60, "zh" -> 60)
   val defaultSampleRate = 50
 
+  /** The per-language rate as ONE column expression over `lang` —
+    * shared by q52 and q54's sampling stage so the rate table has a
+    * single rendering (their oracles encode the same CASE ladder). */
+  def sampleRateExpr: org.apache.spark.sql.Column =
+    sampleRates.foldLeft(lit(defaultSampleRate)) {
+      case (acc, (l, r)) => when(col("lang") === l, r).otherwise(acc)
+    }
+
   /** q52: deterministic stratified sampling — each doc's md5-derived
     * bucket decides membership at its language's rate, so the sample
     * is reproducible on any engine/partitioning/run (same property as
@@ -164,10 +172,7 @@ object TextAnalysis {
     * next to the sampled counts so the realized rate is auditable. */
   def q52StratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
     val bucket = saltedBucket(col("doc_id"), "sample", 100)
-    val rate = sampleRates.foldLeft(lit(defaultSampleRate)) {
-      case (acc, (l, r)) => when(col("lang") === l, r).otherwise(acc)
-    }
-    val in = bucket < rate
+    val in = bucket < sampleRateExpr
     Tables.load(spark, sfDir, "documents")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),

@@ -169,6 +169,15 @@ object StreamOps {
     events.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
         val exists = JdbcOps.tableExists(cfg.url, cfg.schema, cfg.table)
+        // the bootstrap batch routes through Create, whose SqlSink path
+        // has no key check (create is keyless by contract) — but THIS
+        // sink's contract is keyed upsert from batch one, and a
+        // duplicate key persisted by the bootstrap would survive every
+        // later MERGE silently (each source row just updates both
+        // copies). Enforce the promise here so the violation is loud on
+        // the first batch too, same as requireUniqueKeys makes it later.
+        if (!exists)
+          graft.checks.Validations.requireUniqueKeys(batch, cfg.idField)
         SqlSink.write(batch,
           cfg.copy(method = if (exists) Method.Upsert else Method.Create))
         ()

@@ -270,6 +270,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingUpsertSql bootstrap batch enforces key uniqueness " +
+    "(Create has no key check of its own)") {
+    // a duplicate key persisted by the bootstrap would survive every
+    // later MERGE silently (each source row just updates both target
+    // copies) — the sink must make the FIRST batch as loud as
+    // requireUniqueKeys makes the rest
+    implicit val ctx = spark.sqlContext
+    val url = "jdbc:derby:memory:graftstreamdb3;create=true"
+    val cfg = graft.sql.SqlSink.Config(url, "t_dup_boot", "app_s",
+      graft.checks.Validations.Method.Upsert, Seq("id"),
+      dialect = graft.sql.DerbyDialect)
+    val ms = MemoryStream[(Int, String)]
+    val q = StreamOps.streamingUpsertSql(ms.toDF().toDF("id", "name"), cfg)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_dupboot_ckpt").toString)
+      .start()
+    try {
+      ms.addData(Seq((1, "a"), (1, "b")))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(_.getMessage != null) &&
+        chain(e).exists(t => t.getMessage != null &&
+          t.getMessage.contains("duplicate rows")))
+      // and the table was never created — the violation stopped the
+      // bootstrap before any DDL
+      assert(!graft.sql.JdbcOps.tableExists(url, "app_s", "t_dup_boot"))
+    } finally q.stop()
+  }
+
   test("streamingUpsertSql rejects a non-Upsert method loudly") {
     // the sink derives the per-batch method itself; a Config built for
     // Append must fail at entry, not be silently converted to upserts
