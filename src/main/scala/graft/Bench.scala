@@ -86,7 +86,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] index build failed: ${e.getMessage}")
         indexBuildErr =
-          Some(e.toString.replaceAll("[\"\\\\\n]", " ").take(200))
+          Some(Json.err(e))
         None
       }
     var errors = Map.empty[String, String]
@@ -95,7 +95,7 @@ object Bench {
         try Some(timeNoop(fn(spark, sfDir)))
         catch {
           case e: Throwable =>
-            errors += name -> e.toString.replaceAll("[\"\\\\\n]", " ").take(200)
+            errors += name -> Json.err(e)
             None
         }
       }
@@ -106,8 +106,7 @@ object Bench {
     val results = spreads.map { case (k, (med, _, _)) => k -> med }
     // 3-decimal seconds keep the whole line compact: the driver records
     // only an output TAIL, and a long line risks losing its own head
-    def f3(v: Double): String = // Locale.ROOT: '.' decimal separator always
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def f3(v: Double): String = Json.f3(v) // one shared rendering
     // Full per-query {med,min,max} spreads go to a FILE, not the stdout
     // line: the driver's artifact keeps only a 2000-char output tail
     // and the compact median line already fills ~1800 of it. The spread

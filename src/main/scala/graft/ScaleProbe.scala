@@ -16,7 +16,38 @@ package graft
   * CPU stealing swings absolute times up to 7× — compare the SHAPE
   * (which query blew up relative to the others), not totals. */
 object ScaleProbe {
+
+  /** The probed subset, in run order (heavy operators only). */
+  val probed: Seq[String] = Seq(
+    "q1_pricing_summary", "q5_top_orders_per_customer",
+    "q11_never_ordered_parts", "q14_rollup", "q28_cube",
+    "q25_percentiles", "q48_salted_hotkeys",
+    "q57_bucket_join", "q58_partition_prune",
+    "q38_asof_join", "q39_sessions", "q49_range_join",
+    "q20_token_stats", "q30_exact_dedup", "q31_minhash_dedup",
+    "q32_simhash_dedup", "q33_source_jaccard", "q46_winnow_pairs",
+    "q53_contamination", "q50_dedup_clusters", "q44_corpus_clean",
+    "q54_corpus_v2", "q34_cosine_pairs", "q36_knn_lsh", "q41_knn_ivf",
+    "q45_embed_dedup", "q51_quantize_embed", "q56_stream_hourly",
+    "q59_incremental_ingest", "q60_contamination_bloom",
+    "q61_knn_pq", "q62_zorder_skip", "q63_segment_dedup",
+    "q64_repetition", "q65_knn_ivfpq", "q66_domain_mix",
+    "q67_pack_sequences", "q68_knn_ivfpq_res",
+    // persisted-index pair: first call builds (ensure), so probe
+    // runs see build+query — compare against q65/q68 to see the
+    // in-query-training overhead at scale, and a second targeted
+    // run (index now current) isolates query-side scaling
+    "q69_knn_ivfpq_idx", "q70_knn_ivfpq_res_idx")
+
   def main(args: Array[String]): Unit = {
+    // same loud-typo rule as Verify.main: a misspelled (or renamed)
+    // name would otherwise probe NOTHING, emit a normal-looking
+    // zero-total artifact, and exit 0 — an empty signal the
+    // round-over-round compare would read as data
+    val unknown = args.toSet -- probed.toSet
+    require(unknown.isEmpty,
+      s"unknown probe names: ${unknown.mkString(", ")} — " +
+        s"probed set: ${probed.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sfbig")
     // shared builder (cores from SPARK_GRAFT_CPUS, aggregate threshold,
     // UTC) + a probe-specific override: 2× shuffle partitions, because
@@ -47,34 +78,14 @@ object ScaleProbe {
         } catch {
           case e: Throwable =>
             times :+= name -> -1.0
-            errors += name -> e.toString.replaceAll("[\"\\\\\n]", " ").take(160)
+            errors += name -> Json.err(e, 160)
             println(s"[scale] $name FAILED after " +
               f"${(System.nanoTime() - t0) / 1e9}%.1f s: " +
               e.toString.takeWhile(_ != '\n').take(160))
         }
       }
-    Seq(
-      "q1_pricing_summary", "q5_top_orders_per_customer",
-      "q11_never_ordered_parts", "q14_rollup", "q28_cube",
-      "q25_percentiles", "q48_salted_hotkeys",
-      "q57_bucket_join", "q58_partition_prune",
-      "q38_asof_join", "q39_sessions", "q49_range_join",
-      "q20_token_stats", "q30_exact_dedup", "q31_minhash_dedup",
-      "q32_simhash_dedup", "q33_source_jaccard", "q46_winnow_pairs",
-      "q53_contamination", "q50_dedup_clusters", "q44_corpus_clean",
-      "q54_corpus_v2", "q34_cosine_pairs", "q36_knn_lsh", "q41_knn_ivf",
-      "q45_embed_dedup", "q51_quantize_embed", "q56_stream_hourly",
-      "q59_incremental_ingest", "q60_contamination_bloom",
-      "q61_knn_pq", "q62_zorder_skip", "q63_segment_dedup",
-      "q64_repetition", "q65_knn_ivfpq", "q66_domain_mix",
-      "q67_pack_sequences", "q68_knn_ivfpq_res",
-      // persisted-index pair: first call builds (ensure), so probe
-      // runs see build+query — compare against q65/q68 to see the
-      // in-query-training overhead at scale, and a second targeted
-      // run (index now current) isolates query-side scaling
-      "q69_knn_ivfpq_idx", "q70_knn_ivfpq_res_idx").foreach(t)
-    def f3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    probed.foreach(t)
+    def f3(v: Double): String = Json.f3(v) // one shared rendering
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors

@@ -475,9 +475,15 @@ object SparkEntry {
         |    /(len(l.ts) + len(r.ts) - len(list_intersect(l.ts, r.ts))) >= 0.9
         |ORDER BY source, doc_a, doc_b""".stripMargin,
     "q34_cosine_pairs" ->
-      s"""SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+      // nz mirrors the Spark side's validNorm filter (see q35's note):
+      // a zero-norm vector's cosine is NaN — Spark's >= accepts it
+      // (NaN ranks above all), DuckDB's NULL drops it — so both sides
+      // must exclude such vectors from the pairing outright
+      s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE $nzSql)
+        |SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
         |  ${cosSql("l", "r")} AS cosine
-        |FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+        |FROM nz l JOIN nz r ON l.vec_id < r.vec_id
         |WHERE ${cosSql("l", "r")} >= 0.42
         |ORDER BY vec_a, vec_b""".stripMargin,
     "q35_knn_brute" ->
@@ -486,7 +492,7 @@ object SparkEntry {
       // — ranked FIRST desc — but NULL here — ranked last), and the
       // ANN paths exclude it by rule, so the exact baseline must too
       s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE ${dotSql("embedding", "embedding")} > 0),
+        |  WHERE $nzSql),
         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM nz WHERE vec_id < 10),
         |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
         |    ${cosSql2("qe", "e.embedding")} AS cosine
@@ -641,9 +647,14 @@ object SparkEntry {
         |FROM uniq WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q45_embed_dedup" ->
-      s"""WITH dropped AS (
-        |  SELECT DISTINCT r.vec_id FROM embeddings l
-        |  JOIN embeddings r ON l.vec_id < r.vec_id
+      // pairs come from the nz corpus (q34's rule); survivors are the
+      // FULL table minus dropped — a zero/NaN-norm vector is never a
+      // near-dup of anything, so it survives on both sides
+      s"""WITH nz AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE $nzSql),
+        |dropped AS (
+        |  SELECT DISTINCT r.vec_id FROM nz l
+        |  JOIN nz r ON l.vec_id < r.vec_id
         |  WHERE ${cosSql("l", "r")} >= 0.42)
         |SELECT e.vec_id, e.label FROM embeddings e
         |WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
@@ -866,6 +877,14 @@ object SparkEntry {
 
   /** Cosine over DuckDB float lists, double math, left fold — bitwise
     * equal to Similarity.cosine. */
+  /** Oracle twin of [[graft.operators.Similarity.validNorm]]: positive
+    * AND finite squared norm. The `< infinity` leg excludes NaN too —
+    * DuckDB, like Spark, ranks NaN above Inf, so NaN < Inf is false in
+    * both engines and the predicate text stays lockstep. */
+  private def nzSql: String =
+    s"""${dotSql("embedding", "embedding")} > 0
+      |  AND ${dotSql("embedding", "embedding")} < CAST('infinity' AS DOUBLE)""".stripMargin
+
   private def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, len($a)+1),
       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin

@@ -44,6 +44,21 @@ object Verify {
     def pass: Boolean = recall >= floor
   }
 
+  /** Delete a dump dir and FAIL LOUDLY when the delete itself fails:
+    * every deletion in this gate exists to turn a bad dump into a
+    * missing-dump driver FAIL, so an undeletable dump (permission
+    * change, open handle on NFS) surviving unnoticed would let the
+    * driver's rows-only compare record a PASS — the exact silent pass
+    * the gate prevents. Same unchecked-false discipline as
+    * ParquetSink.swapInto/promote. */
+  private def deleteOrDie(dir: java.io.File): Unit = {
+    org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
+    if (dir.exists())
+      throw new IllegalStateException(
+        s"failed to delete $dir — a stale dump left in place would " +
+          "impersonate a passing result downstream")
+  }
+
   /** Measures recall@k of each gated ANN dump under `outDir` against
     * the exact brute-force top-k. Reads the DUMPS (the exact bytes the
     * driver will compare), not a re-run — a divergence introduced by
@@ -63,6 +78,15 @@ object Verify {
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairs(operators.Similarity.q35KnnBrute(spark, sfDir))
+    // vacuous-corpus guard: with an EMPTY exact baseline (a corpus of
+    // zero/invalid vectors — n=0 states IndexStore and the ingest
+    // stream explicitly support) recall is 0/0, and the NaN would flow
+    // into ann_recall.json as non-RFC-8259 JSON. Empty-vs-empty agrees
+    // (1.0, vacuous pass); any dumped pair against an empty baseline
+    // is a wrong answer (0.0, hard fail).
+    def recallOf(dumped: Set[(Long, Long)]): Double =
+      if (exact.isEmpty) { if (dumped.isEmpty) 1.0 else 0.0 }
+      else (exact intersect dumped).size.toDouble / exact.size
     val memo = scala.collection.mutable.Map.empty[String, Option[Double]]
     def recallOfDump(name: String): Option[Double] =
       memo.getOrElseUpdate(name, {
@@ -72,9 +96,7 @@ object Verify {
         // dir): the query is already failing downstream as a broken
         // dump — skip its recall measurement rather than aborting the
         // whole verify artifact for every other query
-        else try Some(
-          (exact intersect pairs(spark.read.parquet(dir.toString)))
-            .size.toDouble / exact.size)
+        else try Some(recallOf(pairs(spark.read.parquet(dir.toString))))
         catch { case e: Throwable =>
           System.err.println(
             s"[verify] $name dump unreadable, recall skipped: ${e.getMessage}")
@@ -97,9 +119,7 @@ object Verify {
         try {
           val q65Recall = (if (selected.contains("q65_knn_ivfpq"))
             recallOfDump("q65_knn_ivfpq") else None).getOrElse(
-            (exact intersect
-              pairs(operators.Similarity.q65KnnIvfPq(spark, sfDir)))
-              .size.toDouble / exact.size)
+            recallOf(pairs(operators.Similarity.q65KnnIvfPq(spark, sfDir))))
           // Lower-bound the dynamic floor at q65's STATIC floor: in a
           // targeted q68-only re-gate the live q65 measurement alone
           // sets the bar, so a shared-helper bug degrading BOTH paths
@@ -113,8 +133,7 @@ object Verify {
             s"[verify] $annResidual floor (live q65) failed: " +
               s"${e.getMessage}; deleting its dump — unverifiable " +
               "recall is not a pass")
-          org.apache.hadoop.fs.FileUtil
-            .fullyDelete(new java.io.File(s"$outDir/$annResidual"))
+          deleteOrDie(new java.io.File(s"$outDir/$annResidual"))
           None
         }
       }
@@ -138,9 +157,30 @@ object Verify {
     * persisted index serving old results, and recall floors alone
     * could still pass it. Runs only when both twins were dumped by
     * this run (a targeted q69-only re-gate has no fresh twin to trust
-    * — the recall floor still applies there). */
+    * — the recall floor still applies there).
+    *
+    * `indexDir` (when the caller knows it) adds the APPEND exemption:
+    * bit-identity is promised only for a PURE build — an index grown
+    * by appendBatch legitimately serves the pre-append centroids and
+    * codebooks while the in-query twin retrains on the full corpus
+    * (that amortization is the feature, and `ensure` validates the
+    * appended index as current). Condemning it as "stale artifacts"
+    * would hard-FAIL a healthy maintenance state, so when meta records
+    * appended rows the identity check stands down and the recall
+    * floors remain the gate. The driver's own gate always runs against
+    * a fresh pure build (immutable testdata, rebuilt scratch), so the
+    * exemption never weakens that path. */
   def enforceTwinIdentity(spark: SparkSession, outDir: String,
-      names: Iterable[String]): Unit = {
+      names: Iterable[String], indexDir: Option[String] = None): Unit = {
+    val appended = indexDir
+      .flatMap(d => operators.IndexStore.appendedRows(spark, d))
+      .getOrElse(0L)
+    if (appended > 0) {
+      println(s"[verify] twin identity skipped: index at " +
+        s"${indexDir.get} carries $appended appended rows (pure-build " +
+        "identity does not apply; recall floors still gate)")
+      return
+    }
     val selected = names.toSet
     idxTwins.foreach { case (idx, live) =>
       if (selected.contains(idx) && selected.contains(live)) {
@@ -168,7 +208,7 @@ object Verify {
               s"in-query twin $live — the persisted index is serving " +
               "stale artifacts (same-dial algorithm change without a " +
               "formatVersion bump?); deleting its dump")
-            org.apache.hadoop.fs.FileUtil.fullyDelete(iDir)
+            deleteOrDie(iDir)
           }
         }
       }
@@ -206,10 +246,7 @@ object Verify {
           s"[verify] ann recall gate itself failed (${e.getMessage}); " +
             "deleting gated dumps — unverifiable recall is not a pass")
         names.filter(n => annFloors.contains(n) || n == annResidual)
-          .foreach { n =>
-            org.apache.hadoop.fs.FileUtil
-              .fullyDelete(new java.io.File(s"$outDir/$n"))
-          }
+          .foreach(n => deleteOrDie(new java.io.File(s"$outDir/$n")))
         return Map.empty
       }
     gates.toSeq.sortBy(_._1).foreach { case (name, g) =>
@@ -217,8 +254,7 @@ object Verify {
         System.err.println(
           s"[verify] $name failed: recall@${operators.Similarity.k} " +
             s"${f4(g.recall)} below floor ${f4(g.floor)}")
-        org.apache.hadoop.fs.FileUtil
-          .fullyDelete(new java.io.File(s"$outDir/$name"))
+        deleteOrDie(new java.io.File(s"$outDir/$name"))
       }
     }
     if (gates.nonEmpty) {
@@ -251,8 +287,7 @@ object Verify {
     // as a missing dump (FAIL) downstream, not as its stale
     // previous-run parquet silently passing the compare
     selected.keys.foreach { name =>
-      org.apache.hadoop.fs.FileUtil
-        .fullyDelete(new java.io.File(s"$outDir/$name"))
+      deleteOrDie(new java.io.File(s"$outDir/$name"))
     }
     // Dump in parallel: Spark happily runs jobs from several submitter
     // threads (FIFO scheduler), queries touch disjoint output dirs and
@@ -294,7 +329,8 @@ object Verify {
 
     // twin identity BEFORE the recall gate: a diverged q69/q70 dump is
     // deleted here, and the gate then simply skips its missing dump
-    enforceTwinIdentity(spark, outDir, selected.keys)
+    enforceTwinIdentity(spark, outDir, selected.keys,
+      Some(operators.IndexStore.dirFor(spark, sfDir)))
     enforceAnnGate(spark, sfDir, outDir, selected.keys)
 
     val json = SparkEntry.oracleSql

@@ -114,8 +114,12 @@ private[operators] final case class AnnIndexMeta(version: Int, n: Long,
 object IndexStore {
 
   /** Bump when the index ALGORITHM changes in a way the dial columns
-    * of `meta` cannot see (e.g. a different Lloyd update rule). */
-  val formatVersion = 1
+    * of `meta` cannot see (e.g. a different Lloyd update rule).
+    * v2: the indexable predicate tightened from nrm > 0 to
+    * [[Similarity.validNorm]] (finite, positive) — a corpus holding a
+    * NaN/Inf-component vector fingerprints differently, so a v1 index
+    * over one must rebuild rather than validate. */
+  val formatVersion = 2
 
   /** Advisory retrain threshold for [[AppendStats.drift]]. */
   val driftRetrainAt = 1.5
@@ -163,9 +167,11 @@ object IndexStore {
   // --- corpus identity -------------------------------------------------------
 
   /** (indexable row count, xor fingerprint) in ONE corpus scan.
-    * Indexable = nrm > 0, the same rows q65/q68 train on and the same
-    * rows [[appendBatch]] appends — zero-norm rows are invisible to
-    * the index and so must be invisible to its fingerprint, or a
+    * Indexable = [[Similarity.validNorm]] (positive AND finite norm),
+    * the same rows q65/q68 train on and the same
+    * rows [[appendBatch]] appends — zero/NaN/Inf-norm rows are
+    * invisible to the index and so must be invisible to its
+    * fingerprint, or a
     * replayed append containing one would xor it in twice (= out).
     * xor, not sum: order-independent, overflow-free under ANSI, and
     * incrementally maintainable (fp_new = fp_old ⊕ fp_batch). */
@@ -174,7 +180,7 @@ object IndexStore {
     val v = col("embedding").cast("array<double>")
     val r = raw.select(col("vec_id"), col("embedding"),
         sqrt(dotD(v, v)).as("nrm"))
-      .filter(col("nrm") > 0)
+      .filter(Similarity.validNorm)
       .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id, embedding))"),
         countDistinct(col("vec_id")))
       .head()
@@ -346,7 +352,7 @@ object IndexStore {
     val raw = Tables.load(spark, sfDir, "embeddings")
     val (n, fp) = knownIdentity.getOrElse(countAndFingerprint(raw))
     val nl = Similarity.nlistFor(n)
-    val e = Similarity.prepped(spark, sfDir).filter(col("nrm") > 0)
+    val e = Similarity.prepped(spark, sfDir).filter(Similarity.validNorm)
 
     val cents = Similarity.kmeansCentroids(e, nl)
     val ranks = Similarity.cellRanks(e, cents)
@@ -442,6 +448,16 @@ object IndexStore {
   def hasIndex(spark: SparkSession, dir: String): Boolean =
     readMeta(spark, dir).isDefined
 
+  /** Rows added by [[appendBatch]] since the last full build (0 = pure
+    * build; None = no readable meta). Verify's twin-identity gate
+    * reads this: bit-identity with the in-query twin is promised only
+    * for a PURE build — an append-maintained index legitimately serves
+    * the pre-append centroids/codebooks (that amortization is the
+    * point) and is gated by recall floors instead. */
+  def appendedRows(spark: SparkSession, dir: String): Option[Long] =
+    try readMeta(spark, dir).map(_.appended_n)
+    catch { case scala.util.control.NonFatal(_) => None }
+
   // --- incremental maintenance ----------------------------------------------
 
   /** Index `batch` (vec_id, embedding, …) into the EXISTING artifacts
@@ -475,7 +491,7 @@ object IndexStore {
     val pe0 = batch
       .select(col("vec_id"), col("embedding"), v.as("v"),
         sqrt(dotD(v, v)).as("nrm"))
-      .filter(col("nrm") > 0)
+      .filter(Similarity.validNorm)
     // Membership, and TORN-state detection. Codes are written before
     // rcodes, so after any crash:
     //   fresh = not in codes            → full append (codes + rcodes)
@@ -572,7 +588,7 @@ object IndexStore {
     * corpus rows the query paths read outside the final re-rank. */
   private def queryVecs(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.prepped(spark, sfDir)
-      .filter(col("nrm") > 0 && col("vec_id") < Similarity.knnQueries)
+      .filter(Similarity.validNorm && col("vec_id") < Similarity.knnQueries)
 
   /** Disk partition columns come back as the inferred partition type;
     * pin `cell` to its written long so downstream joins/broadcasts see

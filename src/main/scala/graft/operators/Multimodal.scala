@@ -49,8 +49,13 @@ object Multimodal {
       channels: Int,
       content_hash: String)
 
-  private def isImage(kind: String): Boolean = kind.startsWith("image/")
-  private def isAudio(kind: String): Boolean = kind.startsWith("audio/")
+  // null-safe: a generic media source can carry a null kind, and the
+  // module contract is mark-don't-throw — an unknown kind routes to the
+  // stub branch, never to an NPE that kills the stage
+  private def isImage(kind: String): Boolean =
+    kind != null && kind.startsWith("image/")
+  private def isAudio(kind: String): Boolean =
+    kind != null && kind.startsWith("audio/")
 
   /** Real audio header parse: (sampleRate, channels). Container formats
     * the JDK ships parsers for (WAV/AIFF/AU) go through
@@ -309,6 +314,13 @@ object Multimodal {
     * the pipeline shape is exercised end-to-end for every modality. */
   private def decodeOne(md: java.security.MessageDigest)(
       r: MediaRecord): MediaFeatures = {
+    // a NULL payload (e.g. a null-text document through
+    // mediaFromDocuments — encode(NULL) is NULL) is one more
+    // undecodable record, not a task-killing NPE: every numeric field
+    // takes the -1 marker and the hash is empty. n = -1 (not 0) keeps
+    // "null payload" distinguishable from a genuine zero-byte payload.
+    if (r.payload == null)
+      return MediaFeatures(r.media_id, r.kind, -1, -1, -1, -1, -1, "")
     md.reset()
     val hash = md.digest(r.payload).take(8).map("%02x".format(_)).mkString
     val n = r.payload.length
@@ -346,7 +358,8 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { r =>
         val real =
-          if (isImage(r.kind))
+          if (r.payload == null) None
+          else if (isImage(r.kind))
             try Option(javax.imageio.ImageIO.read(
                 new ByteArrayInputStream(r.payload)))
             catch { case scala.util.control.NonFatal(_) => None }
@@ -367,8 +380,11 @@ object Multimodal {
           case None =>
             // STUB for non-image kinds (and undecodable images): a
             // deterministic prefix proportional to the requested area.
-            val len = math.min(r.payload.length, math.max(1, (w * h) / 64))
-            ResizedMedia(r.media_id, r.kind, w, h, r.payload.take(len))
+            // A null payload degrades to the empty prefix (mark-don't-
+            // throw, same rule as decodeOne).
+            val p = if (r.payload == null) Array.emptyByteArray else r.payload
+            val len = math.min(p.length, math.max(1, (w * h) / 64))
+            ResizedMedia(r.media_id, r.kind, w, h, p.take(len))
         }
       }
     }
@@ -384,7 +400,10 @@ object Multimodal {
       every: Int): Dataset[MediaFrame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      r.payload.grouped(frameBytes).zipWithIndex.collect {
+      // null payload → zero frames (mark-don't-throw; a video row with
+      // no bytes simply contributes nothing to the exploded table)
+      if (r.payload == null) Iterator.empty
+      else r.payload.grouped(frameBytes).zipWithIndex.collect {
         case (bytes, i) if i % every == 0 => MediaFrame(r.media_id, i, bytes)
       }
     }

@@ -51,6 +51,21 @@ object Similarity {
       sqrt(dotD(v, v)).as("nrm"))
   }
 
+  /** The indexable/query-able predicate over the precomputed norm:
+    * strictly positive AND finite. `nrm > 0` alone passes NaN and Inf
+    * norms — Spark ranks NaN above every value (so NaN > 0 is TRUE),
+    * and one NaN/Inf embedding component then detonates the ANSI
+    * fixed-point casts inside every trainer (floor(NaN) cast to long
+    * THROWS under ANSI, the session default) — the whole build dies on
+    * one poisoned vector instead of excluding it like a zero vector.
+    * A finite norm conversely bounds every component (|x| ≤ nrm), so
+    * everything downstream stays in safe fixed-point range. NaN < Inf
+    * is false in BOTH Spark and DuckDB (each ranks NaN above Inf), so
+    * the same two-comparison text is the oracle's lockstep form (the
+    * nz CTEs in SparkEntry). */
+  private[operators] def validNorm: Column =
+    col("nrm") > 0 && col("nrm") < Double.PositiveInfinity
+
   /** Pair-block fan-out for the exact all-pairs join: B blocks give
     * B·(B+1)/2 equal-sized independent tasks. */
   val pairBlocks = 8
@@ -86,7 +101,12 @@ object Similarity {
     * emitting pairs as (least, greatest) matches the oracle hash. */
   def q34CosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val b = pairBlocks
-    val e = prepped(spark, sfDir)
+    // validNorm like q35 and every ANN path: a zero-norm vector's
+    // cosine is NaN (0/0), which Spark's `>= threshold` accepts (NaN
+    // ranks above every value) while the oracle's NULL drops — one
+    // zero vector would otherwise pair with EVERYTHING here, and q45
+    // built on these pairs would then drop every higher-id vector
+    val e = prepped(spark, sfDir).filter(validNorm)
       .withColumn("g", pmod(xxhash64(col("vec_id")), lit(b)).cast("int"))
     val lhs = e.select(col("vec_id").as("id_l"), col("v").as("vl"),
       col("nrm").as("nl"), col("g").as("gl"),
@@ -140,7 +160,7 @@ object Similarity {
     * answer it is FORBIDDEN to return. The oracle applies the same
     * norm filter. */
   def q35KnnBrute(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = prepped(spark, sfDir).filter(col("nrm") > 0)
+    val e = prepped(spark, sfDir).filter(validNorm)
     val q = e.filter(col("vec_id") < knnQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
@@ -361,13 +381,13 @@ object Similarity {
   }
 
   def q41KnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    // nrm > 0 like every sibling trainer (q61/q65/q68, IndexStore
+    // validNorm like every sibling trainer (q61/q65/q68, IndexStore
     // .build): an unfiltered zero-norm vector seeds or updates a NaN
     // centroid (0.0/0.0), and NaN cellScores rank FIRST under the
     // descending sort — one bad vector collapses every assignment
     // into the NaN cell and the "ANN" probe degenerates to a full
     // corpus scan
-    val e = prepped(spark, sfDir).filter(col("nrm") > 0)
+    val e = prepped(spark, sfDir).filter(validNorm)
     val nl = nlistFor(e.count())
     val np = nprobeFor(nl)
     val cents = kmeansCentroids(e, nl)
@@ -590,12 +610,12 @@ object Similarity {
     * membership at the boundary. floor(partial·1e12) LONGs make the
     * approx score bit-identical at any parallelism (the repo-wide
     * float-aggregation discipline; quantizing an APPROXIMATE score at
-    * 1e-12 costs nothing), pinned by DeterminismSpec. Known semantic
-    * shift vs a raw double sum: a NaN partial (an Inf embedding
-    * component survives the nrm > 0 filter) casts to 0L here instead
-    * of poisoning the score — such a vector competes for the shortlist
-    * at a meaningless score, but [[rerankTopK]]'s NaN filter still
-    * keeps it out of every final top-k. */
+    * 1e-12 costs nothing), pinned by DeterminismSpec. NaN/Inf partials
+    * cannot reach this cast: [[validNorm]] excludes non-finite-norm
+    * vectors at every entry path, and a finite norm bounds every
+    * component (floor(NaN) cast to long would THROW under ANSI, not
+    * truncate — the filter is what keeps this expression total), with
+    * [[rerankTopK]]'s NaN filter as the final-score backstop. */
   private[operators] def adcSum: Column =
     sum(floor(col("partial") * 1e12).cast("long")).cast("double") / 1e12
   private[operators] def adcShortlist(codes: DataFrame, lut: DataFrame,
@@ -639,7 +659,7 @@ object Similarity {
     * (same contract as q36/q41). */
   def q61KnnPq(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = emb(spark, sfDir)
-    val e = prepped(spark, sfDir).filter(col("nrm") > 0)
+    val e = prepped(spark, sfDir).filter(validNorm)
     val sv = subVectors(e)
     val cents = pqCodebook(sv)
     // encode through the SAME assignment rule the training loop
@@ -673,7 +693,7 @@ object Similarity {
     * classic refinement [[q68KnnIvfPqRes]] adds on top. */
   def q65KnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = emb(spark, sfDir)
-    val e = prepped(spark, sfDir).filter(col("nrm") > 0)
+    val e = prepped(spark, sfDir).filter(validNorm)
     val n = e.count()
     val nl = nlistFor(n)
     val ranks = cellRanks(e, kmeansCentroids(e, nl))
@@ -745,7 +765,7 @@ object Similarity {
     * [[rerankTopK]]; rows-only for the driver (ANN contract). */
   def q68KnnIvfPqRes(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = emb(spark, sfDir)
-    val e = prepped(spark, sfDir).filter(col("nrm") > 0)
+    val e = prepped(spark, sfDir).filter(validNorm)
     val n = e.count()
     val nl = nlistFor(n)
     val cents = kmeansCentroids(e, nl)

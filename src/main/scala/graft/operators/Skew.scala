@@ -31,11 +31,18 @@ object Skew {
       rightKey: Column,
       leftSaltSource: Column,
       salts: Int): DataFrame = {
-    val l = left.withColumn("__salt", pmod(hash(leftSaltSource), lit(salts)))
-    val r = right.withColumn("__salt",
+    // the synthetic column name must not collide with either schema: a
+    // fixed "__salt" would silently OVERWRITE (withColumn replaces) and
+    // then DROP a caller's same-named column, breaking the documented
+    // result-identity with the plain join
+    val taken = (left.columns ++ right.columns).toSet
+    val salt = Iterator.iterate("__salt")(_ + "_")
+      .find(n => !taken.contains(n)).get
+    val l = left.withColumn(salt, pmod(hash(leftSaltSource), lit(salts)))
+    val r = right.withColumn(salt,
       explode(sequence(lit(0), lit(salts - 1))))
-    l.join(r, leftKey === rightKey && l("__salt") === r("__salt"))
-      .drop("__salt")
+    l.join(r, leftKey === rightKey && l(salt) === r(salt))
+      .drop(salt)
   }
 
   /** Two-stage salted aggregation: count + decimal sum per key with the

@@ -45,12 +45,19 @@ object Upsert {
   }
 
   /** Missing-ness predicate: null, plus NaN for float/double columns
-    * (pandas NaN ≡ missing, SURVEY.md §7.4 trap 2). */
-  private def missing(df: DataFrame, c: String): Column =
-    df.schema(c).dataType match {
-      case DoubleType | FloatType => col(c).isNull || isnan(col(c))
-      case _ => col(c).isNull
+    * (pandas NaN ≡ missing, SURVEY.md §7.4 trap 2). The ONE definition
+    * — the dispatch probe and combineFirst's cell rule both call it, so
+    * the semantics can never diverge between the two paths. Takes the
+    * Column separately from the schema owner because combineFirst
+    * probes an ALIASED column (`__n.c`) against the unaliased schema. */
+  private def missingCol(dt: org.apache.spark.sql.types.DataType,
+      c: Column): Column =
+    dt match {
+      case DoubleType | FloatType => c.isNull || isnan(c)
+      case _ => c.isNull
     }
+  private def missing(df: DataFrame, c: String): Column =
+    missingCol(df.schema(c).dataType, col(c))
 
   /** Cell-level upsert (pandas `combine_first`): full-outer join on keys,
     * new cell wins unless missing. */
@@ -64,11 +71,8 @@ object Upsert {
       keys.map(k => coalesce(col(s"__n.$k"), col(s"__o.$k")).as(k)) ++
       nonKeys.map { c =>
         val nc = col(s"__n.$c")
-        val useOld = newDf.schema(c).dataType match {
-          case DoubleType | FloatType => nc.isNull || isnan(nc)
-          case _ => nc.isNull
-        }
-        when(useOld, col(s"__o.$c")).otherwise(nc).as(c)
+        when(missingCol(newDf.schema(c).dataType, nc),
+          col(s"__o.$c")).otherwise(nc).as(c)
       }
     n.join(o, cond, "full_outer").select(projected: _*)
   }

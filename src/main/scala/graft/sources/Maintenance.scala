@@ -12,26 +12,65 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object Maintenance {
 
+  /** Hive partition column chain under `root` (outermost first), read
+    * off the `key=val` directory names; empty for a flat table. One
+    * path chain suffices — a valid hive layout nests uniformly. */
+  private def partitionCols(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[String] = {
+    def step(dir: Path): List[String] = {
+      val sub = fs.listStatus(dir).find { s =>
+        s.isDirectory && s.getPath.getName.contains("=") &&
+          !s.getPath.getName.startsWith(".")
+      }
+      sub match {
+        case Some(s) =>
+          s.getPath.getName.takeWhile(_ != '=') :: step(s.getPath)
+        case None => Nil
+      }
+    }
+    step(root)
+  }
+
   /** @return (files before, files after) */
   def compact(spark: SparkSession, path: String,
       targetRowsPerFile: Long): (Int, Int) = {
-    val fs = new Path(path).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    val (fs, root) = graft.Scratch.fs(spark, path)
+    // count parts RECURSIVELY so partitioned layouts report honestly
+    // (a top-level glob reads a hive table as "0 files")
     def parquetFiles(): Int = {
-      // globStatus returns NULL (not empty) for a missing parent dir —
-      // same guard as compactAnnIndex: let the parquet read below fail
-      // with its meaningful error instead of an NPE here
-      val st = fs.globStatus(new Path(path + "/*.parquet"))
-      if (st == null) 0 else st.length
+      if (!fs.exists(root)) return 0
+      var n = 0
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val s = it.next()
+        val nm = s.getPath.getName
+        if (s.isFile && nm.endsWith(".parquet") && !nm.startsWith("_") &&
+            !nm.startsWith(".")) n += 1
+      }
+      n
     }
     val before = parquetFiles()
+    val parts = partitionCols(fs, root)
     val df = spark.read.parquet(path)
-    val n = df.count()
-    val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
     val shadow = new Path(path + "__compact")
-    df.repartition(files).write.mode(SaveMode.Overwrite)
-      .parquet(shadow.toString)
-    ParquetSink.swapInto(fs, shadow, new Path(path))
+    if (parts.nonEmpty) {
+      // PRESERVE the hive layout: rewriting a partitioned table flat
+      // would silently demote partition directories to data columns
+      // and permanently lose planning-time pruning (q58's property).
+      // One task per live partition value → ~one file per partition
+      // dir (the build-time layout); targetRowsPerFile does not
+      // subdivide within a partition here — partition granularity is
+      // the layout's own choice.
+      df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(parts: _*).parquet(shadow.toString)
+    } else {
+      val n = df.count()
+      val files = math.max(1, math.ceil(n.toDouble / targetRowsPerFile).toInt)
+      df.repartition(files).write.mode(SaveMode.Overwrite)
+        .parquet(shadow.toString)
+    }
+    ParquetSink.swapInto(fs, shadow, root)
     (before, parquetFiles())
   }
 
@@ -131,8 +170,7 @@ object Maintenance {
       import org.apache.spark.sql.functions.col
       def one(name: String): (Int, Int) = {
         val dir = s"$indexDir/$name"
-        val fs = new Path(dir).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
+        val (fs, _) = graft.Scratch.fs(spark, dir)
         def files(): Int = {
           // globStatus returns NULL (not empty) when the parent path is
           // missing — e.g. compaction pointed at a never-built indexDir;

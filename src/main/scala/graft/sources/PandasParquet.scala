@@ -48,12 +48,23 @@ object PandasParquet {
     val file =
       if (status.isFile) p
       else {
-        val parts = fs.listStatus(p).filter { s =>
-          s.isFile && s.getPath.getName.endsWith(".parquet") &&
-            !s.getPath.getName.startsWith("_")
+        // RECURSIVE part-file search: pandas to_parquet(partition_cols=
+        // [...]) nests parts under key=val subdirectories, where a
+        // top-level-only listing finds nothing and this shim would
+        // silently skip the conversion — the exact raw-INT64-nanos
+        // round-trip it exists to prevent. listFiles(recursive) walks
+        // the directory tree; the first part's footer carries the same
+        // pandas metadata block as every other.
+        val it = fs.listFiles(p, true)
+        var found: Option[Path] = None
+        while (found.isEmpty && it.hasNext) {
+          val s = it.next()
+          val n = s.getPath.getName
+          if (s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+              !n.startsWith("."))
+            found = Some(s.getPath)
         }
-        if (parts.isEmpty) return Nil
-        parts.head.getPath
+        found.getOrElse(return Nil)
       }
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {

@@ -107,18 +107,40 @@ object ParquetSink {
             "(live created concurrently?); shadow left in place")
     }
 
+  /** Strictly-increasing per-JVM millis stamp for the single-file
+    * append layout: two appends inside the same millisecond would
+    * otherwise produce the SAME `<table>_<millis>.parquet` name and
+    * the second would replace the first — silent loss under the
+    * "append never rewrites existing data" contract. Cross-JVM
+    * collisions are refused loudly by [[writeSingleFile]]'s
+    * no-overwrite mode instead. */
+  private val lastAppendStamp = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[sources] def appendStamp(): Long = lastAppendStamp.updateAndGet(
+    prev => math.max(prev + 1, System.currentTimeMillis()))
+
   /** Write `df` as ONE parquet object at `dest` (a file path, not a
     * directory): single-task shadow write, then move the part file into
     * place. Overwrite of an existing object is the reference's blob
-    * semantics (upload_blob overwrite=True). */
-  private def writeSingleFile(df: DataFrame, dest: Path): Unit = {
+    * semantics (upload_blob overwrite=True); `overwrite = false` (the
+    * append layout) refuses an existing destination instead — append
+    * must never replace data, so a name collision is an error, not an
+    * overwrite. */
+  private def writeSingleFile(df: DataFrame, dest: Path,
+      overwrite: Boolean = true): Unit = {
     val spark = df.sparkSession
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dest.getParent, "." + dest.getName + "__tmp")
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val part = fs.globStatus(new Path(tmp, "part-*.parquet"))(0).getPath
     fs.mkdirs(dest.getParent)
-    if (fs.exists(dest)) fs.delete(dest, false)
+    if (fs.exists(dest)) {
+      if (!overwrite)
+        throw new java.io.IOException(
+          s"writeSingleFile: $dest already exists and overwrite=false " +
+            "(append collision — e.g. a concurrent writer landed the " +
+            "same stamp); staged file kept, nothing replaced")
+      fs.delete(dest, false)
+    }
     // checked like swapInto/promote: an unchecked false here would
     // delete the tmp dir holding the ONLY copy of the data right after
     // a silently failed move — loud failure keeps the part file on
@@ -152,7 +174,8 @@ object ParquetSink {
       case Method.Append if cfg.singleFile =>
         // reference append layout: schema/table/table_<stamp>.parquet
         writeSingleFile(df, new Path(
-          s"${cfg.base}/${cfg.schema}/${cfg.table}/${cfg.table}_${System.currentTimeMillis()}.parquet"))
+          s"${cfg.base}/${cfg.schema}/${cfg.table}/${cfg.table}_${appendStamp()}.parquet"),
+          overwrite = false)
       case Method.Append =>
         writer(df, SaveMode.Append).parquet(path)
       case Method.Upsert =>

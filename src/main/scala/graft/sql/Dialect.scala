@@ -18,6 +18,12 @@ sealed trait Dialect {
     * (and the reference emits) the target-qualified form `t.[c]`;
     * Derby requires the unqualified column name. */
   def setLhs(quotedIdent: String): String = s"t.$quotedIdent"
+  /** Statement terminator appended to the generated MERGE. SQL Server
+    * REQUIRES MERGE to end with a semicolon (error 10713) — the
+    * reference's text ends with one too (db.py:48) — while Derby's
+    * JDBC rejects trailing semicolons, so the terminator is a dialect
+    * seam, not a blanket suffix. */
+  def statementTerminator: String
   /** Idempotent CREATE SCHEMA statement(s). */
   def createSchemaSql(schema: String): Seq[String]
   /** DROP TABLE IF EXISTS equivalent (Derby has no IF EXISTS). */
@@ -28,12 +34,26 @@ sealed trait Dialect {
 
 /** Azure SQL / SQL Server — the reference's target engine. */
 case object SqlServerDialect extends Dialect {
-  def quote(ident: String): String = s"[${ident.strip()}]"
+  // "]" doubles inside brackets — without the escape, an identifier
+  // containing "]" (an untrusted CSV header is enough) closes the
+  // bracket early and the remainder executes as raw T-SQL over the
+  // sink's raw connection
+  def quote(ident: String): String =
+    s"[${ident.strip().replace("]", "]]")}]"
   def notMatchedClause: String = "WHEN NOT MATCHED BY TARGET"
-  def createSchemaSql(schema: String): Seq[String] = Seq(
+  def statementTerminator: String = ";"
+  def createSchemaSql(schema: String): Seq[String] = {
     // Same idempotent statement the reference issues (export.py:195-200).
-    s"IF NOT EXISTS (SELECT * FROM sys.schemas WHERE name = '$schema') " +
-      s"EXEC('CREATE SCHEMA [$schema]')")
+    // Two escape layers, both required: the schema sits in a '...'
+    // literal (single quotes double), and the EXEC argument is ITSELF
+    // a literal wrapping the bracket-quoted CREATE — so the inner
+    // statement's quotes double once more
+    val lit = schema.strip().replace("'", "''")
+    val inner = s"CREATE SCHEMA ${quote(schema)}".replace("'", "''")
+    Seq(
+      s"IF NOT EXISTS (SELECT * FROM sys.schemas WHERE name = '$lit') " +
+        s"EXEC('$inner')")
+  }
   def dropTableSql(schema: String, name: String): String =
     s"DROP TABLE IF EXISTS ${table(schema, name)}"
   def ddlType(t: graft.types.SqlTypeMapper.SqlType): String = t.ddl
@@ -41,8 +61,11 @@ case object SqlServerDialect extends Dialect {
 
 /** Embedded Apache Derby — hermetic stand-in for integration tests. */
 case object DerbyDialect extends Dialect {
-  def quote(ident: String): String = "\"" + ident.strip() + "\""
+  // same early-close hazard as the bracket form: '"' doubles
+  def quote(ident: String): String =
+    "\"" + ident.strip().replace("\"", "\"\"") + "\""
   def notMatchedClause: String = "WHEN NOT MATCHED"
+  def statementTerminator: String = "" // Derby JDBC rejects trailing ';'
   override def setLhs(quotedIdent: String): String = quotedIdent
   def createSchemaSql(schema: String): Seq[String] =
     Seq(s"CREATE SCHEMA ${quote(schema)}")

@@ -49,6 +49,7 @@ final case class MergeBuilder(
     s"MERGE INTO ${dialect.table(schema, table)} t " +
       s"USING ${dialect.table(stagingSchema, table)} s " +
       s"ON $onClause " + update +
-      s"${dialect.notMatchedClause} THEN INSERT $insertColumns VALUES $insertValues"
+      s"${dialect.notMatchedClause} THEN INSERT $insertColumns " +
+      s"VALUES $insertValues${dialect.statementTerminator}"
   }
 }

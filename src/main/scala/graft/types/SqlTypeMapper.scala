@@ -52,10 +52,20 @@ object SqlTypeMapper {
     df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
         case _: DayTimeIntervalType =>
-          // Cast interval → decimal yields seconds with fractional micros
-          // (cast → long would truncate to whole seconds).
+          // TWO casts, and the first is load-bearing: interval →
+          // numeric counts the interval's END-field units, not seconds
+          // — a DAY-endField interval (what `end_date - start_date`
+          // produces) would cast 3 days to 3.0, an 86400× silent
+          // mis-scale vs the reference's total_seconds(). Widening to
+          // DAY TO SECOND first is lossless (same 64-bit micros
+          // payload, endField SECOND), so the numeric cast then yields
+          // seconds with fractional micros for EVERY start/end
+          // combination. (decimal, not long: long truncates the
+          // fraction.)
           acc.withColumn(f.name,
-            col(f.name).cast(DecimalType(24, 6)).cast(DoubleType))
+            col(f.name).cast(DayTimeIntervalType(DayTimeIntervalType.DAY,
+                DayTimeIntervalType.SECOND))
+              .cast(DecimalType(24, 6)).cast(DoubleType))
         case _ => acc
       }
     }

@@ -398,6 +398,37 @@ class MultimodalSpec extends SparkSpec {
     assert(byDoc.size === media.count())
   }
 
+  test("null payload/kind rows are marked, never thrown on: decode, " +
+    "resize and frame sampling stay total") {
+    // a null-text document through mediaFromDocuments yields a NULL
+    // payload (encode(NULL) = NULL); a generic media source can carry
+    // a null kind too — the module's mark-don't-throw contract says
+    // one such record must degrade to markers, not NPE a 10k-task stage
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "text/plain", "hello".getBytes("UTF-8")),
+      Multimodal.MediaRecord(2L, "text/plain", null),
+      Multimodal.MediaRecord(3L, null, "bytes".getBytes("UTF-8")),
+      Multimodal.MediaRecord(4L, "image/png", null)).toDS()
+    val feats = Multimodal.decodeFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats.size === 4)
+    // null payload → all-marker row, empty hash, kind passed through
+    assert(feats(2L).n_bytes === -1 && feats(2L).width === -1 &&
+      feats(2L).content_hash === "")
+    assert(feats(4L).n_bytes === -1 && feats(4L).sample_rate === -1)
+    // null kind with real bytes → stub-dimension branch, real hash
+    assert(feats(3L).n_bytes === 5 && feats(3L).content_hash.nonEmpty)
+    val resized = Multimodal.resize(media, 64, 64).collect()
+    assert(resized.length === 4)
+    assert(resized.filter(r => r.media_id == 2L || r.media_id == 4L)
+      .forall(_.payload.isEmpty))
+    val frames = Multimodal.frameSampleStub(media, 4, 1).collect()
+    // null-payload rows contribute zero frames; the others explode
+    assert(!frames.exists(f => f.media_id == 2L || f.media_id == 4L))
+    assert(frames.exists(_.media_id == 1L) && frames.exists(_.media_id == 3L))
+  }
+
   test("mapPartitions decode matches the column-function q40 metadata") {
     val feats = Multimodal.decodeFeatures(
         Multimodal.mediaFromDocuments(spark, sfDir))

@@ -205,4 +205,43 @@ class SimilaritySpec extends SparkSpec {
     assert(brute.filter(isnan(col("cosine"))).isEmpty)
     assert(ivf.filter(isnan(col("cosine"))).isEmpty)
   }
+
+  test("NaN/Inf-component vectors are excluded like zero vectors " +
+    "(validNorm), not crashed on: q34/q45/q61 stay total under ANSI") {
+    // nrm > 0 alone PASSES a NaN or Inf norm (Spark ranks NaN above
+    // everything, so NaN > 0 is true) — and one such vector then hits
+    // floor(NaN) cast to long inside the fixed-point trainers, which
+    // THROWS under ANSI (the session default) instead of truncating.
+    // validNorm (positive AND finite) must make every path treat the
+    // poisoned vector exactly like a zero vector: invisible, loudless.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_nanvec").toString
+    val slice = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 300)
+    val poisoned = spark.createDataFrame(
+      java.util.List.of(
+        Row(999998L, Array.fill(64)(Float.NaN), 0),
+        Row(999999L,
+          (Array.fill(63)(0.5f) :+ Float.PositiveInfinity), 0)),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+    slice.unionByName(poisoned).write.parquet(s"$base/embeddings.parquet")
+    // exact pair join: poisoned ids appear on neither side, no NaN rows
+    val pairs = Similarity.q34CosinePairs(spark, base)
+    assert(pairs.filter(col("vec_a") >= 999998L ||
+      col("vec_b") >= 999998L).isEmpty)
+    assert(pairs.filter(isnan(col("cosine"))).isEmpty)
+    // dedup: poisoned vectors are never near-dups, so they SURVIVE
+    val surv = Similarity.q45EmbedDedup(spark, base)
+    assert(surv.filter(col("vec_id") >= 999998L).count() === 2L)
+    // fixed-point PQ trainer completes (no ANSI CAST_OVERFLOW) and the
+    // poisoned vectors never surface as neighbors
+    val pq = Similarity.q61KnnPq(spark, base)
+    assert(!pq.isEmpty)
+    assert(pq.filter(col("neighbor_id") >= 999998L).isEmpty)
+    assert(pq.filter(isnan(col("cosine"))).isEmpty)
+  }
 }

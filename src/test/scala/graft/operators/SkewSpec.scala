@@ -24,6 +24,21 @@ class SkewSpec extends SparkSpec {
     assert(salted.nonEmpty)
   }
 
+  test("saltedJoin leaves a caller's own __salt column intact") {
+    // the synthetic salt must pick a non-colliding name — a fixed
+    // "__salt" would overwrite (withColumn replaces) and then drop the
+    // caller's column, silently breaking result-identity
+    import spark.implicits._
+    val l = Seq((1L, 10L, "keepL"), (2L, 20L, "keepL2"))
+      .toDF("id", "k", "__salt")
+    val r = Seq((10L, "keepR"), (20L, "keepR2")).toDF("rk", "__salt")
+    val out = Skew.saltedJoin(l, r, col("k"), col("rk"), col("id"), 4)
+    assert(out.columns.count(_ == "__salt") === 2) // both sides survive
+    val rows = out.select(col("id"), l("__salt"), r("__salt"))
+      .as[(Long, String, String)].collect().toSet
+    assert(rows === Set((1L, "keepL", "keepR"), (2L, "keepL2", "keepR2")))
+  }
+
   test("saltedSumCount matches the direct aggregation exactly") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val direct = events.groupBy(col("user_id").as("key"))

@@ -47,6 +47,30 @@ class MaintenanceSpec extends SparkSpec {
     assert(checksumAfter === checksumBefore)
   }
 
+  test("compaction preserves a hive-partitioned layout (pruning " +
+    "survives)") {
+    // compacting a partitioned table flat would silently demote the
+    // key=val directories to data columns and permanently lose
+    // planning-time pruning — the layout must round-trip
+    val dir = Files.createTempDirectory("graft_compact_p").toString + "/t"
+    val df = spark.range(400).select(col("id"),
+      (col("id") % 3).cast("int").as("part"))
+    df.repartition(8).write.partitionBy("part").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .agg(sum(col("id")), count(lit(1))).head().toSeq
+    val (nBefore, nAfter) = Maintenance.compact(spark, dir, 1000)
+    assert(nBefore > 3 && nAfter <= 3, s"$nBefore -> $nAfter")
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("part="))
+    assert(dirs.sorted.toSeq === Seq("part=0", "part=1", "part=2"))
+    val q = spark.read.parquet(dir).filter(col("part") === 1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("part"),
+      plan)
+    assert(spark.read.parquet(dir)
+      .agg(sum(col("id")), count(lit(1))).head().toSeq === before)
+  }
+
   test("ingest-index compaction drops orphans and replay duplicates " +
     "and rebuilds lost rows, restoring corpus/index lockstep") {
     import graft.operators.Dedup

@@ -27,9 +27,11 @@ class PandasParquetSpec extends SparkSpec {
       |   "numpy_type": "timedelta64[ns]"}],
       | "pandas_version": "2.2.3"}""".stripMargin
 
-  private def writePandasStyle(): String = {
+  private def writePandasStyle(sub: String = ""): String = {
     val dir = Files.createTempDirectory("graft_pd").toString
-    val file = s"$dir/part-00000.parquet"
+    val leaf = if (sub.isEmpty) dir else s"$dir/$sub"
+    new java.io.File(leaf).mkdirs()
+    val file = s"$leaf/part-00000.parquet"
     val schema = MessageTypeParser.parseMessageType(
       "message schema { optional int64 id; optional int64 elapsed; }")
     val conf = new Configuration()
@@ -48,6 +50,17 @@ class PandasParquetSpec extends SparkSpec {
       w.write(g1); w.write(g2)
     } finally w.close()
     dir
+  }
+
+  test("partitioned pandas dataset (key=val subdirs) is still detected") {
+    // pandas to_parquet(partition_cols=[...]) nests parts under
+    // key=val directories — a top-level-only listing would return Nil
+    // and silently skip the timedelta conversion (raw INT64 nanos
+    // leaking through as BIGINT), the exact wrong round-trip this shim
+    // prevents; the recursive part search must find the nested footer
+    val dir = writePandasStyle(sub = "date=2020-01-01")
+    assert(PandasParquet.timedeltaColumns(spark, dir) ===
+      Seq("elapsed" -> 1e9))
   }
 
   test("pandas timedelta columns are detected from footer metadata") {

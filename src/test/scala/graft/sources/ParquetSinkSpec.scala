@@ -97,6 +97,17 @@ class ParquetSinkSpec extends SparkSpec {
     assert(spark.read.parquet(files.map(_.toString): _*).count() === 2)
   }
 
+  test("append stamps are strictly increasing even within one " +
+    "millisecond (no silent same-name overwrite)") {
+    // two appends in the same millisecond would otherwise produce the
+    // SAME <table>_<millis>.parquet name, and the second would replace
+    // the first — 1000 back-to-back calls guarantee same-millis
+    // pressure that wall-clock alone cannot deduplicate
+    val stamps = (1 to 1000).map(_ => ParquetSink.appendStamp())
+    assert(stamps.distinct.size === 1000)
+    assert(stamps === stamps.sorted)
+  }
+
   test("singleFile rejects hive partitioning") {
     intercept[IllegalArgumentException] {
       ParquetSink.write(Seq((1, "a")).toDF("id", "v"),

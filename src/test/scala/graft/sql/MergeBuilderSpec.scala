@@ -16,7 +16,24 @@ class MergeBuilderSpec extends AnyFunSuite {
         "ON s.[id] = t.[id] " +
         "WHEN MATCHED THEN UPDATE SET t.[name] = s.[name], t.[val] = s.[val] " +
         "WHEN NOT MATCHED BY TARGET THEN INSERT ([id], [name], [val]) " +
-        "VALUES (s.[id], s.[name], s.[val])")
+        // trailing ';': SQL Server REQUIRES MERGE to be semicolon-
+        // terminated (error 10713) — the reference's text ends with one
+        // (db.py:48); Derby's dialect terminator is empty instead
+        "VALUES (s.[id], s.[name], s.[val]);")
+  }
+
+  test("identifier quote characters are escaped, not statement breaks") {
+    // an untrusted column name containing ']' must stay ONE bracketed
+    // identifier (']]' escape), never close the bracket early and leak
+    // the remainder as raw T-SQL on the sink's raw connection
+    assert(SqlServerDialect.quote("a]b; DROP TABLE x--") ===
+      "[a]]b; DROP TABLE x--]")
+    assert(DerbyDialect.quote("a\"b") === "\"a\"\"b\"")
+    // schema names inside the CREATE SCHEMA literal double their quotes
+    // at BOTH literal layers (outer comparison + inner EXEC argument)
+    assert(SqlServerDialect.createSchemaSql("o'brien") === Seq(
+      "IF NOT EXISTS (SELECT * FROM sys.schemas WHERE name = 'o''brien') " +
+        "EXEC('CREATE SCHEMA [o''brien]')"))
   }
 
   test("multi-column key joins on the conjunction of all keys") {
@@ -56,6 +73,7 @@ class MergeBuilderSpec extends AnyFunSuite {
     "shipped T-SQL") {
     def image(tsql: String): String = {
       val quoted = tsql
+        .stripSuffix(";") // the T-SQL terminator; Derby's is empty
         .replaceAll("\\[([^\\]]*)\\]", "\"$1\"")
         .replace("WHEN NOT MATCHED BY TARGET", "WHEN NOT MATCHED")
       // unqualify the SET lhs only inside the UPDATE SET segment —

@@ -72,6 +72,22 @@ class SqlTypeMapperSpec extends SparkSpec {
     assert(types("td") === SqlNumeric(18, 2))
   }
 
+  test("non-SECOND-endField intervals still normalize to SECONDS") {
+    // interval → numeric counts END-field units: a DAY-endField
+    // interval (what `end_date - start_date` produces) would cast
+    // 3 days to 3.0 — an 86400× silent mis-scale vs the reference's
+    // total_seconds() — without the lossless widening to DAY TO SECOND
+    // that normalizeIntervals performs first
+    val df = spark.sql(
+      "SELECT DATE'2020-01-04' - DATE'2020-01-01' AS d_days, " +
+        "INTERVAL '2' HOUR AS d_hours, " +
+        "INTERVAL '1 02:03:04.5' DAY TO SECOND AS d_full")
+    val norm = SqlTypeMapper.normalizeIntervals(df).head()
+    assert(norm.getDouble(0) === 259200.0) // 3 days
+    assert(norm.getDouble(1) === 7200.0) // 2 hours
+    assert(norm.getDouble(2) === 93784.5)
+  }
+
   test("unknown dtype fails hard (reference export.py:243-244)") {
     val df = Seq(Tuple1(Seq(1, 2))).toDF("arr")
     assertThrows[UnknownDtypeError] {
