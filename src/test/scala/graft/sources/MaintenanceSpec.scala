@@ -71,6 +71,35 @@ class MaintenanceSpec extends SparkSpec {
       .agg(sum(col("id")), count(lit(1))).head().toSeq === before)
   }
 
+  test("compaction preserves a MULTI-LEVEL hive layout (nested " +
+    "key=val chain round-trips)") {
+    // partitionCols walks the nested key=val directory chain — a
+    // two-level layout (e.g. date/tenant) must round-trip both levels
+    // in order, not flatten to the outermost one
+    val dir = Files.createTempDirectory("graft_compact_p2").toString + "/t"
+    val df = spark.range(600).select(col("id"),
+      (col("id") % 2).cast("int").as("p1"),
+      (col("id") % 3).cast("int").as("p2"))
+    df.repartition(8).write.partitionBy("p1", "p2").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .agg(sum(col("id")), count(lit(1))).head().toSeq
+    val (nBefore, nAfter) = Maintenance.compact(spark, dir, 1000)
+    assert(nBefore > 6 && nAfter <= 6, s"$nBefore -> $nAfter")
+    // both levels survive, in their original nesting order
+    val l1 = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("p1=")).sorted
+    assert(l1.toSeq === Seq("p1=0", "p1=1"))
+    val l2 = new java.io.File(s"$dir/p1=0").listFiles().map(_.getName)
+      .filter(_.startsWith("p2=")).sorted
+    assert(l2.toSeq === Seq("p2=0", "p2=1", "p2=2"))
+    val q = spark.read.parquet(dir)
+      .filter(col("p1") === 1 && col("p2") === 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("p2"), plan)
+    assert(spark.read.parquet(dir)
+      .agg(sum(col("id")), count(lit(1))).head().toSeq === before)
+  }
+
   test("ingest-index compaction drops orphans and replay duplicates " +
     "and rebuilds lost rows, restoring corpus/index lockstep") {
     import graft.operators.Dedup
