@@ -24,6 +24,29 @@ class SkewSpec extends SparkSpec {
     assert(salted.nonEmpty)
   }
 
+  test("saltedJoin multiset-matches the plain join under duplicate keys " +
+    "on BOTH sides (randomized)") {
+    // duplicate right-side keys mean several matches per left row, and
+    // duplicate left rows mean output multiplicity matters — a salting
+    // bug (wrong replication count, salt collision dropping a bucket)
+    // shows up as a multiplicity difference a set compare would miss
+    val rng = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val left = Seq.fill(300)((rng.nextInt(20).toLong,
+        rng.nextInt(1000))).toDF("k", "lv")
+      val right = Seq.fill(100)((rng.nextInt(20).toLong,
+        rng.nextInt(1000))).toDF("rk", "rv")
+      def counts(df: org.apache.spark.sql.DataFrame) =
+        df.select("k", "lv", "rv").as[(Long, Int, Int)]
+          .collect().groupBy(identity).map { case (r, g) => (r, g.length) }
+      val plain = counts(left.join(right, col("k") === col("rk")))
+      val salted = counts(Skew.saltedJoin(left, right,
+        col("k"), col("rk"), col("lv"), salts = 1 + rng.nextInt(7)))
+      assert(salted === plain, s"trial $trial")
+      assert(plain.nonEmpty)
+    }
+  }
+
   test("saltedJoin leaves a caller's own __salt column intact") {
     // the synthetic salt must pick a non-colliding name — a fixed
     // "__salt" would overwrite (withColumn replaces) and then drop the
