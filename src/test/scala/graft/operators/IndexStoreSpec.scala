@@ -425,6 +425,105 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  /** Spark jobs launched while `body` runs — the crisp form of "the
+    * token path ran no cluster work". onJobStart is posted async, so
+    * a short grace wait makes a would-be failure reliably visible. */
+  private def jobsDuring(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(500) }
+    finally spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
+  test("validation token: an unchanged corpus+index serves with ZERO " +
+    "Spark jobs; a missing or corrupt token falls back to the full " +
+    "validation and restores itself") {
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val corpus = writeCorpus(all.filter(col("vec_id") < 300))
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    try {
+      assert(IndexStore.ensure(spark, corpus).builtNow)
+      // the build stamped a token, so the stateless serving path is
+      // pure driver-side metadata work — the q69/q70 amortization claim
+      var info: IndexStore.BuildInfo = null
+      assert(jobsDuring { info = IndexStore.ensure(spark, corpus) } === 0)
+      assert(!info.builtNow && info.n > 0)
+      // token deleted (e.g. an operator cleaned "temp" files): the next
+      // ensure pays the full fingerprint scan + integrity probe, still
+      // serves without a rebuild, and re-stamps the token
+      deleteDir(s"$idxDir/vtoken")
+      assert(jobsDuring { info = IndexStore.ensure(spark, corpus) } > 0)
+      assert(!info.builtNow)
+      assert(jobsDuring { IndexStore.ensure(spark, corpus) } === 0)
+      // corrupt token content = mismatch = full validation, not a crash
+      val (fs, tp) = graft.Scratch.fs(spark, s"$idxDir/vtoken")
+      val out = fs.create(tp, true)
+      out.write("not-a-digest".getBytes("UTF-8")); out.close()
+      assert(jobsDuring { info = IndexStore.ensure(spark, corpus) } > 0)
+      assert(!info.builtNow)
+      // and the token NEVER papers over real change: doctor the corpus
+      // in place (new part files) — ensure must rebuild, exactly as the
+      // pre-token contract promised
+      val shifted = all.filter(col("vec_id") < 300)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(2.0f)))
+      deleteDir(s"$corpus/embeddings.parquet")
+      shifted.write.parquet(s"$corpus/embeddings.parquet")
+      assert(IndexStore.ensure(spark, corpus).builtNow)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
+  test("RebuildPolicy.compactAtFilesPerCell: ensure compacts append " +
+    "slivers in place — no rebuild, counters preserved, serving " +
+    "bit-identical") {
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val corpus = writeCorpus(all.filter(col("vec_id") < 350))
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    try {
+      assert(IndexStore.ensure(spark, corpus).builtNow)
+      for (lo <- Seq(350L, 425L)) {
+        val b = all.filter(col("vec_id") >= lo && col("vec_id") < lo + 75)
+        b.write.mode("append").parquet(s"$corpus/embeddings.parquet")
+        IndexStore.appendBatch(spark, idxDir, b)
+      }
+      def maxFilesPerCell(sub: String): Int =
+        new java.io.File(s"$idxDir/$sub").listFiles()
+          .filter(_.getName.startsWith("cell="))
+          .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
+      assert(maxFilesPerCell("codes") > 1)
+      val appendedBefore = IndexStore.appendedRows(spark, idxDir).get
+      assert(appendedBefore > 0)
+      val before69 = rows(IndexStore.q69KnnIvfPqIdx(spark, corpus))
+      val policy = IndexStore.RebuildPolicy(driftAt = 1e9,
+        appendFractionAt = 1.0, compactAtFilesPerCell = 2)
+      assert(!IndexStore.ensure(spark, corpus, Some(policy)).builtNow)
+      assert(maxFilesPerCell("codes") === 1)
+      assert(maxFilesPerCell("rcodes") === 1)
+      // compaction, not rebuild: the append counters survive and the
+      // served rows are bit-identical
+      assert(IndexStore.appendedRows(spark, idxDir).get === appendedBefore)
+      assert(rows(IndexStore.q69KnnIvfPqIdx(spark, corpus)) === before69)
+      // the compaction re-stamped the token, so the next policied
+      // ensure is back on the zero-job fast path (threshold satisfied)
+      var info: IndexStore.BuildInfo = null
+      assert(jobsDuring {
+        info = IndexStore.ensure(spark, corpus, Some(policy)) } === 0)
+      assert(!info.builtNow)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
   test("compactAnnIndex collapses per-cell append slivers; results and " +
     "fingerprint are untouched") {
     val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
