@@ -6,7 +6,11 @@ package graft
   * under co-tenant load (round-2 lesson: one query recorded 20.4 s,
   * re-ran at 8.1 s) — decisions can't be driven off one sample. A query
   * that throws is recorded as -1 with its message in an "errors" field,
-  * never as a normal-looking elapsed time.
+  * never as a normal-looking elapsed time. Contamination-flagged
+  * spreads (med/min > 2, the host-steal signature) are re-run with a
+  * bounded retry budget and the adjudication is stamped into the
+  * artifact — the record refuses to carry an inflated median its own
+  * min refutes without saying so.
   */
 object Bench {
   private val runsPerQuery = 3
@@ -44,6 +48,54 @@ object Bench {
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** (median, min, max) of a sample pool; all -1 for an empty pool
+    * (every run threw — the error field carries the reason). */
+  private[graft] def statsOf(ts: Seq[Double]): (Double, Double, Double) = {
+    val sorted = ts.sorted
+    if (sorted.isEmpty) (-1.0, -1.0, -1.0)
+    else (sorted(sorted.size / 2), sorted.head, sorted.last)
+  }
+
+  /** med/min of the pool — the contamination signal (0 when unknowable). */
+  private[graft] def ratioOf(ts: Seq[Double]): Double = {
+    val (med, mn, _) = statsOf(ts)
+    if (mn > 0) med / mn else 0.0
+  }
+
+  /** Self-adjudication of contamination-flagged spreads. A med/min > 2
+    * spread is the one-sided signature of host CPU stealing (invisible
+    * to guest loadavg; two prior round artifacts carried 4-10×
+    * inflated medians their own clean re-runs refuted). Rather than
+    * emit a record the repo's other measurements contradict, RE-RUN
+    * each flagged query — up to `maxExtraRuns` extra samples, merged
+    * into its pool — until the median stabilizes (ratio ≤ 2) or the
+    * budget is spent. Returns the merged pools plus, for every query
+    * that was EVER flagged, (extra runs taken, final ratio) — a final
+    * ratio still > 2 is an explicitly unresolved contamination the
+    * artifact must carry, never a silent one. `rerun` returning None
+    * (the query threw) still consumes budget — a query that fails
+    * under re-run must not retry forever. */
+  private[graft] def adjudicate(
+      initial: Map[String, Vector[Double]], maxExtraRuns: Int,
+      rerun: String => Option[Double])
+      : (Map[String, Vector[Double]], Map[String, (Int, Double)]) = {
+    var samples = initial
+    var adjudications = Map.empty[String, (Int, Double)]
+    samples.keys.toSeq.sorted.foreach { name =>
+      if (ratioOf(samples(name)) > 2.0) {
+        var extra = 0
+        while (ratioOf(samples(name)) > 2.0 && extra < maxExtraRuns) {
+          rerun(name).foreach(t => samples += name -> (samples(name) :+ t))
+          extra += 1
+        }
+        adjudications += name -> (extra, ratioOf(samples(name)))
+        System.err.println(f"[bench] $name re-adjudicated: $extra extra " +
+          f"runs, med/min now ${ratioOf(samples(name))}%.2f")
+      }
+    }
+    (samples, adjudications)
   }
 
   def main(args: Array[String]): Unit = {
@@ -90,19 +142,22 @@ object Bench {
         None
       }
     var errors = Map.empty[String, String]
-    val spreads = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runsPerQuery).flatMap { _ =>
-        try Some(timeNoop(fn(spark, sfDir)))
-        catch {
-          case e: Throwable =>
-            errors += name -> Json.err(e)
-            None
-        }
+    val initial: Map[String, Vector[Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        name -> (1 to runsPerQuery).flatMap { _ =>
+          try Some(timeNoop(fn(spark, sfDir)))
+          catch {
+            case e: Throwable =>
+              errors += name -> Json.err(e)
+              None
+          }
+        }.toVector
       }
-      val sorted = times.sorted
-      if (sorted.isEmpty) name -> (-1.0, -1.0, -1.0)
-      else name -> (sorted(sorted.size / 2), sorted.head, sorted.last)
-    }
+    val (samples, adjudications) = adjudicate(initial, 2 * runsPerQuery,
+      name =>
+        try Some(timeNoop(SparkEntry.queries(name)(spark, sfDir)))
+        catch { case e: Throwable => errors += name -> Json.err(e); None })
+    val spreads = samples.map { case (name, ts) => name -> statsOf(ts) }
     val results = spreads.map { case (k, (med, _, _)) => k -> med }
     // 3-decimal seconds keep the whole line compact: the driver records
     // only an output TAIL, and a long line risks losing its own head
@@ -127,8 +182,17 @@ object Bench {
     // exec-only numbers for Materialize-using queries — the artifact
     // must say so itself, or a cross-round diff reads as a regression
     val basisField = s""","timing_basis":"plan+exec""""
+    // every initially-flagged query appears here with its retry count
+    // and FINAL med/min ratio — a ratio still > 2 is an explicitly
+    // unresolved contamination, never a silent one
+    val adjField =
+      if (adjudications.isEmpty) ""
+      else "," + "\"adjudications\":" + adjudications.toSeq.sortBy(_._1)
+        .map { case (k, (extra, r)) =>
+          s"${Json.str(k)}:{\"extra_runs\":$extra,\"ratio\":${f3(r)}}"
+        }.mkString("{", ",", "}")
     val spreadJson =
-      s"""{"queries":$spreadQs,"n":$runsPerQuery$idxField$basisField,"sf":${Json.str(sfDir)}}"""
+      s"""{"queries":$spreadQs,"n":$runsPerQuery$idxField$basisField$adjField,"sf":${Json.str(sfDir)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(spreadPath), spreadJson)
     catch { case e: Throwable =>
@@ -138,15 +202,18 @@ object Bench {
       deleteSpreadQuietly()
     }
     // One SHORT noise line ahead of the main line (both must fit the
-    // 2000-char tail): queries whose med/min > 2 are contamination
-    // suspects — their medians are not comparable across rounds.
+    // 2000-char tail): queries whose med/min is STILL > 2 after the
+    // bounded re-runs are unresolved contamination — their medians are
+    // not comparable across rounds; "readjudicated" counts the flags
+    // the retries cleared (full detail in the spread file).
     val contaminated = spreads.collect {
       case (k, (med, mn, _)) if mn > 0 && med / mn > 2.0 => (k, med / mn)
     }.toSeq.sortBy(-_._2)
     val worst = contaminated.headOption
       .map { case (k, r) => s""","worst":${Json.str(s"$k:${f3(r)}x")}""" }
       .getOrElse("")
-    println(s"""{"noise":{"contaminated":${contaminated.size}$worst$idxField$basisField,"spread":${Json.str(spreadPath)}}}""")
+    val readj = s""","readjudicated":${adjudications.size}"""
+    println(s"""{"noise":{"contaminated":${contaminated.size}$worst$readj$idxField$basisField,"spread":${Json.str(spreadPath)}}}""")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors

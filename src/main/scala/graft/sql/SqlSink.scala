@@ -27,6 +27,18 @@ import graft.types.SqlTypeMapper.SqlType
   */
 object SqlSink {
 
+  /** @param exactlyOnceAppend route `Method.Append` through a staging
+    *   table + one transactional `INSERT INTO target SELECT` instead
+    *   of writing the target directly. The direct path commits per
+    *   Spark partition, so a task that dies AFTER its commit
+    *   (speculation, network partition post-commit) re-runs and
+    *   duplicates its partition — at-least-once, the same caveat as
+    *   the reference's ADF CopyActivity. The staged path keeps exactly
+    *   one committed attempt per partition (see [[finalizeAppend]]),
+    *   making the append exactly-once under task retry; a DRIVER-level
+    *   replay of the whole write() after the finalize committed still
+    *   duplicates (reference parity — nothing in the target records
+    *   the job). Costs one extra server-side copy of the batch. */
   final case class Config(
       url: String,
       table: String,
@@ -40,7 +52,8 @@ object SqlSink {
       stagingSchema: String = "staging",
       dialect: Dialect = SqlServerDialect,
       batchSize: Int = 10000,
-      numPartitions: Option[Int] = None)
+      numPartitions: Option[Int] = None,
+      exactlyOnceAppend: Boolean = false)
 
   /** DDL text for CREATE TABLE from inferred types. */
   def createTableSql(df: DataFrame, cfg: Config, schema: String): String = {
@@ -71,6 +84,61 @@ object SqlSink {
       .save()
   }
 
+  private val pidCol = "__graft_pid"
+  private val attCol = "__graft_att"
+
+  /** Stage `df` for an exactly-once append: every row is tagged with
+    * its Spark partition id and its task ATTEMPT id (unique per
+    * attempt, constant within one), then written to a DDL-replaced
+    * `staging.<table>__append`. The partition-transaction property of
+    * the JDBC writer means each (pid, att) group present in staging is
+    * a COMPLETE copy of partition pid — an attempt that died mid-write
+    * rolled back and left nothing, an attempt that committed left all
+    * of its rows. Duplicate-committed partitions (retry after a
+    * post-commit failure, speculative twins) therefore show up as two
+    * complete groups for one pid, which [[finalizeAppend]] collapses.
+    * Row-ORDER nondeterminism between attempts is harmless: the tag is
+    * per attempt, not per row, so no row-identity scheme is needed and
+    * legitimately duplicate data rows are preserved. */
+  private[sql] def stageForAppend(norm: DataFrame, cfg: Config): Unit = {
+    import org.apache.spark.sql.functions.spark_partition_id
+    require(!norm.columns.exists(c => c == pidCol || c == attCol),
+      s"exactlyOnceAppend reserves column names $pidCol/$attCol")
+    val repart = cfg.numPartitions.map(norm.repartition(_)).getOrElse(norm)
+    val tagged = repart
+      .withColumn(pidCol, spark_partition_id())
+      .withColumn(attCol, org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.TaskAttemptId()))
+    val scfg = cfg.copy(table = appendStagingTable(cfg),
+      numPartitions = None) // already repartitioned above the tags
+    replaceTable(tagged, scfg, cfg.stagingSchema)
+    jdbcAppend(tagged, scfg, cfg.stagingSchema)
+  }
+
+  private[sql] def appendStagingTable(cfg: Config): String =
+    s"${cfg.table}__append"
+
+  /** One transactional statement moves the staged batch into the
+    * target, keeping exactly ONE committed attempt per partition (the
+    * smallest attempt id — attempt ids are globally unique longs, so
+    * the per-pid MIN never collides across partitions). Autocommit of
+    * a single INSERT..SELECT: the DB applies all of it or none, so a
+    * driver crash leaves either an untouched target (replayable) or a
+    * fully-appended one. */
+  private[sql] def finalizeAppend(norm: DataFrame, cfg: Config): Unit = {
+    val d = cfg.dialect
+    val cols = norm.columns.map(d.quote).mkString(", ")
+    val stg = d.table(cfg.stagingSchema, appendStagingTable(cfg))
+    JdbcOps.execute(cfg.url,
+      s"INSERT INTO ${d.table(cfg.schema, cfg.table)} ($cols) " +
+        s"SELECT $cols FROM $stg s WHERE s.${d.quote(attCol)} IN " +
+        s"(SELECT MIN(${d.quote(attCol)}) FROM $stg " +
+        s"GROUP BY ${d.quote(pidCol)})" + d.statementTerminator)
+    if (cfg.cleanStaging)
+      JdbcOps.executeIgnore(cfg.url,
+        d.dropTableSql(cfg.stagingSchema, appendStagingTable(cfg)))
+  }
+
   /** Entry point: validate, normalize, route on method. Returns true if
     * anything was written (false = empty-input short-circuit, O3). */
   def write(df: DataFrame, cfg: Config): Boolean = {
@@ -82,6 +150,9 @@ object SqlSink {
       case Method.Create =>
         replaceTable(norm, cfg, cfg.schema)
         jdbcAppend(norm, cfg, cfg.schema)
+      case Method.Append if cfg.exactlyOnceAppend =>
+        stageForAppend(norm, cfg)
+        finalizeAppend(norm, cfg)
       case Method.Append =>
         jdbcAppend(norm, cfg, cfg.schema)
       case Method.Upsert =>

@@ -142,6 +142,56 @@ class SqlSinkDerbySpec extends SparkSpec {
       .collect().toSeq === Seq((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("exactlyOnceAppend: appends through staging, preserves " +
+    "legitimately duplicate rows, drops staging") {
+    val eo = cfg("t_eo", Method.Append).copy(exactlyOnceAppend = true)
+    SqlSink.write(Seq((1, "a")).toDF("id", "v"),
+      cfg("t_eo", Method.Create))
+    // the batch itself carries a duplicate ROW — append semantics must
+    // keep both copies (only duplicate COMMITS collapse)
+    assert(SqlSink.write(Seq((2, "b"), (2, "b"), (3, "c")).toDF("id", "v"), eo))
+    assert(readBack("t_eo").orderBy("id").as[(Int, String)].collect()
+      .toSeq === Seq((1, "a"), (2, "b"), (2, "b"), (3, "c")))
+    // cleanStaging (default true) dropped the staging table
+    assertThrows[Exception] {
+      readBack("t_eo__append", "staging").collect()
+    }
+  }
+
+  test("exactlyOnceAppend: a double-committed partition (task retry " +
+    "after its commit) lands exactly once") {
+    val eo = cfg("t_eo2", Method.Append).copy(exactlyOnceAppend = true)
+    SqlSink.write(Seq((0, "seed")).toDF("id", "v"),
+      cfg("t_eo2", Method.Create))
+    val batch = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v")
+    // stage only, then forge the exact wreckage a post-commit task
+    // death leaves: a SECOND complete copy of one partition's rows
+    // under a different attempt id (Spark reruns the task; both
+    // attempts' partition-transactions committed)
+    SqlSink.stageForAppend(batch, eo)
+    val stg = """"staging"."t_eo2__append""""
+    val duplicatedPid = JdbcOps.queryCount(url,
+      s"""SELECT MIN("__graft_pid") FROM $stg""")
+    JdbcOps.execute(url,
+      s"""INSERT INTO $stg ("id", "v", "__graft_pid", "__graft_att") """ +
+        s"""SELECT "id", "v", "__graft_pid", "__graft_att" + 100000 """ +
+        s"""FROM $stg WHERE "__graft_pid" = $duplicatedPid""")
+    // the staging table really is poisoned: more rows than the batch
+    assert(JdbcOps.queryCount(url, s"SELECT COUNT(*) FROM $stg") > 4)
+    SqlSink.finalizeAppend(batch, eo)
+    // ...but the finalize kept ONE attempt per partition
+    assert(readBack("t_eo2").orderBy("id").as[(Int, String)].collect()
+      .toSeq === Seq((0, "seed"), (1, "a"), (2, "b"), (3, "c"), (4, "d")))
+  }
+
+  test("exactlyOnceAppend refuses input that collides with the " +
+    "reserved tag columns") {
+    val eo = cfg("t_eo3", Method.Append).copy(exactlyOnceAppend = true)
+    assertThrows[IllegalArgumentException] {
+      SqlSink.write(Seq((1, 2)).toDF("id", "__graft_att"), eo)
+    }
+  }
+
   test("tableExists: present/absent verdicts, underscore is literal") {
     SqlSink.write(Seq((1, "x")).toDF("id", "v"),
       cfg("exists_probe", Method.Create))
