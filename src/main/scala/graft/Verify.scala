@@ -172,15 +172,28 @@ object Verify {
     * exemption never weakens that path. */
   def enforceTwinIdentity(spark: SparkSession, outDir: String,
       names: Iterable[String], indexDir: Option[String] = None): Unit = {
-    val appended = indexDir
-      .flatMap(d => operators.IndexStore.appendedRows(spark, d))
-      .getOrElse(0L)
-    if (appended > 0) {
-      println(s"[verify] twin identity skipped: index at " +
-        s"${indexDir.get} carries $appended appended rows (pure-build " +
-        "identity does not apply; recall floors still gate)")
-      return
-    }
+    // The exemption trusts the index's self-reported meta, so it is
+    // CAPPED by the one consistency invariant legit state always
+    // satisfies (appended_n ≤ n — n counts appended rows too): meta
+    // claiming more appends than indexed rows is corruption, and a
+    // corrupted/doctored meta must not be able to stand down the
+    // identity gate by merely asserting appends. Logged as a warning
+    // either way — standing down a gate is an event, not housekeeping.
+    indexDir.flatMap(d => operators.IndexStore.appendState(spark, d))
+      .foreach { case (appended, n) =>
+        if (appended > 0 && appended <= n) {
+          System.err.println(s"[verify] WARNING: twin identity " +
+            s"skipped: index at ${indexDir.get} carries $appended " +
+            s"appended rows of $n (pure-build identity does not " +
+            "apply; recall floors still gate)")
+          return
+        } else if (appended > 0) {
+          System.err.println(s"[verify] WARNING: index at " +
+            s"${indexDir.get} self-reports an IMPLAUSIBLE append state " +
+            s"($appended appended > $n total) — exemption refused, " +
+            "running the identity check")
+        }
+      }
     val selected = names.toSet
     idxTwins.foreach { case (idx, live) =>
       if (selected.contains(idx) && selected.contains(live)) {

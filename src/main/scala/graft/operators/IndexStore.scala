@@ -629,6 +629,15 @@ object IndexStore {
     try readMeta(spark, dir).map(_.appended_n)
     catch { case scala.util.control.NonFatal(_) => None }
 
+  /** (appended_n, n) from meta. Verify's twin-exemption reads BOTH so
+    * it can refuse an implausible self-report: legit state always has
+    * 0 ≤ appended_n ≤ n (n counts the appended rows too), so meta
+    * claiming more appends than indexed rows is corruption, and the
+    * identity gate must not stand down for it. */
+  def appendState(spark: SparkSession, dir: String): Option[(Long, Long)] =
+    try readMeta(spark, dir).map(m => (m.appended_n, m.n))
+    catch { case scala.util.control.NonFatal(_) => None }
+
   // --- incremental maintenance ----------------------------------------------
 
   /** Index `batch` (vec_id, embedding, …) into the EXISTING artifacts

@@ -57,11 +57,37 @@ object Maintenance {
       // PRESERVE the hive layout: rewriting a partitioned table flat
       // would silently demote partition directories to data columns
       // and permanently lose planning-time pruning (q58's property).
-      // One task per live partition value → ~one file per partition
-      // dir (the build-time layout); targetRowsPerFile does not
-      // subdivide within a partition here — partition granularity is
-      // the layout's own choice.
-      df.repartition(parts.map(org.apache.spark.sql.functions.col): _*)
+      // targetRowsPerFile is honored WITHIN each partition dir: a
+      // partition whose row count exceeds it is salted into
+      // ceil(rows/target) write groups (≈ that many files in its dir —
+      // hash collisions between groups in one task can merge a few,
+      // never split), so one hot partition no longer collapses to one
+      // oversized file while small partitions still get exactly one.
+      import org.apache.spark.sql.functions._
+      val reserved = Seq("__compact_cnt", "__compact_nf", "__compact_salt")
+      require(!df.columns.exists(reserved.contains),
+        s"compact reserves column names ${reserved.mkString(", ")}")
+      val pcols = parts.map(col)
+      val counts = df.groupBy(pcols: _*)
+        .agg(count(lit(1)).as("__compact_cnt"))
+        .withColumn("__compact_nf", greatest(lit(1),
+          ceil(col("__compact_cnt") / targetRowsPerFile)).cast("int"))
+        .drop("__compact_cnt")
+      // live partition count is small by definition of a sane layout —
+      // broadcast the per-partition file quota back onto the rows
+      val salted = df.join(broadcast(counts), parts)
+        .withColumn("__compact_salt",
+          (rand(42) * col("__compact_nf")).cast("int"))
+        .drop("__compact_nf")
+      // one shuffle task per (partition value, salt) group modulo hash
+      // collisions: size the target partition count to the total file
+      // quota so collisions stay rare
+      val totalFiles = counts
+        .agg(sum(col("__compact_nf"))).head().getLong(0).toInt
+      salted
+        .repartition(math.max(1, totalFiles),
+          (pcols :+ col("__compact_salt")): _*)
+        .drop("__compact_salt")
         .write.mode(SaveMode.Overwrite)
         .partitionBy(parts: _*).parquet(shadow.toString)
     } else {

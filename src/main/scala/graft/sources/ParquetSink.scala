@@ -145,7 +145,18 @@ object ParquetSink {
       // complete-copy-at-every-instant discipline as [[swapInto]],
       // applied to the one-file layout
       val old = new Path(dest.getParent, dest.getName + "__old")
-      if (fs.exists(old)) fs.delete(old, false)
+      // both __old cleanups are best-effort for CORRECTNESS (a
+      // stranded __old only costs storage; the renames above it are
+      // the checked, load-bearing steps) but a silent false here hides
+      // the debris until a LATER overwrite's rename-aside fails on the
+      // squatting path — warn with the exact path so the operator sees
+      // it now, not one failure later
+      def deleteOldOrWarn(when: String): Unit =
+        if (fs.exists(old) && !fs.delete(old, false))
+          System.err.println(s"[parquet-sink] could not delete $old " +
+            s"($when); stranded debris will block the next overwrite " +
+            "of this object until removed")
+      deleteOldOrWarn("pre-existing debris before rename-aside")
       if (!fs.rename(dest, old))
         throw new java.io.IOException(
           s"writeSingleFile: rename $dest -> $old returned false; " +
@@ -157,7 +168,7 @@ object ParquetSink {
             (if (restored) "previous object restored"
              else s"previous object stranded at $old"))
       }
-      fs.delete(old, false)
+      deleteOldOrWarn("cleanup after successful replace")
     } else {
       // checked like swapInto/promote: an unchecked false here would
       // delete the tmp dir holding the ONLY copy of the data right

@@ -152,4 +152,41 @@ class VerifyGateSpec extends SparkSpec {
     Verify.enforceTwinIdentity(spark, out2, Seq("q70_knn_ivfpq_res_idx"))
     assert(new java.io.File(s"$out2/q70_knn_ivfpq_res_idx").exists())
   }
+
+  test("twin identity append exemption: a PLAUSIBLE append state stands " +
+    "the gate down; an implausible self-report (appended > n) does not") {
+    import spark.implicits._
+    val exact = graft.operators.Similarity.q35KnnBrute(spark, sfDir)
+    val oneOff = exact.withColumn("neighbor_id",
+      when(col("rank") === 1 && col("query_id") === 0L,
+        col("neighbor_id") + lit(1L)).otherwise(col("neighbor_id")))
+    val names = Seq("q68_knn_ivfpq_res", "q70_knn_ivfpq_res_idx")
+    val idxDir = Files.createTempDirectory("graft_twin_meta")
+      .toString + "/idx"
+    def writeMeta(appended: Long, n: Long): Unit =
+      Seq((2, n, 0L, 16, 1.0, appended, 8, 16, 20, 20, 0.0))
+        .toDF("version", "n", "fp", "nl", "res_norm", "appended_n",
+          "subspaces", "pq_codes", "lloyd_iters", "pq_lloyd_iters",
+          "app_res_sum")
+        .coalesce(1).write.mode("overwrite").parquet(s"$idxDir/meta")
+    // plausible: 50 of 500 rows appended — bit-identity legitimately
+    // does not apply (the index serves pre-append artifacts), so even
+    // a DIVERGED q70 dump must survive; recall floors still gate it
+    val out1 = Files.createTempDirectory("graft_twin_ex1").toString
+    dump(exact, out1, "q68_knn_ivfpq_res")
+    dump(oneOff, out1, "q70_knn_ivfpq_res_idx")
+    writeMeta(appended = 50, n = 500)
+    Verify.enforceTwinIdentity(spark, out1, names, Some(idxDir))
+    assert(new java.io.File(s"$out1/q70_knn_ivfpq_res_idx").exists())
+    // implausible: meta claims MORE appends than indexed rows — a
+    // corrupted/doctored meta must not disable the gate by asserting
+    // appends, so the identity check runs and the diverged dump dies
+    val out2 = Files.createTempDirectory("graft_twin_ex2").toString
+    dump(exact, out2, "q68_knn_ivfpq_res")
+    dump(oneOff, out2, "q70_knn_ivfpq_res_idx")
+    writeMeta(appended = 600, n = 500)
+    Verify.enforceTwinIdentity(spark, out2, names, Some(idxDir))
+    assert(!new java.io.File(s"$out2/q70_knn_ivfpq_res_idx").exists(),
+      "implausible append self-report must not stand down the gate")
+  }
 }

@@ -71,6 +71,37 @@ class MaintenanceSpec extends SparkSpec {
       .agg(sum(col("id")), count(lit(1))).head().toSeq === before)
   }
 
+  test("compaction honors targetRowsPerFile WITHIN an oversized hive " +
+    "partition, one file for small ones") {
+    // a skewed layout: one hot partition (900 rows) next to a small
+    // one (50). The old behavior rewrote the hot partition as ONE
+    // oversized file regardless of the caller's row quota; it must
+    // subdivide to ~ceil(900/300)=3 files while the small partition
+    // still compacts to exactly one.
+    val dir = Files.createTempDirectory("graft_compact_sk").toString + "/t"
+    val df = spark.range(950).select(col("id"),
+      when(col("id") < 900, 0).otherwise(1).cast("int").as("part"))
+    df.repartition(10).write.partitionBy("part").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .agg(sum(col("id")), count(lit(1))).head().toSeq
+    Maintenance.compact(spark, dir, 300)
+    def filesIn(p: Int): Int =
+      new java.io.File(s"$dir/part=$p").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    // salting is approximate (hash collisions can merge two groups in
+    // one task) — ≥ 2 proves the partition was subdivided at all,
+    // ≤ 4 that it was not shattered
+    assert(filesIn(0) >= 2 && filesIn(0) <= 4, s"hot: ${filesIn(0)}")
+    assert(filesIn(1) === 1)
+    // layout + content still round-trip
+    val q = spark.read.parquet(dir).filter(col("part") === 0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("part"),
+      plan)
+    assert(spark.read.parquet(dir)
+      .agg(sum(col("id")), count(lit(1))).head().toSeq === before)
+  }
+
   test("compaction preserves a MULTI-LEVEL hive layout (nested " +
     "key=val chain round-trips)") {
     // partitionCols walks the nested key=val directory chain — a
