@@ -64,9 +64,8 @@ object Maintenance {
       // never split), so one hot partition no longer collapses to one
       // oversized file while small partitions still get exactly one.
       import org.apache.spark.sql.functions._
-      val reserved = Seq("__compact_cnt", "__compact_nf", "__compact_salt")
-      require(!df.columns.exists(reserved.contains),
-        s"compact reserves column names ${reserved.mkString(", ")}")
+      require(!df.columns.exists(_.startsWith("__compact_")),
+        "compact reserves the __compact_* column-name prefix")
       val pcols = parts.map(col)
       val counts = df.groupBy(pcols: _*)
         .agg(count(lit(1)).as("__compact_cnt"))
@@ -74,8 +73,18 @@ object Maintenance {
           ceil(col("__compact_cnt") / targetRowsPerFile)).cast("int"))
         .drop("__compact_cnt")
       // live partition count is small by definition of a sane layout —
-      // broadcast the per-partition file quota back onto the rows
-      val salted = df.join(broadcast(counts), parts)
+      // broadcast the per-partition file quota back onto the rows.
+      // NULL-SAFE join keys, not a plain equi-join: a hive layout
+      // stores null partition values (__HIVE_DEFAULT_PARTITION__), and
+      // an equi-join never matches null = null — those partitions'
+      // rows would silently VANISH from the compacted table
+      val quotas = broadcast(parts.foldLeft(counts) { (d, p) =>
+        d.withColumnRenamed(p, s"__compact_k_$p")
+      })
+      val joinCond = parts.map(p => col(p) <=> col(s"__compact_k_$p"))
+        .reduce(_ && _)
+      val salted = df.join(quotas, joinCond)
+        .drop(parts.map(p => s"__compact_k_$p"): _*)
         .withColumn("__compact_salt",
           (rand(42) * col("__compact_nf")).cast("int"))
         .drop("__compact_nf")

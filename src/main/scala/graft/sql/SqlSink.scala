@@ -99,7 +99,14 @@ object SqlSink {
     * complete groups for one pid, which [[finalizeAppend]] collapses.
     * Row-ORDER nondeterminism between attempts is harmless: the tag is
     * per attempt, not per row, so no row-identity scheme is needed and
-    * legitimately duplicate data rows are preserved. */
+    * legitimately duplicate data rows are preserved.
+    *
+    * The "complete copy or nothing" premise is the JDBC writer's
+    * per-partition transaction, which holds at any `isolationLevel`
+    * EXCEPT "NONE" (that setting autocommits every batchsize rows, so
+    * a mid-write death could leave a partial group). The sink never
+    * sets isolationLevel, so Spark's default (READ_UNCOMMITTED, i.e.
+    * transactional) applies. */
   private[sql] def stageForAppend(norm: DataFrame, cfg: Config): Unit = {
     import org.apache.spark.sql.functions.spark_partition_id
     require(!norm.columns.exists(c => c == pidCol || c == attCol),

@@ -102,6 +102,27 @@ class MaintenanceSpec extends SparkSpec {
       .agg(sum(col("id")), count(lit(1))).head().toSeq === before)
   }
 
+  test("compaction round-trips a NULL partition value (the quota " +
+    "join-back must be null-safe, not equi)") {
+    // hive stores null partition values as __HIVE_DEFAULT_PARTITION__;
+    // a plain equi-join of the per-partition quotas back onto the rows
+    // never matches null = null, and those rows would silently vanish
+    // from the compacted table
+    val dir = Files.createTempDirectory("graft_compact_null").toString + "/t"
+    val df = spark.range(300).select(col("id"),
+      when(col("id") % 3 === 0, lit(null).cast("int"))
+        .otherwise((col("id") % 3).cast("int")).as("part"))
+    df.repartition(6).write.partitionBy("part").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .agg(sum(col("id")), count(lit(1))).head().toSeq
+    Maintenance.compact(spark, dir, 1000)
+    assert(spark.read.parquet(dir)
+      .agg(sum(col("id")), count(lit(1))).head().toSeq === before)
+    // the null partition's rows specifically survived
+    assert(spark.read.parquet(dir).filter(col("part").isNull).count()
+      === 100)
+  }
+
   test("compaction preserves a MULTI-LEVEL hive layout (nested " +
     "key=val chain round-trips)") {
     // partitionCols walks the nested key=val directory chain — a

@@ -170,6 +170,18 @@ class SqlSinkDerbySpec extends SparkSpec {
     // attempts' partition-transactions committed)
     SqlSink.stageForAppend(batch, eo)
     val stg = """"staging"."t_eo2__append""""
+    // the attempt tags must be REAL task attempt ids, not the driver's
+    // -1 fallback: an all-constant tag would make two genuinely
+    // committed attempts of one partition indistinguishable (both kept
+    // → duplicates), while this very test's forged copy would still
+    // pass on its artificial +100000 offset
+    assert(JdbcOps.queryCount(url,
+      s"""SELECT MIN("__graft_att") FROM $stg""") >= 0L)
+    // one attempt per partition: distinct tags == distinct partitions
+    assert(JdbcOps.queryCount(url,
+      s"""SELECT COUNT(DISTINCT "__graft_att") FROM $stg""") ===
+      JdbcOps.queryCount(url,
+        s"""SELECT COUNT(DISTINCT "__graft_pid") FROM $stg"""))
     val duplicatedPid = JdbcOps.queryCount(url,
       s"""SELECT MIN("__graft_pid") FROM $stg""")
     JdbcOps.execute(url,
