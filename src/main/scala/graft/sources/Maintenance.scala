@@ -49,6 +49,34 @@ object Maintenance {
       }
       n
     }
+    // refuse a BUCKETED table's directory (e.g. graft.operators
+    // .Layout's catalog tables): bucket membership is encoded in the
+    // part-file NAMES (`..._00003.c000...` — underscore + bucket id),
+    // and the catalog scan maps file→bucket by that name. A compaction
+    // rewrite emits unbucketed names under a catalog entry that still
+    // claims bucketing, so every later scan dies with "invalid bucket
+    // file" — or silently mis-joins under the ignore conf. Fail NOW
+    // with the actionable reason; bucketed tables are compacted by
+    // re-running their Layout writer (repartition(buckets, key) +
+    // bucketBy), which preserves the name encoding.
+    val bucketPattern = java.util.regex.Pattern.compile("_\\d{5}\\.c\\d{3}")
+    def firstBucketFile(): Option[String] = {
+      if (!fs.exists(root)) return None
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val nm = it.next().getPath.getName
+        if (nm.endsWith(".parquet") && bucketPattern.matcher(nm).find())
+          return Some(nm)
+      }
+      None
+    }
+    firstBucketFile().foreach { nm =>
+      throw new IllegalArgumentException(
+        s"compact: $path holds bucketed part files (e.g. $nm) — " +
+          "rewriting would break the catalog's bucket-to-file name " +
+          "mapping; compact a bucketed table by re-running its " +
+          "bucketed writer instead")
+    }
     val before = parquetFiles()
     val parts = partitionCols(fs, root)
     val df = spark.read.parquet(path)

@@ -80,7 +80,12 @@ object ParquetSink {
         s"swapInto: rename $shadow -> $path returned false; previous " +
           (if (restored) "table restored" else s"table stranded at $old"))
     }
-    fs.delete(old, true)
+    // best-effort (same rationale as writeSingleFile's deleteOldOrWarn):
+    // stranded __old only costs storage and the next swap's pre-delete
+    // clears it loudly — but say so NOW, with the path
+    if (!fs.delete(old, true))
+      System.err.println(s"[parquet-sink] could not delete $old after " +
+        "swap; stranded debris until the next swap clears it")
   }
 
   /** Promote `shadow` to `live` whether or not a live copy exists yet:

@@ -102,6 +102,25 @@ class MaintenanceSpec extends SparkSpec {
       .agg(sum(col("id")), count(lit(1))).head().toSeq === before)
   }
 
+  test("compaction refuses a bucketed table directory (bucket " +
+    "membership is name-encoded in the part files)") {
+    val base = Files.createTempDirectory("graft_compact_bkt").toString
+    val tbl = "compact_refuse_bkt"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.range(100).select(col("id"), (col("id") % 5).as("k"))
+      .repartition(4, col("k"))
+      .write.mode("overwrite").option("path", s"$base/t")
+      .bucketBy(4, "k").saveAsTable(tbl)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Maintenance.compact(spark, s"$base/t", 50)
+      }
+      assert(e.getMessage.contains("bucket"))
+      // the refusal left the table untouched and scannable
+      assert(spark.table(tbl).count() === 100)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("compaction round-trips a NULL partition value (the quota " +
     "join-back must be null-safe, not equi)") {
     // hive stores null partition values as __HIVE_DEFAULT_PARTITION__;
