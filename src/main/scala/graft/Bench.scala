@@ -79,16 +79,23 @@ object Bench {
     * under re-run must not retry forever. */
   private[graft] def adjudicate(
       initial: Map[String, Vector[Double]], maxExtraRuns: Int,
-      rerun: String => Option[Double])
+      rerun: String => Option[Double], globalBudget: Int = 60)
       : (Map[String, Vector[Double]], Map[String, (Int, Double)]) = {
     var samples = initial
     var adjudications = Map.empty[String, (Int, Double)]
+    // global cap across ALL flagged queries: a steal storm that flags
+    // dozens must not multiply the bench's wall-clock unboundedly —
+    // once the budget is gone, remaining flags are stamped unresolved
+    // (ratio still > 2 in the artifact) instead of silently untried
+    var totalExtra = 0
     samples.keys.toSeq.sorted.foreach { name =>
       if (ratioOf(samples(name)) > 2.0) {
         var extra = 0
-        while (ratioOf(samples(name)) > 2.0 && extra < maxExtraRuns) {
+        while (ratioOf(samples(name)) > 2.0 && extra < maxExtraRuns &&
+            totalExtra < globalBudget) {
           rerun(name).foreach(t => samples += name -> (samples(name) :+ t))
           extra += 1
+          totalExtra += 1
         }
         adjudications += name -> (extra, ratioOf(samples(name)))
         System.err.println(f"[bench] $name re-adjudicated: $extra extra " +

@@ -52,6 +52,23 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(finalRatio > 2.0)
   }
 
+  test("the GLOBAL retry budget caps total extra runs across flagged " +
+    "queries; starved flags are stamped unresolved, not silently " +
+    "untried") {
+    var calls = 0
+    val contaminated = Vector(1.0, 5.0, 6.0)
+    val (_, adj) = Bench.adjudicate(
+      Map("q1" -> contaminated, "q2" -> contaminated, "q3" -> contaminated),
+      maxExtraRuns = 4,
+      _ => { calls += 1; Some(7.0) }, // the steal never lets up
+      globalBudget = 5)
+    assert(calls === 5) // 4 on q1 + 1 on q2, then the budget is gone
+    assert(adj.keySet === Set("q1", "q2", "q3"))
+    assert(adj("q1")._1 === 4 && adj("q2")._1 === 1 && adj("q3")._1 === 0)
+    // every flag is stamped with its (still contaminated) final ratio
+    assert(adj.values.forall(_._2 > 2.0))
+  }
+
   test("a rerun that throws (None) still consumes budget — no infinite " +
     "retry loop on a query that fails under re-run") {
     var calls = 0
