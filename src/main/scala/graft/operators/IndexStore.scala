@@ -612,12 +612,19 @@ object IndexStore {
       }
     }
 
-  /** Is there a (readable) persisted index at `dir`? The streaming
-    * ingest sink uses this to detect a crashed bootstrap (corpus
-    * written, build never ran) and re-ensure instead of calling
-    * [[appendBatch]] into a void. */
-  def hasIndex(spark: SparkSession, dir: String): Boolean =
-    readMeta(spark, dir).isDefined
+  /** Is there a persisted index at `dir`? The streaming ingest sink
+    * uses this to detect a crashed bootstrap (corpus written, build
+    * never ran) and re-ensure instead of calling [[appendBatch]] into
+    * a void. Existence probe only (driver-side, no Spark job — this
+    * runs once per micro-batch): an UNREADABLE meta dir answers true
+    * here and then fails [[appendBatch]]'s meta read loudly, which the
+    * sink's rebuild-once fallback already converts into one ensure()
+    * — the same recovery a false here would have triggered, without
+    * paying a per-batch parquet read on the healthy path. */
+  def hasIndex(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = graft.Scratch.fs(spark, s"$dir/meta")
+    fs.exists(p)
+  }
 
   /** Rows added by [[appendBatch]] since the last full build (0 = pure
     * build; None = no readable meta). Verify's twin-identity gate
