@@ -196,6 +196,40 @@ class SqlSinkDerbySpec extends SparkSpec {
       .toSeq === Seq((0, "seed"), (1, "a"), (2, "b"), (3, "c"), (4, "d")))
   }
 
+  test("exactlyOnceAppend under randomized multi-partition wreckage: " +
+    "any subset of partitions double/triple-committed still lands " +
+    "exactly once") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val tbl = s"t_eo_fz$trial"
+      val eo = cfg(tbl, Method.Append)
+        .copy(exactlyOnceAppend = true, numPartitions = Some(4))
+      SqlSink.write(Seq((-1, "seed")).toDF("id", "v"),
+        cfg(tbl, Method.Create))
+      val rows = (0 until 40).map(i => (i, s"v$i"))
+      val batch = rows.toDF("id", "v")
+      SqlSink.stageForAppend(batch, eo)
+      val stg = s""""staging"."${tbl}__append""""
+      // forge: every partition independently gets 0, 1 or 2 EXTRA
+      // complete committed attempts under fresh attempt ids
+      val pids = (0 until 4).filter(_ => true)
+      pids.foreach { pid =>
+        val extras = rnd.nextInt(3)
+        (1 to extras).foreach { k =>
+          JdbcOps.execute(url,
+            s"""INSERT INTO $stg ("id", "v", "__graft_pid", "__graft_att") """ +
+              s"""SELECT "id", "v", "__graft_pid", "__graft_att" + ${k * 100000} """ +
+              s"""FROM $stg WHERE "__graft_pid" = $pid AND "__graft_att" < 100000""")
+        }
+      }
+      SqlSink.finalizeAppend(batch, eo)
+      val got = readBack(tbl).as[(Int, String)].collect().toSet
+      assert(got === (rows.toSet + ((-1, "seed"))),
+        s"trial $trial: exactly-once violated")
+      assert(readBack(tbl).count() === 41L, s"trial $trial: row count")
+    }
+  }
+
   test("exactlyOnceAppend refuses input that collides with the " +
     "reserved tag columns") {
     val eo = cfg("t_eo3", Method.Append).copy(exactlyOnceAppend = true)
