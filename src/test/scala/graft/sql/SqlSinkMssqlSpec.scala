@@ -73,6 +73,30 @@ class SqlSinkMssqlSpec extends SparkSpec {
     assert(got === Seq((1, "n1"), (3, "o3"), (5, "n5")))
   }
 
+  test("exactlyOnceAppend: staged T-SQL finalize collapses a forged " +
+    "double-committed partition") {
+    val url = liveUrl
+    val eo = cfg(url, "t_mssql_eo", Method.Append)
+      .copy(exactlyOnceAppend = true)
+    SqlSink.write(Seq((0, "seed")).toDF("id", "v"),
+      cfg(url, "t_mssql_eo", Method.Create))
+    val batch = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    SqlSink.stageForAppend(batch, eo)
+    val stg = "[staging].[t_mssql_eo__append]"
+    // forge the post-commit-retry wreckage: a second complete attempt
+    // of one partition under a fresh attempt id
+    val pid = JdbcOps.queryCount(url,
+      s"SELECT MIN([__graft_pid]) FROM $stg")
+    JdbcOps.execute(url,
+      s"INSERT INTO $stg ([id], [v], [__graft_pid], [__graft_att]) " +
+        s"SELECT [id], [v], [__graft_pid], [__graft_att] + 100000 " +
+        s"FROM $stg WHERE [__graft_pid] = $pid")
+    SqlSink.finalizeAppend(batch, eo)
+    val got = readBack(url, "t_mssql_eo").as[(Int, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got === Seq((0, "seed"), (1, "a"), (2, "b"), (3, "c")))
+  }
+
   test("idempotent CREATE SCHEMA text executes twice without error") {
     val url = liveUrl
     SqlServerDialect.createSchemaSql("graft_it")
