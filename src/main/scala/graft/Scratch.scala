@@ -48,6 +48,32 @@ object Scratch {
   def stableDir(spark: SparkSession, prefix: String, key: String): String =
     s"${layoutRoot(spark)}/$prefix-${pathTag(key)}"
 
+  /** Recursive FILE listing as plain FileStatus (name, length, mtime).
+    * Deliberately not `fs.listFiles(p, recursive = true)`: the
+    * located-status iterator it returns resolves block locations per
+    * file, which costs ~7 ms EACH on LocalFileSystem (measured 0.55 s
+    * for a 74-file directory; a 10k-small-file table — exactly the
+    * state compaction exists to fix — would pay ~70 s just listing).
+    * A listStatus recursion reads the same fields at ~0.2 ms/file and
+    * stays cluster-safe through the same FileSystem API. Returns empty
+    * for a missing root; a FILE root yields itself. */
+  def walkFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    if (!fs.exists(root)) return Nil
+    val rootSt = fs.getFileStatus(root)
+    if (!rootSt.isDirectory) return Seq(rootSt)
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    val stack = scala.collection.mutable.Stack(root)
+    while (stack.nonEmpty) {
+      fs.listStatus(stack.pop()).foreach { s =>
+        if (s.isDirectory) stack.push(s.getPath) else out += s
+      }
+    }
+    out.toSeq
+  }
+
   /** Resolve a path string to its (FileSystem, Path) under the
     * session's Hadoop conf — the one way engine-side probes/deletes
     * touch storage. Hadoop FS, not java.io, because every

@@ -301,26 +301,17 @@ object IndexStore {
     def walk(root: String): Unit = {
       val (fs, p) = graft.Scratch.fs(spark, root)
       if (!fs.exists(p)) { entries += s"ABSENT:$root"; return }
-      // manual listStatus recursion, NOT fs.listFiles(p, true): the
-      // located-status iterator resolves block locations per file,
-      // which on LocalFileSystem costs ~7 ms EACH (measured 0.55 s for
-      // 74 files — the whole point of the token path is to be cheap).
-      // Plain FileStatus carries everything the digest reads.
-      def rec(q: org.apache.hadoop.fs.Path): Unit =
-        fs.listStatus(q).foreach { s =>
-          // the token itself must not feed its own digest (writing it
-          // would invalidate it); everything else under the index dir
-          // — meta, codes, even stranded __old/__shadow debris —
-          // counts, conservatively forcing a full validation
-          if (!s.getPath.getName.startsWith(tokenName)) {
-            if (s.isDirectory) rec(s.getPath)
-            else entries += s"${s.getPath}|${s.getLen}|${s.getModificationTime}"
-          }
-        }
-      if (fs.getFileStatus(p).isDirectory) rec(p)
-      else {
-        val s = fs.getFileStatus(p)
-        entries += s"${s.getPath}|${s.getLen}|${s.getModificationTime}"
+      // Scratch.walkFiles (plain listStatus), NOT fs.listFiles: the
+      // located-status iterator resolves block locations per file at
+      // ~7 ms each on LocalFileSystem — 0.55 s for a 74-file index,
+      // when the whole point of the token path is to be cheap.
+      // The token itself must not feed its own digest (writing it
+      // would invalidate it); everything else under the index dir —
+      // meta, codes, even stranded __old/__shadow debris — counts,
+      // conservatively forcing a full validation when present.
+      graft.Scratch.walkFiles(fs, p).foreach { s =>
+        if (!s.getPath.getName.startsWith(tokenName))
+          entries += s"${s.getPath}|${s.getLen}|${s.getModificationTime}"
       }
     }
     walk(s"$sfDir/embeddings.parquet")

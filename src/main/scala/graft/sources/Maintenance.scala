@@ -37,18 +37,12 @@ object Maintenance {
     val (fs, root) = graft.Scratch.fs(spark, path)
     // count parts RECURSIVELY so partitioned layouts report honestly
     // (a top-level glob reads a hive table as "0 files")
-    def parquetFiles(): Int = {
-      if (!fs.exists(root)) return 0
-      var n = 0
-      val it = fs.listFiles(root, true)
-      while (it.hasNext) {
-        val s = it.next()
+    def parquetFiles(): Int =
+      graft.Scratch.walkFiles(fs, root).count { s =>
         val nm = s.getPath.getName
-        if (s.isFile && nm.endsWith(".parquet") && !nm.startsWith("_") &&
-            !nm.startsWith(".")) n += 1
+        s.isFile && nm.endsWith(".parquet") && !nm.startsWith("_") &&
+          !nm.startsWith(".")
       }
-      n
-    }
     // refuse a BUCKETED table's directory (e.g. graft.operators
     // .Layout's catalog tables): bucket membership is encoded in the
     // part-file NAMES (`..._00003.c000...` — underscore + bucket id),
@@ -60,16 +54,12 @@ object Maintenance {
     // re-running their Layout writer (repartition(buckets, key) +
     // bucketBy), which preserves the name encoding.
     val bucketPattern = java.util.regex.Pattern.compile("_\\d{5}\\.c\\d{3}")
-    def firstBucketFile(): Option[String] = {
-      if (!fs.exists(root)) return None
-      val it = fs.listFiles(root, true)
-      while (it.hasNext) {
-        val nm = it.next().getPath.getName
-        if (nm.endsWith(".parquet") && bucketPattern.matcher(nm).find())
-          return Some(nm)
+    def firstBucketFile(): Option[String] =
+      graft.Scratch.walkFiles(fs, root).collectFirst {
+        case s if s.getPath.getName.endsWith(".parquet") &&
+            bucketPattern.matcher(s.getPath.getName).find() =>
+          s.getPath.getName
       }
-      None
-    }
     firstBucketFile().foreach { nm =>
       throw new IllegalArgumentException(
         s"compact: $path holds bucketed part files (e.g. $nm) — " +
