@@ -293,8 +293,14 @@ object IndexStore {
     * preserves every path, length AND mtime — requires deliberately
     * forged filesystem state, the same trust class as editing `meta`
     * itself; any ordinary writer (Spark, the ingest sinks, a shell
-    * `cp`) lands new part-file names or new mtimes. Driver-side
-    * metadata listing only: no Spark job, no data read. */
+    * `cp`) lands new part-file names or new mtimes. CAVEAT for stores
+    * with coarse mtime granularity (~1 s on some object stores): a
+    * same-length in-place overwrite completed within one mtime tick of
+    * the original write is indistinguishable from "unchanged" — if
+    * that trust class is too weak for a deployment, disable the token
+    * (delete `vtoken`; every ensure then re-validates in full) or
+    * front the store with one that reports sub-second mtimes.
+    * Driver-side metadata listing only: no Spark job, no data read. */
   private def stateDigest(spark: SparkSession, sfDir: String,
       dir: String): String = {
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -343,9 +349,15 @@ object IndexStore {
       try {
         val in = fs.open(p)
         try {
+          // drain to EOF, not one read(): a remote FS may legally
+          // return a SHORT first read, and a truncated line fails the
+          // 12-part parse below — the fast path would then silently
+          // never engage (perf-only, but miserable to diagnose)
+          val buf = new java.io.ByteArrayOutputStream(512)
           val bytes = new Array[Byte](512)
-          val n = in.read(bytes)
-          if (n <= 0) "" else new String(bytes, 0, n, "UTF-8").trim
+          var n = in.read(bytes)
+          while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+          new String(buf.toByteArray, "UTF-8").trim
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => "" }
     val parts = line.split('|')

@@ -109,8 +109,19 @@ object Maintenance {
       // one shuffle task per (partition value, salt) group modulo hash
       // collisions: size the target partition count to the total file
       // quota so collisions stay rare
-      val totalFiles = counts
-        .agg(sum(col("__compact_nf"))).head().getLong(0).toInt
+      // nullable read: a partitioned layout with partition dirs but
+      // ZERO rows gives an empty `counts`, so sum() is NULL — a bare
+      // getLong would NPE on a layout this repo's writers never
+      // produce but a foreign writer legitimately can (dirs present,
+      // every data file zero-row). And a zero-row partitioned rewrite
+      // would write NO part files at all (partitionBy emits a dir per
+      // present value only), swapping in an unreadable shell — so an
+      // empty table skips the rewrite entirely: there is nothing to
+      // compact, the existing (footer-only) layout stays as is.
+      val totalFiles = Option(counts
+        .agg(sum(col("__compact_nf"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L).toInt
+      if (totalFiles == 0) return (before, before)
       salted
         .repartition(math.max(1, totalFiles),
           (pcols :+ col("__compact_salt")): _*)

@@ -106,7 +106,17 @@ object SqlSink {
     * EXCEPT "NONE" (that setting autocommits every batchsize rows, so
     * a mid-write death could leave a partial group). The sink never
     * sets isolationLevel, so Spark's default (READ_UNCOMMITTED, i.e.
-    * transactional) applies. */
+    * transactional) applies.
+    *
+    * Concurrency contract: ONE writer per target table at a time —
+    * the same single-writer-per-target assumption the upsert staging
+    * path makes (both stage under a name derived from the target, so
+    * two concurrent writers' replaceTable/DROP would discard or
+    * cross-mix each other's staged batch). Exactly-once here means
+    * exactly once under retries/speculation of ONE logical write, not
+    * serialization of concurrent independent writers; external
+    * coordination (a scheduler lock per target) owns the latter, as
+    * it does for the reference's ADF pipeline-per-table model. */
   private[sql] def stageForAppend(norm: DataFrame, cfg: Config): Unit = {
     import org.apache.spark.sql.functions.spark_partition_id
     require(!norm.columns.exists(c => c == pidCol || c == attCol),

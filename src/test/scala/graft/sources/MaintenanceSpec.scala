@@ -102,6 +102,35 @@ class MaintenanceSpec extends SparkSpec {
       .agg(sum(col("id")), count(lit(1))).head().toSeq === before)
   }
 
+  test("compaction survives a partitioned layout with zero rows " +
+    "(foreign-writer shape: partition dirs, empty files)") {
+    // this repo's writers never produce it, but a foreign writer can:
+    // hive dirs present, every data file zero-row. The per-partition
+    // quota aggregate is then EMPTY, sum() is NULL, and an unguarded
+    // getLong NPE'd (ADVICE r12) — the rewrite must degrade, not crash
+    val dir = Files.createTempDirectory("graft_compact_z").toString + "/t"
+    val df = spark.range(10).select(col("id"),
+      lit(0).cast("int").as("part"))
+    df.coalesce(1).write.partitionBy("part").parquet(dir)
+    // swap the partition's data file for a zero-row one, same schema
+    val empty = Files.createTempDirectory("graft_compact_z_e").toString + "/e"
+    df.filter(lit(false)).drop("part").repartition(1).write.parquet(empty)
+    assert(spark.read.parquet(empty).count() === 0L, "empty src readable")
+    val pdir = new java.io.File(s"$dir/part=0")
+    pdir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(_.delete())
+    val srcFiles = new java.io.File(empty).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(srcFiles.nonEmpty,
+      "fixture setup: expected a footer-only parquet file")
+    val src = srcFiles.head
+    Files.copy(src.toPath,
+      new java.io.File(pdir, src.getName).toPath)
+    assert(spark.read.parquet(dir).count() === 0L)
+    Maintenance.compact(spark, dir, 1000) // must not throw
+    assert(spark.read.parquet(dir).count() === 0L)
+  }
+
   test("compaction refuses a bucketed table directory (bucket " +
     "membership is name-encoded in the part files)") {
     val base = Files.createTempDirectory("graft_compact_bkt").toString
