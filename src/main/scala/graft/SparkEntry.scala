@@ -91,6 +91,7 @@ object SparkEntry {
     "q68_knn_ivfpq_res"    -> (Similarity.q68KnnIvfPqRes _),
     "q69_knn_ivfpq_idx"    -> (graft.operators.IndexStore.q69KnnIvfPqIdx _),
     "q70_knn_ivfpq_res_idx" -> (graft.operators.IndexStore.q70KnnIvfPqResIdx _),
+    "q71_embed_dedup_idx"  -> (graft.operators.IndexStore.q71EmbedDedupIdx _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

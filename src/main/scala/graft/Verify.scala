@@ -40,6 +40,20 @@ object Verify {
     "q70_knn_ivfpq_res_idx" -> 0.55)
   val annResidual = "q68_knn_ivfpq_res"
 
+  /** q71 (index-backed embedding dedup) is gated on DROPPED-ID recall
+    * against the exact q45 answer, not top-k pair recall: the operator
+    * promises "every vector q45 would drop is (almost always) dropped
+    * here too, and NOTHING q45 keeps is ever dropped". The second half
+    * is exact by construction (candidate pairs are exact-verified), so
+    * any false drop in the dump is recorded as recall −1 — a loud
+    * impossible value, never a soft miss. Floor from the measured
+    * characteristic at the three fixture corpora (0.93/0.97/0.97 at
+    * serving dials; the probe stage's bidirectional catch is the
+    * binding term). */
+  val dedupIdx = "q71_embed_dedup_idx"
+  val dedupExact = "q45_embed_dedup"
+  val dedupFloor = 0.85
+
   final case class AnnGate(recall: Double, floor: Double) {
     def pass: Boolean = recall >= floor
   }
@@ -68,12 +82,59 @@ object Verify {
     * q68's floor can read q65's recall even when q65 itself is below
     * floor; the one deletion here is q68's own dump when its dynamic
     * floor could not be resolved (unverifiable ≠ pass). */
+  /** Dropped-id recall of the q71 dump vs the exact q45 survivor set
+    * (from this run's q45 dump when selected, else computed live).
+    * Returns None when q71 wasn't dumped (already failing) or isn't in
+    * this run. Recall −1 = the dump dropped a vector the exact answer
+    * keeps — impossible for a healthy build (candidates are
+    * exact-verified), so it means the dump or the index artifacts are
+    * corrupt; always below floor. */
+  private def dedupGate(spark: SparkSession, sfDir: String,
+      outDir: String, selected: Set[String]): Option[(String, AnnGate)] = {
+    if (!selected.contains(dedupIdx)) return None
+    val dumpDir = new java.io.File(s"$outDir/$dedupIdx")
+    if (!dumpDir.exists()) return None
+    def ids(df: DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val annSurv =
+      try ids(spark.read.parquet(dumpDir.toString))
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] $dedupIdx dump unreadable, recall skipped: " +
+            e.getMessage)
+        return None
+      }
+    val exactSurv = {
+      val exactDump = new java.io.File(s"$outDir/$dedupExact")
+      if (selected.contains(dedupExact) && exactDump.exists())
+        ids(spark.read.parquet(exactDump.toString))
+      else ids(operators.Similarity.q45EmbedDedup(spark, sfDir))
+    }
+    val all = ids(sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id"))
+    val exactDropped = all -- exactSurv
+    val annDropped = all -- annSurv
+    val falseDrops = annDropped -- exactDropped
+    val recall =
+      if (falseDrops.nonEmpty) {
+        System.err.println(s"[verify] $dedupIdx dropped " +
+          s"${falseDrops.size} vector(s) the exact answer keeps " +
+          s"(e.g. ${falseDrops.take(3).mkString(", ")}) — the verify " +
+          "stage is exact, so this is dump/index corruption")
+        -1.0
+      }
+      else if (exactDropped.isEmpty) 1.0
+      else (exactDropped & annDropped).size.toDouble / exactDropped.size
+    Some(dedupIdx -> AnnGate(recall, dedupFloor))
+  }
+
   def annRecallGate(spark: SparkSession, sfDir: String, outDir: String,
       names: Iterable[String]): Map[String, AnnGate] = {
     val selected = names.toSet
+    val dedupEntry = dedupGate(spark, sfDir, outDir, selected)
     val gated =
       selected.filter(n => annFloors.contains(n) || n == annResidual).toSeq
-    if (gated.isEmpty) return Map.empty
+    if (gated.isEmpty) return dedupEntry.toMap
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -137,7 +198,7 @@ object Verify {
           None
         }
       }
-    (staticEntries ++ residualEntry).toMap
+    (staticEntries ++ residualEntry ++ dedupEntry).toMap
   }
 
   /** Persisted-index twins: each maps to the in-query variant it must
@@ -244,7 +305,8 @@ object Verify {
     // spread): when this run is responsible for gated queries, a prior
     // run's ann_recall.json must not survive a failed or empty gate to
     // impersonate this run's measurements
-    if (names.exists(n => annFloors.contains(n) || n == annResidual))
+    if (names.exists(n =>
+        annFloors.contains(n) || n == annResidual || n == dedupIdx))
       try Files.deleteIfExists(Paths.get(s"$outDir/ann_recall.json"))
       catch { case _: Throwable => () }
     val gates =
@@ -258,7 +320,8 @@ object Verify {
         System.err.println(
           s"[verify] ann recall gate itself failed (${e.getMessage}); " +
             "deleting gated dumps — unverifiable recall is not a pass")
-        names.filter(n => annFloors.contains(n) || n == annResidual)
+        names.filter(n =>
+            annFloors.contains(n) || n == annResidual || n == dedupIdx)
           .foreach(n => deleteOrDie(new java.io.File(s"$outDir/$n")))
         return Map.empty
       }

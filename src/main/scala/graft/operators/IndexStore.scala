@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -869,4 +869,112 @@ object IndexStore {
     * use [[queryIvfPqRes]] with a kept `info`. */
   def q70KnnIvfPqResIdx(spark: SparkSession, sfDir: String): DataFrame =
     queryIvfPqRes(spark, sfDir, ensure(spark, sfDir))
+
+  /** SemDeDup-style embedding near-duplicate dedup served from the
+    * PERSISTED IVF index — the scale path next to
+    * [[Similarity.q45EmbedDedup]]'s exact all-pairs screen (documented
+    * inherent O(N²)). Same keeper rule: drop every vector with SOME
+    * lower-id partner at cosine ≥ [[Similarity.pairThreshold]];
+    * survivors are the full table minus dropped (zero/NaN-norm vectors
+    * are never indexed, never paired, and therefore always survive —
+    * q45's rule exactly).
+    *
+    * Two stages, every join an equality join:
+    *  1. PROBE: every corpus vector ranks the broadcast centroid table
+    *     ([[Similarity.cellRanks]] — the serving rule) and probes its
+    *     [[Similarity.nprobeFor]] cells. Candidate pairs are (probing
+    *     vector, indexed vector) sharing a probed cell, normalized to
+    *     (id_a < id_b) and distinct'ed — a pair is caught when EITHER
+    *     side probes the other's home cell, so the per-pair miss
+    *     probability is the one-directional miss SQUARED (measured
+    *     pair recall 0.96 at the 2000-vector gate corpus vs ~0.75
+    *     one-directional).
+    *  2. VERIFY: exact cosine on the candidate pairs (full vectors
+    *     join back onto the bare id-pair stream; codegen'd double dot
+    *     product). A pair drops id_b only when the EXACT cosine clears
+    *     the threshold — the probe stage can only MISS pairs, never
+    *     fabricate them, so the survivor set is always a SUPERSET of
+    *     q45's (one-sided error; Verify gates the miss rate,
+    *     IndexStoreSpec pins the superset property).
+    *
+    * There is deliberately NO code-based (PQ) pre-screen between the
+    * stages, though the index ships one: measured on this fixture's
+    * true ≥0.42 pairs, the SDC reconstruction-cosine reads the exact
+    * cosine with bias −0.19 and std 0.14 (residual codes −0.22/0.14 —
+    * the error is the near-uniform data's entropy, not the encoding),
+    * so an absolute-margin screen wide enough to keep the true pairs
+    * admits essentially the whole stream, and a rank screen tight
+    * enough to prune costs recall (top-128: 0.73 dropped-id recall vs
+    * the 0.96 probe ceiling). The screen's shuffle volume (8 code rows
+    * per pair) also rivals the verify's one wide row per pair — it
+    * bought nothing on any axis here. On corpora whose duplicates sit
+    * at cosine ≥ 0.9 (real near-dup corpora — quantization noise ≪
+    * the dup-vs-background gap there) a margin screen becomes viable;
+    * revisit if that workload materializes.
+    *
+    * 100 TB design: the verify is linear in the candidate stream, and
+    * the stream is N·nprobe·(N/nlist) pairs — ~N^1.5·(nprobe/0.7)
+    * with the √N-scaled cell count on a corpus with NO cluster
+    * structure (this fixture's near-orthogonal randoms, the
+    * adversarial case; the exact screen is N²/2 with a bigger
+    * constant and no dial). On real embedding corpora near-dups are
+    * CLUSTERED — partners land in the home cell or its immediate
+    * neighbors, `-Dgraft.ann.nprobe` turns the probe count down, and
+    * the stream approaches N·cellsize — the regime SemDeDup-style
+    * dedup (cluster, then compare within clusters) exploits by
+    * construction. Cost vs the exact path is measured on the
+    * decorrelated scaled corpora in DEDUP_SCALE_r13.json. */
+  def queryEmbedDedup(spark: SparkSession, sfDir: String,
+      info: BuildInfo): DataFrame =
+    queryEmbedDedupDialed(spark, sfDir, info,
+      Similarity.nprobeFor(info.nl))
+
+  /** [[queryEmbedDedup]] with an explicit probe count — the
+    * calibration/override surface (IndexStoreSpec sweeps it; a
+    * deployment on clustered real embeddings turns `np` down, which is
+    * where the sub-quadratic regime lives — see the public doc). */
+  private[operators] def queryEmbedDedupDialed(spark: SparkSession,
+      sfDir: String, info: BuildInfo, np: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dotD
+    // n=0: nothing indexed, nothing to probe — the exact screen is
+    // free on an empty/all-invalid corpus and returns the same
+    // "everything survives" answer with the same schema
+    if (info.n == 0) return Similarity.q45EmbedDedup(spark, sfDir)
+    val dir = info.dir
+    val e = Similarity.prepped(spark, sfDir).filter(Similarity.validNorm)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val probes = Similarity.cellRanks(e, cents)
+      .filter(col("cr") <= np)
+      .select(col("vec_id").as("pid"), col("cell"))
+    // one row per indexed vector with its home cell: sub 0 always
+    // exists (subspaces ≥ 1) — cheaper than a distinct over 8 rows
+    val homes = readCodes(spark, s"$dir/codes")
+      .filter(col("sub") === 0)
+      .select(col("vec_id").as("iid"), col("cell"))
+    val pairs = probes.join(homes, Seq("cell"))
+      .filter(col("pid") =!= col("iid"))
+      .select(least(col("pid"), col("iid")).as("id_a"),
+        greatest(col("pid"), col("iid")).as("id_b"))
+      .distinct()
+    val ea = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val dropped = pairs.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+      .filter(dotD(col("va"), col("vb")) / (col("na") * col("nb")) >=
+        Similarity.pairThreshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy(col("vec_id"))
+  }
+
+  /** q71: [[queryEmbedDedup]] under the stateless driver contract —
+    * per-call [[ensure]] revalidation, like q69/q70; a session-holding
+    * pipeline keeps the `info` handle instead. Approximate with
+    * ONE-SIDED error (survivors ⊇ q45's exact survivors); the driver
+    * gate is Verify's dedup-recall floor against the exact answer. */
+  def q71EmbedDedupIdx(spark: SparkSession, sfDir: String): DataFrame =
+    queryEmbedDedup(spark, sfDir, ensure(spark, sfDir))
 }

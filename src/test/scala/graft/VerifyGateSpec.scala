@@ -120,6 +120,49 @@ class VerifyGateSpec extends SparkSpec {
     assert(!new java.io.File(s"$outDir/ann_recall.json").exists())
   }
 
+  test("dedup gate: a low-recall q71 dump is deleted, a false-dropping " +
+    "one records recall -1, a faithful one survives") {
+    import spark.implicits._
+    val exact = graft.operators.Similarity.q45EmbedDedup(spark, sfDir)
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "label")
+    val exactDroppedIds = all.select("vec_id").as[Long].collect().toSet --
+      exact.select("vec_id").as[Long].collect().toSet
+    assert(exactDroppedIds.nonEmpty, "fixture must drop something")
+
+    // 1. faithful dump (identical survivor set): recall 1.0, survives
+    val out1 = Files.createTempDirectory("graft_ddgate1").toString
+    dump(exact, out1, Verify.dedupIdx)
+    val g1 = Verify.enforceAnnGate(spark, sfDir, out1, Seq(Verify.dedupIdx))
+    assert(g1(Verify.dedupIdx).pass && g1(Verify.dedupIdx).recall === 1.0)
+    assert(new java.io.File(s"$out1/${Verify.dedupIdx}").exists())
+    assert(Files.readString(java.nio.file.Paths
+      .get(s"$out1/ann_recall.json")).contains(Verify.dedupIdx))
+
+    // 2. low recall: survivors keep HALF the exact drops → recall 0.5
+    //    < floor → dump deleted (driver sees missing dump = hard FAIL)
+    val resurrect = exactDroppedIds.toSeq.sorted
+      .take(exactDroppedIds.size / 2).toSet
+    val out2 = Files.createTempDirectory("graft_ddgate2").toString
+    dump(all.filter(col("vec_id").isInCollection(resurrect))
+      .unionByName(exact), out2, Verify.dedupIdx)
+    val g2 = Verify.enforceAnnGate(spark, sfDir, out2, Seq(Verify.dedupIdx))
+    assert(!g2(Verify.dedupIdx).pass)
+    assert(g2(Verify.dedupIdx).recall < 0.6 &&
+      g2(Verify.dedupIdx).recall > 0.3)
+    assert(!new java.io.File(s"$out2/${Verify.dedupIdx}").exists())
+
+    // 3. false drop: survivors miss a vector the exact answer KEEPS —
+    //    impossible for a healthy build (exact-verified candidates), so
+    //    the gate records the loud -1 and deletes
+    val keptId = exact.select("vec_id").as[Long].head()
+    val out3 = Files.createTempDirectory("graft_ddgate3").toString
+    dump(exact.filter(col("vec_id") =!= keptId), out3, Verify.dedupIdx)
+    val g3 = Verify.enforceAnnGate(spark, sfDir, out3, Seq(Verify.dedupIdx))
+    assert(!g3(Verify.dedupIdx).pass && g3(Verify.dedupIdx).recall === -1.0)
+    assert(!new java.io.File(s"$out3/${Verify.dedupIdx}").exists())
+  }
+
   test("twin identity: a persisted-index dump diverging from its " +
     "in-query twin is deleted; an identical one survives") {
     val outDir = Files.createTempDirectory("graft_twin").toString

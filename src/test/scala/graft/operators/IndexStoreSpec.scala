@@ -52,6 +52,31 @@ class IndexStoreSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q71 (index-backed embedding dedup) never drops a vector the " +
+    "exact screen keeps, and finds ≥ 0.85 of the exact drops") {
+    // reuses the index from the q69 test. Both properties are the
+    // operator's contract: survivors ⊇ exact survivors is EXACT
+    // (candidate pairs are exact-verified, so the only error is
+    // missing a pair → keeping too much), and the dropped-id recall
+    // floor matches Verify's gate (measured 0.93 at this fixture,
+    // deterministic — fixed corpus, fixed seeds, fixed-point training)
+    def surv(df: DataFrame): Set[Long] =
+      df.select("vec_id").as[Long].collect().toSet
+    val all = surv(graft.sources.Tables
+      .load(spark, sfDir, "embeddings").select(col("vec_id")))
+    val exact = surv(Similarity.q45EmbedDedup(spark, sfDir))
+    val ann = surv(IndexStore.q71EmbedDedupIdx(spark, sfDir))
+    assert(ann.subsetOf(all) && exact.subsetOf(ann),
+      s"q71 dropped ${(exact -- ann).size} vector(s) the exact " +
+        "answer keeps")
+    val exactDropped = all -- exact
+    val annDropped = all -- ann
+    val recall =
+      if (exactDropped.isEmpty) 1.0
+      else (exactDropped & annDropped).size.toDouble / exactDropped.size
+    assert(recall >= 0.85, f"dropped-id recall $recall%.4f below 0.85")
+  }
+
   test("q69's codes scan is dynamically partition-pruned to the probed " +
     "cells") {
     // the 100 TB claim is that a query READS only its probed cells'
@@ -333,6 +358,10 @@ class IndexStoreSpec extends SparkSpec {
         rows(Similarity.q65KnnIvfPq(spark, corpus)))
       assert(rows(IndexStore.q70KnnIvfPqResIdx(spark, corpus)) ===
         rows(Similarity.q68KnnIvfPqRes(spark, corpus)))
+      // q71 likewise delegates to the exact screen at n=0 — empty in,
+      // empty (survivor) out, same schema
+      assert(IndexStore.q71EmbedDedupIdx(spark, corpus).collect()
+        .isEmpty)
       // an n=0 index has no cells — appending into it would silently
       // drop every row; refused loudly instead
       val batch = all.filter(col("vec_id") < 20)
