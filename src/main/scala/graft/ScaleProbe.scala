@@ -37,7 +37,10 @@ object ScaleProbe {
     // runs see build+query — compare against q65/q68 to see the
     // in-query-training overhead at scale, and a second targeted
     // run (index now current) isolates query-side scaling
-    "q69_knn_ivfpq_idx", "q70_knn_ivfpq_res_idx")
+    "q69_knn_ivfpq_idx", "q70_knn_ivfpq_res_idx",
+    // index-backed dedup: same ensure-once caveat as q69/q70 — run 1
+    // carries the build, later runs isolate the probe+verify cost
+    "q71_embed_dedup_idx")
 
   def main(args: Array[String]): Unit = {
     // same loud-typo rule as Verify.main: a misspelled (or renamed)

@@ -889,13 +889,15 @@ object IndexStore {
     *     probability is the one-directional miss SQUARED (measured
     *     pair recall 0.96 at the 2000-vector gate corpus vs ~0.75
     *     one-directional).
-    *  2. VERIFY: exact cosine on the candidate pairs (full vectors
-    *     join back onto the bare id-pair stream; codegen'd double dot
-    *     product). A pair drops id_b only when the EXACT cosine clears
-    *     the threshold — the probe stage can only MISS pairs, never
-    *     fabricate them, so the survivor set is always a SUPERSET of
-    *     q45's (one-sided error; Verify gates the miss rate,
-    *     IndexStoreSpec pins the superset property).
+    *  2. VERIFY: exact cosine evaluated INSIDE the cell join (vectors
+    *     ride into it; codegen'd double dot product; only verified
+    *     hits leave as bare dropped ids — see the in-body comment for
+    *     why no pair stream is ever shuffled). A pair drops its higher
+    *     id only when the EXACT cosine clears the threshold — the
+    *     probe stage can only MISS pairs, never fabricate them, so the
+    *     survivor set is always a SUPERSET of q45's (one-sided error;
+    *     Verify gates the miss rate, IndexStoreSpec pins the superset
+    *     property).
     *
     * There is deliberately NO code-based (PQ) pre-screen between the
     * stages, though the index ships one: measured on this fixture's
@@ -943,27 +945,48 @@ object IndexStore {
     val dir = info.dir
     val e = Similarity.prepped(spark, sfDir).filter(Similarity.validNorm)
     val cents = spark.read.parquet(s"$dir/centroids")
-    val probes = Similarity.cellRanks(e, cents)
+    // Vectors ride INTO the cell join and the exact cosine evaluates
+    // inside it (the q34 discipline): an earlier shape materialized
+    // bare id pairs, distinct'ed them, and re-joined vectors twice —
+    // three shuffles of an N·nprobe·cellsize pair stream that made
+    // the "scale path" 1.6× SLOWER than the exact block join at the
+    // 8000-vector calibration corpus. Here the only shuffled rows are
+    // the N·nprobe probe rows and N home rows (wide, but linear in
+    // N), the |probers|×|members| pair evaluations happen in-task,
+    // and only the ≥-threshold hits leave the join as bare dropped
+    // ids. A pair sharing several probed cells is evaluated once per
+    // shared cell — duplicate WORK, bounded by the probe multiplicity,
+    // in exchange for never shuffling the pair stream; the trailing
+    // distinct dedupes ids, not pairs. Hot cells skew this join at
+    // scale; cells are ~√N/0.7 wide by construction and AQE's skew
+    // split handles the residual imbalance.
+    val probesV = Similarity.cellRanks(e, cents)
       .filter(col("cr") <= np)
       .select(col("vec_id").as("pid"), col("cell"))
+      .join(e.select(col("vec_id").as("pid"), col("v").as("vp"),
+        col("nrm").as("np_")), Seq("pid"))
     // one row per indexed vector with its home cell: sub 0 always
     // exists (subspaces ≥ 1) — cheaper than a distinct over 8 rows
-    val homes = readCodes(spark, s"$dir/codes")
+    val homesV = readCodes(spark, s"$dir/codes")
       .filter(col("sub") === 0)
       .select(col("vec_id").as("iid"), col("cell"))
-    val pairs = probes.join(homes, Seq("cell"))
-      .filter(col("pid") =!= col("iid"))
-      .select(least(col("pid"), col("iid")).as("id_a"),
-        greatest(col("pid"), col("iid")).as("id_b"))
+      .join(e.select(col("vec_id").as("iid"), col("v").as("vi"),
+        col("nrm").as("ni")), Seq("iid"))
+    // the keeper rule needs only the HIGHER id of a verified pair —
+    // either catch direction emits the same greatest(), so the
+    // bidirectional union is free
+    // shuffle_hash, not sort-merge: past the broadcast threshold Spark
+    // would otherwise SORT both sides by cell — the probe side is the
+    // big one (N·nprobe wide rows) and a many-to-many cell join gains
+    // nothing from sorted inputs. Hash-building the homes side is the
+    // scale-correct shape: it is linear in N and partitioned by cell,
+    // so each task builds only its cells' members (~√N rows per cell).
+    val dropped = probesV.join(homesV.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("pid") =!= col("iid") &&
+        dotD(col("vp"), col("vi")) / (col("np_") * col("ni")) >=
+          Similarity.pairThreshold)
+      .select(greatest(col("pid"), col("iid")).as("vec_id"))
       .distinct()
-    val ea = e.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"))
-    val eb = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    val dropped = pairs.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
-      .filter(dotD(col("va"), col("vb")) / (col("na") * col("nb")) >=
-        Similarity.pairThreshold)
-      .select(col("id_b").as("vec_id")).distinct()
     Tables.load(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label"))
       .join(dropped, Seq("vec_id"), "left_anti")
