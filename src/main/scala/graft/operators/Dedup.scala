@@ -503,11 +503,32 @@ object Dedup {
           col("l.doc_id") =!= col("r.doc_id"))
       .select(col("l.doc_id").as("doc_in"), col("r.doc_id").as("doc_corp"))
       .distinct()
-    cand
+    // exact verify, corpus side FIRST with the candidate pairs
+    // broadcast: when `corpusSh` carries the writer's `pfx` layout
+    // column ([[withShPfx]] — the streaming sink persists the shingle
+    // index partitioned by it), joining on (pfx, doc_id) under a
+    // broadcast build lets dynamic partition pruning restrict the
+    // shingle-index scan to the candidates' directories — the heavy
+    // array column is read only for docs that actually matched a band
+    // bucket (zero directories when no candidates), instead of a full
+    // per-batch corpus scan. The broadcast side is bare id pairs,
+    // bounded by the increment's band rows × bucket width — the same
+    // boundedness argument as the band join itself. Un-partitioned
+    // corpusSh (the one-shot q59 form) takes the plain equality join.
+    val hasPfx = corpusSh.columns.contains("pfx")
+    val corpSel =
+      if (hasPfx)
+        corpusSh.select(col("pfx"),
+          col("doc_id").as("doc_corp"), col("sh").as("shb"))
+      else corpusSh.select(col("doc_id").as("doc_corp"), col("sh").as("shb"))
+    val candKeyed =
+      if (hasPfx) cand.withColumn("pfx", shPfx(col("doc_corp")))
+      else cand
+    corpSel
+      .join(broadcast(candKeyed),
+        if (hasPfx) Seq("pfx", "doc_corp") else Seq("doc_corp"))
       .join(incSh.select(col("doc_id").as("doc_in"), col("sh").as("sha")),
         "doc_in")
-      .join(corpusSh.select(col("doc_id").as("doc_corp"), col("sh").as("shb")),
-        "doc_corp")
       .filter(jaccard(col("sha"), col("shb")) >= threshold)
       .select(col("doc_in")).distinct()
   }
@@ -544,6 +565,30 @@ object Dedup {
   def shingleIndex(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** Directory-bucket count for the persisted shingle index: the sink
+    * writes `<corpus>__sh` partitioned by [[shPfx]] so the exact-verify
+    * join prunes to the candidate docs' directories (see
+    * [[crossNearDupIdsIndexed]]). 32 = one bucket per local core; at
+    * cluster scale this grows with the corpus (like the ANN index's
+    * nlist) so a bucket stays one task's worth of shingle rows. A
+    * CONSTANT per index instance — the pfx values baked into an index's
+    * directories must match the probe-side [[shPfx]] of every later
+    * reader, so changing it requires rebuilding the index
+    * ([[graft.sources.Maintenance.compactIngestIndexes]]). */
+  val shPfxBuckets = 32
+
+  /** The shingle-index layout key: a stable hash-bucket of doc_id.
+    * Plain modulo (not a hash) — doc_ids are already arbitrary; int
+    * type so the value survives a partition-directory round-trip with
+    * the same type Spark's path inference assigns. */
+  def shPfx(docId: Column): Column =
+    pmod(docId, lit(shPfxBuckets.toLong)).cast("int")
+
+  /** [[shingleIndex]] rows carrying their layout key — the frame the
+    * streaming sink writes `partitionBy("pfx")`. */
+  def withShPfx(sh: DataFrame): DataFrame =
+    sh.withColumn("pfx", shPfx(col("doc_id")))
 
   /** [[cleanIncrement]] against PRE-COMPUTED corpus indexes — the form
     * a standing ingest pipeline runs so per-batch compute never

@@ -175,14 +175,15 @@ object Maintenance {
     val corpus = spark.read.parquet(corpusDir).select("doc_id", "text")
     val committed = corpus.select("doc_id")
     def rewrite(dir: String, clean: DataFrame => DataFrame,
-        rebuild: DataFrame => DataFrame): Long = {
+        rebuild: DataFrame => DataFrame,
+        write: (DataFrame, String) => Unit): Long = {
       val df = spark.read.parquet(dir)
       val before = df.count()
       val kept = clean(df.join(committed, Seq("doc_id"), "left_semi"))
       val lost = corpus.join(df.select("doc_id"), Seq("doc_id"), "left_anti")
       val full = kept.unionByName(rebuild(lost))
       val (fs, shadow) = graft.Scratch.fs(spark, dir + "__compact")
-      full.write.mode(SaveMode.Overwrite).parquet(shadow.toString)
+      write(full, shadow.toString)
       // count the written shadow, not the plan — one pass over the data
       val after = spark.read.parquet(shadow.toString).count()
       ParquetSink.swapInto(fs, shadow, new Path(dir))
@@ -193,10 +194,28 @@ object Maintenance {
     // (Docs under 3 tokens legitimately have no index rows —
     // shingleIndex filters them — so their rebuild is a no-op and
     // they are never counted as drift.)
+    // The shingle index is rewritten in the pfx-partitioned layout the
+    // streaming sink's exact-verify pruning needs (Dedup.withShPfx) —
+    // which also upgrades a flat pre-layout dir in place. The select
+    // drops a pfx column read back from an already-partitioned dir so
+    // clean/rebuild see the logical (doc_id, sh) schema either way.
     val shDropped = rewrite(corpusDir + "__sh",
-      _.dropDuplicates("doc_id"), Dedup.shingleIndex)
+      df => df.select("doc_id", "sh").dropDuplicates("doc_id"),
+      Dedup.shingleIndex,
+      (df, out) => Dedup.withShPfx(df)
+        .repartition(org.apache.spark.sql.functions.col("pfx"))
+        .write.mode(SaveMode.Overwrite).partitionBy("pfx").parquet(out))
     val bandsDropped = rewrite(corpusDir + "__bands", _.distinct(),
-      d => Dedup.minhashBands(Dedup.shingleIndex(d)))
+      d => Dedup.minhashBands(Dedup.shingleIndex(d)),
+      (df, out) => df.write.mode(SaveMode.Overwrite).parquet(out))
+    // both dirs were just rebuilt lockstep from the corpus — every row
+    // is committed, so the fresh listings ARE the commit marker (the
+    // old marker's file entries died with the swap; without a re-stamp
+    // every later batch would pay the fallback semi-join)
+    graft.streaming.IngestCommit.write(spark, corpusDir,
+      graft.streaming.IngestCommit.Marker(
+        graft.streaming.IngestCommit.listing(spark, corpusDir + "__sh"),
+        graft.streaming.IngestCommit.listing(spark, corpusDir + "__bands")))
     (shDropped, bandsDropped)
   }
 

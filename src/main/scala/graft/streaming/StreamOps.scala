@@ -237,25 +237,101 @@ object StreamOps {
       val (shDir, bandsDir) = (corpusDir + "__sh", corpusDir + "__bands")
       val (mfs, marker) = graft.Scratch.fs(spark, corpusDir + "/_SUCCESS")
       val empty = !mfs.exists(marker)
+      // pre-batch file listings: they feed (a) marker validation, (b)
+      // this batch's own-new-files diff for the marker stamp, (c) the
+      // legacy-layout probe. Driver-side listStatus — milliseconds,
+      // and the ONLY steady-state per-batch corpus-side cost besides
+      // the narrow fp/bands column scans (the committed-visibility
+      // semi-joins that used to re-shuffle both indexes every batch
+      // now run only on marker-validation failure; see [[IngestCommit]])
+      val shBefore = IngestCommit.listing(spark, shDir)
+      val bandsBefore = IngestCommit.listing(spark, bandsDir)
+      val mk = if (empty) None else IngestCommit.read(spark, corpusDir)
+      val mkValid = mk.exists { m =>
+        // the purity clause guards a silent-row-loss trap: an explicit
+        // file-list read that mixes root-level and pfx= files DROPS
+        // the root-level files without error (measured) — a marker
+        // that somehow held both layouts must fall back, not fast-path
+        val (shPart, shFlat) = m.sh.keys.partition(_.startsWith("pfx="))
+        m.sh.nonEmpty && m.bands.nonEmpty &&
+          (shPart.isEmpty || shFlat.isEmpty) &&
+          m.sh.forall { case (f, l) => shBefore.get(f).contains(l) } &&
+          m.bands.forall { case (f, l) => bandsBefore.get(f).contains(l) }
+      }
+      // a dir written by a pre-layout sink holds ALL its data files at
+      // the root; appending pfx= partition dirs next to them would
+      // wedge partition discovery ("conflicting directory structures"),
+      // so such a corpus keeps the flat layout until
+      // [[graft.sources.Maintenance.compactIngestIndexes]] rebuilds it
+      // partitioned. Flat files in an otherwise-pfx dir are foreign
+      // debris (the sink's own appends — crashed ones included — are
+      // always pfx-partitioned once the dir is), and must NOT flip the
+      // append layout: legacy means no pfx= file exists at all
+      val legacySh =
+        shBefore.nonEmpty && !shBefore.keys.exists(_.startsWith("pfx="))
       val admitted = graft.Materialize(
         if (empty)
           Dedup.cleanIncrement(batch, batch.limit(0), threshold)
         else {
           val corpus = spark.read.parquet(corpusDir)
-          val committed = corpus.select("doc_id")
+          val (shFrame, bandsFrame) =
+            if (mkValid) {
+              val m = mk.get
+              val shQ = IngestCommit.qualifiedBase(spark, shDir)
+              val bQ = IngestCommit.qualifiedBase(spark, bandsDir)
+              // committed rows = rows in committed files (the sink's
+              // append discipline — see IngestCommit) — so reading
+              // exactly the marker's files IS the visibility filter;
+              // basePath keeps the pfx partition column in scope
+              (spark.read.option("basePath", shDir)
+                 .parquet(m.sh.keys.toSeq.sorted.map(shQ + _): _*),
+               spark.read
+                 .parquet(m.bands.keys.toSeq.sorted.map(bQ + _): _*))
+            } else {
+              val committed = corpus.select("doc_id")
+              (spark.read.parquet(shDir)
+                 .join(committed, Seq("doc_id"), "left_semi"),
+               spark.read.parquet(bandsDir)
+                 .join(committed, Seq("doc_id"), "left_semi"))
+            }
           Dedup.cleanIncrementIndexed(batch,
-            corpus.select("fp"),
-            spark.read.parquet(bandsDir)
-              .join(committed, Seq("doc_id"), "left_semi"),
-            spark.read.parquet(shDir)
-              .join(committed, Seq("doc_id"), "left_semi"), threshold)
+            corpus.select("fp"), bandsFrame, shFrame, threshold)
         })
       val admittedSh = graft.Materialize(Dedup.shingleIndex(admitted))
       val mode = if (empty) org.apache.spark.sql.SaveMode.Overwrite
         else org.apache.spark.sql.SaveMode.Append
-      admittedSh.write.mode(mode).parquet(shDir)
+      if (legacySh) admittedSh.write.mode(mode).parquet(shDir)
+      else
+        // one file per touched pfx dir (the repartition co-locates
+        // each bucket in one task); the pfx layout is what lets the
+        // exact-verify join prune the heavy shingle scan to candidate
+        // directories (Dedup.crossNearDupIdsIndexed)
+        Dedup.withShPfx(admittedSh).repartition(col("pfx"))
+          .write.mode(mode).partitionBy("pfx").parquet(shDir)
       Dedup.minhashBands(admittedSh).write.mode(mode).parquet(bandsDir)
       admitted.write.mode(mode).parquet(corpusDir)
+      // stamp AFTER the corpus append: this batch's docs are now
+      // committed, so its index files (the before/after listing diff)
+      // join the marker; a pre-existing VALID marker is the base —
+      // orphans of never-replayed crashed batches stay invisible
+      // forever, exactly the semi-join's semantics. An invalid/missing
+      // marker repairs via one file-granularity commit scan against
+      // the updated corpus
+      val shAfter = IngestCommit.listing(spark, shDir)
+      val bandsAfter = IngestCommit.listing(spark, bandsDir)
+      val (baseSh, baseBands) =
+        if (empty) (Map.empty[String, Long], Map.empty[String, Long])
+        else if (mkValid) (mk.get.sh, mk.get.bands)
+        else {
+          val committedNow = spark.read.parquet(corpusDir).select("doc_id")
+          (IngestCommit.committedListing(spark, shDir, shAfter, committedNow),
+           IngestCommit
+             .committedListing(spark, bandsDir, bandsAfter, committedNow))
+        }
+      val ownSh = shAfter -- shBefore.keySet
+      val ownBands = bandsAfter -- bandsBefore.keySet
+      IngestCommit.write(spark, corpusDir,
+        IngestCommit.Marker(baseSh ++ ownSh, baseBands ++ ownBands))
       ()
     }
 

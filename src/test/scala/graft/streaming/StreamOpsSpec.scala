@@ -494,8 +494,11 @@ class StreamOpsSpec extends SparkSpec {
       val crashed = Seq(
         (10L, textA, "en"), (11L, textA + " today", "en"))
         .toDF("doc_id", "text", "lang")
+      // the simulated crash writes in the sink's OWN append layout
+      // (pfx-partitioned shingles) — what a real torn batch leaves
       val orphanSh = Dedup.shingleIndex(crashed)
-      orphanSh.write.mode("append").parquet(corpusDir + "__sh")
+      Dedup.withShPfx(orphanSh).write.mode("append").partitionBy("pfx")
+        .parquet(corpusDir + "__sh")
       Dedup.minhashBands(orphanSh).write.mode("append")
         .parquet(corpusDir + "__bands")
       // the engine replays batch 2: both docs must be admitted — the
