@@ -282,10 +282,28 @@ object StreamOps {
               // committed rows = rows in committed files (the sink's
               // append discipline — see IngestCommit) — so reading
               // exactly the marker's files IS the visibility filter;
-              // basePath keeps the pfx partition column in scope
-              (spark.read.option("basePath", shDir)
+              // basePath keeps the pfx partition column in scope.
+              // Explicit schemas skip per-batch footer inference
+              // (~0.3 s/batch measured); the pfx field rides only on
+              // the partitioned layout — a user schema naming a column
+              // that exists neither in the files nor as a partition
+              // dir would come back NULL and poison the (pfx, doc_id)
+              // join
+              import org.apache.spark.sql.types._
+              val shBase = StructType(Seq(
+                StructField("doc_id", LongType),
+                StructField("sh", ArrayType(StringType))))
+              val shSchema =
+                if (m.sh.keys.forall(_.startsWith("pfx=")))
+                  shBase.add(StructField("pfx", IntegerType))
+                else shBase
+              val bandsSchema = StructType(Seq(
+                StructField("doc_id", LongType),
+                StructField("band", IntegerType),
+                StructField("sig", LongType)))
+              (spark.read.option("basePath", shDir).schema(shSchema)
                  .parquet(m.sh.keys.toSeq.sorted.map(shQ + _): _*),
-               spark.read
+               spark.read.schema(bandsSchema)
                  .parquet(m.bands.keys.toSeq.sorted.map(bQ + _): _*))
             } else {
               val committed = corpus.select("doc_id")
