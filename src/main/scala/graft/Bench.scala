@@ -105,6 +105,69 @@ object Bench {
     (samples, adjudications)
   }
 
+  /** Per-query medians out of a committed clean spread file's text —
+    * the only JSON this main ever has to READ, so a targeted regex
+    * beats pulling in a parser: entries look like
+    * `"q12_event_props":{"med":0.44,...}` (the adjudications map's
+    * values start with "extra_runs", so they can't false-match). */
+  private[graft] def parseRefMeds(text: String): Map[String, Double] =
+    """"([A-Za-z0-9_]+)":\{"med":(-?[0-9.eE+]+)""".r.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** Cross-RUN adjudication — the steal mode [[adjudicate]] cannot
+    * see. Within-run med/min flags need at least one clean sample in
+    * the pool; a steal window covering ALL of a query's samples
+    * uniformly leaves med/min ≈ 1 while the median is several× wrong
+    * (BENCH_r12 recorded q12 at 6.9 s against five independent clean
+    * spreads' 0.40-0.47 s exactly this way). The committed clean
+    * spread is the reference: each query's med/ref ratio is compared
+    * against the run's MEDIAN ratio — the host-speed control, so a
+    * uniformly slower host (every query 1.6×) flags nothing — and a
+    * query beyond `flagFactor`× that control with a non-trivial
+    * absolute median re-runs until it returns to band or the budget is
+    * spent. A flag that SURVIVES its re-runs is a reproduced, host-
+    * normalized regression — exactly the signal a recorded artifact
+    * should carry loudly; stamps land in the spread JSON either way.
+    * Queries absent from the reference (new this round) are
+    * unjudgeable and left alone; same for runs sharing fewer than
+    * `minCommon` queries with it (no stable control). */
+  private[graft] def adjudicateXrun(
+      initial: Map[String, Vector[Double]],
+      refMeds: Map[String, Double], maxExtraRuns: Int,
+      rerun: String => Option[Double], globalBudget: Int = 40,
+      flagFactor: Double = 3.0, minAbsSec: Double = 0.3,
+      minCommon: Int = 5)
+      : (Map[String, Vector[Double]],
+         Map[String, (Double, Int, Double)], Double) = {
+    var samples = initial
+    def medOf(name: String): Double = statsOf(samples(name))._1
+    val common = samples.keys.filter(q =>
+      refMeds.get(q).exists(_ > 0) && medOf(q) > 0).toSeq.sorted
+    if (common.size < minCommon) return (samples, Map.empty, 0.0)
+    val hostFactor = statsOf(common.map(q => medOf(q) / refMeds(q)))._1
+    def ratioNow(name: String): Double =
+      medOf(name) / refMeds(name) / hostFactor
+    var adjudications = Map.empty[String, (Double, Int, Double)]
+    var totalExtra = 0
+    common.foreach { name =>
+      if (ratioNow(name) > flagFactor && medOf(name) >= minAbsSec) {
+        val before = ratioNow(name)
+        var extra = 0
+        while (ratioNow(name) > flagFactor && extra < maxExtraRuns &&
+            totalExtra < globalBudget) {
+          rerun(name).foreach(t => samples += name -> (samples(name) :+ t))
+          extra += 1
+          totalExtra += 1
+        }
+        adjudications += name -> (before, extra, ratioNow(name))
+        System.err.println(f"[bench] $name cross-run re-adjudicated: " +
+          f"${before}%.2fx vs clean record (host-normalized), $extra " +
+          f"extra runs, now ${ratioNow(name)}%.2fx")
+      }
+    }
+    (samples, adjudications, hostFactor)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // clear any prior spread up front: if this run dies mid-bench, a
@@ -160,10 +223,21 @@ object Bench {
           }
         }.toVector
       }
-    val (samples, adjudications) = adjudicate(initial, 2 * runsPerQuery,
-      name =>
-        try Some(timeNoop(SparkEntry.queries(name)(spark, sfDir)))
-        catch { case e: Throwable => errors += name -> Json.err(e); None })
+    val rerunFn: String => Option[Double] = name =>
+      try Some(timeNoop(SparkEntry.queries(name)(spark, sfDir)))
+      catch { case e: Throwable => errors += name -> Json.err(e); None }
+    val (samples0, adjudications) =
+      adjudicate(initial, 2 * runsPerQuery, rerunFn)
+    // cross-run pass against the committed clean record (see
+    // adjudicateXrun's doc): catches the uniform-steal windows the
+    // within-run med/min signal is blind to
+    val refPath = sys.env.getOrElse("GRAFT_BENCH_REF", "BENCH_CLEAN.json")
+    val refMeds =
+      try parseRefMeds(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(refPath)))
+      catch { case _: Throwable => Map.empty[String, Double] }
+    val (samples, xrunFlags, hostFactor) =
+      adjudicateXrun(samples0, refMeds, 2 * runsPerQuery, rerunFn)
     val spreads = samples.map { case (name, ts) => name -> statsOf(ts) }
     val results = spreads.map { case (k, (med, _, _)) => k -> med }
     // 3-decimal seconds keep the whole line compact: the driver records
@@ -198,8 +272,20 @@ object Bench {
         .map { case (k, (extra, r)) =>
           s"${Json.str(k)}:{\"extra_runs\":$extra,\"ratio\":${f3(r)}}"
         }.mkString("{", ",", "}")
+    // cross-run stamp: host_factor documents the control even when
+    // nothing flagged (a reader can re-normalize any query manually);
+    // a flag whose "after" is still > 3 survived its re-runs — a
+    // reproduced regression vs the clean record, not steal
+    val xrunField =
+      if (hostFactor <= 0) ""
+      else s""","xrun":{"ref":${Json.str(refPath)},""" +
+        s""""host_factor":${f3(hostFactor)},"flags":""" +
+        xrunFlags.toSeq.sortBy(_._1).map { case (k, (b, extra, a)) =>
+          s"${Json.str(k)}:{\"before\":${f3(b)}," +
+            s"\"extra_runs\":$extra,\"after\":${f3(a)}}"
+        }.mkString("{", ",", "}") + "}"
     val spreadJson =
-      s"""{"queries":$spreadQs,"n":$runsPerQuery$idxField$basisField$adjField,"sf":${Json.str(sfDir)}}"""
+      s"""{"queries":$spreadQs,"n":$runsPerQuery$idxField$basisField$adjField$xrunField,"sf":${Json.str(sfDir)}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(spreadPath), spreadJson)
     catch { case e: Throwable =>
@@ -220,7 +306,13 @@ object Bench {
       .map { case (k, r) => s""","worst":${Json.str(s"$k:${f3(r)}x")}""" }
       .getOrElse("")
     val readj = s""","readjudicated":${adjudications.size}"""
-    println(s"""{"noise":{"contaminated":${contaminated.size}$worst$readj$idxField$basisField,"spread":${Json.str(spreadPath)}}}""")
+    val xrunNote =
+      if (hostFactor <= 0) ""
+      else {
+        val unresolved = xrunFlags.count(_._2._3 > 3.0)
+        s""","xrun_flags":${xrunFlags.size},"xrun_unresolved":$unresolved"""
+      }
+    println(s"""{"noise":{"contaminated":${contaminated.size}$worst$readj$xrunNote$idxField$basisField,"spread":${Json.str(spreadPath)}}}""")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors

@@ -79,4 +79,88 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(samples("q1") === Vector(1.0, 5.0, 6.0))
     assert(adj("q1")._1 === 3)
   }
+
+  // --- cross-run adjudication (vs the committed clean record) ------------
+
+  /** Six steady queries at parity with the reference — the host-speed
+    * control pool every cross-run case below shares. */
+  private val steady: Map[String, Vector[Double]] =
+    (1 to 6).map(i => s"s$i" -> Vector(1.0, 1.0, 1.0)).toMap
+  private val steadyRef: Map[String, Double] =
+    (1 to 6).map(i => s"s$i" -> 1.0).toMap
+
+  test("parseRefMeds reads per-query medians out of a spread file and " +
+    "ignores the adjudications map") {
+    val text = """{"queries":{"q12":{"med":0.443,"min":0.41,"max":0.5},""" +
+      """"q29":{"med":0.215,"min":0.2,"max":0.3}},"n":3,""" +
+      """"adjudications":{"q12":{"extra_runs":4,"ratio":1.1}},"sf":"x"}"""
+    assert(Bench.parseRefMeds(text) === Map("q12" -> 0.443, "q29" -> 0.215))
+  }
+
+  test("a uniformly-stolen window (med/min ~ 1, median several x the " +
+    "clean record) self-corrects in the merged pool — the BENCH_r12 q12 " +
+    "false-regression shape") {
+    // within-run adjudication sees nothing: 6.9/6.8 ~ 1.0
+    assert(Bench.ratioOf(Vector(6.93, 6.85, 6.97)) < 2.0)
+    val clean = Iterator(0.44, 0.41, 0.47, 0.43, 0.45, 0.42)
+    var calls = 0
+    val (samples, flags, host) = Bench.adjudicateXrun(
+      steady + ("q12" -> Vector(6.93, 6.85, 6.97)),
+      steadyRef + ("q12" -> 0.44), 6,
+      _ => { calls += 1; Some(clean.next()) })
+    assert(host === 1.0)
+    assert(calls > 0 && calls <= 6)
+    val (before, extra, after) = flags("q12")
+    assert(before > 10.0) // ~15.7x vs the clean record
+    assert(extra === calls)
+    assert(after <= 3.0) // back in band: the artifact self-corrected
+    val (med, _, _) = Bench.statsOf(samples("q12"))
+    assert(med < 1.0) // merged median is the clean value, not 6.9
+  }
+
+  test("a uniformly SLOWER host (every query inflated alike) flags " +
+    "nothing — the median ratio is the control") {
+    var calls = 0
+    val (samples, flags, host) = Bench.adjudicateXrun(
+      steady.view.mapValues(_.map(_ * 1.6)).toMap,
+      steadyRef, 6, _ => { calls += 1; Some(1.6) })
+    assert(calls === 0)
+    assert(flags.isEmpty)
+    assert(math.abs(host - 1.6) < 1e-9)
+    assert(samples("s1") === Vector(1.6, 1.6, 1.6))
+  }
+
+  test("a genuine regression survives its re-runs and is stamped " +
+    "unresolved (after > 3), never silently absorbed") {
+    var calls = 0
+    val (_, flags, _) = Bench.adjudicateXrun(
+      steady + ("q9" -> Vector(5.0, 5.1, 4.9)),
+      steadyRef + ("q9" -> 1.0), 4,
+      _ => { calls += 1; Some(5.0) }) // the slowdown reproduces
+    assert(calls === 4)
+    val (before, extra, after) = flags("q9")
+    assert(before > 3.0 && extra === 4 && after > 3.0)
+  }
+
+  test("queries absent from the reference are unjudgeable and left " +
+    "alone; too few common queries disables the pass entirely") {
+    var calls = 0
+    val (_, flags, host) = Bench.adjudicateXrun(
+      steady + ("q_new" -> Vector(9.0, 9.0, 9.0)),
+      steadyRef, 6, _ => { calls += 1; Some(1.0) })
+    assert(calls === 0 && flags.isEmpty && host === 1.0)
+    val (_, f2, h2) = Bench.adjudicateXrun(
+      Map("a" -> Vector(9.0), "b" -> Vector(9.0)),
+      Map("a" -> 1.0, "b" -> 1.0), 6, _ => Some(1.0))
+    assert(f2.isEmpty && h2 === 0.0)
+  }
+
+  test("sub-threshold absolute medians are never flagged — micro-query " +
+    "jitter can be 5x without being worth a re-run") {
+    val (_, flags, _) = Bench.adjudicateXrun(
+      steady + ("q_tiny" -> Vector(0.2, 0.2, 0.2)),
+      steadyRef + ("q_tiny" -> 0.04), 6,
+      _ => fail("must not re-run a 0.2 s median"))
+    assert(flags.isEmpty)
+  }
 }
