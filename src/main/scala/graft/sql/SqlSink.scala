@@ -137,20 +137,27 @@ object SqlSink {
 
   /** One transactional statement moves the staged batch into the
     * target, keeping exactly ONE committed attempt per partition (the
-    * smallest attempt id — attempt ids are globally unique longs, so
-    * the per-pid MIN never collides across partitions). Autocommit of
-    * a single INSERT..SELECT: the DB applies all of it or none, so a
-    * driver crash leaves either an untouched target (replayable) or a
+    * smallest attempt id per pid). Autocommit of a single
+    * INSERT..SELECT: the DB applies all of it or none, so a driver
+    * crash leaves either an untouched target (replayable) or a
     * fully-appended one. */
   private[sql] def finalizeAppend(norm: DataFrame, cfg: Config): Unit = {
     val d = cfg.dialect
     val cols = norm.columns.map(d.quote).mkString(", ")
     val stg = d.table(cfg.stagingSchema, appendStagingTable(cfg))
+    // correlated (per-pid) min, NOT `att IN (per-pid mins)`: the IN
+    // form silently leans on attempt ids never colliding ACROSS
+    // partitions — true of Spark's TaskAttemptId today, but a pid-B
+    // attempt that happened to share pid-A's min id would ride in as a
+    // duplicate copy. The correlated form is collision-proof by
+    // construction; the 200-trial finalize fuzz forges exactly those
+    // collisions and fails the IN form at trial 2
     JdbcOps.execute(cfg.url,
       s"INSERT INTO ${d.table(cfg.schema, cfg.table)} ($cols) " +
-        s"SELECT $cols FROM $stg s WHERE s.${d.quote(attCol)} IN " +
-        s"(SELECT MIN(${d.quote(attCol)}) FROM $stg " +
-        s"GROUP BY ${d.quote(pidCol)})" + d.statementTerminator)
+        s"SELECT $cols FROM $stg s WHERE s.${d.quote(attCol)} = " +
+        s"(SELECT MIN(m.${d.quote(attCol)}) FROM $stg m " +
+        s"WHERE m.${d.quote(pidCol)} = s.${d.quote(pidCol)})" +
+        d.statementTerminator)
     if (cfg.cleanStaging)
       JdbcOps.executeIgnore(cfg.url,
         d.dropTableSql(cfg.stagingSchema, appendStagingTable(cfg)))

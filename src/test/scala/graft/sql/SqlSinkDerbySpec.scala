@@ -230,6 +230,65 @@ class SqlSinkDerbySpec extends SparkSpec {
     }
   }
 
+  test("exactlyOnceAppend finalize fuzz: 200 random speculation storms " +
+    "(1-5 partitions, 0-6 rows, 1-3 committed attempts each, attempt " +
+    "ids COLLIDING across partitions) all land exactly once") {
+    // finalize-level fuzz at JDBC speed: the staging table is forged
+    // directly (no Spark write per trial), which is exactly what the
+    // staged state IS after any storm of complete committed attempt
+    // copies — the three e2e trials above cover the stage path itself.
+    // Attempt ids are drawn from 0..4 so cross-partition collisions
+    // are the NORM: the correlated per-pid MIN in finalizeAppend must
+    // never let pid B's copy ride in on pid A's min id (the old
+    // `att IN (mins)` form failed exactly this shape).
+    val tbl = "t_eo_fuzz"
+    val stg = s""""staging"."${tbl}__append""""
+    val tgt = s""""app_s"."$tbl""""
+    JdbcOps.executeIgnore(url, """CREATE SCHEMA "app_s"""")
+    JdbcOps.executeIgnore(url, """CREATE SCHEMA "staging"""")
+    JdbcOps.executeIgnore(url, s"DROP TABLE $tgt")
+    JdbcOps.execute(url, s"CREATE TABLE $tgt (\"id\" INT, \"v\" INT)")
+    val norm = Seq((0, 0)).toDF("id", "v") // column names for finalize
+    val eo = cfg(tbl, Method.Append)
+      .copy(exactlyOnceAppend = true, cleanStaging = false)
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 200) {
+      JdbcOps.execute(url, s"DELETE FROM $tgt")
+      JdbcOps.executeIgnore(url, s"DROP TABLE $stg")
+      JdbcOps.execute(url, s"CREATE TABLE $stg (\"id\" INT, \"v\" INT, " +
+        "\"__graft_pid\" INT, \"__graft_att\" BIGINT)")
+      val npids = 1 + rnd.nextInt(5)
+      var expRows = 0L
+      var expIdSum = 0L
+      val values = (0 until npids).flatMap { pid =>
+        val nRows = rnd.nextInt(7)
+        val rows = (0 until nRows).map(r => (pid * 1000 + r, rnd.nextInt(100)))
+        expRows += nRows
+        expIdSum += rows.map(_._1.toLong).sum
+        // 1-3 complete committed attempt copies, ids sampled from a
+        // 5-value pool (collisions across pids virtually guaranteed)
+        val atts = rnd.shuffle((0 to 4).toList).take(1 + rnd.nextInt(3))
+        atts.flatMap(att => rows.map { case (id, v) =>
+          s"($id, $v, $pid, $att)"
+        })
+      }
+      if (values.nonEmpty)
+        JdbcOps.execute(url,
+          s"INSERT INTO $stg (\"id\", \"v\", \"__graft_pid\", " +
+            s"\"__graft_att\") VALUES ${values.mkString(", ")}")
+      SqlSink.finalizeAppend(norm, eo)
+      val gotRows = JdbcOps.queryCount(url, s"SELECT COUNT(*) FROM $tgt")
+      assert(gotRows === expRows, s"trial $trial: row count")
+      if (expRows > 0) {
+        val gotIds = JdbcOps.queryCount(url,
+          s"SELECT COUNT(DISTINCT \"id\") FROM $tgt")
+        val gotIdSum = JdbcOps.queryCount(url, s"SELECT SUM(\"id\") FROM $tgt")
+        assert(gotIds === expRows, s"trial $trial: distinct ids")
+        assert(gotIdSum === expIdSum, s"trial $trial: id content")
+      }
+    }
+  }
+
   test("exactlyOnceAppend refuses input that collides with the " +
     "reserved tag columns") {
     val eo = cfg("t_eo3", Method.Append).copy(exactlyOnceAppend = true)
