@@ -929,7 +929,7 @@ object IndexStore {
   def queryEmbedDedup(spark: SparkSession, sfDir: String,
       info: BuildInfo): DataFrame =
     queryEmbedDedupDialed(spark, sfDir, info,
-      Similarity.nprobeFor(info.nl))
+      Similarity.dedupNprobeFor(info.nl))
 
   /** [[queryEmbedDedup]] with an explicit probe count — the
     * calibration/override surface (IndexStoreSpec sweeps it; a

@@ -309,6 +309,30 @@ object Similarity {
         val cap = math.round(0.45 * nl).toInt
         math.min(nl, math.max(nprobe, math.min(cap, curve)))
     }
+
+  /** Probe depth for the index-backed dedup screen ([[graft.operators
+    * .IndexStore.queryEmbedDedup]]) — a CONSTANT, deliberately not
+    * [[nprobeFor]]'s serving curve. Candidate-pair work is
+    * N·np·(N/nl); with the serving dial's np ≈ 0.22-0.29·nl that is
+    * ~0.22·N² — quadratic with a constant, measured indistinguishable
+    * from the exact screen at the 128k corpus (132 s vs 138 s). Dedup
+    * affords a much shallower probe than top-k serving because a pair
+    * is caught from EITHER side (per-pair miss = one-directional miss
+    * SQUARED), so a fixed depth holds recall where serving recall
+    * would decay: measured dropped-id recall at np=12 is 0.96/0.91/
+    * 0.93/0.92 across the 2k/8k/32k/128k corpora (flat over three
+    * decades) vs the 0.85 floor, while np=8 reads 0.83-0.89
+    * (below-floor at 8k) and np=4 reads 0.65-0.76. Constant np makes
+    * pair work np·N²/nl ∝ N^1.5 under the √N cell count — the
+    * SemDeDup complexity class — measured 40.9 s at 128k vs the exact
+    * screen's 138 s and the serving-dial probe's 132 s. The
+    * `-Dgraft.ann.nprobe` override wins here too (it is the
+    * calibration surface these numbers came from). */
+  def dedupNprobeFor(nl: Int): Int =
+    sys.props.get("graft.ann.nprobe") match {
+      case Some(_) => nprobeFor(nl)
+      case None => math.min(nl, 12)
+    }
   def shortlistFor(n: Long): Int =
     // Long division BEFORE the Int cast, clamped: at ~4e11 vectors
     // (the 100 TB regime) n/5 exceeds Int.MaxValue and a bare .toInt
