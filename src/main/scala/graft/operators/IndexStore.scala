@@ -296,17 +296,26 @@ object IndexStore {
     * `cp`) lands new part-file names or new mtimes. CAVEAT for stores
     * with coarse mtime granularity (~1 s on some object stores): a
     * same-length in-place overwrite completed within one mtime tick of
-    * the original write is indistinguishable from "unchanged" — if
-    * that trust class is too weak for a deployment, disable the token
-    * (delete `vtoken`; every ensure then re-validates in full) or
-    * front the store with one that reports sub-second mtimes.
-    * Driver-side metadata listing only: no Spark job, no data read. */
+    * the original write is indistinguishable from "unchanged" for the
+    * BULK tables — for the `meta` table, the semantic core (dials,
+    * counters, corpus fingerprint), the digest additionally folds in
+    * the FULL FILE CONTENT (meta is one row, ~1 KB — one driver-side
+    * read per ensure, still no Spark job), so a same-length same-tick
+    * meta rewrite can never slip under the token. If the remaining
+    * codes-file trust class is too weak for a deployment, disable the
+    * token (delete `vtoken`; every ensure then re-validates in full)
+    * or front the store with one that reports sub-second mtimes.
+    * Driver-side metadata listing only: no Spark job, no data read
+    * beyond the ~1 KB meta files. */
   private def stateDigest(spark: SparkSession, sfDir: String,
       dir: String): String = {
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    def walk(root: String): Unit = {
+    def walk(root: String, contentRoot: Option[String]): Unit = {
       val (fs, p) = graft.Scratch.fs(spark, root)
       if (!fs.exists(p)) { entries += s"ABSENT:$root"; return }
+      val contentPrefix = contentRoot
+        .map(cr => fs.makeQualified(
+          new org.apache.hadoop.fs.Path(cr)).toString + "/")
       // Scratch.walkFiles (plain listStatus), NOT fs.listFiles: the
       // located-status iterator resolves block locations per file at
       // ~7 ms each on LocalFileSystem — 0.55 s for a 74-file index,
@@ -316,12 +325,30 @@ object IndexStore {
       // meta, codes, even stranded __old/__shadow debris — counts,
       // conservatively forcing a full validation when present.
       graft.Scratch.walkFiles(fs, p).foreach { s =>
-        if (!s.getPath.getName.startsWith(tokenName))
-          entries += s"${s.getPath}|${s.getLen}|${s.getModificationTime}"
+        if (!s.getPath.getName.startsWith(tokenName)) {
+          val line = s"${s.getPath}|${s.getLen}|${s.getModificationTime}"
+          // the 64 KiB bound keeps a pathological foreign file under
+          // meta/ from turning the cheap path into a bulk read; an
+          // oversized file still digests by listing entry, and a meta
+          // REPLACED by an oversized one changes length/name anyway
+          val content =
+            if (s.getLen <= 65536 &&
+                contentPrefix.exists(s.getPath.toString.startsWith(_))) {
+              val h = java.security.MessageDigest.getInstance("SHA-256")
+              val in = fs.open(s.getPath)
+              try {
+                val buf = new Array[Byte](8192)
+                var n = in.read(buf)
+                while (n > 0) { h.update(buf, 0, n); n = in.read(buf) }
+              } finally in.close()
+              "|" + h.digest().map("%02x".format(_)).mkString
+            } else ""
+          entries += line + content
+        }
       }
     }
-    walk(s"$sfDir/embeddings.parquet")
-    walk(dir)
+    walk(s"$sfDir/embeddings.parquet", None)
+    walk(dir, Some(s"$dir/meta"))
     entries += s"v$formatVersion|${Similarity.pqSubspaces}|" +
       s"${Similarity.pqCodes}|${Similarity.lloydIters}|" +
       s"${Similarity.pqLloydIters}"

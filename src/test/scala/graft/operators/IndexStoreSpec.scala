@@ -511,6 +511,47 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("validation token: a same-length same-mtime IN-PLACE meta " +
+    "rewrite is detected via the content digest, never served zero-job") {
+    // the (path, length, mtime) listing digest is blind to exactly
+    // this forgery on a coarse-mtime store; meta is the semantic core,
+    // so its file CONTENT feeds the digest — the flip below must force
+    // the full validation path (cluster jobs) or fail loudly, anything
+    // but a silent zero-job serve of forged state
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val corpus = writeCorpus(all.filter(col("vec_id") < 300))
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    try {
+      assert(IndexStore.ensure(spark, corpus).builtNow)
+      assert(jobsDuring { IndexStore.ensure(spark, corpus) } === 0)
+      val (fs, metaDir) = graft.Scratch.fs(spark, s"$idxDir/meta")
+      val metaFile = graft.Scratch.walkFiles(fs, metaDir)
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val st0 = fs.getFileStatus(metaFile)
+      val in = fs.open(metaFile)
+      val bytes = new Array[Byte](st0.getLen.toInt)
+      try in.readFully(0, bytes) finally in.close()
+      bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x01).toByte
+      val out = fs.create(metaFile, true)
+      try out.write(bytes) finally out.close()
+      fs.setTimes(metaFile, st0.getModificationTime, -1)
+      val st1 = fs.getFileStatus(metaFile)
+      assert(st1.getLen === st0.getLen &&
+        st1.getModificationTime === st0.getModificationTime,
+        "forgery precondition: listing entry must be unchanged")
+      var threw = false
+      val jobs = jobsDuring {
+        try IndexStore.ensure(spark, corpus)
+        catch { case scala.util.control.NonFatal(_) => threw = true }
+      }
+      assert(jobs > 0 || threw,
+        "a forged same-length same-mtime meta rewrite was served zero-job")
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
   test("RebuildPolicy.compactAtFilesPerCell: ensure compacts append " +
     "slivers in place — no rebuild, counters preserved, serving " +
     "bit-identical") {
