@@ -131,11 +131,17 @@ object Bench {
     * Queries absent from the reference (new this round) are
     * unjudgeable and left alone; same for runs sharing fewer than
     * `minCommon` queries with it (no stable control). */
+  /** One flag threshold for adjudicateXrun AND the noise-line
+    * unresolved count — a count judged at a different bar than the
+    * flags were raised at would under/overstate reproduced
+    * regressions. */
+  private[graft] val xrunFlagFactor = 3.0
+
   private[graft] def adjudicateXrun(
       initial: Map[String, Vector[Double]],
       refMeds: Map[String, Double], maxExtraRuns: Int,
       rerun: String => Option[Double], globalBudget: Int = 40,
-      flagFactor: Double = 3.0, minAbsSec: Double = 0.3,
+      flagFactor: Double = xrunFlagFactor, minAbsSec: Double = 0.3,
       minCommon: Int = 5)
       : (Map[String, Vector[Double]],
          Map[String, (Double, Int, Double)], Double) = {
@@ -309,7 +315,7 @@ object Bench {
     val xrunNote =
       if (hostFactor <= 0) ""
       else {
-        val unresolved = xrunFlags.count(_._2._3 > 3.0)
+        val unresolved = xrunFlags.count(_._2._3 > xrunFlagFactor)
         s""","xrun_flags":${xrunFlags.size},"xrun_unresolved":$unresolved"""
       }
     println(s"""{"noise":{"contaminated":${contaminated.size}$worst$readj$xrunNote$idxField$basisField,"spread":${Json.str(spreadPath)}}}""")

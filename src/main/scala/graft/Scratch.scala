@@ -74,6 +74,24 @@ object Scratch {
     out.toSeq
   }
 
+  /** Read a small file fully, draining to EOF — a remote FS may
+    * legally return a SHORT first read, and a one-read caller would
+    * silently truncate (the validation-token bug class). One shared
+    * body for every driver-side marker/token/digest read; throws on
+    * IO failure — callers decide whether that's a fallback (markers)
+    * or a conservative mismatch (digests). */
+  def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream(4096)
+      val bytes = new Array[Byte](4096)
+      var n = in.read(bytes)
+      while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
   /** Resolve a path string to its (FileSystem, Path) under the
     * session's Hadoop conf — the one way engine-side probes/deletes
     * touch storage. Hadoop FS, not java.io, because every

@@ -104,14 +104,28 @@ object Verify {
             e.getMessage)
         return None
       }
-    val exactSurv = {
-      val exactDump = new java.io.File(s"$outDir/$dedupExact")
-      if (selected.contains(dedupExact) && exactDump.exists())
-        ids(spark.read.parquet(exactDump.toString))
-      else ids(operators.Similarity.q45EmbedDedup(spark, sfDir))
-    }
-    val all = ids(sources.Tables.load(spark, sfDir, "embeddings")
-      .select("vec_id"))
+    // the EXACT side is isolated like residualEntry's live-q65 floor:
+    // a broken q45 dump or a throwing exact screen makes q71's recall
+    // UNVERIFIABLE — that costs q71 its dump (unverifiable ≠ pass),
+    // never an abort that cascades into enforceAnnGate deleting every
+    // healthy ANN dump of the run
+    val (exactSurv, all) =
+      try {
+        val exactDump = new java.io.File(s"$outDir/$dedupExact")
+        val ex =
+          if (selected.contains(dedupExact) && exactDump.exists())
+            ids(spark.read.parquet(exactDump.toString))
+          else ids(operators.Similarity.q45EmbedDedup(spark, sfDir))
+        (ex, ids(sources.Tables.load(spark, sfDir, "embeddings")
+          .select("vec_id")))
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] $dedupIdx recall baseline (exact $dedupExact) " +
+            s"failed: ${e.getMessage}; deleting its dump — " +
+            "unverifiable recall is not a pass")
+        deleteOrDie(dumpDir)
+        return None
+      }
     val exactDropped = all -- exactSurv
     val annDropped = all -- annSurv
     val falseDrops = annDropped -- exactDropped

@@ -521,17 +521,36 @@ object Dedup {
         corpusSh.select(col("pfx"),
           col("doc_id").as("doc_corp"), col("sh").as("shb"))
       else corpusSh.select(col("doc_id").as("doc_corp"), col("sh").as("shb"))
-    val candKeyed =
+    val candKeyed = graft.Materialize(
       if (hasPfx) cand.withColumn("pfx", shPfx(col("doc_corp")))
-      else cand
-    corpSel
-      .join(broadcast(candKeyed),
-        if (hasPfx) Seq("pfx", "doc_corp") else Seq("doc_corp"))
+      else cand)
+    // broadcast is what makes the corpus-side partition pruning fire,
+    // but the candidate set is only PROBABLY small: a corpus rich in
+    // sub-threshold template clusters (Jaccard just under the dedup
+    // threshold, all legitimately kept) hands every batch doc of that
+    // template a band bucket proportional to the cluster — a forced
+    // broadcast would then OOM the driver where a shuffle join
+    // completes. The pairs are materialized anyway (the verify needs
+    // them), so one cheap count picks the strategy; above the cap the
+    // join shuffles and the pruning is forfeit — at that candidate
+    // volume the verify work dominates the shingle scan regardless
+    val joinKeys = if (hasPfx) Seq("pfx", "doc_corp") else Seq("doc_corp")
+    val verified =
+      if (candKeyed.count() <= candBroadcastCap)
+        corpSel.join(broadcast(candKeyed), joinKeys)
+      else corpSel.join(candKeyed, joinKeys)
+    verified
       .join(incSh.select(col("doc_id").as("doc_in"), col("sh").as("sha")),
         "doc_in")
       .filter(jaccard(col("sha"), col("shb")) >= threshold)
       .select(col("doc_in")).distinct()
   }
+
+  /** Candidate-pair broadcast cap for [[crossNearDupIdsIndexed]]'s
+    * exact-verify join: ~2M (doc_in, doc_corp, pfx) rows ≈ 50 MB —
+    * comfortably under driver limits, far above any deployment-shaped
+    * batch's band matches. */
+  private val candBroadcastCap = 2000000L
 
   /** [[crossNearDupIdsIndexed]] with the corpus band index computed
     * in-query — the one-shot form (q59); a standing pipeline persists

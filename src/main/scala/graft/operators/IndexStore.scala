@@ -333,16 +333,21 @@ object IndexStore {
           // REPLACED by an oversized one changes length/name anyway
           val content =
             if (s.getLen <= 65536 &&
-                contentPrefix.exists(s.getPath.toString.startsWith(_))) {
-              val h = java.security.MessageDigest.getInstance("SHA-256")
-              val in = fs.open(s.getPath)
+                contentPrefix.exists(s.getPath.toString.startsWith(_)))
               try {
-                val buf = new Array[Byte](8192)
-                var n = in.read(buf)
-                while (n > 0) { h.update(buf, 0, n); n = in.read(buf) }
-              } finally in.close()
-              "|" + h.digest().map("%02x".format(_)).mkString
-            } else ""
+                val h = java.security.MessageDigest.getInstance("SHA-256")
+                h.update(graft.Scratch.readSmallFile(fs, s.getPath))
+                "|" + h.digest().map("%02x".format(_)).mkString
+              } catch { case scala.util.control.NonFatal(e) =>
+                // an unreadable meta file (swapped away mid-walk by a
+                // concurrent compaction, foreign permissions) must act
+                // like any other foreign state: a digest the token can
+                // never match, forcing the conservative full
+                // validation — never an ensure() that throws where the
+                // listing-only digest would have fallen back
+                s"|UNREADABLE:${e.getClass.getName}:${System.nanoTime()}"
+              }
+            else ""
           entries += line + content
         }
       }
@@ -373,20 +378,11 @@ object IndexStore {
     val (fs, p) = graft.Scratch.fs(spark, s"$dir/$tokenName")
     if (!fs.exists(p)) return None
     val line =
-      try {
-        val in = fs.open(p)
-        try {
-          // drain to EOF, not one read(): a remote FS may legally
-          // return a SHORT first read, and a truncated line fails the
-          // 12-part parse below — the fast path would then silently
-          // never engage (perf-only, but miserable to diagnose)
-          val buf = new java.io.ByteArrayOutputStream(512)
-          val bytes = new Array[Byte](512)
-          var n = in.read(bytes)
-          while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
-          new String(buf.toByteArray, "UTF-8").trim
-        } finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => "" }
+      // shared EOF-draining read (graft.Scratch.readSmallFile): a
+      // truncated one-read() line would fail the 12-part parse below
+      // and silently disable the fast path
+      try new String(graft.Scratch.readSmallFile(fs, p), "UTF-8").trim
+      catch { case scala.util.control.NonFatal(_) => "" }
     val parts = line.split('|')
     if (parts.length != 12) None
     else try Some((parts(0), AnnIndexMeta(parts(1).toInt, parts(2).toLong,

@@ -176,18 +176,40 @@ object Maintenance {
     val committed = corpus.select("doc_id")
     def rewrite(dir: String, clean: DataFrame => DataFrame,
         rebuild: DataFrame => DataFrame,
-        write: (DataFrame, String) => Unit): Long = {
-      val df = spark.read.parquet(dir)
+        write: (DataFrame, String) => Unit,
+        schema: org.apache.spark.sql.types.StructType): Long = {
+      // a corpus of all-sub-3-token docs never writes index files (the
+      // sink skips empty frames) — a missing/file-less dir reads as
+      // zero rows here, and the rebuild below re-derives whatever the
+      // corpus deserves
+      val df =
+        if (graft.streaming.IngestCommit.listing(spark, dir).isEmpty)
+          graft.streaming.IngestCommit.readFiles(spark, dir, Nil, schema)
+        else spark.read.parquet(dir)
       val before = df.count()
       val kept = clean(df.join(committed, Seq("doc_id"), "left_semi"))
       val lost = corpus.join(df.select("doc_id"), Seq("doc_id"), "left_anti")
       val full = kept.unionByName(rebuild(lost))
       val (fs, shadow) = graft.Scratch.fs(spark, dir + "__compact")
-      write(full, shadow.toString)
-      // count the written shadow, not the plan — one pass over the data
-      val after = spark.read.parquet(shadow.toString).count()
-      ParquetSink.swapInto(fs, shadow, new Path(dir))
-      before - after
+      if (full.isEmpty) {
+        // the corpus deserves NO index rows (all docs sub-3-token):
+        // the lockstep rewrite of an empty index is an ABSENT dir —
+        // the same invariant as the sink's skip-empty-writes, and the
+        // shape every reader guards — never a zero-row partitionBy
+        // shadow, which writes no part files and would swap in an
+        // unreadable shell
+        val target = new Path(dir)
+        if (fs.exists(target)) fs.delete(target, true)
+        if (fs.exists(shadow)) fs.delete(shadow, true)
+        before
+      } else {
+        write(full, shadow.toString)
+        // count the written shadow, not the plan — one pass over the
+        // data
+        val after = spark.read.parquet(shadow.toString).count()
+        ParquetSink.swapInto(fs, shadow, new Path(dir))
+        before - after
+      }
     }
     // one shingle-set row per doc; band rows are deterministic
     // (doc_id, band, sig) triples, so exact distinct dedupes replays.
@@ -204,10 +226,12 @@ object Maintenance {
       Dedup.shingleIndex,
       (df, out) => Dedup.withShPfx(df)
         .repartition(org.apache.spark.sql.functions.col("pfx"))
-        .write.mode(SaveMode.Overwrite).partitionBy("pfx").parquet(out))
+        .write.mode(SaveMode.Overwrite).partitionBy("pfx").parquet(out),
+      graft.streaming.IngestCommit.shSchema(false))
     val bandsDropped = rewrite(corpusDir + "__bands", _.distinct(),
       d => Dedup.minhashBands(Dedup.shingleIndex(d)),
-      (df, out) => df.write.mode(SaveMode.Overwrite).parquet(out))
+      (df, out) => df.write.mode(SaveMode.Overwrite).parquet(out),
+      graft.streaming.IngestCommit.bandsSchema)
     // both dirs were just rebuilt lockstep from the corpus — every row
     // is committed, so the fresh listings ARE the commit marker (the
     // old marker's file entries died with the swap; without a re-stamp

@@ -63,20 +63,71 @@ object IngestCommit {
       .map(s => (s.getPath.toString.stripPrefix(base), s.getLen)).toMap
   }
 
-  /** The subset of `all` whose every row references a doc in
-    * `committed` — the repair pass that rebuilds the marker after a
-    * validation failure. One scan of the index's doc_id column plus an
-    * anti-join; only the (bounded-by-file-count) offending file paths
-    * return to the driver. */
-  def committedListing(spark: SparkSession, dir: String,
-      all: Map[String, Long], committed: DataFrame): Map[String, Long] = {
-    if (all.isEmpty) return all
+  /** Logical schemas of the two index tables — explicit on every
+    * marker-driven read so no per-batch footer inference runs and no
+    * absent column ever reads back as NULL (a user schema naming a
+    * column that exists neither in the files nor as a partition dir
+    * silently yields NULLs, which would poison the (pfx, doc_id)
+    * join). */
+  def shSchema(withPfx: Boolean): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val base = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sh", ArrayType(StringType))))
+    if (withPfx) base.add(StructField("pfx", IntegerType)) else base
+  }
+
+  def bandsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("band", IntegerType),
+      StructField("sig", LongType)))
+  }
+
+  /** Read exactly `files` (relative to `dir`) with an explicit schema;
+    * an EMPTY file set returns a typed empty frame instead of the
+    * AnalysisException a file-less read throws — the all-sub-3-token
+    * corpus writes no shingle files at all, and the screen must treat
+    * that as "no index rows", not wedge the stream. */
+  def readFiles(spark: SparkSession, dir: String, files: Iterable[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     val base = qualifiedBase(spark, dir)
-    val bad = spark.read.parquet(dir)
+    spark.read.option("basePath", dir).schema(schema)
+      .parquet(files.toSeq.sorted.map(base + _): _*)
+  }
+
+  /** Relative paths among `files` holding ANY row whose doc_id is not
+    * in `committed` — the file-granularity commit test. Only the
+    * offending paths (bounded by file count) return to the driver. */
+  def uncommittedOf(spark: SparkSession, dir: String,
+      files: Map[String, Long],
+      schema: org.apache.spark.sql.types.StructType,
+      committed: DataFrame): Set[String] = {
+    if (files.isEmpty) return Set.empty
+    val base = qualifiedBase(spark, dir)
+    readFiles(spark, dir, files.keys, schema)
       .select(col("doc_id"), col("_metadata.file_path").as("__f"))
       .join(committed, Seq("doc_id"), "left_anti")
       .select(col("__f")).distinct().collect()
       .map(r => new Path(r.getString(0)).toString.stripPrefix(base)).toSet
+  }
+
+  /** The subset of `all` whose every row references a doc in
+    * `committed` — the repair pass that rebuilds the marker after a
+    * validation failure, and the resolver for files found on disk
+    * beyond a VALID marker (a batch that crashed between its corpus
+    * append and its marker stamp leaves committed-but-unstamped files;
+    * a never-replayed crashed batch leaves true orphans — the corpus
+    * membership of their rows is what tells them apart). */
+  def committedListing(spark: SparkSession, dir: String,
+      all: Map[String, Long],
+      schema: org.apache.spark.sql.types.StructType,
+      committed: DataFrame): Map[String, Long] = {
+    val bad = uncommittedOf(spark, dir, all, schema, committed)
     all.filterNot { case (f, _) => bad.contains(f) }
   }
 
@@ -86,17 +137,8 @@ object IngestCommit {
     val (fs, p) = graft.Scratch.fs(spark, markerPath(corpusDir))
     if (!fs.exists(p)) return None
     val text =
-      try {
-        val in = fs.open(p)
-        try {
-          // drain to EOF — a remote FS may return a short first read
-          val buf = new java.io.ByteArrayOutputStream(4096)
-          val bytes = new Array[Byte](4096)
-          var n = in.read(bytes)
-          while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
-          new String(buf.toByteArray, "UTF-8")
-        } finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => return None }
+      try new String(graft.Scratch.readSmallFile(fs, p), "UTF-8")
+      catch { case scala.util.control.NonFatal(_) => return None }
     val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
     if (lines.isEmpty || lines.head != header) return None
     val sh = Map.newBuilder[String, Long]

@@ -246,12 +246,18 @@ object StreamOps {
       // now run only on marker-validation failure; see [[IngestCommit]])
       val shBefore = IngestCommit.listing(spark, shDir)
       val bandsBefore = IngestCommit.listing(spark, bandsDir)
+      // one layout per read: an explicit file-list read that mixes
+      // root-level and pfx= files DROPS the root-level files without
+      // error (measured) — every marker-driven read below is filtered
+      // to a single layout, preferring pfx (the sink's layout once any
+      // pfx= file exists; flat files next to pfx dirs are foreign
+      // debris and stay out of the marker)
+      def oneLayout(files: Map[String, Long]): Map[String, Long] = {
+        val (p, f) = files.partition(_._1.startsWith("pfx="))
+        if (p.nonEmpty) p else f
+      }
       val mk = if (empty) None else IngestCommit.read(spark, corpusDir)
       val mkValid = mk.exists { m =>
-        // the purity clause guards a silent-row-loss trap: an explicit
-        // file-list read that mixes root-level and pfx= files DROPS
-        // the root-level files without error (measured) — a marker
-        // that somehow held both layouts must fall back, not fast-path
         val (shPart, shFlat) = m.sh.keys.partition(_.startsWith("pfx="))
         m.sh.nonEmpty && m.bands.nonEmpty &&
           (shPart.isEmpty || shFlat.isEmpty) &&
@@ -269,6 +275,9 @@ object StreamOps {
       // append layout: legacy means no pfx= file exists at all
       val legacySh =
         shBefore.nonEmpty && !shBefore.keys.exists(_.startsWith("pfx="))
+      // marker base for the end-of-batch stamp when the fast path ran:
+      // the valid marker plus the extras it resolved as committed
+      var mkResolved: Option[(Map[String, Long], Map[String, Long])] = None
       val admitted = graft.Materialize(
         if (empty)
           Dedup.cleanIncrement(batch, batch.limit(0), threshold)
@@ -277,40 +286,61 @@ object StreamOps {
           val (shFrame, bandsFrame) =
             if (mkValid) {
               val m = mk.get
-              val shQ = IngestCommit.qualifiedBase(spark, shDir)
-              val bQ = IngestCommit.qualifiedBase(spark, bandsDir)
+              val shPfxLayout = m.sh.keys.forall(_.startsWith("pfx="))
+              val shSch = IngestCommit.shSchema(shPfxLayout)
+              // files on disk beyond the VALID marker are either
+              // committed-but-unstamped (a batch that crashed between
+              // its corpus append and its marker stamp — its rows ARE
+              // in the corpus and MUST screen) or true orphans of a
+              // never-replayed crash (must stay invisible); corpus
+              // membership tells them apart, at the cost of one small
+              // read of just the extra files — zero extras, zero cost,
+              // and lingering orphans cost a tiny re-read per batch
+              // until compaction clears them
+              val shExtras = oneLayout(shBefore).filter {
+                case (f, _) => !m.sh.contains(f) &&
+                  f.startsWith("pfx=") == shPfxLayout
+              }
+              val bandExtras = bandsBefore -- m.bands.keySet
+              lazy val committed0 = corpus.select("doc_id")
+              val shResolved =
+                if (shExtras.isEmpty) shExtras
+                else shExtras -- IngestCommit.uncommittedOf(
+                  spark, shDir, shExtras, shSch, committed0)
+              val bandsResolved =
+                if (bandExtras.isEmpty) bandExtras
+                else bandExtras -- IngestCommit.uncommittedOf(
+                  spark, bandsDir, bandExtras, IngestCommit.bandsSchema,
+                  committed0)
               // committed rows = rows in committed files (the sink's
               // append discipline — see IngestCommit) — so reading
-              // exactly the marker's files IS the visibility filter;
-              // basePath keeps the pfx partition column in scope.
-              // Explicit schemas skip per-batch footer inference
-              // (~0.3 s/batch measured); the pfx field rides only on
-              // the partitioned layout — a user schema naming a column
-              // that exists neither in the files nor as a partition
-              // dir would come back NULL and poison the (pfx, doc_id)
-              // join
-              import org.apache.spark.sql.types._
-              val shBase = StructType(Seq(
-                StructField("doc_id", LongType),
-                StructField("sh", ArrayType(StringType))))
-              val shSchema =
-                if (m.sh.keys.forall(_.startsWith("pfx=")))
-                  shBase.add(StructField("pfx", IntegerType))
-                else shBase
-              val bandsSchema = StructType(Seq(
-                StructField("doc_id", LongType),
-                StructField("band", IntegerType),
-                StructField("sig", LongType)))
-              (spark.read.option("basePath", shDir).schema(shSchema)
-                 .parquet(m.sh.keys.toSeq.sorted.map(shQ + _): _*),
-               spark.read.schema(bandsSchema)
-                 .parquet(m.bands.keys.toSeq.sorted.map(bQ + _): _*))
+              // exactly these files IS the visibility filter; explicit
+              // schemas skip per-batch footer inference (~0.3 s/batch
+              // measured)
+              mkResolved = Some((m.sh ++ shResolved, m.bands ++ bandsResolved))
+              (IngestCommit.readFiles(spark, shDir,
+                 m.sh.keys ++ shResolved.keys, shSch),
+               IngestCommit.readFiles(spark, bandsDir,
+                 m.bands.keys ++ bandsResolved.keys,
+                 IngestCommit.bandsSchema))
             } else {
               val committed = corpus.select("doc_id")
-              (spark.read.parquet(shDir)
-                 .join(committed, Seq("doc_id"), "left_semi"),
-               spark.read.parquet(bandsDir)
-                 .join(committed, Seq("doc_id"), "left_semi"))
+              // empty-listing guards: a corpus of all-sub-3-token docs
+              // writes NO shingle files at all (shingleIndex filters
+              // them and the sink skips empty writes) — a file-less
+              // dir must read as "no index rows", not throw
+              val shFull =
+                if (shBefore.isEmpty)
+                  IngestCommit.readFiles(spark, shDir, Nil,
+                    IngestCommit.shSchema(false))
+                else spark.read.parquet(shDir)
+              val bandsFull =
+                if (bandsBefore.isEmpty)
+                  IngestCommit.readFiles(spark, bandsDir, Nil,
+                    IngestCommit.bandsSchema)
+                else spark.read.parquet(bandsDir)
+              (shFull.join(committed, Seq("doc_id"), "left_semi"),
+               bandsFull.join(committed, Seq("doc_id"), "left_semi"))
             }
           Dedup.cleanIncrementIndexed(batch,
             corpus.select("fp"), bandsFrame, shFrame, threshold)
@@ -318,35 +348,46 @@ object StreamOps {
       val admittedSh = graft.Materialize(Dedup.shingleIndex(admitted))
       val mode = if (empty) org.apache.spark.sql.SaveMode.Overwrite
         else org.apache.spark.sql.SaveMode.Append
-      if (legacySh) admittedSh.write.mode(mode).parquet(shDir)
-      else
-        // one file per touched pfx dir (the repartition co-locates
-        // each bucket in one task); the pfx layout is what lets the
-        // exact-verify join prune the heavy shingle scan to candidate
-        // directories (Dedup.crossNearDupIdsIndexed)
-        Dedup.withShPfx(admittedSh).repartition(col("pfx"))
-          .write.mode(mode).partitionBy("pfx").parquet(shDir)
-      Dedup.minhashBands(admittedSh).write.mode(mode).parquet(bandsDir)
+      // skip writes for an empty frame: partitionBy with zero rows
+      // writes NO part files, leaving a footer-less dir every later
+      // full-dir read would throw on (bands' 16-rows-per-doc means
+      // empty sh == empty bands)
+      if (!admittedSh.isEmpty) {
+        if (legacySh) admittedSh.write.mode(mode).parquet(shDir)
+        else
+          // one file per touched pfx dir (the repartition co-locates
+          // each bucket in one task); the pfx layout is what lets the
+          // exact-verify join prune the heavy shingle scan to candidate
+          // directories (Dedup.crossNearDupIdsIndexed)
+          Dedup.withShPfx(admittedSh).repartition(col("pfx"))
+            .write.mode(mode).partitionBy("pfx").parquet(shDir)
+        Dedup.minhashBands(admittedSh).write.mode(mode).parquet(bandsDir)
+      }
       admitted.write.mode(mode).parquet(corpusDir)
       // stamp AFTER the corpus append: this batch's docs are now
       // committed, so its index files (the before/after listing diff)
-      // join the marker; a pre-existing VALID marker is the base —
-      // orphans of never-replayed crashed batches stay invisible
-      // forever, exactly the semi-join's semantics. An invalid/missing
-      // marker repairs via one file-granularity commit scan against
-      // the updated corpus
+      // join the marker base — which is the valid marker PLUS the
+      // resolved committed extras (so a crash between corpus append
+      // and stamp heals on the next batch), while true orphans stay
+      // out forever, exactly the semi-join's semantics. An
+      // invalid/missing marker repairs via one file-granularity commit
+      // scan against the updated corpus, restricted to one layout so
+      // off-layout debris can never poison marker purity
       val shAfter = IngestCommit.listing(spark, shDir)
       val bandsAfter = IngestCommit.listing(spark, bandsDir)
       val (baseSh, baseBands) =
         if (empty) (Map.empty[String, Long], Map.empty[String, Long])
-        else if (mkValid) (mk.get.sh, mk.get.bands)
+        else if (mkValid) mkResolved.get
         else {
           val committedNow = spark.read.parquet(corpusDir).select("doc_id")
-          (IngestCommit.committedListing(spark, shDir, shAfter, committedNow),
-           IngestCommit
-             .committedListing(spark, bandsDir, bandsAfter, committedNow))
+          val shPool = oneLayout(shAfter)
+          (IngestCommit.committedListing(spark, shDir, shPool,
+             IngestCommit.shSchema(
+               shPool.keys.exists(_.startsWith("pfx="))), committedNow),
+           IngestCommit.committedListing(spark, bandsDir, bandsAfter,
+             IngestCommit.bandsSchema, committedNow))
         }
-      val ownSh = shAfter -- shBefore.keySet
+      val ownSh = oneLayout(shAfter -- shBefore.keySet)
       val ownBands = bandsAfter -- bandsBefore.keySet
       IngestCommit.write(spark, corpusDir,
         IngestCommit.Marker(baseSh ++ ownSh, baseBands ++ ownBands))

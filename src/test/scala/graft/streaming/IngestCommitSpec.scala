@@ -146,6 +146,74 @@ class IngestCommitSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a lost marker stamp (crash between corpus append and stamp) " +
+    "heals: the batch's committed index files re-enter the marker and " +
+    "keep screening") {
+    implicit val ctx = spark.sqlContext
+    val corpusDir = freshCorpusDir("ic_stampcrash")
+    val ms = MemoryStream[(Long, String, String)]
+    val q = startIngest(ms, corpusDir)
+    try {
+      ms.addData(Seq((1L, textC, "en")))
+      q.processAllAvailable()
+      val preB = IngestCommit.read(spark, corpusDir).get
+      // batch B commits fully...
+      ms.addData(Seq((2L, textA, "en")))
+      q.processAllAvailable()
+      // ...but its marker stamp is lost (crash after the corpus
+      // append): the stale pre-B marker is still VALID (every file it
+      // lists exists unchanged), so without extras resolution the fast
+      // path would hide B's index rows forever and its replay would
+      // admit nothing new (all rows drop as exact fp dups)
+      IngestCommit.write(spark, corpusDir, preB)
+      // an unrelated batch runs on the stale-but-valid marker; the
+      // dedup screen must still see B's rows, so a near-dup of doc 2
+      // in the SAME batch is rejected
+      ms.addData(Seq(
+        (3L, textA + " today", "en"),
+        (4L, "entirely different words about seven distinct topics now",
+          "en")))
+      q.processAllAvailable()
+      assert(corpusIds(corpusDir) === Seq(1L, 2L, 4L))
+      // and the heal is durable: the re-stamped marker covers B's files
+      val healed = IngestCommit.read(spark, corpusDir).get
+      assert(preB.sh.keySet.subsetOf(healed.sh.keySet))
+      assert(healed.sh.keySet.size > preB.sh.keySet.size)
+    } finally q.stop()
+  }
+
+  test("an all-sub-3-token corpus (no shingle rows at all) never wedges " +
+    "the stream: file-less index dirs read as empty, real docs still " +
+    "ingest later") {
+    implicit val ctx = spark.sqlContext
+    val corpusDir = freshCorpusDir("ic_tiny")
+    val ms = MemoryStream[(Long, String, String)]
+    val q = startIngest(ms, corpusDir)
+    try {
+      // bootstrap admits both tiny docs; shingleIndex filters them so
+      // NO sh/bands files exist afterwards (the sink skips empty
+      // writes — a zero-row partitionBy would leave a footer-less dir)
+      ms.addData(Seq((1L, "a b", "en"), (2L, "c d", "en")))
+      q.processAllAvailable()
+      assert(corpusIds(corpusDir) === Seq(1L, 2L))
+      // the next batch must not throw on the file-less dirs (marker is
+      // empty → invalid → the fallback read needs the empty-listing
+      // guard); exact dup of 1 still drops via the fp anti-join
+      ms.addData(Seq((3L, "a b", "en"), (4L, textA, "en")))
+      q.processAllAvailable()
+      assert(corpusIds(corpusDir) === Seq(1L, 2L, 4L))
+      // real docs index normally from here: near-dup of 4 rejected
+      ms.addData(Seq((5L, textA + " today", "en")))
+      q.processAllAvailable()
+      assert(corpusIds(corpusDir) === Seq(1L, 2L, 4L))
+      // and compaction of this shape holds the absent-dir invariant
+      graft.sources.Maintenance.compactIngestIndexes(spark, corpusDir)
+      ms.addData(Seq((6L, textA + " yesterday", "en")))
+      q.processAllAvailable()
+      assert(corpusIds(corpusDir) === Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
   test("compaction re-stamps the marker and the fast path keeps serving") {
     implicit val ctx = spark.sqlContext
     val corpusDir = freshCorpusDir("ic_compact")
