@@ -40,7 +40,11 @@ object ScaleProbe {
     "q69_knn_ivfpq_idx", "q70_knn_ivfpq_res_idx",
     // index-backed dedup: same ensure-once caveat as q69/q70 — run 1
     // carries the build, later runs isolate the probe+verify cost
-    "q71_embed_dedup_idx")
+    "q71_embed_dedup_idx",
+    // retrieval: q72's cost is the one-pass tf build + broadcast-pruned
+    // scoring (expected ~linear in corpus tokens); q73 adds the exact
+    // cosine leg over embeddings ×4
+    "q72_bm25_topk", "q73_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     // same loud-typo rule as Verify.main: a misspelled (or renamed)

@@ -92,6 +92,8 @@ object SparkEntry {
     "q69_knn_ivfpq_idx"    -> (graft.operators.IndexStore.q69KnnIvfPqIdx _),
     "q70_knn_ivfpq_res_idx" -> (graft.operators.IndexStore.q70KnnIvfPqResIdx _),
     "q71_embed_dedup_idx"  -> (graft.operators.IndexStore.q71EmbedDedupIdx _),
+    "q72_bm25_topk"        -> (graft.operators.Retrieval.q72Bm25TopK _),
+    "q73_hybrid_rrf"       -> (graft.operators.Retrieval.q73HybridRrf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -798,6 +800,49 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q72_bm25_topk" -> {
+      val values = graft.operators.Retrieval.bm25Queries
+        .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+      s"""WITH q (query_id, text) AS (VALUES $values),
+        |qt AS (SELECT DISTINCT query_id, unnest($toksSql) AS token FROM q),
+        |$bm25Ctes
+        |SELECT query_id, rnk, doc_id, score FROM (
+        |  SELECT query_id, doc_id, score, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rnk
+        |  FROM bsc) t
+        |WHERE rnk <= ${graft.operators.Retrieval.bm25K}
+        |ORDER BY query_id, rnk""".stripMargin
+    },
+    "q73_hybrid_rrf" -> {
+      val r = graft.operators.Retrieval
+      s"""WITH qt AS (SELECT DISTINCT doc_id AS query_id,
+        |    unnest($toksSql) AS token
+        |  FROM documents WHERE doc_id < ${r.hybridQueries}),
+        |$bm25Ctes,
+        |lrk AS (SELECT query_id, id, rnk FROM (
+        |  SELECT query_id, doc_id AS id, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rnk
+        |  FROM bsc WHERE doc_id <> query_id) t WHERE rnk <= ${r.hybridLegK}),
+        |nz AS (SELECT vec_id, embedding FROM embeddings WHERE $nzSql),
+        |vq AS (SELECT vec_id AS query_id, embedding FROM nz
+        |  WHERE vec_id < ${r.hybridQueries}),
+        |vsc AS (SELECT vq.query_id, e.vec_id AS id,
+        |    ${cosSql2("vq.embedding", "e.embedding")} AS cosine
+        |  FROM vq JOIN nz e ON e.vec_id <> vq.query_id),
+        |vrk AS (SELECT query_id, id, rnk FROM (
+        |  SELECT query_id, id, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, id) AS INT) AS rnk
+        |  FROM vsc) t WHERE rnk <= ${r.hybridLegK}),
+        |fus AS (SELECT query_id, id,
+        |    CAST(SUM(${r.rrfNumer} // (${r.rrfC} + rnk)) AS BIGINT) AS rrf
+        |  FROM (SELECT * FROM lrk UNION ALL SELECT * FROM vrk) u
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rnk, id, rrf FROM (
+        |  SELECT query_id, id, rrf, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY rrf DESC, id) AS INT) AS rnk
+        |  FROM fus) t
+        |WHERE rnk <= ${r.hybridK} ORDER BY query_id, rnk""".stripMargin
+    },
   )
 
   /** Winnowing-fingerprint oracle: recomputes the Karp–Rabin polynomial
@@ -848,6 +893,43 @@ object SparkEntry {
   // contain an empty token (the normal form is single-spaced)
   private val toksSql =
     s"""list_filter(string_split($normSql, ' '), t -> t != '')"""
+
+  /** Quantized BM25 per-term weight — the oracle twin of
+    * Retrieval.bm25Wq, token-for-token the same evaluation tree over
+    * the same double inputs (every op is correctly-rounded IEEE, every
+    * constant a decimal literal both engines parse identically — see
+    * Retrieval's object doc for why no `ln` appears). Expects columns
+    * tf, dl (posting), df (term), nd, sumdl (corpus stats). */
+  private val bm25WSql =
+    """((nd - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |        / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+      |      * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+      |        / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+      |          * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+      |            * (CAST(dl AS DOUBLE) * nd / sumdl))))
+      |      * CAST(1000000.0 AS DOUBLE)""".stripMargin
+
+  /** Shared BM25 scoring chain for the retrieval oracles — expects a
+    * `qt(query_id, token)` CTE above it, yields `bsc(query_id, doc_id,
+    * score)`. Lockstep twin of Retrieval.bm25Scores: df is counted
+    * BEFORE the per-query fan-out, dl rides the btf grouping key. */
+  private val bm25Ctes =
+    s"""st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+      |    CAST(SUM(len($toksSql)) AS DOUBLE) AS sumdl FROM documents),
+      |btok AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl,
+      |    unnest($toksSql) AS token FROM documents),
+      |btf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM btok
+      |  GROUP BY 1, 2, 3),
+      |bterms AS (SELECT DISTINCT token FROM qt),
+      |bpr AS (SELECT btf.* FROM btf JOIN bterms USING (token)),
+      |bdf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM bpr
+      |  GROUP BY 1),
+      |bsc AS (SELECT query_id, doc_id, CAST(SUM(wq) AS BIGINT) AS score
+      |  FROM (SELECT qt.query_id, bpr.doc_id,
+      |      CAST(floor($bm25WSql) AS BIGINT) AS wq
+      |    FROM bpr JOIN qt ON bpr.token = qt.token
+      |      JOIN bdf ON bpr.token = bdf.token CROSS JOIN st) w
+      |  GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB twin of TextFunctions.saltedBucket — the portable salted
     * md5 bucket every sampling/split/mixing/sharding oracle derives

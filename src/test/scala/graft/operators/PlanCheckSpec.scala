@@ -201,6 +201,28 @@ class PlanCheckSpec extends SparkSpec {
     assert(wins.isEmpty, "q64 plans a Window")
   }
 
+  test("q72/q73 retrieval plans are window-free, cartesian-free, and " +
+    "all scoring joins broadcast") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq(
+      Retrieval.q72Bm25TopK(spark, sfDir),
+      Retrieval.q73HybridRrf(spark, sfDir)).foreach { df =>
+      val sp = df.queryExecution.sparkPlan
+      val p = sp.toString
+      // top-k is the bounded TopKAgg, never a per-query window (at
+      // scale a window would sort every candidate on |queries| tasks)
+      assert(sp.collect { case w: WindowExec => w }.isEmpty,
+        "retrieval plans a Window")
+      assert(p.contains("topk_agg"))
+      // the only nested-loop is the broadcast 1-row stats cross join;
+      // a true cartesian (unbroadcast) must never appear
+      assert(!p.contains("CartesianProduct"), p.linesIterator.next())
+      // query terms / df / stats joins are all broadcast — nothing in
+      // the scoring path may shuffle-sort the posting stream
+      assert(!p.contains("SortMergeJoin"))
+    }
+  }
+
   test("no query plans a partition-less WindowExec (single-task funnel)") {
     // A Window with an empty partitionSpec moves EVERY row through one
     // task — the classic silent scale-killer. Sweep the entire driver
