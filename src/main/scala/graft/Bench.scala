@@ -217,6 +217,22 @@ object Bench {
           Some(Json.err(e))
         None
       }
+    // lexical index: same cold-rebuild-before-timing contract as the
+    // ANN index — q74's medians carry serving only, the one-time
+    // tokenize+persist cost is its own field
+    var lexBuildErr: Option[String] = None
+    val lexBuildSec: Option[Double] =
+      if (!SparkEntry.queries.contains("q74_bm25_topk_idx")) None
+      else try {
+        val (fs, p) = Scratch.fs(spark,
+          operators.LexIndex.dirFor(spark, sfDir))
+        if (fs.exists(p)) fs.delete(p, true)
+        Some(operators.LexIndex.ensure(spark, sfDir).buildSec)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] lex index build failed: ${e.getMessage}")
+        lexBuildErr = Some(Json.err(e))
+        None
+      }
     var errors = Map.empty[String, String]
     val initial: Map[String, Vector[Double]] =
       SparkEntry.queries.map { case (name, fn) =>
@@ -262,6 +278,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val idxField = indexBuildSec
       .map(s => s""","index_build_sec":${f3(s)}""").getOrElse("") +
+      lexBuildSec
+        .map(s => s""","lex_index_build_sec":${f3(s)}""").getOrElse("") +
+      lexBuildErr
+        .map(m => s""","lex_index_build_error":${Json.str(m)}""")
+        .getOrElse("") +
       indexBuildErr
         .map(m => s""","index_build_error":${Json.str(m)}""").getOrElse("")
     // timing_basis marks the round-11 basis change (see timeNoop's doc):

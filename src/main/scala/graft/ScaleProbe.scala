@@ -43,8 +43,10 @@ object ScaleProbe {
     "q71_embed_dedup_idx",
     // retrieval: q72's cost is the one-pass tf build + broadcast-pruned
     // scoring (expected ~linear in corpus tokens); q73 adds the exact
-    // cosine leg over embeddings ×4
-    "q72_bm25_topk", "q73_hybrid_rrf")
+    // cosine leg over embeddings ×4; q74 has the ensure-once caveat of
+    // q69-q71 — run 1 carries the lexical index build, later runs
+    // isolate the pruned-partition serving cost
+    "q72_bm25_topk", "q73_hybrid_rrf", "q74_bm25_topk_idx")
 
   def main(args: Array[String]): Unit = {
     // same loud-typo rule as Verify.main: a misspelled (or renamed)

@@ -94,6 +94,7 @@ object SparkEntry {
     "q71_embed_dedup_idx"  -> (graft.operators.IndexStore.q71EmbedDedupIdx _),
     "q72_bm25_topk"        -> (graft.operators.Retrieval.q72Bm25TopK _),
     "q73_hybrid_rrf"       -> (graft.operators.Retrieval.q73HybridRrf _),
+    "q74_bm25_topk_idx"    -> (graft.operators.LexIndex.q74Bm25TopKIdx _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -800,19 +801,13 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, rnk""".stripMargin,
-    "q72_bm25_topk" -> {
-      val values = graft.operators.Retrieval.bm25Queries
-        .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
-      s"""WITH q (query_id, text) AS (VALUES $values),
-        |qt AS (SELECT DISTINCT query_id, unnest($toksSql) AS token FROM q),
-        |$bm25Ctes
-        |SELECT query_id, rnk, doc_id, score FROM (
-        |  SELECT query_id, doc_id, score, CAST(row_number() OVER (
-        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rnk
-        |  FROM bsc) t
-        |WHERE rnk <= ${graft.operators.Retrieval.bm25K}
-        |ORDER BY query_id, rnk""".stripMargin
-    },
+    "q72_bm25_topk" -> bm25TopkOracle,
+    // q74 serves the SAME query from the persisted lexical index —
+    // bit-identical to q72 by construction (one scoring expression
+    // tree over the same persisted values), so it shares q72's oracle
+    // VERBATIM, the q60/q53 pattern; Verify's twin gate additionally
+    // diffs the two dumps row-for-row
+    "q74_bm25_topk_idx" -> bm25TopkOracle,
     "q73_hybrid_rrf" -> {
       val r = graft.operators.Retrieval
       s"""WITH qt AS (SELECT DISTINCT doc_id AS query_id,
@@ -893,6 +888,21 @@ object SparkEntry {
   // contain an empty token (the normal form is single-spaced)
   private val toksSql =
     s"""list_filter(string_split($normSql, ' '), t -> t != '')"""
+
+  /** The q72 oracle, shared verbatim by q74 (persisted-index twin). */
+  private lazy val bm25TopkOracle: String = {
+    val values = graft.operators.Retrieval.bm25Queries
+      .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
+    s"""WITH q (query_id, text) AS (VALUES $values),
+      |qt AS (SELECT DISTINCT query_id, unnest($toksSql) AS token FROM q),
+      |$bm25Ctes
+      |SELECT query_id, rnk, doc_id, score FROM (
+      |  SELECT query_id, doc_id, score, CAST(row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rnk
+      |  FROM bsc) t
+      |WHERE rnk <= ${graft.operators.Retrieval.bm25K}
+      |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** Quantized BM25 per-term weight — the oracle twin of
     * Retrieval.bm25Wq, token-for-token the same evaluation tree over

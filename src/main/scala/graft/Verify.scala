@@ -221,7 +221,17 @@ object Verify {
     * round-trips doubles exactly). */
   val idxTwins: Map[String, String] = Map(
     "q69_knn_ivfpq_idx"     -> "q65_knn_ivfpq",
-    "q70_knn_ivfpq_res_idx" -> "q68_knn_ivfpq_res")
+    "q70_knn_ivfpq_res_idx" -> "q68_knn_ivfpq_res",
+    // lexical index twin: q74 reads persisted postings/df/stats through
+    // the same scoring tree q72 computes in-query. The ANN append
+    // exemption below never applies to it — LexIndex has no append
+    // path, so a fresh or validated lexical index always matches
+    "q74_bm25_topk_idx"     -> "q72_bm25_topk")
+
+  /** The twins covered by the ANN-index append exemption (see
+    * [[enforceTwinIdentity]]): exactly the pairs served from the
+    * [[operators.IndexStore]] artifacts that appendBatch can grow. */
+  private val annTwins = Set("q69_knn_ivfpq_idx", "q70_knn_ivfpq_res_idx")
 
   /** Enforce the twin invariant on the dumps of THIS run: a
     * persisted-index dump that differs from its in-query twin's dump
@@ -254,24 +264,30 @@ object Verify {
     // corrupted/doctored meta must not be able to stand down the
     // identity gate by merely asserting appends. Logged as a warning
     // either way — standing down a gate is an event, not housekeeping.
-    indexDir.flatMap(d => operators.IndexStore.appendState(spark, d))
-      .foreach { case (appended, n) =>
-        if (appended > 0 && appended <= n) {
-          System.err.println(s"[verify] WARNING: twin identity " +
-            s"skipped: index at ${indexDir.get} carries $appended " +
-            s"appended rows of $n (pure-build identity does not " +
-            "apply; recall floors still gate)")
-          return
-        } else if (appended > 0) {
-          System.err.println(s"[verify] WARNING: index at " +
-            s"${indexDir.get} self-reports an IMPLAUSIBLE append state " +
-            s"($appended appended > $n total) — exemption refused, " +
-            "running the identity check")
+    // scoped to the ANN pairs: the lexical twin (q74) has no append
+    // path, so an appended ANN index must not stand down ITS check
+    val annExempt: Boolean =
+      indexDir.flatMap(d => operators.IndexStore.appendState(spark, d))
+        .exists { case (appended, n) =>
+          if (appended > 0 && appended <= n) {
+            System.err.println(s"[verify] WARNING: ANN twin identity " +
+              s"skipped: index at ${indexDir.get} carries $appended " +
+              s"appended rows of $n (pure-build identity does not " +
+              "apply; recall floors still gate)")
+            true
+          } else {
+            if (appended > 0)
+              System.err.println(s"[verify] WARNING: index at " +
+                s"${indexDir.get} self-reports an IMPLAUSIBLE append " +
+                s"state ($appended appended > $n total) — exemption " +
+                "refused, running the identity check")
+            false
+          }
         }
-      }
     val selected = names.toSet
     idxTwins.foreach { case (idx, live) =>
-      if (selected.contains(idx) && selected.contains(live)) {
+      if (selected.contains(idx) && selected.contains(live) &&
+          !(annExempt && annTwins.contains(idx))) {
         val (iDir, lDir) =
           (new java.io.File(s"$outDir/$idx"), new java.io.File(s"$outDir/$live"))
         if (iDir.exists() && lDir.exists()) {

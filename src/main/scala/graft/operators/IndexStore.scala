@@ -278,7 +278,7 @@ object IndexStore {
 
   // --- validation token ------------------------------------------------------
 
-  private val tokenName = "vtoken"
+  private[operators] val tokenName = "vtoken"
 
   /** Digest of the on-disk state a full `ensure` validation vouched
     * for: the corpus's and the index dir's recursive file listings
@@ -308,7 +308,20 @@ object IndexStore {
     * Driver-side metadata listing only: no Spark job, no data read
     * beyond the ~1 KB meta files. */
   private def stateDigest(spark: SparkSession, sfDir: String,
-      dir: String): String = {
+      dir: String): String =
+    listingDigest(spark, s"$sfDir/embeddings.parquet", dir,
+      s"v$formatVersion|${Similarity.pqSubspaces}|" +
+        s"${Similarity.pqCodes}|${Similarity.lloydIters}|" +
+        s"${Similarity.pqLloydIters}")
+
+  /** The generic core of [[stateDigest]], shared with [[LexIndex]]
+    * (identical trust model, different corpus file and dial line):
+    * digests the corpus file's and the index dir's recursive listings
+    * plus the caller's dial line, folding in the CONTENT of small
+    * files under `<dir>/meta`. Both stores name their token file
+    * [[tokenName]], which the walk skips by construction. */
+  private[operators] def listingDigest(spark: SparkSession,
+      corpusFile: String, dir: String, dialsLine: String): String = {
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     def walk(root: String, contentRoot: Option[String]): Unit = {
       val (fs, p) = graft.Scratch.fs(spark, root)
@@ -352,11 +365,9 @@ object IndexStore {
         }
       }
     }
-    walk(s"$sfDir/embeddings.parquet", None)
+    walk(corpusFile, None)
     walk(dir, Some(s"$dir/meta"))
-    entries += s"v$formatVersion|${Similarity.pqSubspaces}|" +
-      s"${Similarity.pqCodes}|${Similarity.lloydIters}|" +
-      s"${Similarity.pqLloydIters}"
+    entries += dialsLine
     val md = java.security.MessageDigest.getInstance("SHA-256")
     entries.sorted.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString

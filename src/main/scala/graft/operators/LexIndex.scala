@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.h60
+import graft.sources.Tables
+
+/** Meta row of a persisted lexical index: corpus identity (row count +
+  * xor fingerprint) and the layout dial its artifacts were built
+  * under. Mirrors [[AnnIndexMeta]]'s role; no append counters — the
+  * lexical build is one tokenize pass, so staleness is always resolved
+  * by a rebuild (see [[LexIndex]] doc). */
+final case class LexIndexMeta(
+    version: Int, n: Long, fp: Long, pfx_parts: Int)
+
+/** Persisted inverted index serving BM25 (q74) — the amortized
+  * deployment path q72's ad-hoc scan points at, structured exactly
+  * like the ANN [[IndexStore]]: build-once/query-many artifacts behind
+  * a shadow-dir swap, corpus-fingerprint freshness validation with a
+  * zero-job listing token, and a gated query (q74) that must stay
+  * BIT-IDENTICAL to its in-query twin (q72) because it reads the SAME
+  * values q72 computes (postings with doc length, per-term df, corpus
+  * stats as longs) through the SAME scoring expression tree
+  * ([[Retrieval.scoreAgainst]]).
+  *
+  * Artifacts under [[dirFor]]:
+  *  - `tf/` — (doc_id, dl, token, tf) postings, hive-partitioned by
+  *    `pfx = pmod(h60(token), pfxParts)`: a query's terms map to a
+  *    bounded pfx set, so serving statically prunes to those
+  *    directories and never scans the corpus-wide posting table. h60
+  *    (portable md5-derived hash), not xxhash64, so the partition key
+  *    is reproducible outside Spark too.
+  *  - `df/`  — (token, df), same pfx partitioning, df counted over the
+  *    FULL corpus at build time (exactly what q72 counts per query).
+  *  - `stats/` — one row (n_docs, sum_dl) as LONGS; both serving paths
+  *    cast the same longs to double, keeping the weight inputs
+  *    bit-equal.
+  *  - `meta` + `vtoken` — identity row and the listing-digest token
+  *    ([[IndexStore.listingDigest]], same trust model: any observable
+  *    corpus/index change forces a full re-validation).
+  *
+  * At 100 TB the build is one map-side-combinable shuffle of the
+  * corpus (the same pass q72 pays PER QUERY) and serving reads a few
+  * posting directories — the classic search-engine trade. Incremental
+  * maintenance (per-batch posting appends under an [[graft.streaming
+  * .IngestCommit]]-style marker) is the same upgrade the docs ingest
+  * indexes took; not built here because the gate's corpora are
+  * immutable between rounds — a corpus change rebuilds (cost: one
+  * tokenize pass, not an ANN retrain). */
+object LexIndex {
+
+  val formatVersion = 1
+  /** Posting-table partition fan-out. 32 keeps gate-scale directories
+    * non-trivial while bounding small files; at deployment scale this
+    * dial trades listing cost against pruning granularity. */
+  val pfxParts = 32
+
+  final case class BuildInfo(dir: String, n: Long, builtNow: Boolean,
+      buildSec: Double)
+
+  def dirFor(spark: SparkSession, sfDir: String): String =
+    graft.Scratch.stableDir(spark, "lexidx", sfDir)
+
+  private def pfxOf(tokenCol: org.apache.spark.sql.Column) =
+    pmod(h60(tokenCol), lit(pfxParts))
+
+  /** (row count, xor fingerprint) of the documents corpus in one scan
+    * — same xor rationale as [[IndexStore]] (order-independent,
+    * incrementally maintainable). doc_id is the posting key, so a
+    * duplicate-keyed corpus is refused loudly. */
+  private def countAndFingerprint(docs: DataFrame): (Long, Long) = {
+    val r = docs
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, text))"),
+        countDistinct(col("doc_id")))
+      .head()
+    require(r.getLong(2) == r.getLong(0),
+      s"documents corpus contains ${r.getLong(0) - r.getLong(2)} " +
+        "duplicate doc_id rows — doc_id keys the posting table; " +
+        "deduplicate before indexing")
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private def readMeta(spark: SparkSession, dir: String)
+      : Option[LexIndexMeta] = {
+    val (fs, p) = graft.Scratch.fs(spark, s"$dir/meta")
+    if (!fs.exists(p)) None
+    else try {
+      import spark.implicits._
+      Some(spark.read.parquet(s"$dir/meta").as[LexIndexMeta].head())
+    } catch { case e: Throwable =>
+      System.err.println(s"[lexidx] unreadable meta at $dir: " +
+        s"${e.getMessage}; treating index as absent")
+      None
+    }
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String,
+      m: LexIndexMeta): Unit = {
+    import spark.implicits._
+    val shadow = s"$dir/meta__shadow"
+    Seq(m).toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(shadow)
+    val (fs, sp) = graft.Scratch.fs(spark, shadow)
+    graft.sources.ParquetSink.promote(fs, sp,
+      new org.apache.hadoop.fs.Path(s"$dir/meta"))
+  }
+
+  private def stateDigest(spark: SparkSession, sfDir: String,
+      dir: String): String =
+    IndexStore.listingDigest(spark, s"$sfDir/documents.parquet", dir,
+      s"lexv$formatVersion|$pfxParts")
+
+  private def tokenLine(digest: String, m: LexIndexMeta): String =
+    s"$digest|${m.version}|${m.n}|${m.fp}|${m.pfx_parts}"
+
+  private def readToken(spark: SparkSession, dir: String)
+      : Option[(String, LexIndexMeta)] = {
+    val (fs, p) = graft.Scratch.fs(spark, s"$dir/${IndexStore.tokenName}")
+    if (!fs.exists(p)) return None
+    val line =
+      try new String(graft.Scratch.readSmallFile(fs, p), "UTF-8").trim
+      catch { case scala.util.control.NonFatal(_) => "" }
+    val parts = line.split('|')
+    if (parts.length != 5) None
+    else try Some((parts(0), LexIndexMeta(parts(1).toInt,
+      parts(2).toLong, parts(3).toLong, parts(4).toInt)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def writeToken(spark: SparkSession, dir: String,
+      line: String): Unit =
+    try {
+      val (fs, p) = graft.Scratch.fs(spark, s"$dir/${IndexStore.tokenName}")
+      val out = fs.create(p, true)
+      try out.write(line.getBytes("UTF-8")) finally out.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[lexidx] token write failed at $dir " +
+        s"(${e.getMessage}); next ensure will re-validate in full")
+    }
+
+  /** Structural probe for the states the corpus fingerprint cannot
+    * see: a swap/compaction crash that lost a table dir, or a stats
+    * row that disagrees with meta (stats is written WITH the build, so
+    * divergence means a torn or foreign index). One 1-row stats read;
+    * the posting tables are covered by existence (their CONTENT is
+    * vouched for by the fingerprint + shadow-swap discipline — a
+    * torn partitioned write never gets promoted). */
+  private def tablesIntact(spark: SparkSession, dir: String,
+      m: LexIndexMeta): Boolean =
+    try {
+      val present = Seq("tf", "df", "stats").forall { t =>
+        val (fs, p) = graft.Scratch.fs(spark, s"$dir/$t")
+        fs.exists(p)
+      }
+      present && {
+        val s = spark.read.parquet(s"$dir/stats").head()
+        s.getLong(s.fieldIndex("n_docs")) == m.n
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[lexidx] integrity probe failed at $dir " +
+        s"(${e.getMessage}); rebuilding")
+      false
+    }
+
+  def build(spark: SparkSession, sfDir: String, dir: String,
+      knownIdentity: Option[(Long, Long)] = None): BuildInfo = {
+    val t0 = System.nanoTime()
+    val docs = Tables.load(spark, sfDir, "documents")
+    val (n, fp) = knownIdentity.getOrElse(countAndFingerprint(docs))
+    // one tokenize+shuffle pass, materialized: df derives from tf and
+    // a second lineage execution would re-tokenize the corpus
+    val tf = graft.Materialize(
+      Retrieval.termFreqs(docs).withColumn("pfx", pfxOf(col("token"))))
+    val dfTab = tf.groupBy(col("pfx"), col("token"))
+      .agg(count(lit(1)).as("df"))
+    val stats = Retrieval.corpusStatsLong(docs)
+    val shadow =
+      s"${dir}__shadow_${java.util.UUID.randomUUID().toString.take(8)}"
+    val (fs, sp) = graft.Scratch.fs(spark, shadow)
+    val stale =
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"${dir}__shadow_*"))
+    if (stale != null) stale.foreach(s => fs.delete(s.getPath, true))
+    // one file per pfx dir: serving opens |query-term pfx set| files,
+    // not every task's slivers (same layout rule as the ANN codes)
+    tf.repartition(col("pfx")).write.partitionBy("pfx")
+      .parquet(s"$shadow/tf")
+    dfTab.repartition(col("pfx")).write.partitionBy("pfx")
+      .parquet(s"$shadow/df")
+    stats.coalesce(1).write.parquet(s"$shadow/stats")
+    val m = LexIndexMeta(formatVersion, n, fp, pfxParts)
+    writeMeta(spark, shadow, m)
+    graft.sources.ParquetSink.promote(fs, sp,
+      new org.apache.hadoop.fs.Path(dir))
+    writeToken(spark, dir, tokenLine(stateDigest(spark, sfDir, dir), m))
+    BuildInfo(dir, n, builtNow = true,
+      buildSec = (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Serve-ready lexical index for `sfDir`: zero-job token fast path,
+    * full fingerprint validation on any observable change, rebuild on
+    * mismatch — the [[IndexStore.ensure]] contract without the
+    * append/drift axes (no append path exists to drift). */
+  def ensure(spark: SparkSession, sfDir: String): BuildInfo =
+    synchronized {
+      val dir = dirFor(spark, sfDir)
+      def dialsOk(m: LexIndexMeta): Boolean =
+        m.version == formatVersion && m.pfx_parts == pfxParts
+      def serve(m: LexIndexMeta): BuildInfo =
+        BuildInfo(dir, m.n, builtNow = false, buildSec = 0.0)
+      val digest = stateDigest(spark, sfDir, dir)
+      readToken(spark, dir) match {
+        case Some((d, tm)) if d == digest && dialsOk(tm) => serve(tm)
+        case _ =>
+          readMeta(spark, dir) match {
+            case Some(m) =>
+              val docs = Tables.load(spark, sfDir, "documents")
+              val (n, fp) = countAndFingerprint(docs)
+              if (dialsOk(m) && m.n == n && m.fp == fp &&
+                  tablesIntact(spark, dir, m)) {
+                writeToken(spark, dir, tokenLine(digest, m))
+                serve(m)
+              } else build(spark, sfDir, dir, knownIdentity = Some((n, fp)))
+            case None => build(spark, sfDir, dir)
+          }
+      }
+    }
+
+  /** q74: q72's BM25 top-k served from the persisted index —
+    * BIT-IDENTICAL to q72 by construction (same posting/df/stats
+    * values through [[Retrieval.scoreAgainst]]'s one expression tree);
+    * Verify's twin gate enforces it on every full run. Serving reads
+    * ONLY the pfx partitions the query terms hash to (static isin
+    * pruning over the hive layout — the pfx list is collected from the
+    * literal query frame, a LocalRelation fold, before any corpus-side
+    * work), so cost is |matching postings|, independent of vocabulary
+    * and corpus breadth. */
+  def q74Bm25TopKIdx(spark: SparkSession, sfDir: String): DataFrame = {
+    val info = ensure(spark, sfDir)
+    val qterms = Retrieval.bm25QueryTerms(spark)
+    val pfxes = qterms.select(pfxOf(col("token")).as("pfx"))
+      .distinct().collect().map(_.getLong(0)).toIndexedSeq
+    val terms = qterms.select(col("token")).distinct()
+    val pruned = spark.read.parquet(s"${info.dir}/tf")
+      .filter(col("pfx").isin(pfxes: _*))
+      .join(broadcast(terms), "token")
+    val dfq = spark.read.parquet(s"${info.dir}/df")
+      .filter(col("pfx").isin(pfxes: _*))
+      .join(broadcast(terms), "token")
+      .select(col("token"), col("df"))
+    val statsLong = spark.read.parquet(s"${info.dir}/stats")
+    val scores = Retrieval.scoreAgainst(
+      pruned, qterms, dfq, statsLong, excludeSelf = false)
+    Retrieval.topkPerQuery(scores, col("score").cast("double"),
+        col("doc_id"), Retrieval.bm25K, "doc_id", "score", _.cast("long"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+}

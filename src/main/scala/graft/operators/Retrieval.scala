@@ -96,7 +96,7 @@ object Retrieval {
     * (n_docs, sum_dl). Evaluation tree mirrors SparkEntry's
     * `bm25WSql` fragment token for token; change either only with the
     * other. */
-  private def bm25Wq(tf: Column, dl: Column, df: Column,
+  private[operators] def bm25Wq(tf: Column, dl: Column, df: Column,
       nd: Column, sumdl: Column): Column = {
     val tfd = tf.cast("double")
     val idf = (nd - df.cast("double") + lit(0.5)) / (df.cast("double") + lit(0.5))
@@ -108,16 +108,17 @@ object Retrieval {
 
   /** (doc_id, dl, token, tf) over the corpus: one map-side-combinable
     * shuffle; `dl` rides the key (see object doc). */
-  private def termFreqs(docs: DataFrame): DataFrame =
+  private[operators] def termFreqs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokenCount(col("text")).as("dl"),
         explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
 
-  /** 1-row corpus stats as doubles, for the broadcast cross join. */
-  private def corpusStats(docs: DataFrame): DataFrame =
-    docs.agg(count(lit(1)).cast("double").as("nd"),
-      sum(tokenCount(col("text"))).cast("double").as("sumdl"))
+  /** 1-row corpus stats as LONGS — the exact values [[LexIndex]]
+    * persists; both serving paths cast the same longs to double. */
+  private[operators] def corpusStatsLong(docs: DataFrame): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      sum(tokenCount(col("text"))).as("sum_dl"))
 
   /** BM25 scores for `qterms` = (query_id, token) against the corpus:
     * prune → df → fan out to queries → quantized weights → integer
@@ -131,13 +132,26 @@ object Retrieval {
     // df BEFORE the per-query fan-out: a term shared by two queries
     // must not double-count its documents
     val dfq = pruned.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    scoreAgainst(pruned, qterms, dfq, corpusStatsLong(docs), excludeSelf)
+  }
+
+  /** The scoring core both serving paths share BIT-IDENTICALLY: fan
+    * the pruned postings out to queries, weight, integer-sum. The
+    * ad-hoc path ([[bm25Scores]]) computes `pruned`/`dfq`/`statsLong`
+    * in-query; [[LexIndex]] reads the SAME values from its persisted
+    * tables — one expression tree means the twin gate can hold. */
+  private[operators] def scoreAgainst(pruned: DataFrame,
+      qterms: DataFrame, dfq: DataFrame, statsLong: DataFrame,
+      excludeSelf: Boolean): DataFrame = {
+    val stats = statsLong.select(col("n_docs").cast("double").as("nd"),
+      col("sum_dl").cast("double").as("sumdl"))
     val fanned = pruned.join(
       broadcast(qterms.withColumnRenamed("token", "qtoken")),
       col("token") === col("qtoken") &&
         (if (excludeSelf) col("doc_id") =!= col("query_id") else lit(true)))
     fanned
       .join(broadcast(dfq), "token")
-      .crossJoin(broadcast(corpusStats(docs)))
+      .crossJoin(broadcast(stats))
       .withColumn("wq", bm25Wq(col("tf"), col("dl"), col("df"),
         col("nd"), col("sumdl")))
       .groupBy(col("query_id"), col("doc_id"))
@@ -148,7 +162,7 @@ object Retrieval {
     * <idName>, <scoreName>). Scores arrive as exact-in-double values
     * (integer-valued or bit-stable cosines), so the (score DESC, id
     * ASC) heap order is total and engine-independent. */
-  private def topkPerQuery(scored: DataFrame, scoreCol: Column,
+  private[operators] def topkPerQuery(scored: DataFrame, scoreCol: Column,
       idCol: Column, k: Int, idName: String, scoreName: String,
       scoreBack: Column => Column): DataFrame =
     scored.groupBy(col("query_id"))
@@ -160,11 +174,16 @@ object Retrieval {
   /** q72: BM25 top-5 documents per literal query. Output
     * (query_id, rnk, doc_id, score) — score is the fixed-point BIGINT
     * sum, hash-exact vs the DuckDB oracle. */
+  /** The literal query set as a (query_id, token) frame — shared by
+    * q72 and the index-served q74 so both tokenize identically. */
+  private[operators] def bm25QueryTerms(spark: SparkSession): DataFrame =
+    spark.createDataFrame(bm25Queries).toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(tokens(col("qtext"))).as("token")).distinct()
+
   def q72Bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
-    val qdf = spark.createDataFrame(bm25Queries).toDF("query_id", "qtext")
-    val qterms = qdf.select(col("query_id"),
-      explode(tokens(col("qtext"))).as("token")).distinct()
+    val qterms = bm25QueryTerms(spark)
     val scores = bm25Scores(docs, qterms, excludeSelf = false)
     topkPerQuery(scores, col("score").cast("double"), col("doc_id"),
         bm25K, "doc_id", "score", _.cast("long"))

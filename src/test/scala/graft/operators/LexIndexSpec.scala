@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** LexIndex lifecycle: the q74/q72 twin identity, freshness
+  * validation (fingerprint + dial + token fast path), and the
+  * rebuild-on-change / serve-when-current contract — the lexical
+  * mirror of IndexStoreSpec's serving guarantees. */
+class LexIndexSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Map[Seq[Any], Int] =
+    df.collect().map(_.toSeq).groupBy(identity)
+      .map { case (r, g) => (r, g.length) }
+
+  private def deleteDir(path: String): Unit = {
+    val (fs, p) = graft.Scratch.fs(spark, path)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** A scratch corpus dir whose `documents.parquet` we control. */
+  private def writeCorpus(df: DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("lexidx_corpus")
+      .toString
+    df.write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def jobsDuring(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(500) }
+    finally spark.sparkContext.removeSparkListener(l)
+    n.get()
+  }
+
+  test("q74 (persisted inverted index) is bit-identical to q72 " +
+    "(ad-hoc scan)") {
+    deleteDir(LexIndex.dirFor(spark, sfDir)) // force a fresh build
+    assert(rows(LexIndex.q74Bm25TopKIdx(spark, sfDir)) ===
+      rows(Retrieval.q72Bm25TopK(spark, sfDir)))
+  }
+
+  test("ensure: current index serves zero-job on the token path, " +
+    "full validation after token loss, rebuild on corpus change") {
+    val base = graft.sources.Tables.load(spark, sfDir, "documents")
+    val corpus = writeCorpus(base.filter(col("doc_id") < 300))
+    val idxDir = LexIndex.dirFor(spark, corpus)
+    try {
+      assert(LexIndex.ensure(spark, corpus).builtNow)
+      var info: LexIndex.BuildInfo = null
+      assert(jobsDuring { info = LexIndex.ensure(spark, corpus) } === 0)
+      assert(!info.builtNow && info.n === 300)
+      // token gone: the next ensure pays the fingerprint scan +
+      // integrity probe, serves WITHOUT rebuilding, re-stamps
+      deleteDir(s"$idxDir/vtoken")
+      assert(jobsDuring { info = LexIndex.ensure(spark, corpus) } > 0)
+      assert(!info.builtNow)
+      assert(jobsDuring { LexIndex.ensure(spark, corpus) } === 0)
+      // corpus grows: fingerprint mismatch → rebuild picks up the rows
+      base.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+        .write.mode("append").parquet(s"$corpus/documents.parquet")
+      val rebuilt = LexIndex.ensure(spark, corpus)
+      assert(rebuilt.builtNow && rebuilt.n === 320)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
+  test("ensure: a torn index (lost table dir) is rebuilt, never served") {
+    val base = graft.sources.Tables.load(spark, sfDir, "documents")
+    val corpus = writeCorpus(base.filter(col("doc_id") < 200))
+    val idxDir = LexIndex.dirFor(spark, corpus)
+    try {
+      assert(LexIndex.ensure(spark, corpus).builtNow)
+      // simulate a swap/compaction crash: stats dir vanishes; the
+      // token digest changes with it, so the fast path cannot mask it
+      deleteDir(s"$idxDir/stats")
+      val again = LexIndex.ensure(spark, corpus)
+      assert(again.builtNow, "a torn index was served")
+      // and the rebuilt index actually answers
+      val (fs, p) = graft.Scratch.fs(spark, s"$idxDir/stats")
+      assert(fs.exists(p))
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
+  test("build refuses a duplicate-keyed corpus loudly") {
+    val base = graft.sources.Tables.load(spark, sfDir, "documents")
+    val dup = base.filter(col("doc_id") < 10)
+      .unionByName(base.filter(col("doc_id") < 5))
+    val corpus = writeCorpus(dup)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        LexIndex.ensure(spark, corpus)
+      }
+      assert(e.getMessage.contains("duplicate doc_id"))
+    } finally {
+      deleteDir(LexIndex.dirFor(spark, corpus))
+      deleteDir(corpus)
+    }
+  }
+}

@@ -223,6 +223,23 @@ class PlanCheckSpec extends SparkSpec {
     }
   }
 
+  test("q74 posting/df scans statically prune to the query terms' " +
+    "pfx partitions") {
+    val df = LexIndex.q74Bm25TopKIdx(spark, sfDir)
+    val s = scanInfo(df)
+    // both persisted-table scans must carry a NON-EMPTY pfx partition
+    // filter — an unpruned read scans the corpus-wide posting table
+    // and the whole point of the layout is lost
+    val pruned = "PartitionFilters: \\[[^\\]]*pfx".r
+      .findAllIn(s).length
+    assert(pruned >= 2, s"expected pfx partition filters on tf AND df")
+    // same bounded-top-k discipline as q72
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(df.queryExecution.sparkPlan
+      .collect { case w: WindowExec => w }.isEmpty)
+    assert(s.contains("topk_agg"))
+  }
+
   test("no query plans a partition-less WindowExec (single-task funnel)") {
     // A Window with an empty partitionSpec moves EVERY row through one
     // task — the classic silent scale-killer. Sweep the entire driver
