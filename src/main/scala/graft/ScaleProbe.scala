@@ -46,7 +46,8 @@ object ScaleProbe {
     // cosine leg over embeddings ×4; q74 has the ensure-once caveat of
     // q69-q71 — run 1 carries the lexical index build, later runs
     // isolate the pruned-partition serving cost
-    "q72_bm25_topk", "q73_hybrid_rrf", "q74_bm25_topk_idx")
+    "q72_bm25_topk", "q73_hybrid_rrf", "q74_bm25_topk_idx",
+    "q75_hybrid_rrf_idx")
 
   def main(args: Array[String]): Unit = {
     // same loud-typo rule as Verify.main: a misspelled (or renamed)

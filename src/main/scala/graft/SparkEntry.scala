@@ -95,6 +95,10 @@ object SparkEntry {
     "q72_bm25_topk"        -> (graft.operators.Retrieval.q72Bm25TopK _),
     "q73_hybrid_rrf"       -> (graft.operators.Retrieval.q73HybridRrf _),
     "q74_bm25_topk_idx"    -> (graft.operators.LexIndex.q74Bm25TopKIdx _),
+    // no SQL oracle (the vector leg is the approximate IVF×PQ probe —
+    // DuckDB cannot reproduce an index); gated on fused-overlap vs the
+    // exact q73 dump instead (Verify.hybridGate)
+    "q75_hybrid_rrf_idx"   -> (graft.operators.LexIndex.q75HybridRrfIdx _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

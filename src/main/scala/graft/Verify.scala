@@ -54,6 +54,21 @@ object Verify {
   val dedupExact = "q45_embed_dedup"
   val dedupFloor = 0.85
 
+  /** q75 (both-legs-index-served hybrid RRF) is gated on fused top-k
+    * OVERLAP against the exact q73 answer: |q75 ∩ q73| / |q73| over
+    * all (query_id, id) result pairs. The lexical leg is bit-identical
+    * by construction (q74's twin identity transfers); the vector leg
+    * is the IVF×PQ probe, so divergence is bounded by how far
+    * approximate vector ranks move fused scores. Measured
+    * characteristic: 0.85 / 0.76 / 0.86 / 0.98 at sf0.001 / sf0.01 /
+    * sf0.1 / the 8k-vector 4× corpus — the binding reading is the
+    * 500-vector gate fixture, where the IVF×PQ leg runs at its legacy
+    * minimum dials; floor 0.11 under it, the ANN-floor margin
+    * discipline. */
+  val hybridIdx = "q75_hybrid_rrf_idx"
+  val hybridExact = "q73_hybrid_rrf"
+  val hybridFloor = 0.65
+
   final case class AnnGate(recall: Double, floor: Double) {
     def pass: Boolean = recall >= floor
   }
@@ -82,6 +97,49 @@ object Verify {
     * q68's floor can read q65's recall even when q65 itself is below
     * floor; the one deletion here is q68's own dump when its dynamic
     * floor could not be resolved (unverifiable ≠ pass). */
+  /** Fused-overlap of the q75 dump vs the exact q73 answer (this
+    * run's q73 dump when selected, else computed live). Same isolation
+    * discipline as [[dedupGate]]: a broken exact baseline costs q75
+    * its dump (unverifiable ≠ pass), never the rest of the gate. */
+  private def hybridGate(spark: SparkSession, sfDir: String,
+      outDir: String, selected: Set[String])
+      : Option[(String, AnnGate)] = {
+    if (!selected.contains(hybridIdx)) return None
+    val dumpDir = new java.io.File(s"$outDir/$hybridIdx")
+    if (!dumpDir.exists()) return None
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got =
+      try pairs(spark.read.parquet(dumpDir.toString))
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] $hybridIdx dump unreadable, overlap skipped: " +
+            e.getMessage)
+        return None
+      }
+    val exact =
+      try {
+        val exactDump = new java.io.File(s"$outDir/$hybridExact")
+        if (selected.contains(hybridExact) && exactDump.exists())
+          pairs(spark.read.parquet(exactDump.toString))
+        else pairs(operators.Retrieval.q73HybridRrf(spark, sfDir))
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] $hybridIdx overlap baseline (exact $hybridExact) " +
+            s"failed: ${e.getMessage}; deleting its dump — " +
+            "unverifiable overlap is not a pass")
+        deleteOrDie(dumpDir)
+        return None
+      }
+    // vacuous guard, same rationale as recallOf: an empty exact fused
+    // set (blank corpus) agrees only with an empty dump
+    val overlap =
+      if (exact.isEmpty) { if (got.isEmpty) 1.0 else 0.0 }
+      else (exact intersect got).size.toDouble / exact.size
+    Some(hybridIdx -> AnnGate(overlap, hybridFloor))
+  }
+
   /** Dropped-id recall of the q71 dump vs the exact q45 survivor set
     * (from this run's q45 dump when selected, else computed live).
     * Returns None when q71 wasn't dumped (already failing) or isn't in
@@ -146,9 +204,10 @@ object Verify {
       names: Iterable[String]): Map[String, AnnGate] = {
     val selected = names.toSet
     val dedupEntry = dedupGate(spark, sfDir, outDir, selected)
+    val hybridEntry = hybridGate(spark, sfDir, outDir, selected)
     val gated =
       selected.filter(n => annFloors.contains(n) || n == annResidual).toSeq
-    if (gated.isEmpty) return dedupEntry.toMap
+    if (gated.isEmpty) return (dedupEntry ++ hybridEntry).toMap
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -212,7 +271,7 @@ object Verify {
           None
         }
       }
-    (staticEntries ++ residualEntry ++ dedupEntry).toMap
+    (staticEntries ++ residualEntry ++ dedupEntry ++ hybridEntry).toMap
   }
 
   /** Persisted-index twins: each maps to the in-query variant it must

@@ -821,9 +821,10 @@ object IndexStore {
 
   /** Query batch (vec_id < knnQueries) as (vec_id, v, nrm) — the only
     * corpus rows the query paths read outside the final re-rank. */
-  private def queryVecs(spark: SparkSession, sfDir: String): DataFrame =
+  private def queryVecs(spark: SparkSession, sfDir: String,
+      maxQuery: Long = Similarity.knnQueries): DataFrame =
     Similarity.prepped(spark, sfDir)
-      .filter(Similarity.validNorm && col("vec_id") < Similarity.knnQueries)
+      .filter(Similarity.validNorm && col("vec_id") < maxQuery)
 
   /** Disk partition columns come back as the inferred partition type;
     * pin `cell` to its written long so downstream joins/broadcasts see
@@ -841,14 +842,16 @@ object IndexStore {
     * results; only the probed cells' code partitions are scanned
     * (plan-asserted DPP). */
   def queryIvfPq(spark: SparkSession, sfDir: String,
-      info: BuildInfo): DataFrame = {
+      info: BuildInfo, kk: Int = Similarity.k,
+      maxQuery: Long = Similarity.knnQueries): DataFrame = {
     // an n=0 index has no persisted part files to serve from (nothing
     // was indexed) — delegate to the in-query twin, which is free at
     // n=0 (no data to train on) and gives twin-identical output BY
-    // CONSTRUCTION, including its schema
+    // CONSTRUCTION, including its schema (on an empty corpus every
+    // (kk, maxQuery) dial produces the same zero rows)
     if (info.n == 0) return Similarity.q65KnnIvfPq(spark, sfDir)
     val dir = info.dir
-    val qe = queryVecs(spark, sfDir)
+    val qe = queryVecs(spark, sfDir, maxQuery)
     val cents = spark.read.parquet(s"$dir/centroids")
     val probes = Similarity.cellRanks(qe, cents)
       .filter(col("cr") <= Similarity.nprobeFor(info.nl))
@@ -859,7 +862,8 @@ object IndexStore {
       spark.read.parquet(s"$dir/codebook"))
     val cand = Similarity.adcShortlist(probed, lut,
       Seq("query_id", "sub", "code"), Similarity.shortlistFor(info.n))
-    Similarity.rerankTopK(Tables.load(spark, sfDir, "embeddings"), cand)
+    Similarity.rerankTopK(Tables.load(spark, sfDir, "embeddings"), cand,
+      kk, maxQuery)
   }
 
   /** q69: [[Similarity.q65KnnIvfPq]] served from the persisted index —

@@ -234,9 +234,16 @@ object LexIndex {
     * literal query frame, a LocalRelation fold, before any corpus-side
     * work), so cost is |matching postings|, independent of vocabulary
     * and corpus breadth. */
-  def q74Bm25TopKIdx(spark: SparkSession, sfDir: String): DataFrame = {
-    val info = ensure(spark, sfDir)
-    val qterms = Retrieval.bm25QueryTerms(spark)
+  /** BM25 scores for `qterms` served from a VALIDATED index — the
+    * query-many half of the lifecycle (one [[ensure]] buys the `info`
+    * handle). The pfx prune list is collected from `qterms` first — a
+    * bounded driver read (one row per distinct query term) — so both
+    * persisted-table scans statically prune to the query terms'
+    * partitions before any posting is touched. Same values through
+    * [[Retrieval.scoreAgainst]]'s one tree ⇒ bit-identical to the
+    * ad-hoc path. */
+  def queryScores(spark: SparkSession, info: BuildInfo,
+      qterms: DataFrame, excludeSelf: Boolean): DataFrame = {
     val pfxes = qterms.select(pfxOf(col("token")).as("pfx"))
       .distinct().collect().map(_.getLong(0)).toIndexedSeq
     val terms = qterms.select(col("token")).distinct()
@@ -248,10 +255,52 @@ object LexIndex {
       .join(broadcast(terms), "token")
       .select(col("token"), col("df"))
     val statsLong = spark.read.parquet(s"${info.dir}/stats")
-    val scores = Retrieval.scoreAgainst(
-      pruned, qterms, dfq, statsLong, excludeSelf = false)
+    Retrieval.scoreAgainst(pruned, qterms, dfq, statsLong, excludeSelf)
+  }
+
+  def q74Bm25TopKIdx(spark: SparkSession, sfDir: String): DataFrame = {
+    val info = ensure(spark, sfDir)
+    val scores = queryScores(spark, info,
+      Retrieval.bm25QueryTerms(spark), excludeSelf = false)
     Retrieval.topkPerQuery(scores, col("score").cast("double"),
         col("doc_id"), Retrieval.bm25K, "doc_id", "score", _.cast("long"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** q75: q73's hybrid RRF with BOTH legs served from persisted
+    * indexes — the deployment shape of hybrid search (a standing
+    * lexical index + a standing ANN index, per-query cost = pruned
+    * posting dirs + nprobe cells; nothing rebuilds per call beyond
+    * the stateless-contract ensures).
+    *
+    * The lexical leg is BIT-IDENTICAL to q73's (same persisted values
+    * through the one scoring tree). The vector leg swaps q73's exact
+    * cosine for the persisted IVF×PQ probe at the same query ids and
+    * leg depth — approximate, so q75 as a whole is gated on fused
+    * top-k OVERLAP against the exact q73 dump (Verify.hybridGate;
+    * below-floor dumps are deleted → hard driver FAIL), not on a SQL
+    * oracle. Rank-only fusion means leg error stays bounded: the
+    * exact lexical contributions are unchanged, and a vector-leg rank
+    * perturbation moves a doc's fused score by at most its own RRF
+    * term. */
+  def q75HybridRrfIdx(spark: SparkSession, sfDir: String): DataFrame = {
+    val lexInfo = ensure(spark, sfDir)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val qterms = docs
+      .filter(col("doc_id") < Retrieval.hybridQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("token"))
+      .distinct()
+    val lex = Retrieval.topkPerQuery(
+      queryScores(spark, lexInfo, qterms, excludeSelf = true),
+      col("score").cast("double"), col("doc_id"),
+      Retrieval.hybridLegK, "id", "score", _.cast("long"))
+    val vec = IndexStore.queryIvfPq(spark, sfDir,
+        IndexStore.ensure(spark, sfDir),
+        kk = Retrieval.hybridLegK, maxQuery = Retrieval.hybridQueries)
+      .select(col("query_id"), col("rank").as("rnk"),
+        col("neighbor_id").as("id"))
+    Retrieval.rrfFuse(lex, vec)
   }
 }

@@ -226,7 +226,15 @@ object Retrieval {
       .select(col("query_id"), col("vec_id").as("id"), cos.as("cosine"))
     val vec = topkPerQuery(vecScored, col("cosine"), col("id"),
       hybridLegK, "id", "cosine", identity)
-    // RRF fusion: integer contributions, integer sum, bounded top-k
+    rrfFuse(lex, vec)
+  }
+
+  /** RRF fusion of two ranked legs (each (query_id, rnk, id, ...)):
+    * integer contributions, integer sum, bounded top-k — shared by
+    * q73 (exact legs) and q75 (index-served legs) so the fusion
+    * semantics cannot drift between them. */
+  private[operators] def rrfFuse(lex: DataFrame, vec: DataFrame)
+      : DataFrame = {
     val contrib = expr(
       s"CAST($rrfNumer AS BIGINT) div (CAST($rrfC AS BIGINT) + CAST(rnk AS BIGINT))")
     val fused = lex.select(col("query_id"), col("id"), contrib.as("c"))

@@ -449,8 +449,9 @@ object Similarity {
     * Shared by [[q36KnnLsh]], [[q41KnnIvf]], [[q61KnnPq]],
     * [[q65KnnIvfPq]] and [[q68KnnIvfPqRes]] — every ANN variant
     * surfaces exact cosines through this one rule. */
-  private[operators] def rerankTopK(e: DataFrame, cand: DataFrame): DataFrame = {
-    val qv = e.filter(col("vec_id") < knnQueries)
+  private[operators] def rerankTopK(e: DataFrame, cand: DataFrame,
+      kk: Int = k, maxQuery: Long = knnQueries): DataFrame = {
+    val qv = e.filter(col("vec_id") < maxQuery)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     cand
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
@@ -461,7 +462,7 @@ object Similarity {
       .filter(col("cosine").isNotNull && !isnan(col("cosine")))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg
-        .topkAgg(col("cosine"), col("neighbor_id"), k).as("top"))
+        .topkAgg(col("cosine"), col("neighbor_id"), kk).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),
         col("col.score").as("cosine"),

@@ -163,6 +163,40 @@ class VerifyGateSpec extends SparkSpec {
     assert(!new java.io.File(s"$out3/${Verify.dedupIdx}").exists())
   }
 
+  test("hybrid gate: a degraded q75 dump is deleted, a faithful one " +
+    "survives, and a fresh q73 dump in the same run is the baseline") {
+    import java.nio.file.Files
+    val exact = graft.operators.Retrieval.q73HybridRrf(spark, sfDir)
+
+    // 1. faithful dump (the exact answer itself): overlap 1.0, survives
+    val out1 = Files.createTempDirectory("graft_hygate1").toString
+    dump(exact, out1, Verify.hybridIdx)
+    val g1 = Verify.enforceAnnGate(spark, sfDir, out1, Seq(Verify.hybridIdx))
+    assert(g1(Verify.hybridIdx).pass && g1(Verify.hybridIdx).recall === 1.0)
+    assert(new java.io.File(s"$out1/${Verify.hybridIdx}").exists())
+
+    // 2. degraded dump (every id shifted off the real result set):
+    //    overlap 0 → deleted → the driver records a hard FAIL
+    val out2 = Files.createTempDirectory("graft_hygate2").toString
+    dump(exact.withColumn("id", col("id") + lit(1000000L)),
+      out2, Verify.hybridIdx)
+    val g2 = Verify.enforceAnnGate(spark, sfDir, out2, Seq(Verify.hybridIdx))
+    assert(!g2(Verify.hybridIdx).pass && g2(Verify.hybridIdx).recall === 0.0)
+    assert(!new java.io.File(s"$out2/${Verify.hybridIdx}").exists())
+
+    // 3. when q73 was dumped by the SAME run, the gate reads it as the
+    //    baseline instead of re-running the exact query — a doctored
+    //    q73 dump shifts the measured overlap, proving the dump (not a
+    //    live run) was consulted
+    val out3 = Files.createTempDirectory("graft_hygate3").toString
+    dump(exact, out3, Verify.hybridIdx)
+    dump(exact.withColumn("id", col("id") + lit(1000000L)),
+      out3, Verify.hybridExact)
+    val g3 = Verify.enforceAnnGate(spark, sfDir, out3,
+      Seq(Verify.hybridIdx, Verify.hybridExact))
+    assert(!g3(Verify.hybridIdx).pass && g3(Verify.hybridIdx).recall === 0.0)
+  }
+
   test("twin identity: a persisted-index dump diverging from its " +
     "in-query twin is deleted; an identical one survives") {
     val outDir = Files.createTempDirectory("graft_twin").toString

@@ -94,6 +94,29 @@ class LexIndexSpec extends SparkSpec {
     }
   }
 
+  test("q75: index-served hybrid keeps q73's lexical contributions " +
+    "exactly — fused overlap at the fixture sits in the measured band") {
+    deleteDir(LexIndex.dirFor(spark, sfDir))
+    deleteDir(IndexStore.dirFor(spark, sfDir))
+    val got = LexIndex.q75HybridRrfIdx(spark, sfDir).collect()
+    val exact = Retrieval.q73HybridRrf(spark, sfDir).collect()
+    // shape invariants: dense ranks, bounded k, no self-hit
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.sortBy(_.getInt(1)).map(_.getInt(1)).toSeq ===
+        (1 to rows.length))
+      assert(rows.length <= Retrieval.hybridK)
+      rows.foreach(r => assert(r.getLong(2) !== q))
+    }
+    // fused overlap vs exact — the gate's metric, asserted at the
+    // fixture with the measured characteristic's slack (0.85 measured)
+    def pairs(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = (pairs(got) intersect pairs(exact)).size.toDouble /
+      pairs(exact).size
+    assert(overlap >= graft.Verify.hybridFloor,
+      f"fused overlap $overlap%.2f under the gate floor")
+  }
+
   test("build refuses a duplicate-keyed corpus loudly") {
     val base = graft.sources.Tables.load(spark, sfDir, "documents")
     val dup = base.filter(col("doc_id") < 10)
