@@ -2,11 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.Retrieval
 import graft.sources.Tables
 
-/** Scratch profiling main (not part of the driver contract). */
+/** Scratch profiling main (not part of the driver contract) —
+  * currently instrumented for the q72/q73 retrieval stages. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -18,44 +18,32 @@ object Profile {
       println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
+    Bench.warmup(spark, sfDir)
     val docs = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-
-    // layout: run 1 pays the bucketed-table writes, runs 2-3 must be
-    // pure join cost (catalog reuse) — if they aren't, the reuse seam
-    // is broken
-    t("q57 run1 (writes)")(graft.operators.Layout.q57BucketJoin(spark, sfDir).count())
-    t("q57 run2 (reuse)")(graft.operators.Layout.q57BucketJoin(spark, sfDir).count())
-    t("q57 run3 (reuse)")(graft.operators.Layout.q57BucketJoin(spark, sfDir).count())
-
-    t("shingled.count")(docs.count())
-    t("shingled.again")(docs.count())
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    t("exploded.count")(ex.count())
-    val bands = Dedup.minhashBands(docs)
-    t("minhashBands.count")(bands.count())
-    val cand = Dedup.lshCandidates(bands)
-    t("lshCandidates.count")(cand.count())
-    t("q31 full")(Dedup.q31MinHashDedup(spark, sfDir).count())
-    val sh = Dedup.simhashes(docs)
-    t("simhashes.count")(sh.count())
-    t("q32 full")(Dedup.q32SimHashDedup(spark, sfDir).count())
-
-    // shuffle audit: physical Exchange count per query
-    println("[prof] --- exchange counts ---")
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        // executedPlan: after EnsureRequirements (exchanges present)
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
-        val exchanges = "Exchange".r.findAllIn(p).length
-        val nested = if (p.contains("BroadcastNestedLoopJoin")) " NESTEDLOOP" else ""
-        val cart = if (p.contains("CartesianProduct")) " CARTESIAN" else ""
-        println(f"[prof] $name%-28s exchanges=$exchanges%2d$nested$cart")
-      } catch { case e: Throwable =>
-        println(s"[prof] $name FAILED: ${e.getMessage.take(80)}")
-      }
-    }
+    t("docs.count")(docs.count())
+    import graft.functions.TextFunctions.{tokenCount, tokens}
+    val qterms = spark.createDataFrame(Retrieval.bm25Queries)
+      .toDF("query_id", "qtext")
+      .select(col("query_id"), explode(tokens(col("qtext"))).as("token"))
+      .distinct()
+    t("qterms.count")(qterms.count())
+    val tf = docs.select(col("doc_id"), tokenCount(col("text")).as("dl"),
+        col("text"))
+      .select(col("doc_id"), col("dl"),
+        explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    t("termFreqs.count")(tf.count())
+    t("termFreqs.again")(tf.count())
+    val pruned = tf.join(broadcast(qterms.select(col("token")).distinct()),
+      "token")
+    t("pruned.count")(pruned.count())
+    t("q72 full")(Retrieval.q72Bm25TopK(spark, sfDir).count())
+    t("q72 again")(Retrieval.q72Bm25TopK(spark, sfDir).count())
+    t("q73 full")(Retrieval.q73HybridRrf(spark, sfDir).count())
+    println("[prof] --- q72 executed plan ---")
+    println(Retrieval.q72Bm25TopK(spark, sfDir)
+      .queryExecution.executedPlan.toString.take(8000))
     spark.stop()
   }
 }

@@ -12,7 +12,7 @@ import graft.sources.Tables
   * lexical build is one tokenize pass, so staleness is always resolved
   * by a rebuild (see [[LexIndex]] doc). */
 final case class LexIndexMeta(
-    version: Int, n: Long, fp: Long, pfx_parts: Int)
+    version: Int, n: Long, fp: Long, pfx_parts: Int, np: Long)
 
 /** Persisted inverted index serving BM25 (q74) — the amortized
   * deployment path q72's ad-hoc scan points at, structured exactly
@@ -56,8 +56,13 @@ object LexIndex {
     * dial trades listing cost against pruning granularity. */
   val pfxParts = 32
 
-  final case class BuildInfo(dir: String, n: Long, builtNow: Boolean,
-      buildSec: Double)
+  /** `np` = posting rows in `tf/`: 0 means the corpus tokenized to
+    * NOTHING (empty, or every doc blank/null) — then the partitioned
+    * tables hold no part files and a parquet read of them cannot even
+    * infer a schema, so serving must not touch them (the q69 n=0
+    * delegate rule, lexical form). */
+  final case class BuildInfo(dir: String, n: Long, np: Long,
+      builtNow: Boolean, buildSec: Double)
 
   def dirFor(spark: SparkSession, sfDir: String): String =
     graft.Scratch.stableDir(spark, "lexidx", sfDir)
@@ -111,7 +116,7 @@ object LexIndex {
       s"lexv$formatVersion|$pfxParts")
 
   private def tokenLine(digest: String, m: LexIndexMeta): String =
-    s"$digest|${m.version}|${m.n}|${m.fp}|${m.pfx_parts}"
+    s"$digest|${m.version}|${m.n}|${m.fp}|${m.pfx_parts}|${m.np}"
 
   private def readToken(spark: SparkSession, dir: String)
       : Option[(String, LexIndexMeta)] = {
@@ -121,9 +126,9 @@ object LexIndex {
       try new String(graft.Scratch.readSmallFile(fs, p), "UTF-8").trim
       catch { case scala.util.control.NonFatal(_) => "" }
     val parts = line.split('|')
-    if (parts.length != 5) None
+    if (parts.length != 6) None
     else try Some((parts(0), LexIndexMeta(parts(1).toInt,
-      parts(2).toLong, parts(3).toLong, parts(4).toInt)))
+      parts(2).toLong, parts(3).toLong, parts(4).toInt, parts(5).toLong)))
     catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -171,6 +176,7 @@ object LexIndex {
     // a second lineage execution would re-tokenize the corpus
     val tf = graft.Materialize(
       Retrieval.termFreqs(docs).withColumn("pfx", pfxOf(col("token"))))
+    val np = tf.count() // materialized — a metadata-cheap action
     val dfTab = tf.groupBy(col("pfx"), col("token"))
       .agg(count(lit(1)).as("df"))
     val stats = Retrieval.corpusStatsLong(docs)
@@ -187,12 +193,12 @@ object LexIndex {
     dfTab.repartition(col("pfx")).write.partitionBy("pfx")
       .parquet(s"$shadow/df")
     stats.coalesce(1).write.parquet(s"$shadow/stats")
-    val m = LexIndexMeta(formatVersion, n, fp, pfxParts)
+    val m = LexIndexMeta(formatVersion, n, fp, pfxParts, np)
     writeMeta(spark, shadow, m)
     graft.sources.ParquetSink.promote(fs, sp,
       new org.apache.hadoop.fs.Path(dir))
     writeToken(spark, dir, tokenLine(stateDigest(spark, sfDir, dir), m))
-    BuildInfo(dir, n, builtNow = true,
+    BuildInfo(dir, n, np, builtNow = true,
       buildSec = (System.nanoTime() - t0) / 1e9)
   }
 
@@ -206,7 +212,7 @@ object LexIndex {
       def dialsOk(m: LexIndexMeta): Boolean =
         m.version == formatVersion && m.pfx_parts == pfxParts
       def serve(m: LexIndexMeta): BuildInfo =
-        BuildInfo(dir, m.n, builtNow = false, buildSec = 0.0)
+        BuildInfo(dir, m.n, m.np, builtNow = false, buildSec = 0.0)
       val digest = stateDigest(spark, sfDir, dir)
       readToken(spark, dir) match {
         case Some((d, tm)) if d == digest && dialsOk(tm) => serve(tm)
@@ -260,6 +266,10 @@ object LexIndex {
 
   def q74Bm25TopKIdx(spark: SparkSession, sfDir: String): DataFrame = {
     val info = ensure(spark, sfDir)
+    // np=0: nothing tokenized, no part files to serve from — the
+    // ad-hoc twin is free on a token-less corpus and identical by
+    // construction (both produce the empty result)
+    if (info.np == 0) return Retrieval.q72Bm25TopK(spark, sfDir)
     val scores = queryScores(spark, info,
       Retrieval.bm25QueryTerms(spark), excludeSelf = false)
     Retrieval.topkPerQuery(scores, col("score").cast("double"),
@@ -292,8 +302,13 @@ object LexIndex {
         explode(graft.functions.TextFunctions.tokens(col("text")))
           .as("token"))
       .distinct()
-    val lex = Retrieval.topkPerQuery(
-      queryScores(spark, lexInfo, qterms, excludeSelf = true),
+    // np=0 → the ad-hoc scorer (free on a token-less corpus, same
+    // empty leg) instead of reading part-file-less tables
+    val lexScores =
+      if (lexInfo.np == 0)
+        Retrieval.bm25Scores(docs, qterms, excludeSelf = true)
+      else queryScores(spark, lexInfo, qterms, excludeSelf = true)
+    val lex = Retrieval.topkPerQuery(lexScores,
       col("score").cast("double"), col("doc_id"),
       Retrieval.hybridLegK, "id", "score", _.cast("long"))
     val vec = IndexStore.queryIvfPq(spark, sfDir,

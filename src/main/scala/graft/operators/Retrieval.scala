@@ -107,9 +107,20 @@ object Retrieval {
   }
 
   /** (doc_id, dl, token, tf) over the corpus: one map-side-combinable
-    * shuffle; `dl` rides the key (see object doc). */
+    * shuffle; `dl` rides the key (see object doc).
+    *
+    * `dl` is computed in its OWN select BELOW the explode — putting
+    * `tokenCount` and `explode` in one select plans the dl expression
+    * in the Project ABOVE the Generate, where the full
+    * normalize+split regex re-runs once per exploded TOKEN row
+    * (~avg-dl× per doc; measured 7.8 s → 0.9 s on the sf0.1 tf build
+    * when moved below, where Generate's child evaluates once per
+    * doc). The regex is the dominant token-query cost (see
+    * TextFunctions.tokens) — never let it ride an exploded stream. */
   private[operators] def termFreqs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokenCount(col("text")).as("dl"),
+        col("text"))
+      .select(col("doc_id"), col("dl"),
         explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))

@@ -117,6 +117,26 @@ class LexIndexSpec extends SparkSpec {
       f"fused overlap $overlap%.2f under the gate floor")
   }
 
+  test("a token-less corpus (all blank/null text) builds an empty " +
+    "index and serves the empty result instead of reading " +
+    "part-file-less tables") {
+    import spark.implicits._
+    val blank = Seq((0L, ""), (1L, "   "), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val corpus = writeCorpus(blank)
+    try {
+      val info = LexIndex.ensure(spark, corpus)
+      assert(info.builtNow && info.np === 0 && info.n === 3)
+      // a partitioned parquet dir with zero part files cannot even
+      // infer a schema — the np=0 delegate must keep q74 off it
+      assert(LexIndex.q74Bm25TopKIdx(spark, corpus).collect().isEmpty)
+      assert(!LexIndex.ensure(spark, corpus).builtNow)
+    } finally {
+      deleteDir(LexIndex.dirFor(spark, corpus))
+      deleteDir(corpus)
+    }
+  }
+
   test("build refuses a duplicate-keyed corpus loudly") {
     val base = graft.sources.Tables.load(spark, sfDir, "documents")
     val dup = base.filter(col("doc_id") < 10)
