@@ -231,15 +231,6 @@ object LexIndex {
       }
     }
 
-  /** q74: q72's BM25 top-k served from the persisted index —
-    * BIT-IDENTICAL to q72 by construction (same posting/df/stats
-    * values through [[Retrieval.scoreAgainst]]'s one expression tree);
-    * Verify's twin gate enforces it on every full run. Serving reads
-    * ONLY the pfx partitions the query terms hash to (static isin
-    * pruning over the hive layout — the pfx list is collected from the
-    * literal query frame, a LocalRelation fold, before any corpus-side
-    * work), so cost is |matching postings|, independent of vocabulary
-    * and corpus breadth. */
   /** BM25 scores for `qterms` served from a VALIDATED index — the
     * query-many half of the lifecycle (one [[ensure]] buys the `info`
     * handle). The pfx prune list is collected from `qterms` first — a
@@ -264,6 +255,13 @@ object LexIndex {
     Retrieval.scoreAgainst(pruned, qterms, dfq, statsLong, excludeSelf)
   }
 
+  /** q74: q72's BM25 top-k served from the persisted index —
+    * BIT-IDENTICAL to q72 by construction (same posting/df/stats
+    * values through [[Retrieval.scoreAgainst]]'s one expression tree);
+    * Verify's twin gate enforces it on every full run. Serving cost is
+    * |matching postings|, independent of vocabulary and corpus
+    * breadth (see [[queryScores]]). Stateless driver contract →
+    * per-call [[ensure]]; session-holding callers keep the `info`. */
   def q74Bm25TopKIdx(spark: SparkSession, sfDir: String): DataFrame = {
     val info = ensure(spark, sfDir)
     // np=0: nothing tokenized, no part files to serve from — the

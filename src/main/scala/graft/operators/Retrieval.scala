@@ -182,9 +182,6 @@ object Retrieval {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rnk"),
         col("col.id").as(idName), scoreBack(col("col.score")).as(scoreName))
 
-  /** q72: BM25 top-5 documents per literal query. Output
-    * (query_id, rnk, doc_id, score) — score is the fixed-point BIGINT
-    * sum, hash-exact vs the DuckDB oracle. */
   /** The literal query set as a (query_id, token) frame — shared by
     * q72 and the index-served q74 so both tokenize identically. */
   private[operators] def bm25QueryTerms(spark: SparkSession): DataFrame =
@@ -192,6 +189,9 @@ object Retrieval {
       .select(col("query_id"),
         explode(tokens(col("qtext"))).as("token")).distinct()
 
+  /** q72: BM25 top-5 documents per literal query. Output
+    * (query_id, rnk, doc_id, score) — score is the fixed-point BIGINT
+    * sum, hash-exact vs the DuckDB oracle. */
   def q72Bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.load(spark, sfDir, "documents")
     val qterms = bm25QueryTerms(spark)
