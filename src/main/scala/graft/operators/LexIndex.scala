@@ -158,8 +158,12 @@ object LexIndex {
         fs.exists(p)
       }
       present && {
-        val s = spark.read.parquet(s"$dir/stats").head()
-        s.getLong(s.fieldIndex("n_docs")) == m.n
+        // stats rows are additive (build partial + one per append):
+        // their SUM must equal meta.n — a torn append that wrote data
+        // but no stats row, or a foreign stats table, breaks it
+        val s = spark.read.parquet(s"$dir/stats")
+          .agg(sum(col("n_docs"))).head()
+        !s.isNullAt(0) && s.getLong(0) == m.n
       }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[lexidx] integrity probe failed at $dir " +
@@ -247,11 +251,19 @@ object LexIndex {
     val pruned = spark.read.parquet(s"${info.dir}/tf")
       .filter(col("pfx").isin(pfxes: _*))
       .join(broadcast(terms), "token")
+    // df and stats are stored ADDITIVELY — the build writes one
+    // partial, each appendBatch adds another — so the read path sums.
+    // Integer sums are order-free, so a pure build (one partial) and
+    // any append history produce the SAME values as the ad-hoc
+    // computation over the grown corpus: append preserves q74's
+    // bit-identity, not just its recall (postings/df/stats are exact
+    // facts, unlike the ANN index's trained artifacts).
     val dfq = spark.read.parquet(s"${info.dir}/df")
       .filter(col("pfx").isin(pfxes: _*))
       .join(broadcast(terms), "token")
-      .select(col("token"), col("df"))
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
     val statsLong = spark.read.parquet(s"${info.dir}/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     Retrieval.scoreAgainst(pruned, qterms, dfq, statsLong, excludeSelf)
   }
 
@@ -273,6 +285,76 @@ object LexIndex {
     Retrieval.topkPerQuery(scores, col("score").cast("double"),
         col("doc_id"), Retrieval.bm25K, "doc_id", "score", _.cast("long"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  final case class AppendInfo(docs: Long, postings: Long,
+      replayed: Boolean)
+
+  /** Incremental maintenance: index `batch` (doc_id, text) rows that
+    * were JUST APPENDED to the corpus — cost ∝ batch (tokenize the
+    * batch, append its posting/df/stats partials), no rebuild, and
+    * because every persisted value is an exact additive fact (unlike
+    * the ANN index's trained artifacts) the appended index keeps
+    * serving answers BIT-IDENTICAL to a fresh rebuild on the grown
+    * corpus — append preserves the twin gate, not just a recall floor.
+    *
+    * Replay idempotence is an O(1) LEDGER, not the ANN path's
+    * distinct-id anti-join: each applied batch stamps an empty file
+    * named by its xor fingerprint under `batches/`, so a replayed
+    * micro-batch is recognized by one driver-side existence probe
+    * instead of a posting-table scan that grows with the index (the
+    * IngestCommit lesson: per-batch work must not scale with the
+    * corpus). Identical-content batches collide on the ledger by
+    * construction — and identical content means duplicate doc_ids in
+    * the corpus, which the next full validation refuses anyway.
+    *
+    * Write order (LEDGER first, then data → meta → token) is what
+    * makes every crash window heal loudly instead of serving silently
+    * wrong. The dangerous window is a crash after SOME data landed:
+    * were the ledger stamped last, the sink's replay would re-append
+    * and double the postings while producing a self-consistent meta —
+    * and then stamp a token vouching for the corruption. Ledger-first
+    * inverts it: a replay after ANY mid-append crash no-ops on the
+    * ledger probe, so the batch's partial (or absent) data is never
+    * doubled, meta.fp stays at its pre-batch value, and the next
+    * ensure's full validation sees the corpus/fp mismatch and
+    * rebuilds — a crashed append costs one rebuild, never a wrong
+    * answer. Same for a replay from before the last rebuild (the
+    * ledger resets with the dir): re-applied, detected, one rebuild —
+    * the documented trade for the O(1) probe. */
+  def appendBatch(spark: SparkSession, sfDir: String,
+      batch: DataFrame): AppendInfo = synchronized {
+    val dir = dirFor(spark, sfDir)
+    val m = readMeta(spark, dir).getOrElse(throw new IllegalStateException(
+      s"no lexical index at $dir — ensure() before appendBatch()"))
+    require(m.version == formatVersion && m.pfx_parts == pfxParts,
+      s"index at $dir was built under different dials/format " +
+        s"(meta: v${m.version}, pfx=${m.pfx_parts}) — rebuild before " +
+        "appending")
+    val (bn, bfp) = countAndFingerprint(batch)
+    if (bn == 0) return AppendInfo(0, 0, replayed = false)
+    val ledger = s"$dir/batches/${java.lang.Long.toHexString(bfp)}_$bn"
+    val (fs, lp) = graft.Scratch.fs(spark, ledger)
+    if (fs.exists(lp)) return AppendInfo(0, 0, replayed = true)
+    // ledger BEFORE data — see the ordering contract above
+    fs.mkdirs(lp.getParent)
+    fs.create(lp, true).close()
+    val tfB = graft.Materialize(
+      Retrieval.termFreqs(batch).withColumn("pfx", pfxOf(col("token"))))
+    val npB = tfB.count()
+    if (npB > 0) {
+      tfB.repartition(col("pfx")).write.mode(SaveMode.Append)
+        .partitionBy("pfx").parquet(s"$dir/tf")
+      tfB.groupBy(col("pfx"), col("token")).agg(count(lit(1)).as("df"))
+        .repartition(col("pfx")).write.mode(SaveMode.Append)
+        .partitionBy("pfx").parquet(s"$dir/df")
+    }
+    Retrieval.corpusStatsLong(batch).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$dir/stats")
+    val m2 = m.copy(n = m.n + bn, fp = m.fp ^ bfp, np = m.np + npB)
+    writeMeta(spark, dir, m2)
+    writeToken(spark, dir, tokenLine(stateDigest(spark, sfDir, dir), m2))
+    AppendInfo(bn, npB, replayed = false)
   }
 
   /** q75: q73's hybrid RRF with BOTH legs served from persisted

@@ -117,6 +117,56 @@ class LexIndexSpec extends SparkSpec {
       f"fused overlap $overlap%.2f under the gate floor")
   }
 
+  test("appendBatch: serves bit-identically to a rebuild on the grown " +
+    "corpus, replays no-op via the ledger, and a ledger-stamped " +
+    "crashed batch heals by one loud rebuild, never a double-append") {
+    val base = graft.sources.Tables.load(spark, sfDir, "documents")
+    val corpus = writeCorpus(base.filter(col("doc_id") < 300))
+    val idxDir = LexIndex.dirFor(spark, corpus)
+    try {
+      assert(LexIndex.ensure(spark, corpus).builtNow)
+      // grow the corpus, then index the same rows incrementally
+      val batch = base.filter(col("doc_id") >= 300 && col("doc_id") < 340)
+      batch.write.mode("append").parquet(s"$corpus/documents.parquet")
+      val info = LexIndex.appendBatch(spark, corpus, batch)
+      assert(info.docs === 40 && info.postings > 0 && !info.replayed)
+      // the appended index is CURRENT (xor fp caught up with the
+      // corpus): ensure serves without a rebuild
+      val served = LexIndex.ensure(spark, corpus)
+      assert(!served.builtNow && served.n === 340)
+      // replay: recognized by the ledger, zero work
+      val r = LexIndex.appendBatch(spark, corpus, batch)
+      assert(r.replayed && r.docs === 0)
+      // bit-identity under appends: q74 from the appended index equals
+      // q74 from a from-scratch rebuild on the same grown corpus
+      val appended = rows(LexIndex.q74Bm25TopKIdx(spark, corpus))
+      deleteDir(idxDir)
+      val rebuilt = rows(LexIndex.q74Bm25TopKIdx(spark, corpus))
+      assert(appended === rebuilt)
+      // crash window: an append that stamped its ledger and then died
+      // before (or during) the data writes. Forge the post-crash
+      // state — ledger entry present, nothing else — and replay: the
+      // replay must NO-OP (never double partial data), and the next
+      // ensure must see the corpus/fp mismatch and rebuild loudly
+      val batch2 = base.filter(col("doc_id") >= 340 && col("doc_id") < 360)
+      batch2.write.mode("append").parquet(s"$corpus/documents.parquet")
+      val bmeta = batch2.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(doc_id, text))")).head()
+      val forged = s"$idxDir/batches/" +
+        s"${java.lang.Long.toHexString(bmeta.getLong(1))}_${bmeta.getLong(0)}"
+      val (ffs, fp_) = graft.Scratch.fs(spark, forged)
+      ffs.mkdirs(fp_.getParent); ffs.create(fp_, true).close()
+      assert(LexIndex.appendBatch(spark, corpus, batch2).replayed,
+        "a ledger-stamped crashed batch must not re-append")
+      val healed = LexIndex.ensure(spark, corpus)
+      assert(healed.builtNow && healed.n === 360)
+      assert(rows(LexIndex.q74Bm25TopKIdx(spark, corpus)).nonEmpty)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
   test("a token-less corpus (all blank/null text) builds an empty " +
     "index and serves the empty result instead of reading " +
     "part-file-less tables") {
