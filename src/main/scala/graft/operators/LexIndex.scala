@@ -357,6 +357,52 @@ object LexIndex {
     AppendInfo(bn, npB, replayed = false)
   }
 
+  /** Consolidate append debris: one file per pfx dir again, df
+    * partials merged back to one row per term, stats partials to one
+    * row — CONTENT-PRESERVING per table (the read path sums partials,
+    * and a merged partial sums to the same longs), so q74's answers
+    * are bit-unchanged and a crash between the per-table swaps leaves
+    * every table independently correct (the stale token just forces
+    * one full validation). The `batches/` ledger is kept — it resets
+    * with the next rebuild, which bounds its size by the rebuild
+    * cadence. @return (part files before, after) */
+  def compact(spark: SparkSession, sfDir: String): (Int, Int) =
+    synchronized {
+      val dir = dirFor(spark, sfDir)
+      val m = readMeta(spark, dir).getOrElse(return (0, 0))
+      if (m.np == 0) return (0, 0)
+      def files(): Int = {
+        val (fs, p) = graft.Scratch.fs(spark, dir)
+        graft.Scratch.walkFiles(fs, p).count { s =>
+          val nm = s.getPath.getName
+          nm.endsWith(".parquet") && !nm.startsWith("_") && !nm.startsWith(".")
+        }
+      }
+      val before = files()
+      def rewrite(sub: String, transform: DataFrame => DataFrame,
+          partitioned: Boolean): Unit = {
+        val path = s"$dir/$sub"
+        val (fs, _) = graft.Scratch.fs(spark, path)
+        val shadow = new org.apache.hadoop.fs.Path(path + "__compact")
+        val w = transform(spark.read.parquet(path))
+        val writer =
+          if (partitioned)
+            w.repartition(col("pfx")).write.mode(SaveMode.Overwrite)
+              .partitionBy("pfx")
+          else w.coalesce(1).write.mode(SaveMode.Overwrite)
+        writer.parquet(shadow.toString)
+        graft.sources.ParquetSink.swapInto(fs, shadow,
+          new org.apache.hadoop.fs.Path(path))
+      }
+      rewrite("tf", identity, partitioned = true)
+      rewrite("df", _.groupBy(col("pfx"), col("token"))
+        .agg(sum(col("df")).as("df")), partitioned = true)
+      rewrite("stats", _.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_dl")).as("sum_dl")), partitioned = false)
+      writeToken(spark, dir, tokenLine(stateDigest(spark, sfDir, dir), m))
+      (before, files())
+    }
+
   /** q75: q73's hybrid RRF with BOTH legs served from persisted
     * indexes — the deployment shape of hybrid search (a standing
     * lexical index + a standing ANN index, per-query cost = pruned

@@ -167,6 +167,35 @@ class LexIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact: merges append partials content-preservingly — q74 " +
+    "bit-unchanged, fewer part files, df back to one row per term") {
+    val base = graft.sources.Tables.load(spark, sfDir, "documents")
+    val corpus = writeCorpus(base.filter(col("doc_id") < 200))
+    val idxDir = LexIndex.dirFor(spark, corpus)
+    try {
+      assert(LexIndex.ensure(spark, corpus).builtNow)
+      Seq((200L, 260L), (260L, 300L)).foreach { case (lo, hi) =>
+        val b = base.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        b.write.mode("append").parquet(s"$corpus/documents.parquet")
+        assert(!LexIndex.appendBatch(spark, corpus, b).replayed)
+      }
+      val want = rows(LexIndex.q74Bm25TopKIdx(spark, corpus))
+      val (before, after) = LexIndex.compact(spark, corpus)
+      assert(after < before, s"no consolidation ($before -> $after)")
+      assert(rows(LexIndex.q74Bm25TopKIdx(spark, corpus)) === want)
+      // df partials merged: at most one row per term again
+      val dups = spark.read.parquet(s"$idxDir/df")
+        .groupBy(col("token")).count().filter(col("count") > 1)
+      assert(dups.isEmpty, "df still carries unmerged partials")
+      assert(spark.read.parquet(s"$idxDir/stats").count() === 1)
+      // the re-stamped token keeps the index serving without rebuild
+      assert(!LexIndex.ensure(spark, corpus).builtNow)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
   test("a token-less corpus (all blank/null text) builds an empty " +
     "index and serves the empty result instead of reading " +
     "part-file-less tables") {
