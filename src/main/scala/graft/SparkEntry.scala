@@ -99,6 +99,9 @@ object SparkEntry {
     // DuckDB cannot reproduce an index); gated on fused-overlap vs the
     // exact q73 dump instead (Verify.hybridGate)
     "q75_hybrid_rrf_idx"   -> (graft.operators.LexIndex.q75HybridRrfIdx _),
+    // no SQL oracle (approximate index probe); gated on rejected-id
+    // recall vs the exact batch-vs-corpus screen (Verify.screenGate)
+    "q76_ingest_screen"    -> (graft.operators.IngestScreen.q76IngestScreen _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

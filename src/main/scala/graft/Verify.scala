@@ -69,6 +69,19 @@ object Verify {
   val hybridExact = "q73_hybrid_rrf"
   val hybridFloor = 0.65
 
+  /** q76 (index-backed ingest screen) is gated on REJECTED-ID recall
+    * against the exact batch-vs-corpus screen: of the batch vectors
+    * the exact screen rejects (a corpus partner at cosine ≥
+    * threshold), the floored fraction must be rejected by the index
+    * path too. The converse is exact by construction (every index
+    * reject is exact-cosine verified in-join), so a batch row rejected
+    * by q76 but kept by the exact screen is recorded as recall −1 —
+    * dump/index corruption, never a soft miss. Floor from the measured
+    * one-directional characteristic at np=24 across the fixture
+    * corpora (see IngestScreenSpec). */
+  val screenIdx = "q76_ingest_screen"
+  val screenFloor = 0.80
+
   final case class AnnGate(recall: Double, floor: Double) {
     def pass: Boolean = recall >= floor
   }
@@ -200,14 +213,61 @@ object Verify {
     Some(dedupIdx -> AnnGate(recall, dedupFloor))
   }
 
+  /** Rejected-id recall of the q76 dump vs the exact batch-vs-corpus
+    * screen (always computed live — the exact screen has no dump of
+    * its own). Same isolation/deletion discipline as [[dedupGate]]. */
+  private def screenGate(spark: SparkSession, sfDir: String,
+      outDir: String, selected: Set[String]): Option[(String, AnnGate)] = {
+    if (!selected.contains(screenIdx)) return None
+    val dumpDir = new java.io.File(s"$outDir/$screenIdx")
+    if (!dumpDir.exists()) return None
+    def ids(df: DataFrame): Set[Long] =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val admitted =
+      try ids(spark.read.parquet(dumpDir.toString))
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] $screenIdx dump unreadable, recall skipped: " +
+            e.getMessage)
+        return None
+      }
+    val (exactRejected, batchIds) =
+      try (ids(operators.IngestScreen.exactRejects(spark, sfDir)),
+        ids(sources.Tables.load(spark, sfDir, "embeddings")
+          .filter(operators.IngestScreen.batchPred).select("vec_id")))
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] $screenIdx recall baseline (exact screen) " +
+            s"failed: ${e.getMessage}; deleting its dump — " +
+            "unverifiable recall is not a pass")
+        deleteOrDie(dumpDir)
+        return None
+      }
+    val annRejected = batchIds -- admitted
+    val falseRejects = annRejected -- exactRejected
+    val recall =
+      if (falseRejects.nonEmpty) {
+        System.err.println(s"[verify] $screenIdx rejected " +
+          s"${falseRejects.size} batch vector(s) the exact screen " +
+          s"keeps (e.g. ${falseRejects.take(3).mkString(", ")}) — the " +
+          "verify stage is exact, so this is dump/index corruption")
+        -1.0
+      }
+      else if (exactRejected.isEmpty) 1.0
+      else (exactRejected & annRejected).size.toDouble / exactRejected.size
+    Some(screenIdx -> AnnGate(recall, screenFloor))
+  }
+
   def annRecallGate(spark: SparkSession, sfDir: String, outDir: String,
       names: Iterable[String]): Map[String, AnnGate] = {
     val selected = names.toSet
     val dedupEntry = dedupGate(spark, sfDir, outDir, selected)
     val hybridEntry = hybridGate(spark, sfDir, outDir, selected)
+    val screenEntry = screenGate(spark, sfDir, outDir, selected)
     val gated =
       selected.filter(n => annFloors.contains(n) || n == annResidual).toSeq
-    if (gated.isEmpty) return (dedupEntry ++ hybridEntry).toMap
+    if (gated.isEmpty)
+      return (dedupEntry ++ hybridEntry ++ screenEntry).toMap
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -271,7 +331,8 @@ object Verify {
           None
         }
       }
-    (staticEntries ++ residualEntry ++ dedupEntry ++ hybridEntry).toMap
+    (staticEntries ++ residualEntry ++ dedupEntry ++ hybridEntry ++
+      screenEntry).toMap
   }
 
   /** Persisted-index twins: each maps to the in-query variant it must
@@ -395,7 +456,8 @@ object Verify {
     // run's ann_recall.json must not survive a failed or empty gate to
     // impersonate this run's measurements
     if (names.exists(n =>
-        annFloors.contains(n) || n == annResidual || n == dedupIdx))
+        annFloors.contains(n) || n == annResidual || n == dedupIdx ||
+          n == screenIdx))
       try Files.deleteIfExists(Paths.get(s"$outDir/ann_recall.json"))
       catch { case _: Throwable => () }
     val gates =
@@ -410,7 +472,8 @@ object Verify {
           s"[verify] ann recall gate itself failed (${e.getMessage}); " +
             "deleting gated dumps — unverifiable recall is not a pass")
         names.filter(n =>
-            annFloors.contains(n) || n == annResidual || n == dedupIdx)
+            annFloors.contains(n) || n == annResidual || n == dedupIdx ||
+              n == screenIdx)
           .foreach(n => deleteOrDie(new java.io.File(s"$outDir/$n")))
         return Map.empty
       }

@@ -217,7 +217,7 @@ object IndexStore {
 
   // --- meta ------------------------------------------------------------------
 
-  private def readMeta(spark: SparkSession, dir: String)
+  private[operators] def readMeta(spark: SparkSession, dir: String)
       : Option[AnnIndexMeta] = {
     val (fs, p) = graft.Scratch.fs(spark, s"$dir/meta")
     if (!fs.exists(p)) None
@@ -829,7 +829,7 @@ object IndexStore {
   /** Disk partition columns come back as the inferred partition type;
     * pin `cell` to its written long so downstream joins/broadcasts see
     * the build-time schema. */
-  private def readCodes(spark: SparkSession, path: String): DataFrame =
+  private[operators] def readCodes(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).withColumn("cell", col("cell").cast("long"))
 
   /** IVF×PQ top-k served from a VALIDATED index — the query-many half

@@ -99,14 +99,23 @@ object Similarity {
     * Cosine stays bit-identical under operand swap (per-element
     * products commute, the fold order over positions is unchanged), so
     * emitting pairs as (least, greatest) matches the oracle hash. */
-  def q34CosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val b = pairBlocks
+  def q34CosinePairs(spark: SparkSession, sfDir: String): DataFrame =
     // validNorm like q35 and every ANN path: a zero-norm vector's
     // cosine is NaN (0/0), which Spark's `>= threshold` accepts (NaN
     // ranks above every value) while the oracle's NULL drops — one
     // zero vector would otherwise pair with EVERYTHING here, and q45
     // built on these pairs would then drop every higher-id vector
-    val e = prepped(spark, sfDir).filter(validNorm)
+    exactPairs(prepped(spark, sfDir).filter(validNorm))
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** The body of [[q34CosinePairs]] over an arbitrary (vec_id, v, nrm)
+    * frame (already validNorm-filtered): all pairs at cosine ≥
+    * [[pairThreshold]], unordered. One definition, so every exact
+    * screen (q34/q45, the ingest stream's within-batch dedup) shares
+    * the same pair semantics. */
+  private[operators] def exactPairs(in: DataFrame): DataFrame = {
+    val b = pairBlocks
+    val e = in
       .withColumn("g", pmod(xxhash64(col("vec_id")), lit(b)).cast("int"))
     val lhs = e.select(col("vec_id").as("id_l"), col("v").as("vl"),
       col("nrm").as("nl"), col("g").as("gl"),
@@ -125,7 +134,6 @@ object Similarity {
         (dotD(col("vl"), col("vr")) / (col("nl") * col("nr")))
           .as("cosine"))
       .filter(col("cosine") >= pairThreshold)
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** q45: embedding-cosine near-duplicate DEDUP — survivors after

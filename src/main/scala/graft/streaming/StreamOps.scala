@@ -474,6 +474,97 @@ object StreamOps {
       ()
     }
 
+  /** Streaming vector ingest WITH the semantic near-dup screen —
+    * [[vectorIngestStream]] plus [[graft.operators.IngestScreen]]
+    * before admission: every micro-batch is (1) screened against the
+    * STANDING corpus through the persisted index + cell-partitioned
+    * veclists (cost ∝ batch — probes broadcast, lists scan
+    * partition-pruned to the probed cells), (2) exact-screened against
+    * ITSELF (bounded |batch|² block join, q45's keeper rule), and only
+    * the survivors are indexed and appended. This is the SemDeDup-at-
+    * ingest operator: the corpus never accumulates near-duplicates,
+    * and the screen's cost never scales with the corpus it protects.
+    *
+    * Error model: rejection is EXACT (in-join cosine verify); a missed
+    * corpus partner (outside the probed cells) admits a near-dup the
+    * exact screen would have caught — one-sided, floored by the q76
+    * gate's measured recall. Within-batch screening is fully exact.
+    *
+    * Delivery: same effectively-once construction as
+    * [[vectorIngestStream]] (corpus anti-join + appendBatch's index
+    * anti-join + appendLists' cell-pruned anti-join), with one extra
+    * property doing quiet work: because admitted rows are MUTUALLY
+    * non-duplicate (the exact within-batch screen), a replayed corpus
+    * screen that finds the crashed attempt's rows already in the
+    * lists can never reject a row the first attempt admitted — the
+    * admitted set is replay-deterministic. Write order: index, lists,
+    * corpus — each crash window either replays to the same state or
+    * surfaces as a lists-marker mismatch that [[graft.operators
+    * .IngestScreen.ensureLists]] heals by rebuild. */
+  def screenedVectorIngestStream(vecs: DataFrame, corpusDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      import graft.operators.{IndexStore, IngestScreen}
+      val spark = batch.sparkSession
+      val table = s"$corpusDir/embeddings.parquet"
+      val idxDir = IndexStore.dirFor(spark, corpusDir)
+      val b = batch.dropDuplicates("vec_id")
+      val (fs, marker) = graft.Scratch.fs(spark, s"$table/_SUCCESS")
+      if (b.isEmpty) {
+        // same empty-batch rule as the unscreened sink: never bootstrap
+        // on a schema-bearing-file-less zero-row corpus write
+        ()
+      } else if (!fs.exists(marker)) {
+        // bootstrap: the first batch screens only against itself
+        val admitted = b.join(IngestScreen.withinBatchDrops(b),
+          Seq("vec_id"), "left_anti")
+        admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(table)
+        val info = IndexStore.ensure(spark, corpusDir)
+        IngestScreen.ensureLists(spark, corpusDir, info)
+      } else {
+        if (!IndexStore.hasIndex(spark, idxDir))
+          IndexStore.ensure(spark, corpusDir) // crashed bootstrap replay
+        val corpusIds = spark.read.parquet(table).select("vec_id")
+        val fresh = graft.Materialize(
+          b.join(corpusIds, Seq("vec_id"), "left_anti"))
+        if (!fresh.isEmpty) {
+          // cheap when nothing changed (validation token); rebuilds the
+          // lists only when a crash left them behind the index
+          val info = IndexStore.ensure(spark, corpusDir)
+          IngestScreen.ensureLists(spark, corpusDir, info)
+          // n=0: nothing indexed yet (an all-invalid bootstrap corpus)
+          // — no cells to probe; the corpus screen is vacuous and
+          // appendBatch's n=0 guard governs, same as the unscreened sink
+          val corpusRejects =
+            if (info.n == 0) fresh.select(col("vec_id")).limit(0)
+            else IngestScreen.screenBatch(spark, corpusDir, info, fresh)
+          val afterCorpus = fresh.join(
+            graft.Materialize(corpusRejects), Seq("vec_id"), "left_anti")
+          val admitted = graft.Materialize(
+            afterCorpus.join(IngestScreen.withinBatchDrops(afterCorpus),
+              Seq("vec_id"), "left_anti"))
+          if (!admitted.isEmpty) {
+            try IndexStore.appendBatch(spark, idxDir, admitted)
+            catch {
+              case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
+                // same rebuild-once contract as the unscreened sink:
+                // dial-mismatched or torn-beyond-repair indexes pay one
+                // ensure() instead of crash-looping the replay
+                System.err.println(s"[vecingest] appendBatch refused " +
+                  s"(${e.getMessage}); rebuilding index once and retrying")
+                IndexStore.ensure(spark, corpusDir)
+                IndexStore.appendBatch(spark, idxDir, admitted)
+            }
+            IngestScreen.appendLists(spark, corpusDir, admitted)
+            admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(table)
+          }
+        }
+      }
+      ()
+    }
+
   final case class UserEvent(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long,

@@ -517,4 +517,83 @@ class StreamOpsSpec extends SparkSpec {
       assert(after === Seq(1L, 10L, 11L))
     } finally q.stop()
   }
+
+  test("screened vector ingest: corpus near-dups are rejected through " +
+    "the index, within-batch dups keep the lowest id, replay is a " +
+    "no-op, and index/lists/corpus stay in lockstep") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.{IndexStore, IngestScreen}
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    def slice(lo: Long, hi: Long): Seq[(Long, Array[Float])] =
+      all.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .as[(Long, Array[Float])].collect().toSeq
+    // a near-dup twin: same direction, tiny perturbation — cosine ≈ 1,
+    // far above the 0.42 threshold
+    def twin(of: (Long, Array[Float]), id: Long): (Long, Array[Float]) =
+      (id, of._2.map(x => x * 1.001f + 0.0001f))
+    val boot = slice(0, 200)
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_vec_screen").toString + "/corpus"
+    val idxDir = IndexStore.dirFor(spark, corpusDir)
+    val listsDir = IngestScreen.listsDir(spark, corpusDir)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.screenedVectorIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), corpusDir)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_vec_screen_ckpt").toString)
+      .start()
+    try {
+      // bootstrap carries a within-batch dup pair (900001 twins
+      // 900000): the lower id is admitted, the higher dropped
+      val fresh0 = slice(200, 210)
+        .map { case (id, v) => (id + 899800L, v) } // 900000..900009
+      ms.addData(boot ++ fresh0 :+ twin(fresh0.head, 900900L))
+      q.processAllAvailable()
+      val table = s"$corpusDir/embeddings.parquet"
+      def ids(): Set[Long] = spark.read.parquet(table)
+        .select("vec_id").as[Long].collect().toSet
+      val afterBoot = ids()
+      assert(!afterBoot.contains(900900L),
+        "within-batch near-dup (higher id) must be dropped at bootstrap")
+      assert(afterBoot.contains(900000L))
+      // growth batch: one corpus near-dup (twin of an admitted boot
+      // vector — must be REJECTED through the index screen), one
+      // genuinely new vector, plus a replay of the whole batch
+      val newcomer = slice(210, 211).map { case (id, v) => (id + 899800L, v) }
+      val b1 = Seq(twin(boot.head, 910000L)) ++ newcomer
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b1); q.processAllAvailable() // replay → no-op
+      val afterB1 = ids()
+      assert(!afterB1.contains(910000L),
+        "a near-dup of a standing corpus vector must be rejected")
+      assert(afterB1.contains(newcomer.head._1))
+      assert(afterB1.size === afterBoot.size + 1)
+      // lockstep: index and lists validate with no rebuild, and the
+      // lists hold exactly the corpus's indexable ids
+      val info = IndexStore.ensure(spark, corpusDir)
+      assert(!info.builtNow)
+      assert(IngestScreen.ensureLists(spark, corpusDir, info) == 0.0,
+        "append-maintained lists must validate after the stream")
+      val listed = spark.read.parquet(s"$listsDir/lists")
+        .select("vec_id").as[Long].collect().toSet
+      // indexable = finite positive norm (the fixture carries a few
+      // deliberately poisoned vectors, which index/lists exclude by rule)
+      val indexable = spark.read.parquet(table)
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+        .collect()
+        .filter { case (_, v) =>
+          val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+          n > 0 && !n.isNaN && !n.isInfinity
+        }.map(_._1).toSet
+      assert(listed === indexable,
+        "lists must hold exactly the admitted indexable corpus vectors")
+    } finally {
+      q.stop()
+      Seq(idxDir, listsDir).foreach { d =>
+        val (fs, p) = graft.Scratch.fs(spark, d)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
+  }
 }
