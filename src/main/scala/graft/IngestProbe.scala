@@ -106,6 +106,46 @@ object IngestProbe {
       }
     }
 
+    /** Screened vector path: [[graft.streaming.StreamOps
+      * .screenedVectorIngestStream]] — vecScale's shape plus the
+      * semantic screen (probe + cell-pruned lists verify + exact
+      * within-batch pass) and the veclists append. Batch content is
+      * fresh (negated+shifted → cosine −1 vs the corpus), so every
+      * batch pays screen AND full admission — the claim under test is
+      * that the screen's lists reads stay pruned to the probed cells
+      * and per-batch cost stays ∝ batch. */
+    def svecScale(label: String, srcDir: String): ScaleRun = {
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory(s"ingestprobe_svec_$label").toString + "/c"
+      val idxDir = operators.IndexStore.dirFor(spark, corpusDir)
+      val vlDir = operators.IngestScreen.listsDir(spark, corpusDir)
+      val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      val batchSize = 1000
+      val batchData = (0 until nBatches).map { i =>
+        src.take(batchSize).map { case (id, emb) =>
+          (id + 10000000L + i.toLong * batchSize,
+            emb.map(x => -x - 0.001f * (i + 1)))
+        }.toSeq
+      }
+      val ms = MemoryStream[(Long, Array[Float])]
+      val q = streaming.StreamOps.screenedVectorIngestStream(
+          ms.toDF().toDF("vec_id", "embedding"), corpusDir)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory(s"ip_svec_ckpt_$label").toString)
+        .start()
+      try {
+        val boot = timed { ms.addData(src.toSeq); q.processAllAvailable() }
+        val batchSecs = batchData.map { b =>
+          timed { ms.addData(b); q.processAllAvailable() }
+        }
+        ScaleRun(label, src.length.toLong, boot, batchSecs)
+      } finally {
+        q.stop()
+        deleteDir(idxDir); deleteDir(vlDir); deleteDir(corpusDir)
+      }
+    }
+
     /** Docs path: bootstrap = corpus + shingle/band index build; then
       * fixed 200-doc batches whose tokens live in a per-batch
       * namespace (no shingle overlap with the corpus → admitted, full
@@ -143,12 +183,15 @@ object IngestProbe {
     }
 
     val vecRuns = scales.map { case (l, d) => vecScale(l, d) }
+    val svecRuns = scales.map { case (l, d) => svecScale(l, d) }
     val docRuns = scales.map { case (l, d) => docScale(l, d) }
     def fmtExp(e: Double): String = if (e.isNaN) "null" else f3(e)
     println(s"""{"metric":"ingestprobe","batches":$nBatches,""" +
       s""""vec":[${vecRuns.map(_.json).mkString(",")}],""" +
+      s""""svec":[${svecRuns.map(_.json).mkString(",")}],""" +
       s""""docs":[${docRuns.map(_.json).mkString(",")}],""" +
       s""""exponent":{"vec":${fmtExp(exponent(vecRuns))},""" +
+      s""""svec":${fmtExp(exponent(svecRuns))},""" +
       s""""docs":${fmtExp(exponent(docRuns))}}}""")
     spark.stop()
   }

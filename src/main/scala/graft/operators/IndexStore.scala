@@ -674,6 +674,21 @@ object IndexStore {
     fs.exists(p)
   }
 
+  /** [[BuildInfo]] from the persisted meta ALONE — NO freshness
+    * validation and no rebuild, for callers that own freshness
+    * themselves (the streaming ingest sinks: they are the only writer
+    * of both corpus and index, so the meta row is authoritative
+    * between their own appends). A stateless caller must use
+    * [[ensure]] instead — meta alone cannot see a changed corpus, and
+    * an n that drifted past its built nl would never retrain here
+    * (that is [[RebuildPolicy]]'s job on the maintained path). None
+    * when no readable index exists. */
+  def infoFromMeta(spark: SparkSession, sfDir: String): Option[BuildInfo] = {
+    val dir = dirFor(spark, sfDir)
+    readMeta(spark, dir).map(m =>
+      BuildInfo(dir, m.n, m.nl, builtNow = false, buildSec = 0.0))
+  }
+
   /** Rows added by [[appendBatch]] since the last full build (0 = pure
     * build; None = no readable meta). Verify's twin-identity gate
     * reads this: bit-identity with the in-query twin is promised only

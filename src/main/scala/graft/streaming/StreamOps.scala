@@ -529,9 +529,16 @@ object StreamOps {
         val fresh = graft.Materialize(
           b.join(corpusIds, Seq("vec_id"), "left_anti"))
         if (!fresh.isEmpty) {
-          // cheap when nothing changed (validation token); rebuilds the
-          // lists only when a crash left them behind the index
-          val info = IndexStore.ensure(spark, corpusDir)
+          // meta-only info, NOT ensure(): this sink is the index's only
+          // writer, so the meta row is authoritative between its own
+          // appends — and a per-batch ensure would hit the stateless
+          // freshness rule (nl == nlistFor(n)) after appends grow n,
+          // RETRAINING the index mid-stream every few batches (measured:
+          // 12 s spikes at the probe corpus). Retrain cadence belongs to
+          // RebuildPolicy on the maintained path, exactly like the
+          // unscreened sink.
+          val info = IndexStore.infoFromMeta(spark, corpusDir).getOrElse(
+            IndexStore.ensure(spark, corpusDir))
           IngestScreen.ensureLists(spark, corpusDir, info)
           // n=0: nothing indexed yet (an all-invalid bootstrap corpus)
           // — no cells to probe; the corpus screen is vacuous and
