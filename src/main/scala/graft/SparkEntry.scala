@@ -102,6 +102,7 @@ object SparkEntry {
     // no SQL oracle (approximate index probe); gated on rejected-id
     // recall vs the exact batch-vs-corpus screen (Verify.screenGate)
     "q76_ingest_screen"    -> (graft.operators.IngestScreen.q76IngestScreen _),
+    "q77_cluster_keeper"   -> (Dedup.q77ClusterKeeper _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -718,6 +719,40 @@ object SparkEntry {
         |SELECT doc_id, cluster_id,
         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
         |FROM c ORDER BY doc_id""".stripMargin,
+    "q77_cluster_keeper" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |e AS (SELECT doc_id, unnest(s) AS sg FROM shx),
+        |sz AS (SELECT doc_id, len(s) AS n FROM shx),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+        |  FROM e a JOIN e b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pr AS (SELECT doc_a, doc_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = doc_a
+        |  JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.5),
+        |ed AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        |  UNION ALL SELECT doc_b, doc_a FROM pr),
+        |reach(v, r) AS (
+        |  SELECT a, a FROM ed
+        |  UNION
+        |  SELECT ed.a, reach.r FROM ed JOIN reach ON ed.b = reach.v),
+        |c AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v),
+        |q AS (SELECT doc_id,
+        |    CAST(len($toksSql) AS INT) AS tok_cnt,
+        |    CAST(len(list_filter($toksSql, t -> t IN ('a','the','and','of','in'))) AS DOUBLE)
+        |      /NULLIF(len($toksSql), 0) AS stop_ratio
+        |  FROM documents),
+        |s AS (SELECT c.doc_id, c.cluster_id,
+        |    CAST(tok_cnt AS DOUBLE)*(1.0 - stop_ratio) AS score
+        |  FROM c JOIN q ON c.doc_id = q.doc_id),
+        |k AS (SELECT cluster_id, doc_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |      ORDER BY score DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY cluster_id) AS nm
+        |  FROM s)
+        |SELECT cluster_id, doc_id AS kept_id, score AS kept_score,
+        |  CAST(nm AS BIGINT) AS n_members
+        |FROM k WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "q51_quantize_embed" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT label,

@@ -878,6 +878,49 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q77: QUALITY-keeper cluster clean — one kept representative per
+    * near-dup cluster, chosen by q21's quality score instead of q50's
+    * canonical min-id. This is the selection rule production corpus
+    * cleans actually run (FineWeb/Gopher-style: among near-duplicates,
+    * keep the best document, not the lowest-numbered one): clusters
+    * are q50's exact-verified MinHash components, the score is q21's
+    * tok_cnt × (1 − stop_ratio) — per-row double trees, bit-portable
+    * against the oracle — and ties break to the LOWEST doc_id.
+    *
+    * Scale shape: the labels come from the O(log n) alternating-star
+    * CC; scoring touches only CLUSTERED docs (inner join prunes the
+    * corpus scan to cluster members); the keeper is ONE map-side-
+    * combinable `max_by` aggregate with the tie-break encoded in its
+    * ordering key — no window over cluster_id (dedup graphs have
+    * exactly the mega-cluster skew that funnels a window partition
+    * into one task; same argument as [[exactDedup]]'s keeper and
+    * q50's sizes).
+    *
+    * Clustered docs always score non-NULL: membership requires a
+    * shingle (≥ [[graft.functions.TextFunctions]] shingle width
+    * tokens), so tok_cnt ≥ 1 and the NULLIF guard never fires — the
+    * max_by ordering never compares a NULL score. */
+  def q77ClusterKeeper(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = nearDupPairs(shingled(spark, sfDir), 0.5)
+    val labels = materialize(connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .select(col("vtx").as("doc_id"), col("comp").as("cluster_id")))
+    val scored = Tables.load(spark, sfDir, "documents")
+      .join(labels, Seq("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("cluster_id"),
+        (when(col("toks").isNotNull, size(col("toks"))).cast("double") *
+          (lit(1.0) - wordRatio(col("toks"), TextAnalysis.stopwords)))
+          .as("score"))
+    scored.groupBy(col("cluster_id"))
+      .agg(
+        max_by(struct(col("doc_id"), col("score")),
+          struct(col("score"), (-col("doc_id")).as("nid"))).as("k"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("k.doc_id").as("kept_id"),
+        col("k.score").as("kept_score"), col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Words per sub-document segment for [[q63SegmentDedup]]. */
   val segmentWords = 8
 

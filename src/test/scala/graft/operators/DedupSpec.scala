@@ -115,6 +115,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q77 keeps the max-quality member of every q50 cluster, " +
+    "tie-broken to the lowest doc_id") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // reference keeper via a window rank — the shape q77 deliberately
+    // avoids at scale, which makes it the right independent oracle here
+    val labels = Dedup.q50DedupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"))
+    val scored = graft.sources.Tables.load(spark, sfDir, "documents")
+      .join(labels, Seq("doc_id"))
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("text")))
+      .select(col("doc_id"), col("cluster_id"),
+        (when(col("toks").isNotNull, size(col("toks"))).cast("double") *
+          (lit(1.0) - graft.functions.TextFunctions.wordRatio(col("toks"),
+            TextAnalysis.stopwords))).as("score"))
+    val want = scored
+      .withColumn("rn", row_number().over(Window.partitionBy("cluster_id")
+        .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("score"))
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Dedup.q77ClusterKeeper(spark, sfDir)
+      .select(col("cluster_id"), col("kept_id"), col("kept_score"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty && got === want)
+    // and the keeper is a genuine member with cluster-max score
+    val byCluster = scored.as[(Long, Long, Double)].collect()
+      .groupBy(_._2)
+    got.foreach { case (cid, kept, ks) =>
+      val members = byCluster(cid)
+      assert(members.exists(_._1 == kept))
+      assert(members.forall(_._3 <= ks))
+    }
+  }
+
   test("star CC equals propagation CC on fuzzed graphs and chains") {
     import spark.implicits._
     val rng = new scala.util.Random(7)

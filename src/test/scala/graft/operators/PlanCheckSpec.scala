@@ -172,6 +172,9 @@ class PlanCheckSpec extends SparkSpec {
       "q30" -> Dedup.q30ExactDedup(spark, sfDir),
       "q23" -> TextAnalysis.q23Fingerprint(spark, sfDir),
       "q50" -> Dedup.q50DedupClusters(spark, sfDir),
+      // q77 keys its keeper on cluster_id too — the max_by + count
+      // aggregate must never regress to a rank window
+      "q77" -> Dedup.q77ClusterKeeper(spark, sfDir),
       "q63" -> Dedup.q63SegmentDedup(spark, sfDir)).foreach {
       case (name, df) =>
         val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
