@@ -47,7 +47,12 @@ object ScaleProbe {
     // q69-q71 — run 1 carries the lexical index build, later runs
     // isolate the pruned-partition serving cost
     "q72_bm25_topk", "q73_hybrid_rrf", "q74_bm25_topk_idx",
-    "q75_hybrid_rrf_idx")
+    "q75_hybrid_rrf_idx",
+    // ingest screen: run 1 carries ensure + the veclists build; later
+    // runs isolate the screen (probes ∝ batch slice, lists reads
+    // pruned to probed cells). q77 composes q50's CC with the q21
+    // score — expect ~q50's scaling plus one aggregate
+    "q76_ingest_screen", "q77_cluster_keeper")
 
   def main(args: Array[String]): Unit = {
     // same loud-typo rule as Verify.main: a misspelled (or renamed)
