@@ -144,8 +144,14 @@ object IngestScreen {
     // carry GHOST rows that would phantom-reject future near-dups of
     // vectors that never entered the corpus. Presence → rebuild.
     val (fs, pending) = graft.Scratch.fs(spark, s"$dir/$pendingName")
+    // existence probe (driver-side, no job): a foreign deletion of the
+    // data dir under a surviving marker must rebuild here, not serve
+    // and then fail the screen's read with a bare missing-path error
+    def dataIntact(vm: VecListsMeta): Boolean =
+      vm.n == 0 || fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lists"))
     readListsMeta(spark, dir) match {
-      case Some(vm) if listsCurrent(vm, m) && !fs.exists(pending) => 0.0
+      case Some(vm) if listsCurrent(vm, m) && dataIntact(vm) &&
+          !fs.exists(pending) => 0.0
       case _ =>
         val t0 = System.nanoTime()
         rebuildLists(spark, sfDir, info, m)
@@ -325,17 +331,29 @@ object IngestScreen {
     * lists scan partition-pruned to the probed cells, so per-batch
     * cost is |batch|·np·cellsize regardless of corpus size. Returns
     * the batch vec_ids with a verified corpus near-dup. Invalid-norm
-    * rows never reject (they pair with nothing — q45's rule). */
+    * rows never reject (they pair with nothing — q45's rule).
+    *
+    * `smallBatch` = false switches to the shuffle-hash shape (loses
+    * the partition pruning, gains unbounded batch size): the probe
+    * broadcast is |batch|·np wide vector rows, so a backfill-sized
+    * batch (≫ ~50k vectors) must not be forced through the driver —
+    * the streaming sink selects by the batch count it already has. */
   def screenBatch(spark: SparkSession, sfDir: String,
-      info: IndexStore.BuildInfo, batch: DataFrame): DataFrame = {
+      info: IndexStore.BuildInfo, batch: DataFrame,
+      smallBatch: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions.dotD
     val v = col("embedding").cast("array<double>")
     val pe = batch
       .select(col("vec_id"), v.as("v"), sqrt(dotD(v, v)).as("nrm"))
       .filter(Similarity.validNorm)
     screenRejects(spark, sfDir, info, pe, screenNprobeFor(info.nl),
-      broadcastProbes = true)
+      broadcastProbes = smallBatch)
   }
+
+  /** The broadcast-probes batch bound for [[screenBatch]]'s default
+    * shape (probe rows ≈ batch × nprobe wide vector rows ≲ a few
+    * hundred MB at this bound — safely under broadcast limits). */
+  val smallBatchMax = 50000L
 
   /** Within-batch keeper: the vec_ids a RAW batch must drop against
     * ITSELF — the higher id of every exact near-dup pair (q45's

@@ -545,7 +545,12 @@ object StreamOps {
           // appendBatch's n=0 guard governs, same as the unscreened sink
           val corpusRejects =
             if (info.n == 0) fresh.select(col("vec_id")).limit(0)
-            else IngestScreen.screenBatch(spark, corpusDir, info, fresh)
+            else IngestScreen.screenBatch(spark, corpusDir, info, fresh,
+              // fresh is materialized — the count is cheap, and a
+              // backfill-sized batch must take the shuffle shape
+              // instead of forcing |batch|·np wide rows through the
+              // driver broadcast
+              smallBatch = fresh.count() <= IngestScreen.smallBatchMax)
           val afterCorpus = fresh.join(
             graft.Materialize(corpusRejects), Seq("vec_id"), "left_anti")
           val admitted = graft.Materialize(
