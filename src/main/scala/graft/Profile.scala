@@ -1,49 +1,25 @@
 package graft
 
-import org.apache.spark.sql.functions._
-
-import graft.operators.Retrieval
-import graft.sources.Tables
-
 /** Scratch profiling main (not part of the driver contract) —
-  * currently instrumented for the q72/q73 retrieval stages. */
+  * currently instrumented as a PLAN AUDIT for the round-13 additions:
+  * prints the executed plans of q76 (ingest screen, gate shape) and
+  * q77 (quality keeper) so join strategies / pruning / aggregate
+  * shapes can be read and pinned. */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = GraftSession.local("graft-profile")
-
-    def t(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[prof] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
-    }
-
+    spark.sparkContext.setLogLevel("WARN")
     Bench.warmup(spark, sfDir)
-    val docs = Tables.load(spark, sfDir, "documents")
-    t("docs.count")(docs.count())
-    import graft.functions.TextFunctions.{tokenCount, tokens}
-    val qterms = spark.createDataFrame(Retrieval.bm25Queries)
-      .toDF("query_id", "qtext")
-      .select(col("query_id"), explode(tokens(col("qtext"))).as("token"))
-      .distinct()
-    t("qterms.count")(qterms.count())
-    val tf = docs.select(col("doc_id"), tokenCount(col("text")).as("dl"),
-        col("text"))
-      .select(col("doc_id"), col("dl"),
-        explode(tokens(col("text"))).as("token"))
-      .groupBy(col("doc_id"), col("dl"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    t("termFreqs.count")(tf.count())
-    t("termFreqs.again")(tf.count())
-    val pruned = tf.join(broadcast(qterms.select(col("token")).distinct()),
-      "token")
-    t("pruned.count")(pruned.count())
-    t("q72 full")(Retrieval.q72Bm25TopK(spark, sfDir).count())
-    t("q72 again")(Retrieval.q72Bm25TopK(spark, sfDir).count())
-    t("q73 full")(Retrieval.q73HybridRrf(spark, sfDir).count())
-    println("[prof] --- q72 executed plan ---")
-    println(Retrieval.q72Bm25TopK(spark, sfDir)
-      .queryExecution.executedPlan.toString.take(8000))
+    def audit(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.write.format("noop").mode("overwrite").save()
+      println(s"==== $name (executed, AQE-final) ====")
+      println(df.queryExecution.executedPlan.toString.take(9000))
+    }
+    audit("q76_ingest_screen",
+      operators.IngestScreen.q76IngestScreen(spark, sfDir))
+    audit("q77_cluster_keeper",
+      operators.Dedup.q77ClusterKeeper(spark, sfDir))
     spark.stop()
   }
 }

@@ -197,6 +197,51 @@ class VerifyGateSpec extends SparkSpec {
     assert(!g3(Verify.hybridIdx).pass && g3(Verify.hybridIdx).recall === 0.0)
   }
 
+  test("screen gate: a low-recall q76 dump is deleted, a " +
+    "false-rejecting one records recall -1, a faithful one survives") {
+    import spark.implicits._
+    val batchRows = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .filter(graft.operators.IngestScreen.batchPred)
+      .select("vec_id", "label")
+    val exactRejected = graft.operators.IngestScreen
+      .exactRejects(spark, sfDir).select("vec_id").as[Long].collect().toSet
+    assert(exactRejected.nonEmpty, "fixture batch must reject something")
+    val faithful = batchRows
+      .filter(!col("vec_id").isInCollection(exactRejected))
+
+    // 1. faithful dump (the exact screen's survivors): recall 1.0,
+    //    survives, measurement recorded
+    val out1 = Files.createTempDirectory("graft_scgate1").toString
+    dump(faithful, out1, Verify.screenIdx)
+    val g1 = Verify.enforceAnnGate(spark, sfDir, out1, Seq(Verify.screenIdx))
+    assert(g1(Verify.screenIdx).pass && g1(Verify.screenIdx).recall === 1.0)
+    assert(new java.io.File(s"$out1/${Verify.screenIdx}").exists())
+    assert(Files.readString(java.nio.file.Paths
+      .get(s"$out1/ann_recall.json")).contains(Verify.screenIdx))
+
+    // 2. low recall: the dump ADMITS most of the exact rejects (keeps
+    //    one rejection) → recall < floor → deleted (hard driver FAIL)
+    val keepOne = exactRejected.toSeq.sorted.take(1).toSet
+    val out2 = Files.createTempDirectory("graft_scgate2").toString
+    dump(batchRows.filter(!col("vec_id").isInCollection(keepOne)),
+      out2, Verify.screenIdx)
+    val g2 = Verify.enforceAnnGate(spark, sfDir, out2, Seq(Verify.screenIdx))
+    assert(!g2(Verify.screenIdx).pass &&
+      g2(Verify.screenIdx).recall < Verify.screenFloor)
+    assert(!new java.io.File(s"$out2/${Verify.screenIdx}").exists())
+
+    // 3. false reject: the dump drops a batch row the exact screen
+    //    keeps — impossible for a healthy build (rejections are
+    //    exact-verified), recorded as the loud -1 and deleted
+    val keptId = faithful.select("vec_id").as[Long].head()
+    val out3 = Files.createTempDirectory("graft_scgate3").toString
+    dump(faithful.filter(col("vec_id") =!= keptId), out3, Verify.screenIdx)
+    val g3 = Verify.enforceAnnGate(spark, sfDir, out3, Seq(Verify.screenIdx))
+    assert(!g3(Verify.screenIdx).pass &&
+      g3(Verify.screenIdx).recall === -1.0)
+    assert(!new java.io.File(s"$out3/${Verify.screenIdx}").exists())
+  }
+
   test("twin identity: a persisted-index dump diverging from its " +
     "in-query twin is deleted; an identical one survives") {
     val outDir = Files.createTempDirectory("graft_twin").toString
