@@ -67,6 +67,56 @@ object IngestProbe {
     def timed[A](body: => A): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
+    /** Completion BARRIER on cumulative source consumption.
+      * processAllAvailable alone is racy at long batch times (observed
+      * at the 32k corpus: it returned in 0.4 s while the trigger's
+      * real ~30 s of work landed in LATER timed windows — per-batch
+      * attribution was garbage and the final q.stop() even abandoned
+      * the tail). A batch's progress event posts only AFTER its
+      * foreachBatch completed, so Σ numInputRows ≥ rows-added-so-far
+      * is the exact "all my data was processed" signal — independent
+      * of how many rows the sink's screens ADMIT (a corpus-count
+      * barrier would need the data-dependent admission count).
+      *
+      * DELTA-based, not cumulative: the caller reads the pre-window
+      * sum and waits for `before + n` — absolute expectations drift
+      * when a trigger's numInputRows over-counts (observed +1 per
+      * addData block on this Spark) and a drifted cumulative target
+      * can be satisfied BEFORE the window's own work runs, collapsing
+      * the measured time to the polling overhead. */
+    def progressSum(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.map(_.numInputRows).sum
+    def awaitConsumed(q: org.apache.spark.sql.streaming.StreamingQuery,
+        expected: Long): Unit = {
+      val deadline = System.nanoTime() + 600L * 1000000000L
+      var sum = -1L
+      while (sum < expected && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        sum = progressSum(q)
+        if (sum < expected) Thread.sleep(200)
+      }
+      require(sum >= expected,
+        s"ingest barrier timed out: $sum source rows consumed, " +
+          s"expected $expected — the sink stalled or the query died")
+    }
+    /** Per-batch DECORRELATING map: circular-shift by a per-batch lag
+      * (a permutation — cosine-preserving, distribution-preserving),
+      * then negate+shift. Distinct lags make cross-batch cosines ~
+      * N(0, 1/dim) like make_ann_calib's replicas; the first svec
+      * probe naively reused one map for every batch and each batch
+      * was a near-dup (cosine ≈ 1) of the previously ADMITTED one —
+      * the screen rejected batches 1..k wholesale and the "per-batch
+      * cost" measured screening with no admission at all. */
+    def freshVec(emb: Array[Float], batch: Int): Array[Float] = {
+      val lag = (batch + 1) * 8 % math.max(1, emb.length)
+      val out = new Array[Float](emb.length)
+      var j = 0
+      while (j < emb.length) {
+        out(j) = -emb((j + lag) % emb.length) - 0.001f * (batch + 1)
+        j += 1
+      }
+      out
+    }
 
     /** Vector path: bootstrap = corpus write + index build (batch 1);
       * then fixed 500-vector batches, ids offset out of the corpus
@@ -82,10 +132,15 @@ object IngestProbe {
       // per-cell file writes grow with √N and would otherwise read as
       // a phantom corpus-size exponent at sliver-sized batches)
       val batchSize = 1000
+      // POSITION-based fresh ids from a 9e8 base: source-id+offset
+      // schemes collide across batches on replicated corpora
+      // (non-contiguous replica blocks), and a 1e7 base collides with
+      // make_ann_calib's replica-10 id range (r·1e6, r ≤ 63) — either
+      // way a batch becomes a partial replay no-op and measures
+      // nothing. 9e8 is beyond every fixture's id space.
       val batchData = (0 until nBatches).map { i =>
-        src.take(batchSize).map { case (id, emb) =>
-          (id + 10000000L + i.toLong * batchSize,
-            emb.map(x => -x - 0.001f * (i + 1)))
+        src.take(batchSize).zipWithIndex.map { case ((_, emb), j) =>
+          (900000000L + i.toLong * batchSize + j, freshVec(emb, i))
         }.toSeq
       }
       val ms = MemoryStream[(Long, Array[Float])]
@@ -95,9 +150,17 @@ object IngestProbe {
           .createTempDirectory(s"ip_vec_ckpt_$label").toString)
         .start()
       try {
-        val boot = timed { ms.addData(src.toSeq); q.processAllAvailable() }
+        val boot = timed {
+          val before = progressSum(q)
+          ms.addData(src.toSeq)
+          awaitConsumed(q, before + src.length)
+        }
         val batchSecs = batchData.map { b =>
-          timed { ms.addData(b); q.processAllAvailable() }
+          timed {
+            val before = progressSum(q)
+            ms.addData(b)
+            awaitConsumed(q, before + b.size)
+          }
         }
         ScaleRun(label, src.length.toLong, boot, batchSecs)
       } finally {
@@ -122,10 +185,12 @@ object IngestProbe {
       val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
         .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
       val batchSize = 1000
+      // position-based ids + per-batch decorrelation — see vecScale
+      // and freshVec; every batch row must be genuinely ADMITTED or
+      // the probe measures screening without the append path
       val batchData = (0 until nBatches).map { i =>
-        src.take(batchSize).map { case (id, emb) =>
-          (id + 10000000L + i.toLong * batchSize,
-            emb.map(x => -x - 0.001f * (i + 1)))
+        src.take(batchSize).zipWithIndex.map { case ((_, emb), j) =>
+          (900000000L + i.toLong * batchSize + j, freshVec(emb, i))
         }.toSeq
       }
       val ms = MemoryStream[(Long, Array[Float])]
@@ -135,9 +200,17 @@ object IngestProbe {
           .createTempDirectory(s"ip_svec_ckpt_$label").toString)
         .start()
       try {
-        val boot = timed { ms.addData(src.toSeq); q.processAllAvailable() }
+        val boot = timed {
+          val before = progressSum(q)
+          ms.addData(src.toSeq)
+          awaitConsumed(q, before + src.length)
+        }
         val batchSecs = batchData.map { b =>
-          timed { ms.addData(b); q.processAllAvailable() }
+          timed {
+            val before = progressSum(q)
+            ms.addData(b)
+            awaitConsumed(q, before + b.size)
+          }
         }
         ScaleRun(label, src.length.toLong, boot, batchSecs)
       } finally {
@@ -157,10 +230,11 @@ object IngestProbe {
         .select("doc_id", "text", "lang")
         .as[(Long, String, String)].collect()
       val batchSize = 500 // deployment-shaped; see vecScale's note
+      // position-based ids — same collision rationale as vecScale
       val batchData = (0 until nBatches).map { i =>
-        src.take(batchSize).map { case (id, text, lang) =>
-          (id + 10000000L + i.toLong * batchSize,
-            text.split(' ').map(w => s"zz${i}_$w").mkString(" "), lang)
+        src.take(batchSize).zipWithIndex.map { case ((t, j)) =>
+          (900000000L + i.toLong * batchSize + j,
+            t._2.split(' ').map(w => s"zz${i}_$w").mkString(" "), t._3)
         }.toSeq
       }
       val ms = MemoryStream[(Long, String, String)]
@@ -170,9 +244,17 @@ object IngestProbe {
           .createTempDirectory(s"ip_doc_ckpt_$label").toString)
         .start()
       try {
-        val boot = timed { ms.addData(src.toSeq); q.processAllAvailable() }
+        val boot = timed {
+          val before = progressSum(q)
+          ms.addData(src.toSeq)
+          awaitConsumed(q, before + src.length)
+        }
         val batchSecs = batchData.map { b =>
-          timed { ms.addData(b); q.processAllAvailable() }
+          timed {
+            val before = progressSum(q)
+            ms.addData(b)
+            awaitConsumed(q, before + b.size)
+          }
         }
         ScaleRun(label, src.length.toLong, boot, batchSecs)
       } finally {
