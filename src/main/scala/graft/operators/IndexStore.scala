@@ -742,6 +742,14 @@ object IndexStore {
       .select(col("vec_id"), col("embedding"), v.as("v"),
         sqrt(dotD(v, v)).as("nrm"))
       .filter(Similarity.validNorm)
+    // Home cells FIRST (cost ∝ batch): the trained centroids never
+    // change on an append, so a replayed row maps to the SAME cell —
+    // which is what licenses the cell-pruned membership scan below.
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val home0 = Similarity.cellRanks(
+        pe0.select(col("vec_id"), col("v"), col("nrm")), cents)
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("cell"))
     // Membership, and TORN-state detection. Codes are written before
     // rcodes, so after any crash:
     //   fresh = not in codes            → full append (codes + rcodes)
@@ -751,30 +759,52 @@ object IndexStore {
     //           their rcodes rows here (repair), and count them into
     //           meta — the crash happened before the meta write, so
     //           they were never fingerprinted.
-    // The rcodes distinct scan is the price of detection — same IO
-    // class as the codes scan the anti-join already paid.
-    val codesIds = spark.read.parquet(s"$dir/codes")
-      .select(col("vec_id")).distinct()
-    val rcodesIds = spark.read.parquet(s"$dir/rcodes")
-      .select(col("vec_id")).distinct()
-    val tornIds = graft.Materialize(
-      codesIds.join(rcodesIds, Seq("vec_id"), "left_anti"))
-    // a torn id OUTSIDE this batch cannot be repaired here (no
-    // embedding to re-encode) — fail loudly so the caller re-ensures
-    // instead of continuing to serve degraded q70 results. ensure's
-    // tablesIntact probe sees exactly this state (distinct id counts
-    // differ between codes and rcodes), so "run ensure()" genuinely
-    // rebuilds — even when the torn rows reached neither the corpus
-    // nor meta and the fingerprint alone would validate.
-    val unrepairable =
-      tornIds.join(pe0.select("vec_id"), Seq("vec_id"), "left_anti")
-    if (!unrepairable.isEmpty)
-      throw new IllegalStateException(
-        s"index at $dir is torn (codes rows without rcodes rows, for " +
-          "vec_ids outside this batch — a prior append crashed between " +
-          "the two writes) and this batch cannot repair it; run " +
-          "ensure() to rebuild before appending")
-    val freshPe = pe0.join(codesIds, Seq("vec_id"), "left_anti")
+    // HEALTHY-PATH SHORTCUT: rcodes ids ⊆ codes ids always (write
+    // order), and both tables carry exactly `subspaces` rows per id —
+    // so EQUAL plain row counts prove "no torn ids anywhere" from two
+    // column-less scans (footer-driven, no shuffle), and the
+    // membership anti-join can then prune its codes read to the
+    // batch's own home-cell partitions. The old shape paid TWO global
+    // distinct-id shuffles per batch — an O(index) term that grew the
+    // measured per-batch exponent to 0.2 over the 2k→32k decade
+    // (INGEST_r13c.json) for what is almost always a no-op probe.
+    // Count inequality falls back to the full detection + repair.
+    val codesCnt = spark.read.parquet(s"$dir/codes").count()
+    val rcodesCnt = spark.read.parquet(s"$dir/rcodes").count()
+    val (tornIds, knownIds) =
+      if (codesCnt == rcodesCnt) {
+        val touched = readCodes(spark, s"$dir/codes")
+          .filter(col("sub") === 0)
+          .join(home0.select(col("cell")).distinct().hint("broadcast"),
+            Seq("cell"), "left_semi")
+          .select(col("vec_id"))
+        (pe0.select(col("vec_id")).limit(0), touched)
+      } else {
+        val codesIds = spark.read.parquet(s"$dir/codes")
+          .select(col("vec_id")).distinct()
+        val rcodesIds = spark.read.parquet(s"$dir/rcodes")
+          .select(col("vec_id")).distinct()
+        val torn = graft.Materialize(
+          codesIds.join(rcodesIds, Seq("vec_id"), "left_anti"))
+        // a torn id OUTSIDE this batch cannot be repaired here (no
+        // embedding to re-encode) — fail loudly so the caller
+        // re-ensures instead of continuing to serve degraded q70
+        // results. ensure's tablesIntact probe sees exactly this state
+        // (distinct id counts differ between codes and rcodes), so
+        // "run ensure()" genuinely rebuilds — even when the torn rows
+        // reached neither the corpus nor meta and the fingerprint
+        // alone would validate.
+        val unrepairable =
+          torn.join(pe0.select("vec_id"), Seq("vec_id"), "left_anti")
+        if (!unrepairable.isEmpty)
+          throw new IllegalStateException(
+            s"index at $dir is torn (codes rows without rcodes rows, " +
+              "for vec_ids outside this batch — a prior append crashed " +
+              "between the two writes) and this batch cannot repair " +
+              "it; run ensure() to rebuild before appending")
+        (torn, codesIds)
+      }
+    val freshPe = pe0.join(knownIds, Seq("vec_id"), "left_anti")
     val tornPe = pe0.join(tornIds, Seq("vec_id"), "left_semi")
     val pe = graft.Materialize(
       freshPe.withColumn("is_fresh", lit(true))
@@ -797,10 +827,11 @@ object IndexStore {
     val tornN = allN - freshN
     val allFp = fpRow.getLong(3)
 
-    val cents = spark.read.parquet(s"$dir/centroids")
     val e = pe.select(col("vec_id"), col("v"), col("nrm"))
-    val home = Similarity.cellRanks(e, cents).filter(col("cr") === 1)
-      .select(col("vec_id"), col("cell"))
+    // home0 covers pe0 ⊇ pe and cellRanks is deterministic — restrict
+    // rather than recompute
+    val home = home0.join(pe.select(col("vec_id")), Seq("vec_id"),
+      "left_semi")
     if (freshN > 0) {
       val eFresh = pe.filter(col("is_fresh"))
         .select(col("vec_id"), col("v"), col("nrm"))
