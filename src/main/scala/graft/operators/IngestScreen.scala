@@ -126,13 +126,28 @@ object IngestScreen {
 
   // --- lifecycle -------------------------------------------------------------
 
+  /** Default [[ensureLists]] compaction threshold for long-lived
+    * ingest callers (the streaming sink): same files-per-cell bar as
+    * [[IndexStore.RebuildPolicy]]'s codes-table default. */
+  val compactListsAt = 16
+
   /** Validate-or-rebuild the lists against the index at `info` (which
     * the caller obtained from [[IndexStore.ensure]], i.e. the index is
     * CURRENT vs the corpus — that is what licenses copying the index
     * meta's identity into the lists marker on rebuild). Returns the
-    * build seconds (0.0 when the existing lists validated). */
+    * build seconds (0.0 when the existing lists validated).
+    *
+    * `compactAtFilesPerCell` > 0 adds the LAYOUT policy on the
+    * validated path ([[IndexStore.RebuildPolicy]]'s analogue): every
+    * appendLists lands a sliver into each touched cell dir, and a
+    * long-lived stream accumulates them exactly where the DPP-pruned
+    * screen opens files — when any cell's part-file count reaches the
+    * threshold, [[graft.sources.Maintenance.compactVecLists]] rewrites
+    * to one file per cell (content-preserving, marker untouched). The
+    * probe is a driver-side glob, no Spark job. */
   def ensureLists(spark: SparkSession, sfDir: String,
-      info: IndexStore.BuildInfo): Double = IndexStore.synchronized {
+      info: IndexStore.BuildInfo,
+      compactAtFilesPerCell: Int = 0): Double = IndexStore.synchronized {
     val dir = listsDir(spark, sfDir)
     val m = IndexStore.readMeta(spark, info.dir).getOrElse(
       throw new IllegalStateException(
@@ -151,7 +166,22 @@ object IngestScreen {
       vm.n == 0 || fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lists"))
     readListsMeta(spark, dir) match {
       case Some(vm) if listsCurrent(vm, m) && dataIntact(vm) &&
-          !fs.exists(pending) => 0.0
+          !fs.exists(pending) =>
+        if (compactAtFilesPerCell > 0 && vm.n > 0) {
+          val st = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$dir/lists/cell=*/*.parquet"))
+          val worst =
+            if (st == null || st.isEmpty) 0
+            else st.groupBy(_.getPath.getParent).values.map(_.length).max
+          if (worst >= compactAtFilesPerCell) {
+            val (before, after) =
+              graft.sources.Maintenance.compactVecLists(spark, dir)
+            System.err.println(
+              s"[annvl] policy compaction at $dir: $before part " +
+                s"files -> $after")
+          }
+        }
+        0.0
       case _ =>
         val t0 = System.nanoTime()
         rebuildLists(spark, sfDir, info, m)

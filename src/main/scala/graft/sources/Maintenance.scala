@@ -297,4 +297,30 @@ object Maintenance {
       val rcodes = one("rcodes")
       (codes._1 + rcodes._1, codes._2 + rcodes._2)
     }
+
+  /** Small-file compaction for the veclists sidecar
+    * ([[graft.operators.IngestScreen]]): every appendLists lands a
+    * part-file sliver into each touched `cell=` partition — exactly
+    * where the DPP-pruned screen read opens files. Content-preserving
+    * rewrite to one file per cell; the identity marker (fp/n vs the
+    * index meta) is untouched because no ROW moved. Same
+    * run-quiesced + IndexStore-lock contract as [[compactAnnIndex]].
+    * Returns (files before, files after) for the `lists` table. */
+  def compactVecLists(spark: SparkSession, listsDir: String): (Int, Int) =
+    graft.operators.IndexStore.synchronized {
+      import org.apache.spark.sql.functions.col
+      val dir = s"$listsDir/lists"
+      val (fs, _) = graft.Scratch.fs(spark, dir)
+      def files(): Int = {
+        val st = fs.globStatus(new Path(dir + "/cell=*/*.parquet"))
+        if (st == null) 0 else st.length
+      }
+      val before = files()
+      val df = spark.read.parquet(dir)
+      val shadow = new Path(dir + "__compact")
+      df.repartition(col("cell")).write.mode(SaveMode.Overwrite)
+        .partitionBy("cell").parquet(shadow.toString)
+      ParquetSink.swapInto(fs, shadow, new Path(dir))
+      (before, files())
+    }
 }

@@ -539,7 +539,13 @@ object StreamOps {
           // unscreened sink.
           val info = IndexStore.infoFromMeta(spark, corpusDir).getOrElse(
             IndexStore.ensure(spark, corpusDir))
-          IngestScreen.ensureLists(spark, corpusDir, info)
+          // files-per-cell compaction policy: a long-lived stream lands
+          // a sliver per touched cell per batch, right where the
+          // DPP-pruned screen opens files — bound it without anyone
+          // having to remember a maintenance call (the RebuildPolicy
+          // compaction contract, on the sidecar)
+          IngestScreen.ensureLists(spark, corpusDir, info,
+            compactAtFilesPerCell = IngestScreen.compactListsAt)
           // n=0: nothing indexed yet (an all-invalid bootstrap corpus)
           // — no cells to probe; the corpus screen is vacuous and
           // appendBatch's n=0 guard governs, same as the unscreened sink

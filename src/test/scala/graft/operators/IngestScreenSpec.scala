@@ -150,6 +150,51 @@ class IngestScreenSpec extends SparkSpec {
     }
   }
 
+  test("lists policy compaction collapses append slivers content-" +
+    "preservingly: same rows, marker still validates, screen identical") {
+    import spark.implicits._
+    val base = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val corpus = writeCorpus(base.filter(col("vec_id") < 200))
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    val vlDir = IngestScreen.listsDir(spark, corpus)
+    try {
+      val info = IndexStore.ensure(spark, corpus)
+      IngestScreen.ensureLists(spark, corpus, info)
+      // land several append slivers
+      (0 until 3).foreach { i =>
+        val batch = base
+          .filter(col("vec_id") >= 200 + i * 20 &&
+            col("vec_id") < 220 + i * 20)
+        IndexStore.appendBatch(spark, idxDir, batch)
+        IngestScreen.appendLists(spark, corpus, batch)
+        batch.write.mode("append").parquet(s"$corpus/embeddings.parquet")
+      }
+      val (fs, _) = graft.Scratch.fs(spark, vlDir)
+      def files(): Int = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$vlDir/lists/cell=*/*.parquet")).length
+      def rows(): Map[Long, (Double, Long)] =
+        spark.read.parquet(s"$vlDir/lists")
+          .select(col("vec_id"), col("nrm"),
+            col("cell").cast("long"))
+          .as[(Long, Double, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+      val (beforeFiles, beforeRows) = (files(), rows())
+      // threshold 2: the three slivers + build file trip it
+      val grown = IndexStore.ensure(spark, corpus)
+      assert(IngestScreen.ensureLists(spark, corpus, grown,
+        compactAtFilesPerCell = 2) == 0.0)
+      assert(files() < beforeFiles,
+        s"compaction did not reduce files ($beforeFiles -> ${files()})")
+      assert(rows() === beforeRows, "compaction moved or lost rows")
+      assert(IngestScreen.ensureLists(spark, corpus, grown) == 0.0,
+        "marker must still validate after a content-preserving rewrite")
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(vlDir)
+      deleteDir(corpus)
+    }
+  }
+
   test("the streaming-shape screen (broadcast probes) matches the " +
     "gate-shape screen and partition-prunes the lists scan") {
     val info = IndexStore.ensure(spark, sfDir)
