@@ -55,6 +55,19 @@ object IngestProbe {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val nBatches = 4
+    // the consumption barrier sums recentProgress — a RING BUFFER
+    // (default 100 entries); raise it far past any probe's trigger
+    // count so eviction can never make the barrier undercount and
+    // spin to its deadline
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    // lag-uniqueness guard for freshVec (64-dim fixtures): congruent
+    // or zero lags re-create the wholesale-rejection measurement bug
+    // the per-batch decorrelation exists to fix
+    require((0 until nBatches).map(i => (i + 1) * 8 % 64).distinct.size
+        == nBatches &&
+        (0 until nBatches).forall(i => (i + 1) * 8 % 64 != 0),
+      s"nBatches=$nBatches yields colliding/zero circular-shift lags " +
+        "at dim 64 — batches would near-dup each other or the corpus")
     val scales = Seq(
       ("sf0.1", "/root/testdata/sf0.1"),
       ("big", sys.env.getOrElse("GRAFT_INGEST_BIG_DIR", "/tmp/sfbig")))

@@ -457,7 +457,7 @@ object Verify {
     // impersonate this run's measurements
     if (names.exists(n =>
         annFloors.contains(n) || n == annResidual || n == dedupIdx ||
-          n == screenIdx))
+          n == screenIdx || n == hybridIdx))
       try Files.deleteIfExists(Paths.get(s"$outDir/ann_recall.json"))
       catch { case _: Throwable => () }
     val gates =
@@ -473,7 +473,7 @@ object Verify {
             "deleting gated dumps — unverifiable recall is not a pass")
         names.filter(n =>
             annFloors.contains(n) || n == annResidual || n == dedupIdx ||
-              n == screenIdx)
+              n == screenIdx || n == hybridIdx)
           .foreach(n => deleteOrDie(new java.io.File(s"$outDir/$n")))
         return Map.empty
       }

@@ -768,11 +768,25 @@ object IndexStore {
     // distinct-id shuffles per batch — an O(index) term that grew the
     // measured per-batch exponent to 0.2 over the 2k→32k decade
     // (INGEST_r13c.json) for what is almost always a no-op probe.
-    // Count inequality falls back to the full detection + repair.
+    // Count inequality falls back to the full detection + repair, as
+    // does a codes count that disagrees with meta.n (pre-existing
+    // inconsistency — never compound it through the pruned path).
+    //
+    // CONTRACT sharpened by the pruning: vec_id is the key, and a
+    // re-sent id must carry the SAME embedding. The old global
+    // anti-join silently no-opped an id re-sent with CHANGED content;
+    // the pruned scan only sees the id's CURRENT home cell, so a
+    // content change that moves the home cell would double-insert its
+    // codes rows (caught by the next ensure's integrity probe — count
+    // vs meta.n — and healed by rebuild, but served corrupted until
+    // then). Both ingest sinks are immune (they anti-join the corpus
+    // first, so a known id never reaches appendBatch); direct callers
+    // must treat changed-content re-keys as corrupted input.
     val codesCnt = spark.read.parquet(s"$dir/codes").count()
     val rcodesCnt = spark.read.parquet(s"$dir/rcodes").count()
     val (tornIds, knownIds) =
-      if (codesCnt == rcodesCnt) {
+      if (codesCnt == rcodesCnt &&
+          codesCnt == m.n * Similarity.pqSubspaces) {
         val touched = readCodes(spark, s"$dir/codes")
           .filter(col("sub") === 0)
           .join(home0.select(col("cell")).distinct().hint("broadcast"),

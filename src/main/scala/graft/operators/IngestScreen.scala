@@ -13,9 +13,22 @@ import graft.sources.Tables
   * were partitioned under: the corpus fingerprint alone cannot see a
   * dial change that retrains the centroids over the SAME corpus
   * (e.g. a lloydIters bump — same fp, different cells), and lists
-  * bucketed under stale cells would silently miss candidates. */
+  * bucketed under stale cells would silently miss candidates.
+  *
+  * `res_norm`/`appended_n` pin the TRAINED ARTIFACTS behind those
+  * dials: a rebuild over an append-grown corpus reproduces the same
+  * (n, fp, nl, dials) while RETRAINING the centroids (the hash-least
+  * seed set shifts with the appended ids) — without these two fields
+  * the marker validates lists bucketed under the dead geometry and
+  * the screen silently loses candidates forever. A rebuild resets
+  * meta.appended_n to 0 and re-baselines res_norm, so a marker
+  * stamped before any retrain can never match the meta after one;
+  * the append path keeps both in lockstep (appendLists adds its own
+  * fresh count, which equals appendBatch's in every healthy state and
+  * mismatches → rebuild in the crash states). */
 private[operators] final case class VecListsMeta(version: Int,
-  idx_version: Int, n: Long, fp: Long, nl: Int, lloyd_iters: Int)
+  idx_version: Int, n: Long, fp: Long, nl: Int, lloyd_iters: Int,
+  res_norm: Double, appended_n: Long)
 
 /** Inverted-list RAW VECTORS for the ANN index — the IVFFlat sidecar
   * that makes index-backed screening cost ∝ batch, not ∝ corpus.
@@ -62,8 +75,11 @@ private[operators] final case class VecListsMeta(version: Int,
 object IngestScreen {
 
   /** Bump when the lists LAYOUT or screen algorithm changes in a way
-    * [[VecListsMeta]]'s dial fields cannot see. */
-  val formatVersion = 1
+    * [[VecListsMeta]]'s dial fields cannot see.
+    * v2: marker gains res_norm/appended_n (the same-identity-retrain
+    * blind spot) — a v1 marker fails the decode and reads as absent,
+    * which is the rebuild this fix wants anyway. */
+  val formatVersion = 2
 
   /** Stable on-disk home of the veclists for one corpus dir. A SIBLING
     * of the index dir, not a subdirectory: everything under the index
@@ -122,7 +138,8 @@ object IngestScreen {
   private def listsCurrent(vm: VecListsMeta, m: AnnIndexMeta): Boolean =
     vm.version == formatVersion &&
       vm.idx_version == m.version && vm.n == m.n && vm.fp == m.fp &&
-      vm.nl == m.nl && vm.lloyd_iters == Similarity.lloydIters
+      vm.nl == m.nl && vm.lloyd_iters == Similarity.lloydIters &&
+      vm.res_norm == m.res_norm && vm.appended_n == m.appended_n
 
   // --- lifecycle -------------------------------------------------------------
 
@@ -226,7 +243,7 @@ object IngestScreen {
     }
     writeListsMeta(spark, s"$shadow/meta",
       VecListsMeta(formatVersion, m.version, m.n, m.fp, m.nl,
-        Similarity.lloydIters))
+        Similarity.lloydIters, m.res_norm, m.appended_n))
     graft.sources.ParquetSink.promote(fs, shadowP,
       new org.apache.hadoop.fs.Path(dir))
   }
@@ -297,7 +314,8 @@ object IngestScreen {
       .write.partitionBy("cell").mode(SaveMode.Append)
       .parquet(s"$dir/lists")
     writeListsMeta(spark, s"$dir/meta",
-      vm.copy(n = vm.n + n, fp = vm.fp ^ fp))
+      vm.copy(n = vm.n + n, fp = vm.fp ^ fp,
+        appended_n = vm.appended_n + n))
     if (!fs.delete(pending, false))
       System.err.println(s"[annvl] could not clear $pending after a " +
         "completed append — the next ensureLists will rebuild " +

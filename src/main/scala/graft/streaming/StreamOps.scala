@@ -496,11 +496,19 @@ object StreamOps {
     * property doing quiet work: because admitted rows are MUTUALLY
     * non-duplicate (the exact within-batch screen), a replayed corpus
     * screen that finds the crashed attempt's rows already in the
-    * lists can never reject a row the first attempt admitted — the
-    * admitted set is replay-deterministic. Write order: index, lists,
-    * corpus — each crash window either replays to the same state or
-    * surfaces as a lists-marker mismatch that [[graft.operators
-    * .IngestScreen.ensureLists]] heals by rebuild. */
+    * lists can never reject a row the first attempt ADMITTED —
+    * replay is one-sided. It is NOT fully deterministic for
+    * within-batch near-dup CHAINS: with pairs (a,b),(b,c) and no
+    * (a,c), attempt 1 admits {a} (b and c each lose to a lower-id
+    * partner), while a replay whose corpus already holds a admits c
+    * too (its only partner b never entered the corpus, so nothing
+    * rejects it). Both outcomes satisfy the operator's invariant —
+    * the corpus never holds a near-dup PAIR — and admitted rows are
+    * never retracted; only the drop-side of a chain can differ
+    * across crash timings. Write order: index, lists, corpus — each
+    * crash window either replays within that envelope or surfaces as
+    * a lists-marker mismatch that [[graft.operators.IngestScreen
+    * .ensureLists]] heals by rebuild. */
   def screenedVectorIngestStream(vecs: DataFrame, corpusDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>

@@ -150,6 +150,48 @@ class IngestScreenSpec extends SparkSpec {
     }
   }
 
+  test("a same-identity index RETRAIN (policy rebuild over an " +
+    "append-grown corpus) invalidates the lists marker") {
+    // the blind spot: a rebuild over the grown corpus reproduces the
+    // same (n, fp, nl, dials) while retraining the centroids — the
+    // hash-least seed set shifts with the appended ids — so a marker
+    // that pinned only those fields would validate lists bucketed
+    // under DEAD cell geometry and the screen would silently lose
+    // candidates forever. res_norm/appended_n in the marker close it.
+    val base = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val corpus = writeCorpus(base.filter(col("vec_id") < 200))
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    val vlDir = IngestScreen.listsDir(spark, corpus)
+    try {
+      val info = IndexStore.ensure(spark, corpus)
+      IngestScreen.ensureLists(spark, corpus, info)
+      val batch = base.filter(col("vec_id") >= 200 && col("vec_id") < 250)
+      IndexStore.appendBatch(spark, idxDir, batch)
+      IngestScreen.appendLists(spark, corpus, batch)
+      batch.write.mode("append").parquet(s"$corpus/embeddings.parquet")
+      val grown = IndexStore.ensure(spark, corpus)
+      assert(!grown.builtNow)
+      assert(IngestScreen.ensureLists(spark, corpus, grown) == 0.0,
+        "lockstep appends must validate")
+      // the policy retrain: same corpus identity, fresh artifacts
+      val retrained = IndexStore.ensure(spark, corpus,
+        Some(IndexStore.RebuildPolicy(appendFractionAt = 0.1)))
+      assert(retrained.builtNow,
+        "the append fraction (50/250) must trip the policy rebuild")
+      assert(retrained.n === grown.n && retrained.nl === grown.nl,
+        "the rebuild must reproduce the same (n, nl) for this forgery " +
+          "to exercise the blind spot")
+      assert(IngestScreen.ensureLists(spark, corpus, retrained) > 0.0,
+        "lists under pre-retrain cell geometry must rebuild, not " +
+          "validate")
+      assert(IngestScreen.ensureLists(spark, corpus, retrained) == 0.0)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(vlDir)
+      deleteDir(corpus)
+    }
+  }
+
   test("lists policy compaction collapses append slivers content-" +
     "preservingly: same rows, marker still validates, screen identical") {
     import spark.implicits._
