@@ -713,7 +713,21 @@ object IndexStore {
   /** Index `batch` (vec_id, embedding, …) into the EXISTING artifacts
     * at `dir`: assign to the trained cells and codebooks (cost ∝
     * batch) and append — no retrain. See the object doc for the
-    * idempotence, crash and staleness contracts. */
+    * idempotence, crash and staleness contracts.
+    *
+    * RE-KEY CONTRACT: `vec_id` is the key, and a re-sent id must carry
+    * the SAME embedding — this is a replay no-op, not an update API.
+    * A re-sent id whose changed content keeps its home cell is
+    * REFUSED loudly (the stored codes/norm are re-checked against the
+    * batch whenever a batch id is already present — see the guard
+    * below); one whose content MOVED its home cell is invisible to the
+    * cell-pruned membership scan and double-inserts, which the next
+    * ensure's integrity probe (distinct ids vs meta.n) detects and
+    * heals by rebuild — corrupted serving is bounded by the ensure
+    * cadence, never permanent. Both ingest sinks are immune (they
+    * anti-join the corpus first, so a known id never reaches
+    * appendBatch); direct callers must treat changed-content re-keys
+    * as corrupted input. */
   def appendBatch(spark: SparkSession, dir: String,
       batch: DataFrame): AppendStats = synchronized {
     import graft.functions.VectorFunctions.dotD
@@ -771,17 +785,8 @@ object IndexStore {
     // Count inequality falls back to the full detection + repair, as
     // does a codes count that disagrees with meta.n (pre-existing
     // inconsistency — never compound it through the pruned path).
-    //
-    // CONTRACT sharpened by the pruning: vec_id is the key, and a
-    // re-sent id must carry the SAME embedding. The old global
-    // anti-join silently no-opped an id re-sent with CHANGED content;
-    // the pruned scan only sees the id's CURRENT home cell, so a
-    // content change that moves the home cell would double-insert its
-    // codes rows (caught by the next ensure's integrity probe — count
-    // vs meta.n — and healed by rebuild, but served corrupted until
-    // then). Both ingest sinks are immune (they anti-join the corpus
-    // first, so a known id never reaches appendBatch); direct callers
-    // must treat changed-content re-keys as corrupted input.
+    // (Re-sent ids: see the RE-KEY CONTRACT in the scaladoc and the
+    // matched-id verify guard below.)
     val codesCnt = spark.read.parquet(s"$dir/codes").count()
     val rcodesCnt = spark.read.parquet(s"$dir/rcodes").count()
     val (tornIds, knownIds) =
@@ -820,34 +825,75 @@ object IndexStore {
       }
     val freshPe = pe0.join(knownIds, Seq("vec_id"), "left_anti")
     val tornPe = pe0.join(tornIds, Seq("vec_id"), "left_semi")
+    // matched = already-indexed batch ids (replay no-ops under the
+    // re-key contract). They ride the SAME materialized union so the
+    // guard below costs zero extra jobs when there are none — but they
+    // are EXCLUDED from the fingerprint and the data writes (their
+    // hash is already in meta.fp; re-xoring would cancel it out).
+    val matchedPe = pe0.join(knownIds, Seq("vec_id"), "left_semi")
+      .join(tornIds, Seq("vec_id"), "left_anti")
     val pe = graft.Materialize(
-      freshPe.withColumn("is_fresh", lit(true))
-        .unionByName(tornPe.withColumn("is_fresh", lit(false))))
+      freshPe.withColumn("cls", lit("f"))
+        .unionByName(tornPe.withColumn("cls", lit("t")))
+        .unionByName(matchedPe.withColumn("cls", lit("m"))))
     val fpRow = pe
-      .agg(count(when(col("is_fresh"), lit(1))), count(lit(1)),
-        countDistinct(col("vec_id")),
-        expr("bit_xor(xxhash64(vec_id, embedding))"))
+      .agg(count(when(col("cls") === "f", lit(1))),
+        count(when(col("cls") =!= "m", lit(1))),
+        countDistinct(col("vec_id")), count(lit(1)),
+        expr("bit_xor(case when cls != 'm' " +
+          "then xxhash64(vec_id, embedding) end)"),
+        count(when(col("cls") === "m", lit(1))))
       .head()
     val freshN = fpRow.getLong(0)
     val allN = fpRow.getLong(1)
-    if (allN == 0) return AppendStats(0L, 0L, None)
+    val matchedN = fpRow.getLong(5)
     // duplicate vec_ids WITHIN one batch would double-insert codes rows
     // (16 instead of 8 per vector — the ADC sum then double-counts that
     // vector's subspaces and corrupts the shortlist ordering). vec_id
     // is the key; refuse loudly like every keyed sink here does.
-    require(fpRow.getLong(2) == allN,
-      s"batch contains duplicate vec_id rows (${allN - fpRow.getLong(2)} " +
-        "extras) — deduplicate on vec_id before appendBatch")
+    require(fpRow.getLong(2) == fpRow.getLong(3),
+      s"batch contains duplicate vec_id rows " +
+        s"(${fpRow.getLong(3) - fpRow.getLong(2)} extras) — " +
+        "deduplicate on vec_id before appendBatch")
+    // RE-KEY GUARD (see scaladoc): a matched id claims to be a replay —
+    // verify it against the stored rows in its current home cell (one
+    // cell-pruned join; codes and norms are deterministic functions of
+    // the content, so a true replay matches bit-for-bit and a changed
+    // embedding that kept its cell is refused here instead of being
+    // silently dropped).
+    if (matchedN > 0) {
+      val mEnc = Similarity.pqAssign(
+        Similarity.subVectors(pe.filter(col("cls") === "m")
+          .select(col("vec_id"), col("v"), col("nrm"))),
+        spark.read.parquet(s"$dir/codebook"))
+        .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
+      val stored = readCodes(spark, s"$dir/codes")
+        .join(home0.select(col("cell")).distinct().hint("broadcast"),
+          Seq("cell"), "left_semi")
+        .select(col("vec_id"), col("sub"),
+          col("code").as("stored_code"), col("nrm").as("stored_nrm"))
+      val bad = mEnc.join(stored, Seq("vec_id", "sub"))
+        .filter(col("code") =!= col("stored_code") ||
+          col("nrm") =!= col("stored_nrm"))
+        .select(col("vec_id")).limit(1).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"batch re-sends already-indexed vec_id(s) with CHANGED " +
+          "embedding content — vec_id is the key and appendBatch is " +
+          "not an update API (re-key contract); rebuild via ensure() " +
+          "after correcting the corpus instead")
+    }
+    if (allN == 0) return AppendStats(0L, 0L, None)
     val tornN = allN - freshN
-    val allFp = fpRow.getLong(3)
+    val allFp = fpRow.getLong(4)
 
-    val e = pe.select(col("vec_id"), col("v"), col("nrm"))
+    val e = pe.filter(col("cls") =!= "m")
+      .select(col("vec_id"), col("v"), col("nrm"))
     // home0 covers pe0 ⊇ pe and cellRanks is deterministic — restrict
     // rather than recompute
-    val home = home0.join(pe.select(col("vec_id")), Seq("vec_id"),
+    val home = home0.join(e.select(col("vec_id")), Seq("vec_id"),
       "left_semi")
     if (freshN > 0) {
-      val eFresh = pe.filter(col("is_fresh"))
+      val eFresh = pe.filter(col("cls") === "f")
         .select(col("vec_id"), col("v"), col("nrm"))
       val codes = Similarity
         .pqAssign(Similarity.subVectors(eFresh),

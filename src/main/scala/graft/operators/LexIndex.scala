@@ -199,6 +199,15 @@ object LexIndex {
     stats.coalesce(1).write.parquet(s"$shadow/stats")
     val m = LexIndexMeta(formatVersion, n, fp, pfxParts, np)
     writeMeta(spark, shadow, m)
+    // the replay ledger SURVIVES the rebuild: every applied batch's
+    // docs are in the corpus this build just re-indexed, so its
+    // replays must KEEP no-opping — were the ledger reset with the
+    // dir, a post-rebuild replay would re-append postings the rebuild
+    // already owns (see the appendBatch crash-window doc)
+    val liveBatches = new org.apache.hadoop.fs.Path(s"$dir/batches")
+    if (fs.exists(liveBatches))
+      fs.rename(liveBatches,
+        new org.apache.hadoop.fs.Path(s"$shadow/batches"))
     graft.sources.ParquetSink.promote(fs, sp,
       new org.apache.hadoop.fs.Path(dir))
     writeToken(spark, dir, tokenLine(stateDigest(spark, sfDir, dir), m))
@@ -308,20 +317,31 @@ object LexIndex {
     * construction — and identical content means duplicate doc_ids in
     * the corpus, which the next full validation refuses anyway.
     *
-    * Write order (LEDGER first, then data → meta → token) is what
-    * makes every crash window heal loudly instead of serving silently
-    * wrong. The dangerous window is a crash after SOME data landed:
-    * were the ledger stamped last, the sink's replay would re-append
-    * and double the postings while producing a self-consistent meta —
-    * and then stamp a token vouching for the corruption. Ledger-first
-    * inverts it: a replay after ANY mid-append crash no-ops on the
-    * ledger probe, so the batch's partial (or absent) data is never
-    * doubled, meta.fp stays at its pre-batch value, and the next
-    * ensure's full validation sees the corpus/fp mismatch and
-    * rebuilds — a crashed append costs one rebuild, never a wrong
-    * answer. Same for a replay from before the last rebuild (the
-    * ledger resets with the dir): re-applied, detected, one rebuild —
-    * the documented trade for the O(1) probe. */
+    * Write order (LEDGER first, then data → meta) is what makes every
+    * crash window heal loudly instead of serving silently wrong. The
+    * dangerous window is a crash after SOME data landed: were the
+    * ledger stamped last, the sink's replay would re-append and
+    * double the postings while producing a self-consistent meta.
+    * Ledger-first inverts it: a replay after ANY mid-append crash
+    * no-ops on the ledger probe, so the batch's partial (or absent)
+    * data is never doubled, meta.fp stays at its pre-batch value, and
+    * the next ensure's full validation sees the corpus/fp mismatch
+    * and rebuilds — a crashed append costs one rebuild, never a wrong
+    * answer. The ledger survives rebuilds ([[build]] moves `batches/`
+    * into the shadow before the swap), so a replay from before the
+    * last rebuild no-ops too — the rebuild re-indexed the whole
+    * corpus, those docs included.
+    *
+    * appendBatch deliberately does NOT stamp the validation token:
+    * the token's zero-job fast path may only vouch for a state that
+    * was VERIFIED against the corpus, and an append verifies only its
+    * own delta — meta could already have diverged (e.g. a ledger
+    * entry lost to an external delete let a replay double-append).
+    * Stamping here would freeze that divergence behind the fast path
+    * indefinitely; skipping means the next [[ensure]] pays ONE full
+    * fingerprint validation (which re-stamps on success, or rebuilds
+    * on any mismatch) — divergence is always detected at the next
+    * serve, never served. */
   def appendBatch(spark: SparkSession, sfDir: String,
       batch: DataFrame): AppendInfo = synchronized {
     val dir = dirFor(spark, sfDir)
@@ -353,7 +373,8 @@ object LexIndex {
       .write.mode(SaveMode.Append).parquet(s"$dir/stats")
     val m2 = m.copy(n = m.n + bn, fp = m.fp ^ bfp, np = m.np + npB)
     writeMeta(spark, dir, m2)
-    writeToken(spark, dir, tokenLine(stateDigest(spark, sfDir, dir), m2))
+    // NO token stamp — see the scaladoc; the next ensure validates
+    // m2 against the live corpus before any zero-job serving
     AppendInfo(bn, npB, replayed = false)
   }
 
@@ -371,6 +392,13 @@ object LexIndex {
       val dir = dirFor(spark, sfDir)
       val m = readMeta(spark, dir).getOrElse(return (0, 0))
       if (m.np == 0) return (0, 0)
+      // a content-preserving rewrite may EXTEND a voucher, never
+      // create one: re-stamp the token after the rewrite only if the
+      // pre-compact state held a valid one (appendBatch leaves none —
+      // compacting unvalidated appends must not skip their ensure)
+      val vouchedAtEntry = readToken(spark, dir).exists { case (d, tm) =>
+        d == stateDigest(spark, sfDir, dir) && tm == m
+      }
       def files(): Int = {
         val (fs, p) = graft.Scratch.fs(spark, dir)
         graft.Scratch.walkFiles(fs, p).count { s =>
@@ -399,7 +427,8 @@ object LexIndex {
         .agg(sum(col("df")).as("df")), partitioned = true)
       rewrite("stats", _.agg(sum(col("n_docs")).as("n_docs"),
         sum(col("sum_dl")).as("sum_dl")), partitioned = false)
-      writeToken(spark, dir, tokenLine(stateDigest(spark, sfDir, dir), m))
+      if (vouchedAtEntry)
+        writeToken(spark, dir, tokenLine(stateDigest(spark, sfDir, dir), m))
       (before, files())
     }
 

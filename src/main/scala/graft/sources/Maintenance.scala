@@ -239,7 +239,8 @@ object Maintenance {
     graft.streaming.IngestCommit.write(spark, corpusDir,
       graft.streaming.IngestCommit.Marker(
         graft.streaming.IngestCommit.listing(spark, corpusDir + "__sh"),
-        graft.streaming.IngestCommit.listing(spark, corpusDir + "__bands")))
+        graft.streaming.IngestCommit.listing(spark, corpusDir + "__bands"),
+        graft.streaming.IngestCommit.listing(spark, corpusDir)))
     (shDropped, bandsDropped)
   }
 
@@ -317,6 +318,14 @@ object Maintenance {
       }
       val before = files()
       val df = spark.read.parquet(dir)
+      // zero-row guard (same class as compact's totalFiles==0 skip and
+      // compactIngestIndexes' full.isEmpty branch): a partitionBy
+      // write of zero rows emits NO part files, and swapping that
+      // shell in would leave a footer-less dir every later read
+      // throws on. Unreachable from the ensureLists policy path (it
+      // only fires past a files-per-cell threshold), but this is a
+      // public maintenance entry callable on foreign-written layouts.
+      if (before == 0 || df.isEmpty) return (before, before)
       val shadow = new Path(dir + "__compact")
       df.repartition(col("cell")).write.mode(SaveMode.Overwrite)
         .partitionBy("cell").parquet(shadow.toString)

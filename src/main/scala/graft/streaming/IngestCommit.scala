@@ -33,12 +33,24 @@ import org.apache.spark.sql.functions.col
   * batch, then repairs the marker with [[committedListing]] — one
   * file-granularity commit scan — so the fast path re-engages next
   * batch. Deleting the marker is therefore always safe.
-  */
+  *
+  * The `corpus` section (marker v2) records the CORPUS dir's data-file
+  * listing at stamp time, and validation requires every recorded file
+  * to still exist unchanged (a SUBSET check — later appends only add
+  * files, and a crash between a corpus append and its stamp leaves
+  * benign extras). This folds the corpus's identity into marker
+  * validity the way the ANN vtoken folds it into the index token: a
+  * FOREIGN corpus rewrite (e.g. doc deletions compacted in by an
+  * external writer) invalidates the marker, so the batch falls back to
+  * the committed semi-join and the deleted docs' index rows go dark —
+  * where file-granularity visibility alone would have kept serving
+  * their ghosts under the single-writer assumption (ADVICE r13). */
 object IngestCommit {
 
-  final case class Marker(sh: Map[String, Long], bands: Map[String, Long])
+  final case class Marker(sh: Map[String, Long], bands: Map[String, Long],
+      corpus: Map[String, Long])
 
-  private val header = "graftingest|1"
+  private val header = "graftingest|2"
 
   def markerPath(corpusDir: String): String = corpusDir + "__commit"
 
@@ -143,15 +155,17 @@ object IngestCommit {
     if (lines.isEmpty || lines.head != header) return None
     val sh = Map.newBuilder[String, Long]
     val bands = Map.newBuilder[String, Long]
+    val corpus = Map.newBuilder[String, Long]
     try {
       lines.tail.foreach { l =>
         l.split('|') match {
           case Array("sh", f, len) => sh += ((f, len.toLong))
           case Array("bands", f, len) => bands += ((f, len.toLong))
+          case Array("corpus", f, len) => corpus += ((f, len.toLong))
           case _ => return None
         }
       }
-      Some(Marker(sh.result(), bands.result()))
+      Some(Marker(sh.result(), bands.result(), corpus.result()))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -165,7 +179,8 @@ object IngestCommit {
       val out = fs.create(p, true)
       val body = (Seq(header) ++
         m.sh.toSeq.sorted.map { case (f, l) => s"sh|$f|$l" } ++
-        m.bands.toSeq.sorted.map { case (f, l) => s"bands|$f|$l" })
+        m.bands.toSeq.sorted.map { case (f, l) => s"bands|$f|$l" } ++
+        m.corpus.toSeq.sorted.map { case (f, l) => s"corpus|$f|$l" })
         .mkString("\n")
       try out.write(body.getBytes("UTF-8")) finally out.close()
     } catch { case e: Throwable =>

@@ -246,6 +246,9 @@ object StreamOps {
       // now run only on marker-validation failure; see [[IngestCommit]])
       val shBefore = IngestCommit.listing(spark, shDir)
       val bandsBefore = IngestCommit.listing(spark, bandsDir)
+      val corpusBefore =
+        if (empty) Map.empty[String, Long]
+        else IngestCommit.listing(spark, corpusDir)
       // one layout per read: an explicit file-list read that mixes
       // root-level and pfx= files DROPS the root-level files without
       // error (measured) — every marker-driven read below is filtered
@@ -262,7 +265,15 @@ object StreamOps {
         m.sh.nonEmpty && m.bands.nonEmpty &&
           (shPart.isEmpty || shFlat.isEmpty) &&
           m.sh.forall { case (f, l) => shBefore.get(f).contains(l) } &&
-          m.bands.forall { case (f, l) => bandsBefore.get(f).contains(l) }
+          m.bands.forall { case (f, l) => bandsBefore.get(f).contains(l) } &&
+          // corpus identity (subset check — appends add files, a lost
+          // stamp leaves benign extras): any recorded corpus file
+          // vanished or changed means a FOREIGN rewrite (doc deletions
+          // included) — the marker's file-granularity visibility no
+          // longer matches the corpus, so fall back to the semi-join,
+          // which filters the deleted docs' ghost rows correctly
+          m.corpus.nonEmpty &&
+          m.corpus.forall { case (f, l) => corpusBefore.get(f).contains(l) }
       }
       // a dir written by a pre-layout sink holds ALL its data files at
       // the root; appending pfx= partition dirs next to them would
@@ -390,7 +401,8 @@ object StreamOps {
       val ownSh = oneLayout(shAfter -- shBefore.keySet)
       val ownBands = bandsAfter -- bandsBefore.keySet
       IngestCommit.write(spark, corpusDir,
-        IngestCommit.Marker(baseSh ++ ownSh, baseBands ++ ownBands))
+        IngestCommit.Marker(baseSh ++ ownSh, baseBands ++ ownBands,
+          IngestCommit.listing(spark, corpusDir)))
       ()
     }
 

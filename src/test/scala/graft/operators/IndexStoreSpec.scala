@@ -230,6 +230,39 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("appendBatch refuses a re-sent vec_id with CHANGED embedding " +
+    "(re-key contract) while a true replay still no-ops") {
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val isBatch = col("vec_id") >= 10 &&
+      pmod(xxhash64(col("vec_id")), lit(10)) === 0
+    val batch = all.filter(isBatch)
+    val corpus = writeCorpus(all)
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    try {
+      val baseCorpus = writeCorpus(all.filter(!isBatch))
+      try IndexStore.build(spark, baseCorpus, idxDir)
+      finally deleteDir(baseCorpus)
+      assert(IndexStore.appendBatch(spark, idxDir, batch).appended > 0)
+      // true replay: the matched-id verify passes (stored codes/norm
+      // are deterministic in the content) and the batch no-ops
+      assert(IndexStore.appendBatch(spark, idxDir, batch).appended === 0L)
+      // re-key: same ids, SCALED content — direction (and so the home
+      // cell) is unchanged, the norm is not. The old behavior silently
+      // dropped these as "known"; the guard must refuse them loudly.
+      val rekeyed = batch.withColumn("embedding",
+        expr("transform(embedding, x -> cast(x * 2.0 as float))"))
+      val err = intercept[IllegalStateException] {
+        IndexStore.appendBatch(spark, idxDir, rekeyed)
+      }
+      assert(err.getMessage.contains("CHANGED"))
+      // nothing was written: the index still serves the pre-re-key state
+      assert(IndexStore.appendBatch(spark, idxDir, batch).appended === 0L)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
   test("appendBatch repairs a torn index (codes without rcodes) on " +
     "replay and refuses when the torn ids are outside its batch") {
     val all = graft.sources.Tables.load(spark, sfDir, "embeddings")

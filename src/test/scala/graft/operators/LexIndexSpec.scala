@@ -167,6 +167,54 @@ class LexIndexSpec extends SparkSpec {
     }
   }
 
+  test("appendBatch: the replay ledger survives a rebuild (pre-rebuild " +
+    "batches still no-op), appendBatch stamps no token, and a lost " +
+    "ledger entry's double-append is DETECTED by the next ensure — " +
+    "never served") {
+    val base = graft.sources.Tables.load(spark, sfDir, "documents")
+    val corpus = writeCorpus(base.filter(col("doc_id") < 300))
+    val idxDir = LexIndex.dirFor(spark, corpus)
+    try {
+      assert(LexIndex.ensure(spark, corpus).builtNow)
+      val batch = base.filter(col("doc_id") >= 300 && col("doc_id") < 340)
+      batch.write.mode("append").parquet(s"$corpus/documents.parquet")
+      assert(!LexIndex.appendBatch(spark, corpus, batch).replayed)
+      // appendBatch leaves NO token: the first ensure after an append
+      // must pay a full validation (jobs > 0), and only ITS stamp
+      // re-opens the zero-job path
+      assert(jobsDuring { assert(!LexIndex.ensure(spark, corpus).builtNow) }
+        > 0, "post-append ensure must validate, not trust a token")
+      assert(jobsDuring { LexIndex.ensure(spark, corpus) } === 0)
+      // grow the corpus WITHOUT indexing the growth: the next ensure
+      // sees the fp mismatch and rebuilds — and the ledger survives it
+      val growth = base.filter(col("doc_id") >= 340 && col("doc_id") < 360)
+      growth.write.mode("append").parquet(s"$corpus/documents.parquet")
+      assert(LexIndex.ensure(spark, corpus).builtNow)
+      val (lfs, lp) = graft.Scratch.fs(spark, s"$idxDir/batches")
+      assert(lfs.exists(lp), "rebuild must carry the ledger over")
+      // a replay of the PRE-REBUILD batch no-ops (its docs are in the
+      // corpus the rebuild just re-indexed; re-appending would double)
+      val r = LexIndex.appendBatch(spark, corpus, batch)
+      assert(r.replayed && r.docs === 0,
+        "pre-rebuild replay must no-op via the surviving ledger")
+      val want = rows(LexIndex.q74Bm25TopKIdx(spark, corpus))
+      // forge ledger loss (external delete): the replay now
+      // re-appends — and the divergence MUST be caught by the next
+      // ensure's full validation instead of being served
+      lfs.delete(lp, true)
+      assert(!LexIndex.appendBatch(spark, corpus, batch).replayed,
+        "with its ledger entry gone the replay re-applies — the state " +
+          "this test proves is detected, not served")
+      val healed = LexIndex.ensure(spark, corpus)
+      assert(healed.builtNow && healed.n === 360,
+        "ensure must see the doubled meta vs the corpus and rebuild")
+      assert(rows(LexIndex.q74Bm25TopKIdx(spark, corpus)) === want)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
   test("compact: merges append partials content-preservingly — q74 " +
     "bit-unchanged, fewer part files, df back to one row per term") {
     val base = graft.sources.Tables.load(spark, sfDir, "documents")

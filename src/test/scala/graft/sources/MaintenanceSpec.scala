@@ -131,6 +131,36 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 0L)
   }
 
+  test("compactVecLists skips a zero-row lists table instead of " +
+    "swapping in an unreadable shell (ADVICE r13)") {
+    // foreign-writer shape again: a readable lists/ dir whose every
+    // file is zero-row. partitionBy over zero rows writes NO part
+    // files — an unguarded rewrite would swap in a footer-less dir
+    // that every later read throws on.
+    val vlDir = Files.createTempDirectory("graft_veclists_z").toString
+    val dir = s"$vlDir/lists"
+    val empty = spark.range(0).select(col("id").as("vec_id"),
+      lit(1.0).as("nrm"),
+      org.apache.spark.sql.functions.array(lit(0.0)).as("v"),
+      lit(0L).as("cell"))
+    // cell=0 partition dir with a zero-row (footer-bearing) file
+    empty.withColumn("cell", lit(0L)).coalesce(1)
+      .write.partitionBy("cell").parquet(dir)
+    val src = empty.drop("cell")
+    val ef = Files.createTempDirectory("graft_veclists_z_e").toString + "/e"
+    src.coalesce(1).write.parquet(ef)
+    val f = new java.io.File(ef).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val pdir = new java.io.File(s"$dir/cell=0")
+    pdir.mkdirs()
+    Files.copy(f.toPath, new java.io.File(pdir, f.getName).toPath)
+    assert(spark.read.parquet(dir).count() === 0L)
+    val (b, a) = Maintenance.compactVecLists(spark, vlDir)
+    assert(b === a, "zero-row table must be skipped, not rewritten")
+    assert(spark.read.parquet(dir).count() === 0L,
+      "lists dir must stay readable after the skip")
+  }
+
   test("compaction refuses a bucketed table directory (bucket " +
     "membership is name-encoded in the part files)") {
     val base = Files.createTempDirectory("graft_compact_bkt").toString

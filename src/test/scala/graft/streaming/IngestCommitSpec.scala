@@ -35,16 +35,58 @@ class IngestCommitSpec extends SparkSpec {
     val dir = freshCorpusDir("ic_rt")
     val m = IngestCommit.Marker(
       Map("pfx=3/part-a.parquet" -> 123L, "pfx=7/part-b.parquet" -> 9L),
-      Map("part-c.parquet" -> 42L))
+      Map("part-c.parquet" -> 42L),
+      Map("part-d.parquet" -> 7L))
     assert(IngestCommit.read(spark, dir).isEmpty)
     IngestCommit.write(spark, dir, m)
     assert(IngestCommit.read(spark, dir).contains(m))
     // truncated/corrupt marker parses to None, never to a wrong Marker
     val (fs, p) = graft.Scratch.fs(spark, IngestCommit.markerPath(dir))
     val out = fs.create(p, true)
-    out.write("graftingest|1\nsh|owner|data|extra".getBytes("UTF-8"))
+    out.write("graftingest|2\nsh|owner|data|extra".getBytes("UTF-8"))
     out.close()
     assert(IngestCommit.read(spark, dir).isEmpty)
+    // a v1 marker (pre-corpus-identity format) is rejected outright:
+    // one fallback semi-join batch repairs it as v2
+    val out2 = fs.create(p, true)
+    out2.write("graftingest|1\nsh|a.parquet|5".getBytes("UTF-8"))
+    out2.close()
+    assert(IngestCommit.read(spark, dir).isEmpty)
+  }
+
+  test("a foreign corpus rewrite (doc deletion) invalidates the " +
+    "marker: the deleted doc's ghost index rows go dark instead of " +
+    "suppressing a legitimate admission (ADVICE r13)") {
+    implicit val ctx = spark.sqlContext
+    val corpusDir = freshCorpusDir("ic_foreign")
+    val ms = MemoryStream[(Long, String, String)]
+    val q = startIngest(ms, corpusDir)
+    try {
+      ms.addData(Seq((1L, textC, "en")))
+      q.processAllAvailable()
+      ms.addData(Seq((2L, textA, "en")))
+      q.processAllAvailable()
+      assert(corpusIds(corpusDir) === Seq(1L, 2L))
+      // foreign writer deletes doc 2 by rewriting the corpus in place;
+      // the sh/bands indexes and the marker still carry doc 2's rows
+      val survivors = spark.read.parquet(corpusDir)
+        .filter($"doc_id" =!= 2L)
+      val keep = survivors.collect()
+      val schema = survivors.schema
+      val (cfs, cp) = graft.Scratch.fs(spark, corpusDir)
+      cfs.delete(cp, true)
+      spark.createDataFrame(
+        java.util.Arrays.asList(keep: _*), schema).write.parquet(corpusDir)
+      // a near-dup of the DELETED doc arrives: its text is no longer
+      // in the committed corpus, so it must be admitted — the corpus
+      // section of the marker sees the rewrite, falls back to the
+      // semi-join, and the ghost rows filter out
+      ms.addData(Seq((3L, textA + " today", "en")))
+      q.processAllAvailable()
+      assert(corpusIds(corpusDir) === Seq(1L, 3L),
+        "ghost index rows of a foreign-deleted doc suppressed a " +
+          "legitimate admission")
+    } finally q.stop()
   }
 
   test("never-replayed orphan index rows stay invisible: later batches' " +
