@@ -1,62 +1,77 @@
 package graft
 
 /** Scratch profiling main (not part of the driver contract) —
-  * currently instrumented to run the REAL screenedVectorIngestStream
-  * at the 16× corpus and dump per-trigger progress durations, to find
-  * where the streaming per-batch wall-clock goes (the operator stages
-  * themselves measure ~5 s, the streaming windows read ~47 s). */
+  * currently instrumented to decompose the UNSCREENED vector-ingest
+  * per-batch cost (the one residual `weak` in VERDICT r13): run the
+  * exact phases of [[graft.streaming.StreamOps.vectorIngestStream]]'s
+  * steady-state branch DIRECTLY (no streaming wrapper, so trigger
+  * overhead is out of frame) against a small and a 16× corpus, and
+  * time each phase per batch — the growing term is the flattening
+  * target. */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf16ann")
     val spark = GraftSession.local("graft-profile")
     spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
     import spark.implicits._
-    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import graft.operators.{IndexStore, IngestScreen}
-    val corpusDir = java.nio.file.Files
-      .createTempDirectory("prof_svec2").toString + "/c"
-    val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
-      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-    def freshVec(emb: Array[Float], batch: Int): Array[Float] = {
-      val lag = (batch + 1) * 8 % emb.length
-      emb.indices.map(j =>
-        -emb((j + lag) % emb.length) - 0.001f * (batch + 1)).toArray
-    }
-    val ms = MemoryStream[(Long, Array[Float])]
-    val q = streaming.StreamOps.screenedVectorIngestStream(
-        ms.toDF().toDF("vec_id", "embedding"), corpusDir)
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("prof_svec2_ckpt").toString)
-      .start()
-    def awaitConsumed(expected: Long): Unit = {
-      var sum = -1L
-      while (sum < expected) {
-        q.processAllAvailable()
-        sum = q.recentProgress.map(_.numInputRows).sum
-        if (sum < expected) Thread.sleep(200)
-      }
-    }
+    import graft.operators.IndexStore
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    try {
-      val boot = timed { ms.addData(src.toSeq); awaitConsumed(src.length) }
-      println(f"[prof] boot $boot%.1f s")
-      (0 until 3).foreach { i =>
-        val b = src.take(1000).zipWithIndex.map { case ((_, emb), j) =>
-          (10000000L + i.toLong * 1000 + j, freshVec(emb, i))
-        }.toSeq
-        val s = timed {
-          ms.addData(b); awaitConsumed(src.length + (i + 1).toLong * 1000)
-        }
-        println(f"[prof] batch $i window $s%.1f s")
-        q.recentProgress.takeRight(3).foreach { p =>
-          println(s"[prof]   trigger batchId=${p.batchId} rows=${p.numInputRows} " +
-            s"durations=${p.durationMs}")
-        }
+    def runScale(label: String, srcDir: String): Unit = {
+      val corpusDir = java.nio.file.Files
+        .createTempDirectory(s"prof_vec_$label").toString + "/c"
+      val table = s"$corpusDir/embeddings.parquet"
+      val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      // bootstrap: corpus + index, like the sink's first batch
+      src.toSeq.toDF("vec_id", "embedding")
+        .repartition(32).write.parquet(table)
+      val boot = timed { IndexStore.ensure(spark, corpusDir) }
+      val idxDir = IndexStore.dirFor(spark, corpusDir)
+      println(f"[prof] $label%-6s n=${src.length} bootstrap $boot%.1f s")
+      def freshVec(emb: Array[Float], batch: Int): Array[Float] = {
+        val lag = (batch + 1) * 8 % emb.length
+        emb.indices.map(j =>
+          -emb((j + lag) % emb.length) - 0.001f * (batch + 1)).toArray
       }
-    } finally q.stop()
+      (0 until 8).foreach { i =>
+        val b = src.take(1000).zipWithIndex.map { case ((_, emb), j) =>
+          (900000000L + i.toLong * 1000 + j, freshVec(emb, i))
+        }.toSeq.toDF("vec_id", "embedding")
+        var fresh: org.apache.spark.sql.DataFrame = null
+        val tAnti = timed {
+          val corpusIds = spark.read.parquet(table).select("vec_id")
+          fresh = graft.Materialize(
+            b.dropDuplicates("vec_id")
+              .join(corpusIds, Seq("vec_id"), "left_anti"))
+          fresh.isEmpty
+        }
+        // standalone re-measure of the torn-probe counts appendBatch
+        // pays (footer-driven; grows with accumulated file count)
+        val tCnt = timed {
+          spark.read.parquet(s"$idxDir/codes").count()
+          spark.read.parquet(s"$idxDir/rcodes").count()
+        }
+        val tApp = timed { IndexStore.appendBatch(spark, idxDir, fresh) }
+        val tW = timed {
+          fresh.write.mode("append").parquet(table)
+        }
+        val nf = {
+          val (fs, p) = graft.Scratch.fs(spark, idxDir)
+          graft.Scratch.walkFiles(fs, p).count(
+            _.getPath.getName.endsWith(".parquet"))
+        }
+        println(f"[prof] $label%-6s b$i anti $tAnti%5.2f cnt $tCnt%5.2f " +
+          f"append $tApp%5.2f cwrite $tW%5.2f idxfiles $nf%d")
+      }
+      val (fs, p) = graft.Scratch.fs(spark, corpusDir)
+      fs.delete(p, true)
+      val (fs2, p2) = graft.Scratch.fs(spark, idxDir)
+      fs2.delete(p2, true)
+    }
+    runScale("sf0.1", "/root/testdata/sf0.1")
+    runScale("big", sys.env.getOrElse("SPARK_GRAFT_BIG_DIR", "/tmp/sf16ann"))
     spark.stop()
   }
 }

@@ -451,7 +451,7 @@ object IndexStore {
         fs.exists(p)
       }
       def ids(t: String, tag: Boolean) =
-        try spark.read.parquet(s"$dir/$t")
+        try withDeltaOf(spark, dir, t)(identity)
           .select(col("vec_id"), lit(tag).as("c"))
         catch {
           case scala.util.control.NonFatal(_)
@@ -647,8 +647,13 @@ object IndexStore {
         val (fs, _) = graft.Scratch.fs(spark, s"$dir/$t")
         val st = fs.globStatus(
           new org.apache.hadoop.fs.Path(s"$dir/$t/cell=*/*.parquet"))
-        if (st == null) Nil
-        else st.groupBy(_.getPath.getParent).values.map(_.length)
+        // the delta buffer counts against the same threshold: every
+        // reader scans ALL delta files unpruned, so an unbounded delta
+        // is the new form of the sliver problem the policy exists for
+        val deltaN = deltaFileNames(spark, dir, t).size
+        (if (st == null) Nil
+         else st.groupBy(_.getPath.getParent).values.map(_.length)) ++
+          (if (deltaN > 0) Seq(deltaN) else Nil)
       }
       if (worst.nonEmpty && worst.max >= p.compactAtFilesPerCell) {
         val (before, after) =
@@ -727,10 +732,32 @@ object IndexStore {
     * cadence, never permanent. Both ingest sinks are immune (they
     * anti-join the corpus first, so a known id never reaches
     * appendBatch); direct callers must treat changed-content re-keys
-    * as corrupted input. */
+    * as corrupted input.
+    *
+    * `corpusScreened = true` is the streaming-sink fast path: the
+    * caller VOUCHES that (a) every batch id was anti-joined against
+    * the index's corpus table before the call, (b) replays re-deliver
+    * byte-identical batch content, in order (Structured Streaming's
+    * checkpoint contract), and (c) this caller is the only index
+    * writer. Under that vouch, one batch-sized identity agg plus a
+    * driver-side `_commit` marker compare (exact file listings + a
+    * one-deep replay ledger) replace the per-append torn-probe counts
+    * and membership scan — the remaining O(index-file-count) terms
+    * (INGEST_r14). A batch whose admitted set is NOT replay-
+    * deterministic (the screened sink: chains can admit more on
+    * replay) must keep the default, measured path. */
   def appendBatch(spark: SparkSession, dir: String,
-      batch: DataFrame): AppendStats = synchronized {
+      batch: DataFrame, corpusScreened: Boolean = false): AppendStats =
+    synchronized {
     import graft.functions.VectorFunctions.dotD
+    // dev-only phase timer (-Dgraft.prof.append=true): stderr deltas
+    val profT = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+    def prof(tag: String): Unit =
+      if (java.lang.Boolean.getBoolean("graft.prof.append")) {
+        val now = System.nanoTime()
+        System.err.println(
+          f"[appprof] $tag%-8s ${(now - profT.getAndSet(now)) / 1e9}%6.2f")
+      } else profT.set(System.nanoTime())
     val m = readMeta(spark, dir).getOrElse(throw new IllegalStateException(
       s"no index at $dir — build() before appendBatch()"))
     // the FULL dial/format guard, not just the version: encoding the
@@ -787,74 +814,131 @@ object IndexStore {
     // inconsistency — never compound it through the pruned path).
     // (Re-sent ids: see the RE-KEY CONTRACT in the scaladoc and the
     // matched-id verify guard below.)
-    val codesCnt = spark.read.parquet(s"$dir/codes").count()
-    val rcodesCnt = spark.read.parquet(s"$dir/rcodes").count()
-    val (tornIds, knownIds) =
-      if (codesCnt == rcodesCnt &&
-          codesCnt == m.n * Similarity.pqSubspaces) {
-        val touched = readCodes(spark, s"$dir/codes")
-          .filter(col("sub") === 0)
-          .join(home0.select(col("cell")).distinct().hint("broadcast"),
-            Seq("cell"), "left_semi")
-          .select(col("vec_id"))
-        (pe0.select(col("vec_id")).limit(0), touched)
-      } else {
-        val codesIds = spark.read.parquet(s"$dir/codes")
-          .select(col("vec_id")).distinct()
-        val rcodesIds = spark.read.parquet(s"$dir/rcodes")
-          .select(col("vec_id")).distinct()
-        val torn = graft.Materialize(
-          codesIds.join(rcodesIds, Seq("vec_id"), "left_anti"))
-        // a torn id OUTSIDE this batch cannot be repaired here (no
-        // embedding to re-encode) — fail loudly so the caller
-        // re-ensures instead of continuing to serve degraded q70
-        // results. ensure's tablesIntact probe sees exactly this state
-        // (distinct id counts differ between codes and rcodes), so
-        // "run ensure()" genuinely rebuilds — even when the torn rows
-        // reached neither the corpus nor meta and the fingerprint
-        // alone would validate.
-        val unrepairable =
-          torn.join(pe0.select("vec_id"), Seq("vec_id"), "left_anti")
-        if (!unrepairable.isEmpty)
-          throw new IllegalStateException(
-            s"index at $dir is torn (codes rows without rcodes rows, " +
-              "for vec_ids outside this batch — a prior append crashed " +
-              "between the two writes) and this batch cannot repair " +
-              "it; run ensure() to rebuild before appending")
-        (torn, codesIds)
+    prof("entry")
+    // MEASURED DETECTION (the pre-marker path, and every fallback):
+    // torn-probe counts, membership scan, per-class union + one agg.
+    def legacyDetect(): (DataFrame, Long, Long, Long, Long, Long, Long) = {
+      val codesCnt = withDeltaOf(spark, dir, "codes")(identity).count()
+      val rcodesCnt = withDeltaOf(spark, dir, "rcodes")(identity).count()
+      prof("counts")
+      val (tornIds, knownIds) =
+        if (codesCnt == rcodesCnt &&
+            codesCnt == m.n * Similarity.pqSubspaces) {
+          val touched = withDeltaOf(spark, dir, "codes")(
+            _.filter(col("sub") === 0)
+              .join(home0.select(col("cell")).distinct().hint("broadcast"),
+                Seq("cell"), "left_semi"))
+            .select(col("vec_id"))
+          (pe0.select(col("vec_id")).limit(0), touched)
+        } else {
+          val codesIds = withDeltaOf(spark, dir, "codes")(identity)
+            .select(col("vec_id")).distinct()
+          val rcodesIds = withDeltaOf(spark, dir, "rcodes")(identity)
+            .select(col("vec_id")).distinct()
+          val torn = graft.Materialize(
+            codesIds.join(rcodesIds, Seq("vec_id"), "left_anti"))
+          // a torn id OUTSIDE this batch cannot be repaired here (no
+          // embedding to re-encode) — fail loudly so the caller
+          // re-ensures instead of continuing to serve degraded q70
+          // results. ensure's tablesIntact probe sees exactly this
+          // state (distinct id counts differ between codes and
+          // rcodes), so "run ensure()" genuinely rebuilds — even when
+          // the torn rows reached neither the corpus nor meta and the
+          // fingerprint alone would validate.
+          val unrepairable =
+            torn.join(pe0.select("vec_id"), Seq("vec_id"), "left_anti")
+          if (!unrepairable.isEmpty)
+            throw new IllegalStateException(
+              s"index at $dir is torn (codes rows without rcodes rows, " +
+                "for vec_ids outside this batch — a prior append " +
+                "crashed between the two writes) and this batch cannot " +
+                "repair it; run ensure() to rebuild before appending")
+          (torn, codesIds)
+        }
+      val freshPe = pe0.join(knownIds, Seq("vec_id"), "left_anti")
+      val tornPe = pe0.join(tornIds, Seq("vec_id"), "left_semi")
+      // matched = already-indexed batch ids (replay no-ops under the
+      // re-key contract). They ride the SAME materialized union so the
+      // guard below costs zero extra jobs when there are none — but
+      // they are EXCLUDED from the fingerprint and the data writes
+      // (their hash is already in meta.fp; re-xoring would cancel it
+      // out).
+      val matchedPe = pe0.join(knownIds, Seq("vec_id"), "left_semi")
+        .join(tornIds, Seq("vec_id"), "left_anti")
+      val peU = graft.Materialize(
+        freshPe.withColumn("cls", lit("f"))
+          .unionByName(tornPe.withColumn("cls", lit("t")))
+          .unionByName(matchedPe.withColumn("cls", lit("m"))))
+      val fpRow = peU
+        .agg(count(when(col("cls") === "f", lit(1))),
+          count(when(col("cls") =!= "m", lit(1))),
+          countDistinct(col("vec_id")), count(lit(1)),
+          expr("bit_xor(case when cls != 'm' " +
+            "then xxhash64(vec_id, embedding) end)"),
+          count(when(col("cls") === "m", lit(1))),
+          expr("bit_xor(xxhash64(vec_id, embedding))"))
+        .head()
+      prof("peagg")
+      // duplicate vec_ids WITHIN one batch would double-insert codes
+      // rows (16 instead of 8 per vector — the ADC sum then
+      // double-counts that vector's subspaces and corrupts the
+      // shortlist ordering). vec_id is the key; refuse loudly like
+      // every keyed sink here does.
+      require(fpRow.getLong(2) == fpRow.getLong(3),
+        s"batch contains duplicate vec_id rows " +
+          s"(${fpRow.getLong(3) - fpRow.getLong(2)} extras) — " +
+          "deduplicate on vec_id before appendBatch")
+      (peU, fpRow.getLong(0), fpRow.getLong(1), fpRow.getLong(5),
+        if (fpRow.isNullAt(4)) 0L else fpRow.getLong(4),
+        fpRow.getLong(3),
+        if (fpRow.isNullAt(6)) 0L else fpRow.getLong(6))
+    }
+    // VOUCHED FAST PATH (corpusScreened=true, see the param doc): one
+    // batch-sized identity agg + driver-side marker compare replace
+    // the torn-probe counts AND the membership scan — the remaining
+    // O(index-file-count) per-append terms. Any marker divergence
+    // falls back to the measured path, which re-stamps.
+    val vouched: Option[(Long, Long)] =
+      if (!corpusScreened) None
+      else {
+        val idRow = pe0
+          .agg(count(lit(1)), countDistinct(col("vec_id")),
+            expr("bit_xor(xxhash64(vec_id, embedding))"))
+          .head()
+        val bn = idRow.getLong(0)
+        if (bn == 0) return AppendStats(0L, 0L, None)
+        require(idRow.getLong(1) == bn,
+          s"batch contains duplicate vec_id rows " +
+            s"(${bn - idRow.getLong(1)} extras) — deduplicate on " +
+            "vec_id before appendBatch")
+        val bfp = idRow.getLong(2)
+        readCommit(spark, dir) match {
+          case Some(c) if c.lastN == bn && c.lastFp == bfp =>
+            // one-deep replay ledger hit: this exact batch already
+            // committed (in-order replay re-delivers only the LAST
+            // uncommitted batch, so one slot is enough) — its rows are
+            // in the index whatever happened since; pure no-op
+            return AppendStats(0L, 0L, None)
+          case Some(c) if c.n == m.n &&
+              annListing(spark, dir, "codes") == c.codes &&
+              annListing(spark, dir, "rcodes") == c.rcodes =>
+            // the index is byte-for-byte as the last committed append
+            // left it (no torn debris anywhere), and the caller
+            // vouches no batch id is already indexed ⇒ every valid
+            // row is fresh
+            Some((bn, bfp))
+          case _ => None
+        }
       }
-    val freshPe = pe0.join(knownIds, Seq("vec_id"), "left_anti")
-    val tornPe = pe0.join(tornIds, Seq("vec_id"), "left_semi")
-    // matched = already-indexed batch ids (replay no-ops under the
-    // re-key contract). They ride the SAME materialized union so the
-    // guard below costs zero extra jobs when there are none — but they
-    // are EXCLUDED from the fingerprint and the data writes (their
-    // hash is already in meta.fp; re-xoring would cancel it out).
-    val matchedPe = pe0.join(knownIds, Seq("vec_id"), "left_semi")
-      .join(tornIds, Seq("vec_id"), "left_anti")
-    val pe = graft.Materialize(
-      freshPe.withColumn("cls", lit("f"))
-        .unionByName(tornPe.withColumn("cls", lit("t")))
-        .unionByName(matchedPe.withColumn("cls", lit("m"))))
-    val fpRow = pe
-      .agg(count(when(col("cls") === "f", lit(1))),
-        count(when(col("cls") =!= "m", lit(1))),
-        countDistinct(col("vec_id")), count(lit(1)),
-        expr("bit_xor(case when cls != 'm' " +
-          "then xxhash64(vec_id, embedding) end)"),
-        count(when(col("cls") === "m", lit(1))))
-      .head()
-    val freshN = fpRow.getLong(0)
-    val allN = fpRow.getLong(1)
-    val matchedN = fpRow.getLong(5)
-    // duplicate vec_ids WITHIN one batch would double-insert codes rows
-    // (16 instead of 8 per vector — the ADC sum then double-counts that
-    // vector's subspaces and corrupts the shortlist ordering). vec_id
-    // is the key; refuse loudly like every keyed sink here does.
-    require(fpRow.getLong(2) == fpRow.getLong(3),
-      s"batch contains duplicate vec_id rows " +
-        s"(${fpRow.getLong(3) - fpRow.getLong(2)} extras) — " +
-        "deduplicate on vec_id before appendBatch")
+    val (pe, freshN, allN, matchedN, allFp, batchN, batchFp) =
+      vouched match {
+        case Some((bn, bfp)) =>
+          prof("counts")
+          val peF = graft.Materialize(pe0.withColumn("cls", lit("f")))
+          prof("peagg")
+          (peF, bn, bn, 0L, bfp, bn, bfp)
+        case None => legacyDetect()
+      }
     // RE-KEY GUARD (see scaladoc): a matched id claims to be a replay —
     // verify it against the stored rows in its current home cell (one
     // cell-pruned join; codes and norms are deterministic functions of
@@ -867,9 +951,9 @@ object IndexStore {
           .select(col("vec_id"), col("v"), col("nrm"))),
         spark.read.parquet(s"$dir/codebook"))
         .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
-      val stored = readCodes(spark, s"$dir/codes")
-        .join(home0.select(col("cell")).distinct().hint("broadcast"),
-          Seq("cell"), "left_semi")
+      val stored = withDeltaOf(spark, dir, "codes")(
+        _.join(home0.select(col("cell")).distinct().hint("broadcast"),
+          Seq("cell"), "left_semi"))
         .select(col("vec_id"), col("sub"),
           col("code").as("stored_code"), col("nrm").as("stored_nrm"))
       val bad = mEnc.join(stored, Seq("vec_id", "sub"))
@@ -882,9 +966,19 @@ object IndexStore {
           "not an update API (re-key contract); rebuild via ensure() " +
           "after correcting the corpus instead")
     }
-    if (allN == 0) return AppendStats(0L, 0L, None)
+    prof("guard")
+    def stampCommit(newN: Long): Unit =
+      writeCommit(spark, dir, AnnCommit(newN, batchN, batchFp,
+        annListing(spark, dir, "codes"), annListing(spark, dir, "rcodes")))
+    if (allN == 0) {
+      // pure replay (every row matched): nothing written, but re-stamp
+      // the marker so the NEXT vouched call recognizes the state (this
+      // is the heal for a crash between a completed append's meta
+      // write and its marker stamp)
+      stampCommit(m.n)
+      return AppendStats(0L, 0L, None)
+    }
     val tornN = allN - freshN
-    val allFp = fpRow.getLong(4)
 
     val e = pe.filter(col("cls") =!= "m")
       .select(col("vec_id"), col("v"), col("nrm"))
@@ -900,9 +994,13 @@ object IndexStore {
           spark.read.parquet(s"$dir/codebook"))
         .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
         .join(home, Seq("vec_id"))
-      codes.repartition(col("cell")).write.partitionBy("cell")
-        .mode(SaveMode.Append).parquet(s"$dir/codes")
+      // ONE delta file, not one file per touched cell= dir — the √N
+      // per-append commit cost this buffer exists to remove; the fold
+      // (compactAnnIndex) restores the cell layout on its cadence
+      codes.repartition(1).write
+        .mode(SaveMode.Append).parquet(deltaDirOf(dir, "codes"))
     }
+    prof("codes")
     // rcodes carry fresh AND repaired rows (torn ids are already in
     // codes — re-deriving their cell/rcodes from the same centroids is
     // deterministic, so the repair matches what the crashed append
@@ -912,13 +1010,19 @@ object IndexStore {
     val rcodes = Similarity
       .pqAssign(rsv, spark.read.parquet(s"$dir/rcodebook"))
       .select(col("vec_id"), col("cell"), col("sub"), col("code"))
+    prof("rsv")
     val batchRes = meanResNorm(rsv)
+    prof("resnorm")
 
-    rcodes.repartition(col("cell")).write.partitionBy("cell")
-      .mode(SaveMode.Append).parquet(s"$dir/rcodes")
+    rcodes.repartition(1).write
+      .mode(SaveMode.Append).parquet(deltaDirOf(dir, "rcodes"))
+    prof("rcodes")
     writeMeta(spark, dir, m.copy(n = m.n + allN, fp = m.fp ^ allFp,
       appended_n = m.appended_n + allN,
       app_res_sum = m.app_res_sum + batchRes * allN))
+    // marker LAST (meta before marker): a crash here costs one
+    // fallback-path append, never a wrong vouch
+    stampCommit(m.n + allN)
     AppendStats(freshN, tornN,
       if (m.res_norm > 0) Some(batchRes / m.res_norm) else None)
   }
@@ -938,6 +1042,195 @@ object IndexStore {
   private[operators] def readCodes(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).withColumn("cell", col("cell").cast("long"))
 
+  // --- delta buffer (LSM L0 for the codes tables) ---------------------------
+  //
+  // appendBatch lands each batch's rows as ONE un-partitioned file per
+  // table under `<table>_delta/` (cell rides as a DATA column), so the
+  // per-append commit cost is O(1) files instead of one file per
+  // touched `cell=` dir (~nlist ∝ √N — the measured per-batch residual
+  // of INGEST_r13c/d). Every reader serves base ∪ delta through
+  // [[withDeltaOf]]; the delta leg is small (bounded by the fold
+  // cadence) and the base leg keeps its DPP-pruned plan — when the
+  // delta is empty the returned plan is BYTE-IDENTICAL to the pre-delta
+  // shape. [[graft.sources.Maintenance.compactAnnIndex]] FOLDS the
+  // delta into the cell layout during its shadow rewrite; the
+  // swap-vs-delta-delete crash window is closed by a `_fold` sentinel
+  // written INTO the shadow before the swap (invisible to parquet — an
+  // underscore file), listing exactly the delta files the shadow
+  // absorbed: [[healFold]] (run before any delta listing) deletes the
+  // listed files and clears the sentinel, idempotently, so any crash
+  // point either leaves the delta intact (swap never happened) or
+  // completes the deletion — never a doubled row.
+
+  private[operators] def deltaDirOf(dir: String, table: String): String =
+    s"$dir/${table}_delta"
+
+  private def foldMarker(dir: String, table: String): String =
+    s"$dir/$table/_fold"
+
+  /** Complete a crashed fold: delete the delta files the live base's
+    * `_fold` sentinel lists (their rows are in the base since the
+    * swap), then clear the sentinel. Driver-side, idempotent, no-op
+    * without a sentinel. */
+  private[graft] def healFold(spark: SparkSession, dir: String,
+      table: String): Unit = {
+    val (fs, mp) = graft.Scratch.fs(spark, foldMarker(dir, table))
+    if (!fs.exists(mp)) return
+    val names =
+      try new String(graft.Scratch.readSmallFile(fs, mp), "UTF-8")
+        .split('\n').map(_.trim).filter(_.nonEmpty)
+      catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
+    val dd = deltaDirOf(dir, table)
+    names.foreach { n =>
+      val (dfs, p) = graft.Scratch.fs(spark, s"$dd/$n")
+      if (dfs.exists(p)) dfs.delete(p, false)
+    }
+    fs.delete(mp, false)
+  }
+
+  /** Stamp the fold sentinel into `shadowTableDir` (pre-swap). */
+  private[graft] def stampFold(spark: SparkSession,
+      shadowTableDir: String, deltaFileNames: Seq[String]): Unit = {
+    val (fs, p) = graft.Scratch.fs(spark, s"$shadowTableDir/_fold")
+    val out = fs.create(p, true)
+    try out.write(deltaFileNames.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Data file names currently in a table's delta dir (post-heal). */
+  private[graft] def deltaFileNames(spark: SparkSession, dir: String,
+      table: String): Seq[String] = {
+    healFold(spark, dir, table)
+    val (fs, p) = graft.Scratch.fs(spark, deltaDirOf(dir, table))
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getPath.getName)
+  }
+
+  /** The delta leg of a codes table, or None when empty — callers
+    * union it under their OWN pruning so the base leg's plan (DPP and
+    * all) is untouched, and skip the union entirely when there is no
+    * delta. */
+  private[operators] def deltaFrame(spark: SparkSession, dir: String,
+      table: String): Option[DataFrame] = {
+    val names = deltaFileNames(spark, dir, table)
+    if (names.isEmpty) None
+    else Some(spark.read.parquet(deltaDirOf(dir, table)))
+  }
+
+  /** base-leg-through-`prune` ∪ delta-leg-through-`prune` — the one
+    * read shape every codes/rcodes consumer uses. */
+  private[graft] def withDeltaOf(spark: SparkSession, dir: String,
+      table: String)(prune: DataFrame => DataFrame): DataFrame = {
+    val base = prune(readCodes(spark, s"$dir/$table"))
+    deltaFrame(spark, dir, table) match {
+      case None => base
+      case Some(d) => base.unionByName(
+        prune(d).select(base.columns.map(col).toIndexedSeq: _*))
+    }
+  }
+
+  // --- append commit marker (zero-job fast path for screened sinks) ---------
+  //
+  // The remaining per-append O(index) terms after the delta buffer are
+  // the torn-probe row counts (footer scans over ~nlist base files)
+  // and the membership scan (one file open per cell dir). Both exist
+  // to answer "is the index exactly as the last completed append left
+  // it, and which batch ids are already in it" — questions a
+  // driver-side marker can answer without any Spark job when the
+  // CALLER vouches that its batch was already anti-joined against the
+  // corpus (the streaming sinks' discipline). `_commit` under the
+  // index dir records meta.n, the last applied batch's identity
+  // (count + xor fingerprint — the one-deep replay ledger: in-order
+  // checkpoint replay re-delivers only the LAST uncommitted batch),
+  // and the exact (file → length) listing of both codes tables
+  // (base + delta). Validation is exact-match; ANY divergence (crashed
+  // append debris, compaction, foreign writes, a missing marker) falls
+  // back to the measured counts + membership path, which re-stamps on
+  // success — the marker can never vouch for a state it didn't see
+  // committed, same trust class as the ingest IngestCommit marker.
+
+  private[operators] final case class AnnCommit(n: Long, lastN: Long,
+      lastFp: Long, codes: Map[String, Long], rcodes: Map[String, Long])
+
+  private val annCommitHeader = "graftanncommit|1"
+
+  private def commitMarkerPath(dir: String) = s"$dir/_commit"
+
+  /** Exact (relative path → length) listing of a codes table's base +
+    * delta data files; `_`/`.`-led path segments (committer temp dirs,
+    * crc files, the _fold sentinel) are excluded. Driver-side only. */
+  private[operators] def annListing(spark: SparkSession, dir: String,
+      table: String): Map[String, Long] = {
+    def one(root: String): Map[String, Long] = {
+      val (fs, p) = graft.Scratch.fs(spark, root)
+      if (!fs.exists(p)) return Map.empty
+      val base = fs.makeQualified(p).toString + "/"
+      graft.Scratch.walkFiles(fs, p)
+        .map(s => (s.getPath.toString.stripPrefix(base), s.getLen))
+        .filterNot { case (rel, _) =>
+          rel.split('/').exists(seg =>
+            seg.startsWith("_") || seg.startsWith("."))
+        }.toMap
+    }
+    one(s"$dir/$table").map { case (f, l) => (s"$table/$f", l) } ++
+      one(deltaDirOf(dir, table)).map { case (f, l) =>
+        (s"${table}_delta/$f", l)
+      }
+  }
+
+  private[operators] def readCommit(spark: SparkSession, dir: String)
+      : Option[AnnCommit] = {
+    val (fs, p) = graft.Scratch.fs(spark, commitMarkerPath(dir))
+    if (!fs.exists(p)) return None
+    val text =
+      try new String(graft.Scratch.readSmallFile(fs, p), "UTF-8")
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val lines = text.split('\n').map(_.trim).filter(_.nonEmpty)
+    if (lines.isEmpty || lines.head != annCommitHeader) return None
+    try {
+      var n = -1L; var lastN = -1L; var lastFp = 0L
+      val codes = Map.newBuilder[String, Long]
+      val rcodes = Map.newBuilder[String, Long]
+      lines.tail.foreach { l =>
+        l.split('|') match {
+          case Array("n", v) => n = v.toLong
+          case Array("last", c, f) => lastN = c.toLong; lastFp = f.toLong
+          case Array("codes", f, len) => codes += ((f, len.toLong))
+          case Array("rcodes", f, len) => rcodes += ((f, len.toLong))
+          case _ => return None
+        }
+      }
+      if (n < 0) None
+      else Some(AnnCommit(n, lastN, lastFp, codes.result(), rcodes.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private[operators] def writeCommit(spark: SparkSession, dir: String,
+      c: AnnCommit): Unit =
+    try {
+      val (fs, p) = graft.Scratch.fs(spark, commitMarkerPath(dir))
+      val body = (Seq(annCommitHeader, s"n|${c.n}",
+        s"last|${c.lastN}|${c.lastFp}") ++
+        c.codes.toSeq.sorted.map { case (f, l) => s"codes|$f|$l" } ++
+        c.rcodes.toSeq.sorted.map { case (f, l) => s"rcodes|$f|$l" })
+        .mkString("\n")
+      val out = fs.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[annidx] commit marker write failed at $dir " +
+        s"(${e.getMessage}); next append falls back to the counted path")
+    }
+
+  private[operators] def deleteCommit(spark: SparkSession, dir: String): Unit = {
+    val (fs, p) = graft.Scratch.fs(spark, commitMarkerPath(dir))
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
   /** IVF×PQ top-k served from a VALIDATED index — the query-many half
     * of the lifecycle a session-holding deployment runs: one
     * [[ensure]] (or [[build]]) buys the `info` handle, then every
@@ -949,12 +1242,14 @@ object IndexStore {
     * (plan-asserted DPP). */
   def queryIvfPq(spark: SparkSession, sfDir: String,
       info: BuildInfo, kk: Int = Similarity.k,
-      maxQuery: Long = Similarity.knnQueries): DataFrame = {
+      maxQuery: Long = Similarity.knnQueries,
+      exclude: Option[DataFrame] = None): DataFrame = {
     // an n=0 index has no persisted part files to serve from (nothing
     // was indexed) — delegate to the in-query twin, which is free at
     // n=0 (no data to train on) and gives twin-identical output BY
     // CONSTRUCTION, including its schema (on an empty corpus every
-    // (kk, maxQuery) dial produces the same zero rows)
+    // (kk, maxQuery) dial produces the same zero rows; an exclusion
+    // set is vacuous against zero candidates)
     if (info.n == 0) return Similarity.q65KnnIvfPq(spark, sfDir)
     val dir = info.dir
     val qe = queryVecs(spark, sfDir, maxQuery)
@@ -962,8 +1257,15 @@ object IndexStore {
     val probes = Similarity.cellRanks(qe, cents)
       .filter(col("cr") <= Similarity.nprobeFor(info.nl))
       .select(col("vec_id").as("query_id"), col("cell"))
-    val probed = readCodes(spark, s"$dir/codes")
-      .join(broadcast(probes), Seq("cell"))
+    // `exclude` (a vec_id frame) is soft-delete serving: excluded ids
+    // leave the CANDIDATE stream before the shortlist, so rank-k is
+    // computed among the remaining vectors — not truncated after the
+    // fact. The anti-join rides the already-pruned probed stream
+    // (cost ∝ probed cells, never the index), q78's serving stage.
+    val probed0 = withDeltaOf(spark, dir, "codes")(
+      _.join(broadcast(probes), Seq("cell")))
+    val probed = exclude.fold(probed0)(x =>
+      probed0.join(x.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     val lut = Similarity.pqLut(Similarity.subVectors(qe),
       spark.read.parquet(s"$dir/codebook"))
     val cand = Similarity.adcShortlist(probed, lut,
@@ -997,8 +1299,8 @@ object IndexStore {
       .join(broadcast(cents.select(col("cell"), col("cn"))), Seq("cell"))
       .select(col("vec_id").as("query_id"), col("cell"),
         (col("cd") + col("cn")).as("ct"))
-    val probed = readCodes(spark, s"$dir/rcodes")
-      .join(broadcast(probesCt), Seq("cell"))
+    val probed = withDeltaOf(spark, dir, "rcodes")(
+      _.join(broadcast(probesCt), Seq("cell")))
     val lut = Similarity.pqLut(Similarity.subVectors(qe),
       spark.read.parquet(s"$dir/rcodebook"))
     val cand = Similarity.adcShortlist(probed, lut,
@@ -1111,8 +1413,8 @@ object IndexStore {
         col("nrm").as("np_")), Seq("pid"))
     // one row per indexed vector with its home cell: sub 0 always
     // exists (subspaces ≥ 1) — cheaper than a distinct over 8 rows
-    val homesV = readCodes(spark, s"$dir/codes")
-      .filter(col("sub") === 0)
+    val homesV = withDeltaOf(spark, dir, "codes")(
+        _.filter(col("sub") === 0))
       .select(col("vec_id").as("iid"), col("cell"))
       .join(e.select(col("vec_id").as("iid"), col("v").as("vi"),
         col("nrm").as("ni")), Seq("iid"))

@@ -230,8 +230,8 @@ object IngestScreen {
     // on its first non-empty batch)
     if (m.n > 0) {
       val e = Similarity.prepped(spark, sfDir).filter(Similarity.validNorm)
-      val homes = IndexStore.readCodes(spark, s"${info.dir}/codes")
-        .filter(col("sub") === 0)
+      val homes = IndexStore.withDeltaOf(spark, info.dir, "codes")(
+          _.filter(col("sub") === 0))
         .select(col("vec_id"), col("cell"))
       // one file per cell: the read path opens whole cell directories,
       // so sliver-free layout is part of the build contract (appends

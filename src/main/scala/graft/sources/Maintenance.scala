@@ -279,19 +279,40 @@ object Maintenance {
       def one(name: String): (Int, Int) = {
         val dir = s"$indexDir/$name"
         val (fs, _) = graft.Scratch.fs(spark, dir)
+        // delta files count as part files here: folding them away IS
+        // part of this compaction's contract (see IndexStore's delta
+        // buffer doc — appends land one delta file per batch instead
+        // of per-cell slivers, and the fold restores the cell layout)
         def files(): Int = {
           // globStatus returns NULL (not empty) when the parent path is
           // missing — e.g. compaction pointed at a never-built indexDir;
           // let the parquet read below fail with its meaningful error
           val st = fs.globStatus(new Path(dir + "/cell=*/*.parquet"))
-          if (st == null) 0 else st.length
+          val base = if (st == null) 0 else st.length
+          base + graft.operators.IndexStore
+            .deltaFileNames(spark, indexDir, name).size
         }
         val before = files()
-        val df = spark.read.parquet(dir)
+        // post-heal snapshot of the delta files this rewrite absorbs —
+        // the quiesced-maintenance contract (lock held in-JVM) makes
+        // the snapshot and the read below see the same file set
+        val deltaNames = graft.operators.IndexStore
+          .deltaFileNames(spark, indexDir, name)
+        val df = graft.operators.IndexStore
+          .withDeltaOf(spark, indexDir, name)(identity)
         val shadow = new Path(dir + "__compact")
         df.repartition(col("cell")).write.mode(SaveMode.Overwrite)
           .partitionBy("cell").parquet(shadow.toString)
+        // fold sentinel BEFORE the swap: after the swap the base owns
+        // the delta rows, and healFold (idempotent, run by every
+        // reader) deletes exactly the absorbed files — a crash at any
+        // point either leaves the delta intact or completes the
+        // deletion, never a doubled row
+        if (deltaNames.nonEmpty)
+          graft.operators.IndexStore
+            .stampFold(spark, shadow.toString, deltaNames)
         ParquetSink.swapInto(fs, shadow, new Path(dir))
+        graft.operators.IndexStore.healFold(spark, indexDir, name)
         (before, files())
       }
       val codes = one("codes")

@@ -462,7 +462,11 @@ object StreamOps {
         val fresh = graft.Materialize(
           b.join(corpusIds, Seq("vec_id"), "left_anti"))
         if (!fresh.isEmpty) {
-          try IndexStore.appendBatch(spark, idxDir, fresh)
+          // corpusScreened: fresh is the batch anti-joined against the
+          // corpus, replay-deterministic, single-writer — the vouched
+          // contract appendBatch's zero-scan fast path requires
+          try IndexStore.appendBatch(spark, idxDir, fresh,
+            corpusScreened = true)
           catch {
             case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
               // the index EXISTS but cannot accept this batch: built
@@ -477,14 +481,34 @@ object StreamOps {
               System.err.println(s"[vecingest] appendBatch refused " +
                 s"(${e.getMessage}); rebuilding index once and retrying")
               IndexStore.ensure(spark, corpusDir)
-              IndexStore.appendBatch(spark, idxDir, fresh)
+              IndexStore.appendBatch(spark, idxDir, fresh,
+                corpusScreened = true)
           }
           fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(table)
+          // bound the delta buffer: every reader scans the delta
+          // UNPRUNED (that's the price of O(1)-file appends), so a
+          // long-running stream must fold it back into the cell layout
+          // on a cadence — one driver-side listing per batch, one
+          // amortized fold per `foldDeltaAtFiles` batches
+          if (IndexStore.deltaFileNames(spark, idxDir, "codes").size >=
+              foldDeltaAtFiles) {
+            val (b, a) =
+              graft.sources.Maintenance.compactAnnIndex(spark, idxDir)
+            System.err.println(
+              s"[vecingest] delta fold at $idxDir: $b part files -> $a")
+          }
         }
       }
       ()
     }
+
+  /** Delta-buffer fold cadence for the streaming vector sinks: fold
+    * when a codes table's delta holds this many append files. At 64
+    * the unpruned delta leg every reader pays stays ≤64 small files
+    * (~64 batches), while the ~√N-file fold cost amortizes to
+    * 1/64th per batch. */
+  val foldDeltaAtFiles = 64
 
   /** Streaming vector ingest WITH the semantic near-dup screen —
     * [[vectorIngestStream]] plus [[graft.operators.IngestScreen]]
@@ -597,6 +621,15 @@ object StreamOps {
             IngestScreen.appendLists(spark, corpusDir, admitted)
             admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
               .parquet(table)
+            // same delta-fold cadence as the unscreened sink (the
+            // veclists sidecar has its own files-per-cell policy above)
+            if (IndexStore.deltaFileNames(spark, idxDir, "codes").size >=
+                foldDeltaAtFiles) {
+              val (b, a) =
+                graft.sources.Maintenance.compactAnnIndex(spark, idxDir)
+              System.err.println(
+                s"[vecingest] delta fold at $idxDir: $b part files -> $a")
+            }
           }
         }
       }

@@ -288,6 +288,7 @@ class IndexStoreSpec extends SparkSpec {
       val first = IndexStore.appendBatch(spark, idxDir, batch)
       assert(first.appended > 0 && first.repaired === 0L)
       deleteDir(s"$idxDir/rcodes"); deleteDir(s"$idxDir/meta")
+      deleteDir(s"$idxDir/rcodes_delta") // the append wrote here
       cp(s"$idxDir/rcodes__snap", s"$idxDir/rcodes")
       cp(s"$idxDir/meta__snap", s"$idxDir/meta")
       deleteDir(s"$idxDir/rcodes__snap"); deleteDir(s"$idxDir/meta__snap")
@@ -602,7 +603,10 @@ class IndexStoreSpec extends SparkSpec {
         new java.io.File(s"$idxDir/$sub").listFiles()
           .filter(_.getName.startsWith("cell="))
           .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
-      assert(maxFilesPerCell("codes") > 1)
+      // appends buffer in the delta (one file per append), never as
+      // per-cell slivers — the policy's threshold counts delta files
+      assert(maxFilesPerCell("codes") === 1)
+      assert(IndexStore.deltaFileNames(spark, idxDir, "codes").size === 2)
       val appendedBefore = IndexStore.appendedRows(spark, idxDir).get
       assert(appendedBefore > 0)
       val before69 = rows(IndexStore.q69KnnIvfPqIdx(spark, corpus))
@@ -611,6 +615,9 @@ class IndexStoreSpec extends SparkSpec {
       assert(!IndexStore.ensure(spark, corpus, Some(policy)).builtNow)
       assert(maxFilesPerCell("codes") === 1)
       assert(maxFilesPerCell("rcodes") === 1)
+      assert(IndexStore.deltaFileNames(spark, idxDir, "codes").isEmpty &&
+        IndexStore.deltaFileNames(spark, idxDir, "rcodes").isEmpty,
+        "policy compaction must fold the delta away")
       // compaction, not rebuild: the append counters survive and the
       // served rows are bit-identical
       assert(IndexStore.appendedRows(spark, idxDir).get === appendedBefore)
@@ -644,7 +651,9 @@ class IndexStoreSpec extends SparkSpec {
         new java.io.File(s"$idxDir/$sub").listFiles()
           .filter(_.getName.startsWith("cell="))
           .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
-      assert(maxFilesPerCell("codes") > 1)
+      // appends land in the delta buffer; the fold is compaction's job
+      assert(IndexStore.deltaFileNames(spark, idxDir, "codes").size === 2)
+      assert(IndexStore.deltaFileNames(spark, idxDir, "rcodes").size === 2)
       val before69 = rows(IndexStore.q69KnnIvfPqIdx(spark, corpus))
       val before70 = rows(IndexStore.q70KnnIvfPqResIdx(spark, corpus))
       val (before, after) =
@@ -652,10 +661,109 @@ class IndexStoreSpec extends SparkSpec {
       assert(after < before)
       assert(maxFilesPerCell("codes") === 1)
       assert(maxFilesPerCell("rcodes") === 1)
+      assert(IndexStore.deltaFileNames(spark, idxDir, "codes").isEmpty &&
+        IndexStore.deltaFileNames(spark, idxDir, "rcodes").isEmpty,
+        "compaction must fold the delta away")
       // layout-only: bit-identical serving, fingerprint still current
       assert(rows(IndexStore.q69KnnIvfPqIdx(spark, corpus)) === before69)
       assert(rows(IndexStore.q70KnnIvfPqResIdx(spark, corpus)) === before70)
       assert(!IndexStore.ensure(spark, corpus).builtNow)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
+  test("corpusScreened fast path: appends land, replays no-op via the " +
+    "one-deep ledger, and a lost marker falls back measured — never " +
+    "a doubled row") {
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val corpus = writeCorpus(all.filter(col("vec_id") < 350))
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    try {
+      assert(IndexStore.ensure(spark, corpus).builtNow)
+      val b1 = all.filter(col("vec_id") >= 350 && col("vec_id") < 425)
+      val b2 = all.filter(col("vec_id") >= 425 && col("vec_id") < 500)
+      assert(IndexStore.appendBatch(spark, idxDir, b1,
+        corpusScreened = true).appended === 75L)
+      // vouched replay: ledger hit, pure no-op
+      assert(IndexStore.appendBatch(spark, idxDir, b1,
+        corpusScreened = true).appended === 0L)
+      // second batch rides the vouched path (listings match the
+      // marker the first append stamped)
+      assert(IndexStore.appendBatch(spark, idxDir, b2,
+        corpusScreened = true).appended === 75L)
+      def distinctIds(t: String): Long =
+        IndexStore.withDeltaOf(spark, idxDir, t)(identity)
+          .select("vec_id").distinct().count()
+      assert(distinctIds("codes") === 500L &&
+        distinctIds("rcodes") === 500L)
+      // crash between meta write and marker stamp, then replay: the
+      // ledger is gone with the marker, so the replay must take the
+      // MEASURED path (matched rows no-op per row) and re-stamp —
+      // never re-append
+      val (fs, mp) = graft.Scratch.fs(spark, s"$idxDir/_commit")
+      assert(fs.exists(mp))
+      fs.delete(mp, false)
+      assert(IndexStore.appendBatch(spark, idxDir, b2,
+        corpusScreened = true).appended === 0L)
+      assert(fs.exists(mp), "fallback must re-stamp the marker")
+      // ...and the NEXT replay is recognized zero-scan by the ledger
+      assert(IndexStore.appendBatch(spark, idxDir, b2,
+        corpusScreened = true).appended === 0L)
+      assert(distinctIds("codes") === 500L)
+      // grown corpus validates with no rebuild; q69 serves it
+      b1.write.mode("append").parquet(s"$corpus/embeddings.parquet")
+      b2.write.mode("append").parquet(s"$corpus/embeddings.parquet")
+      assert(!IndexStore.ensure(spark, corpus).builtNow)
+      assert(rows(IndexStore.q69KnnIvfPqIdx(spark, corpus)).nonEmpty)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
+  test("a crash between the fold's swap and its delta delete never " +
+    "doubles rows: the _fold sentinel heals on the next read") {
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val corpus = writeCorpus(all.filter(col("vec_id") < 350))
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    try {
+      assert(IndexStore.ensure(spark, corpus).builtNow)
+      val b = all.filter(col("vec_id") >= 350 && col("vec_id") < 425)
+      b.write.mode("append").parquet(s"$corpus/embeddings.parquet")
+      IndexStore.appendBatch(spark, idxDir, b)
+      val names = IndexStore.deltaFileNames(spark, idxDir, "codes")
+      assert(names.size === 1)
+      // snapshot the delta file, fold, then forge the crash window:
+      // the swapped base already owns the rows, the delta file is
+      // back, and the sentinel lists it
+      val deltaFile = s"$idxDir/codes_delta/${names.head}"
+      val (fs, dp) = graft.Scratch.fs(spark, deltaFile)
+      // snapshot OUTSIDE the delta dir (anything inside it would be
+      // absorbed by the fold)
+      val snap = new org.apache.hadoop.fs.Path(
+        java.nio.file.Files.createTempDirectory("fold_snap").toString +
+          "/" + names.head)
+      org.apache.hadoop.fs.FileUtil.copy(fs, dp, fs, snap, false,
+        spark.sparkContext.hadoopConfiguration)
+      graft.sources.Maintenance.compactAnnIndex(spark, idxDir)
+      assert(IndexStore.deltaFileNames(spark, idxDir, "codes").isEmpty)
+      fs.rename(snap, dp)
+      val (mfs, mp) = graft.Scratch.fs(spark, s"$idxDir/codes/_fold")
+      val out = mfs.create(mp, true)
+      try out.write(names.head.getBytes("UTF-8")) finally out.close()
+      // an unguarded union would now read the appended rows TWICE
+      // (base post-fold + resurrected delta); healFold must delete the
+      // listed file before the delta leg is planned
+      val n = IndexStore.withDeltaOf(spark, idxDir, "codes")(identity)
+        .count()
+      assert(n === 425L * Similarity.pqSubspaces,
+        "fold crash window doubled codes rows")
+      assert(!mfs.exists(mp), "sentinel must be cleared by the heal")
+      assert(IndexStore.deltaFileNames(spark, idxDir, "codes").isEmpty)
+      assert(!IndexStore.ensure(spark, corpus).builtNow,
+        "healed state must validate without a rebuild")
     } finally {
       deleteDir(idxDir)
       deleteDir(corpus)

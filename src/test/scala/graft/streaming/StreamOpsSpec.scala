@@ -398,9 +398,10 @@ class StreamOpsSpec extends SparkSpec {
       // the index followed incrementally: every corpus vector is in
       // both codes tables, and ensure validates with NO rebuild (the
       // xor fingerprint was maintained append by append)
-      assert(spark.read.parquet(s"$idxDir/codes")
+      // base ∪ delta: appends buffer in the delta until a fold
+      assert(IndexStore.withDeltaOf(spark, idxDir, "codes")(identity)
         .select("vec_id").distinct().count() === expected)
-      assert(spark.read.parquet(s"$idxDir/rcodes")
+      assert(IndexStore.withDeltaOf(spark, idxDir, "rcodes")(identity)
         .select("vec_id").distinct().count() === expected)
       assert(!IndexStore.ensure(spark, corpusDir).builtNow)
       // q69 serves the grown corpus
@@ -451,7 +452,7 @@ class StreamOpsSpec extends SparkSpec {
       val table = s"$corpusDir/embeddings.parquet"
       assert(spark.read.parquet(table).count() === 400L)
       // the rebuild purged the ghosts and the retry appended the batch
-      assert(spark.read.parquet(s"$idxDir/codes")
+      assert(IndexStore.withDeltaOf(spark, idxDir, "codes")(identity)
         .select("vec_id").distinct().count() === 400L)
       assert(!IndexStore.ensure(spark, corpusDir).builtNow)
     } finally {
