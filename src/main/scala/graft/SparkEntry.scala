@@ -103,6 +103,9 @@ object SparkEntry {
     // recall vs the exact batch-vs-corpus screen (Verify.screenGate)
     "q76_ingest_screen"    -> (graft.operators.IngestScreen.q76IngestScreen _),
     "q77_cluster_keeper"   -> (Dedup.q77ClusterKeeper _),
+    // no SQL oracle (three approximate index stages compose); gated on
+    // composed-overlap vs the all-exact twin (Verify.pipelineGate)
+    "q78_embed_pipeline"   -> (graft.operators.EmbedPipeline.q78EmbedPipeline _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
