@@ -32,11 +32,84 @@ harmless for top-k.
 
 Run:  python3 scripts/make_ann_calib.py [src_sf_dir] [out_dir] [factor]
       factor in {4 (default), 16}
+
+CLUSTERED mode (VERDICT r13 #1): every corpus above is near-UNIFORM on
+the 64-sphere — the *adversarial* geometry for IVF (no cell is a good
+home for anything, neighbors spread across many cells). Real embedding
+corpora are CLUSTERED, which is the regime the index dials were never
+calibrated in. `--mog` generates a deterministic mixture-of-Gaussians
+corpus with the three levels real corpora show:
+
+  v(i) = G(cluster) + 0.5*G2(subcluster) + 0.5*G3(i)        [+ twins]
+
+  - K top-level clusters (hash-assigned, balanced-ish): cross-cluster
+    cosine ~ 0, the IVF-friendly structure.
+  - 8 subclusters per cluster: within-subcluster cosine ~ 0.83,
+    within-cluster-cross-subcluster ~ 0.67 — topical neighborhoods,
+    the regime where top-k is genuinely contested between cells.
+  - every 8th base vector gets a TWIN (id + N) at +0.05*G4 noise,
+    cosine ~ 0.995 — the near-dup population the dedup (q71/q45) and
+    ingest-screen (q76) gates need to be non-vacuous.
+
+  All "randomness" is Box-Muller over hash(i*64+j, salt) — portable,
+  seedless, reproducible row-for-row across runs and engines.
+
+Run:  python3 scripts/make_ann_calib.py --mog <N_base> <K> <out_dir>
+      (final corpus has N_base + N_base/8 vectors; label = cluster id)
 """
 import os
 import sys
 
 import duckdb
+
+if len(sys.argv) > 1 and sys.argv[1] == "--mog":
+    n_base = int(sys.argv[2])
+    k_clusters = int(sys.argv[3])
+    out = sys.argv[4]
+    subs = 8
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+
+    def gauss(key, salt):
+        # Box-Muller over two hash-derived uniforms in (0,1); the +0.5
+        # offset keeps u strictly inside the interval
+        u1 = f"((hash({key}, '{salt}a') % 1000000) + 0.5) / 1000000.0"
+        u2 = f"((hash({key}, '{salt}b') % 1000000) + 0.5) / 1000000.0"
+        return f"sqrt(-2.0 * ln({u1})) * cos(2.0 * pi() * {u2})"
+
+    cell = f"(hash(i, 'cl') % {k_clusters})"
+    # double hash: duckdb's two-arg hash preserves low-bit structure
+    # between different salts of the SAME key (hash(i,'cl')%16 fully
+    # determines hash(i,'su')%8 — measured, 16 of 128 combos), which
+    # would collapse every cluster to a single subcluster; the outer
+    # hash avalanches it away (128/128 combos)
+    sub = f"(hash(hash(i, 'su')) % {subs})"
+    val = (f"{gauss(f'({cell} * 64 + j)', 'ctr')} "
+           f"+ 0.5 * {gauss(f'(({cell} * {subs} + {sub}) * 64 + j)', 'sub')} "
+           f"+ 0.5 * {gauss('(i * 64 + j)', 'noi')}")
+    base = f"""
+        SELECT i, j, {cell} AS c, CAST({val} AS DOUBLE) AS v
+        FROM (SELECT unnest(range({n_base})) AS i),
+             (SELECT unnest(range(64)) AS j)"""
+    q = f"""
+    WITH comp AS ({base}),
+    rows_all AS (
+        SELECT i AS vec_id, c, j, v FROM comp
+        UNION ALL
+        SELECT i + {n_base} AS vec_id, c, j,
+               v + 0.05 * ({gauss('(i * 64 + j)', 'twn')}) AS v
+        FROM comp WHERE i % 8 = 0
+    )
+    SELECT vec_id,
+           list(CAST(v AS FLOAT) ORDER BY j)::FLOAT[] AS embedding,
+           'c' || CAST(min(c) AS VARCHAR) AS label
+    FROM rows_all GROUP BY vec_id ORDER BY vec_id"""
+    con.sql(f"COPY ({q}) TO '{out}/embeddings.parquet' (FORMAT PARQUET)")
+    n = con.sql(
+        f"SELECT count(*) FROM '{out}/embeddings.parquet'").fetchone()[0]
+    print(f"{out}/embeddings.parquet: {n} clustered vectors "
+          f"(K={k_clusters}, subs={subs}, twins=N/8)")
+    sys.exit(0)
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf4ann"
