@@ -1,77 +1,67 @@
 package graft
 
 /** Scratch profiling main (not part of the driver contract) —
-  * currently instrumented to decompose the UNSCREENED vector-ingest
-  * per-batch cost (the one residual `weak` in VERDICT r13): run the
-  * exact phases of [[graft.streaming.StreamOps.vectorIngestStream]]'s
-  * steady-state branch DIRECTLY (no streaming wrapper, so trigger
-  * overhead is out of frame) against a small and a 16× corpus, and
-  * time each phase per batch — the growing term is the flattening
-  * target. */
+  * currently instrumented to A/B the exact all-pairs join
+  * (Similarity.exactPairs' shape, replicated inline) between the
+  * clustered MoG calibration corpus and the decorrelated replication
+  * corpus at the same size: the full q34 reads 19.7 s decorrelated vs
+  * 808 s clustered (same row count, same plan), so some term is
+  * VALUE-dependent. Variants isolate: (1) join machinery alone
+  * (count of joined rows, constant payload), (2) join + dot-product
+  * aggregate (no filter, no output), (3) full cosine filter + count
+  * (output rows reduced to a count), (4) the as-shipped q34 with its
+  * orderBy. Whichever pair of adjacent variants opens the gap carries
+  * the cost. */
 object Profile {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-profile")
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
-    import spark.implicits._
-    import graft.operators.IndexStore
+    import graft.functions.VectorFunctions.dotD
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    def runScale(label: String, srcDir: String): Unit = {
-      val corpusDir = java.nio.file.Files
-        .createTempDirectory(s"prof_vec_$label").toString + "/c"
-      val table = s"$corpusDir/embeddings.parquet"
-      val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
-        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-      // bootstrap: corpus + index, like the sink's first batch
-      src.toSeq.toDF("vec_id", "embedding")
-        .repartition(32).write.parquet(table)
-      val boot = timed { IndexStore.ensure(spark, corpusDir) }
-      val idxDir = IndexStore.dirFor(spark, corpusDir)
-      println(f"[prof] $label%-6s n=${src.length} bootstrap $boot%.1f s")
-      def freshVec(emb: Array[Float], batch: Int): Array[Float] = {
-        val lag = (batch + 1) * 8 % emb.length
-        emb.indices.map(j =>
-          -emb((j + lag) % emb.length) - 0.001f * (batch + 1)).toArray
-      }
-      (0 until 8).foreach { i =>
-        val b = src.take(1000).zipWithIndex.map { case ((_, emb), j) =>
-          (900000000L + i.toLong * 1000 + j, freshVec(emb, i))
-        }.toSeq.toDF("vec_id", "embedding")
-        var fresh: org.apache.spark.sql.DataFrame = null
-        val tAnti = timed {
-          val corpusIds = spark.read.parquet(table).select("vec_id")
-          fresh = graft.Materialize(
-            b.dropDuplicates("vec_id")
-              .join(corpusIds, Seq("vec_id"), "left_anti"))
-          fresh.isEmpty
-        }
-        // standalone re-measure of the torn-probe counts appendBatch
-        // pays (footer-driven; grows with accumulated file count)
-        val tCnt = timed {
-          spark.read.parquet(s"$idxDir/codes").count()
-          spark.read.parquet(s"$idxDir/rcodes").count()
-        }
-        val tApp = timed { IndexStore.appendBatch(spark, idxDir, fresh) }
-        val tW = timed {
-          fresh.write.mode("append").parquet(table)
-        }
-        val nf = {
-          val (fs, p) = graft.Scratch.fs(spark, idxDir)
-          graft.Scratch.walkFiles(fs, p).count(
-            _.getPath.getName.endsWith(".parquet"))
-        }
-        println(f"[prof] $label%-6s b$i anti $tAnti%5.2f cnt $tCnt%5.2f " +
-          f"append $tApp%5.2f cwrite $tW%5.2f idxfiles $nf%d")
-      }
-      val (fs, p) = graft.Scratch.fs(spark, corpusDir)
-      fs.delete(p, true)
-      val (fs2, p2) = graft.Scratch.fs(spark, idxDir)
-      fs2.delete(p2, true)
+    val b = 8
+    def pairJoin(dir: String) = {
+      val v = col("embedding").cast("array<double>")
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), v.as("v"),
+          sqrt(dotD(v, v)).as("nrm"))
+        .filter(col("nrm") > 0 && col("nrm") < Double.PositiveInfinity)
+        .withColumn("g", pmod(xxhash64(col("vec_id")), lit(b)).cast("int"))
+      val lhs = e.select(col("vec_id").as("id_l"), col("v").as("vl"),
+        col("nrm").as("nl"), col("g").as("gl"),
+        explode(sequence(col("g") * b + col("g"),
+          col("g") * b + lit(b - 1))).as("task"))
+      val rhs = e.select(col("vec_id").as("id_r"), col("v").as("vr"),
+        col("nrm").as("nr"), col("g").as("gr"),
+        explode(sequence(col("g"), col("g") * b + col("g"), lit(b)))
+          .as("task"))
+      lhs.join(rhs, Seq("task"))
+        .filter(col("gl") =!= col("gr") || col("id_l") < col("id_r"))
     }
-    runScale("sf0.1", "/root/testdata/sf0.1")
-    runScale("big", sys.env.getOrElse("SPARK_GRAFT_BIG_DIR", "/tmp/sf16ann"))
+    Seq(("mogdd32k", "/tmp/mogdd32k"), ("sf16ann", "/tmp/sf16ann"))
+      .foreach { case (label, dir) =>
+        val t1 = timed {
+          pairJoin(dir).select(lit(1).as("one")).agg(count(lit(1))).head()
+        }
+        val t2 = timed {
+          pairJoin(dir)
+            .agg(sum(dotD(col("vl"), col("vr")))).head()
+        }
+        val t3 = timed {
+          pairJoin(dir)
+            .filter(dotD(col("vl"), col("vr")) / (col("nl") * col("nr"))
+              >= 0.42)
+            .agg(count(lit(1))).head()
+        }
+        val t4 = timed {
+          operators.Similarity.q34CosinePairs(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"[prof] $label%-10s join $t1%7.1f  join+dot $t2%7.1f  " +
+          f"join+cos-filter $t3%7.1f  full-q34 $t4%7.1f")
+      }
     spark.stop()
   }
 }

@@ -475,7 +475,12 @@ object IngestScreen {
       .select(col("vec_id").as("iid"), col("v").as("vi"),
         col("nrm").as("ni"),
         pmod(xxhash64(col("vec_id")), lit(b)).cast("int").as("task"))
-    lhs.join(rhs, Seq("task"))
+    // shuffle_hash for the same reason as Similarity.exactPairs: the
+    // corpus side carries ~N/B rows PER task value, and sort-merge's
+    // per-key buffered-group spill threshold (4096 rows) turns blocks
+    // past it into a disk-rescans-per-probe cliff; hash-building the
+    // block is bounded and value-independent
+    lhs.join(rhs.hint("shuffle_hash"), Seq("task"))
       .filter(dotD(col("vp"), col("vi")) / (col("np_") * col("ni")) >=
         Similarity.pairThreshold)
       .select(col("pid").as("vec_id"))

@@ -105,7 +105,15 @@ object Similarity {
     // ranks above every value) while the oracle's NULL drops — one
     // zero vector would otherwise pair with EVERYTHING here, and q45
     // built on these pairs would then drop every higher-id vector
+    // hash-repartition on the sort key BEFORE the global orderBy (the
+    // q64 lesson): the range partitioner's sampling pass re-executes
+    // its child, and here the child is the O(N²) pair join — measured
+    // 2× the whole query at a 36k corpus (706 s vs 345 s for the same
+    // join+filter without the sort). The exchange materializes the
+    // join output once into shuffle files; sampler and sort then read
+    // those instead of recomputing the join.
     exactPairs(prepped(spark, sfDir).filter(validNorm))
+      .repartition(col("vec_a"))
       .orderBy(col("vec_a"), col("vec_b"))
 
   /** The body of [[q34CosinePairs]] over an arbitrary (vec_id, v, nrm)
@@ -127,7 +135,16 @@ object Similarity {
       // groups (i, g) for i = 0..g, encoded i*B + g (step B)
       explode(sequence(col("g"), col("g") * b + col("g"), lit(b)))
         .as("task"))
-    lhs.join(rhs, Seq("task"))
+    // shuffle_hash, not sort-merge: every task value is a block PAIR,
+    // so both sides carry ~N/B rows PER KEY — and sort-merge buffers
+    // the right group per key with a 4096-row in-memory threshold
+    // (spark.sql.sortMergeJoinExec.buffer.in.memory.threshold), past
+    // which the group spills and is RE-SCANNED from disk for every
+    // left row. That cliff is why q34 read 808 s on a 36k corpus
+    // (4500-row blocks) vs 20 s on a 32k one (4000-row blocks, just
+    // under). Hash-building one block per task is ~N/B wide rows in
+    // memory — bounded by the block dial — and value-independent.
+    lhs.join(rhs.hint("shuffle_hash"), Seq("task"))
       .filter(col("gl") =!= col("gr") || col("id_l") < col("id_r"))
       .select(least(col("id_l"), col("id_r")).as("vec_a"),
         greatest(col("id_l"), col("id_r")).as("vec_b"),
