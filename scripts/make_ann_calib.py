@@ -54,8 +54,23 @@ corpus with the three levels real corpora show:
   All "randomness" is Box-Muller over hash(i*64+j, salt) — portable,
   seedless, reproducible row-for-row across runs and engines.
 
-Run:  python3 scripts/make_ann_calib.py --mog <N_base> <K> <out_dir>
+Run:  python3 scripts/make_ann_calib.py --mog <N_base> <K> <out_dir> [ctr sub]
       (final corpus has N_base + N_base/8 vectors; label = cluster id)
+
+Optional [ctr sub] override the mixture coefficients (defaults 1.0
+0.5). The defaults put within-subcluster cosine at ~0.83 — the
+RETRIEVAL-calibration regime, where top-k is contested between cells
+but every within-cluster pair sits far above the 0.42 near-dup
+threshold, so the exact dedup baselines degenerate (q45's pair output
+is ~all within-cluster pairs: measured 360 s at 36k vectors, pure
+output volume). For DEDUP/SCREEN calibration use a weak-structure
+corpus, e.g. `0.2 0.1` (noise stays 0.5): within-subcluster cosine
+~0.17, within-cluster ~0.13 — topical structure k-means still aligns
+cells to (cross-cluster is exactly 0), while the ≥0.42 dup population
+is the twins plus the d=64 sampling tail (the realistic "dup gap ≫
+topical similarity" regime; the tail is irreducible — any visible
+cluster structure at 64 dims puts a percent-level mass of the ~N²/K
+within-cluster pairs above 0.42).
 """
 import os
 import sys
@@ -66,6 +81,8 @@ if len(sys.argv) > 1 and sys.argv[1] == "--mog":
     n_base = int(sys.argv[2])
     k_clusters = int(sys.argv[3])
     out = sys.argv[4]
+    c_ctr = float(sys.argv[5]) if len(sys.argv) > 5 else 1.0
+    c_sub = float(sys.argv[6]) if len(sys.argv) > 6 else 0.5
     subs = 8
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
@@ -84,8 +101,8 @@ if len(sys.argv) > 1 and sys.argv[1] == "--mog":
     # would collapse every cluster to a single subcluster; the outer
     # hash avalanches it away (128/128 combos)
     sub = f"(hash(hash(i, 'su')) % {subs})"
-    val = (f"{gauss(f'({cell} * 64 + j)', 'ctr')} "
-           f"+ 0.5 * {gauss(f'(({cell} * {subs} + {sub}) * 64 + j)', 'sub')} "
+    val = (f"{c_ctr} * {gauss(f'({cell} * 64 + j)', 'ctr')} "
+           f"+ {c_sub} * {gauss(f'(({cell} * {subs} + {sub}) * 64 + j)', 'sub')} "
            f"+ 0.5 * {gauss('(i * 64 + j)', 'noi')}")
     base = f"""
         SELECT i, j, {cell} AS c, CAST({val} AS DOUBLE) AS v

@@ -127,8 +127,12 @@ object EmbedPipeline {
           // (the cell count must track √N — the maintenance policy,
           // not interface drift), so only a same-nl rebuild is a
           // broken appendBatch↔ensure contract
+          // repaired rows grow meta.n too (a torn-repair replay after
+          // a crash between the two codes writes) — omit them and a
+          // legitimate boundary-crossing rebuild would be condemned
           require(!re.builtNow ||
-              Similarity.nlistFor(info.n + stats.appended) != info.nl,
+              Similarity.nlistFor(
+                info.n + stats.appended + stats.repaired) != info.nl,
             "pipeline invariant broken: ensure() REBUILT after a " +
               "same-nl append — the incremental-maintenance contract " +
               "between appendBatch and ensure has drifted")

@@ -1226,11 +1226,6 @@ object IndexStore {
         s"(${e.getMessage}); next append falls back to the counted path")
     }
 
-  private[operators] def deleteCommit(spark: SparkSession, dir: String): Unit = {
-    val (fs, p) = graft.Scratch.fs(spark, commitMarkerPath(dir))
-    if (fs.exists(p)) fs.delete(p, false)
-  }
-
   /** IVF×PQ top-k served from a VALIDATED index — the query-many half
     * of the lifecycle a session-holding deployment runs: one
     * [[ensure]] (or [[build]]) buys the `info` handle, then every

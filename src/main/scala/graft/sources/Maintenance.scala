@@ -283,21 +283,21 @@ object Maintenance {
         // part of this compaction's contract (see IndexStore's delta
         // buffer doc — appends land one delta file per batch instead
         // of per-cell slivers, and the fold restores the cell layout)
-        def files(): Int = {
+        def files(deltaN: Int): Int = {
           // globStatus returns NULL (not empty) when the parent path is
           // missing — e.g. compaction pointed at a never-built indexDir;
           // let the parquet read below fail with its meaningful error
           val st = fs.globStatus(new Path(dir + "/cell=*/*.parquet"))
-          val base = if (st == null) 0 else st.length
-          base + graft.operators.IndexStore
-            .deltaFileNames(spark, indexDir, name).size
+          (if (st == null) 0 else st.length) + deltaN
         }
-        val before = files()
-        // post-heal snapshot of the delta files this rewrite absorbs —
-        // the quiesced-maintenance contract (lock held in-JVM) makes
-        // the snapshot and the read below see the same file set
+        // ONE post-heal delta listing serves the before-count, the
+        // fold sentinel, and (as zero) the after-count — the lock held
+        // in-JVM quiesces the file set, and each deltaFileNames call
+        // is a healFold probe + listStatus round-trip worth not
+        // repeating on object stores
         val deltaNames = graft.operators.IndexStore
           .deltaFileNames(spark, indexDir, name)
+        val before = files(deltaNames.size)
         val df = graft.operators.IndexStore
           .withDeltaOf(spark, indexDir, name)(identity)
         val shadow = new Path(dir + "__compact")
@@ -313,7 +313,7 @@ object Maintenance {
             .stampFold(spark, shadow.toString, deltaNames)
         ParquetSink.swapInto(fs, shadow, new Path(dir))
         graft.operators.IndexStore.healFold(spark, indexDir, name)
-        (before, files())
+        (before, files(0))
       }
       val codes = one("codes")
       val rcodes = one("rcodes")

@@ -441,7 +441,7 @@ object StreamOps {
       val spark = batch.sparkSession
       val table = s"$corpusDir/embeddings.parquet"
       val idxDir = IndexStore.dirFor(spark, corpusDir)
-      val b = batch.dropDuplicates("vec_id")
+      val b = dedupBatchDeterministic(batch)
       val (fs, marker) = graft.Scratch.fs(spark, s"$table/_SUCCESS")
       if (b.isEmpty) {
         // an EMPTY batch must not bootstrap: a zero-row corpus write
@@ -487,17 +487,8 @@ object StreamOps {
           fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(table)
           // bound the delta buffer: every reader scans the delta
-          // UNPRUNED (that's the price of O(1)-file appends), so a
-          // long-running stream must fold it back into the cell layout
-          // on a cadence — one driver-side listing per batch, one
-          // amortized fold per `foldDeltaAtFiles` batches
-          if (IndexStore.deltaFileNames(spark, idxDir, "codes").size >=
-              foldDeltaAtFiles) {
-            val (b, a) =
-              graft.sources.Maintenance.compactAnnIndex(spark, idxDir)
-            System.err.println(
-              s"[vecingest] delta fold at $idxDir: $b part files -> $a")
-          }
+          // UNPRUNED (that's the price of O(1)-file appends)
+          foldDeltaIfNeeded(spark, idxDir)
         }
       }
       ()
@@ -509,6 +500,35 @@ object StreamOps {
     * (~64 batches), while the ~√N-file fold cost amortizes to
     * 1/64th per batch. */
   val foldDeltaAtFiles = 64
+
+  /** Deterministic per-vec_id keeper for a raw micro-batch: of rows
+    * sharing a vec_id, keep the one whose content hash is largest.
+    * `dropDuplicates` here would be a CORRECTNESS hole, not a style
+    * choice: it keeps an arbitrary row, so a replayed batch carrying
+    * the same id with two different embeddings could resolve to
+    * DIFFERENT content than the original attempt — the vouched
+    * appendBatch fast path's replay ledger would then miss (fingerprint
+    * differs) and re-append an already-indexed id as fresh, and the
+    * screened sink's re-key guard would refuse the "changed" resend.
+    * max_by over the content hash picks the same row on every replay
+    * regardless of arrival order (ties are identical rows). */
+  private[streaming] def dedupBatchDeterministic(batch: DataFrame): DataFrame =
+    batch.groupBy(col("vec_id"))
+      .agg(max_by(col("embedding"),
+        xxhash64(col("vec_id"), col("embedding"))).as("embedding"))
+
+  /** Shared delta-fold cadence for both vector sinks: fold the append
+    * delta back into the cell layout once it holds `foldDeltaAtFiles`
+    * files (one driver-side listing per batch; the ~√N-file fold cost
+    * amortizes to 1/64th per batch). */
+  private def foldDeltaIfNeeded(spark: SparkSession, idxDir: String): Unit =
+    if (graft.operators.IndexStore
+        .deltaFileNames(spark, idxDir, "codes").size >= foldDeltaAtFiles) {
+      val (before, after) =
+        graft.sources.Maintenance.compactAnnIndex(spark, idxDir)
+      System.err.println(
+        s"[vecingest] delta fold at $idxDir: $before part files -> $after")
+    }
 
   /** Streaming vector ingest WITH the semantic near-dup screen —
     * [[vectorIngestStream]] plus [[graft.operators.IngestScreen]]
@@ -552,7 +572,7 @@ object StreamOps {
       val spark = batch.sparkSession
       val table = s"$corpusDir/embeddings.parquet"
       val idxDir = IndexStore.dirFor(spark, corpusDir)
-      val b = batch.dropDuplicates("vec_id")
+      val b = dedupBatchDeterministic(batch)
       val (fs, marker) = graft.Scratch.fs(spark, s"$table/_SUCCESS")
       if (b.isEmpty) {
         // same empty-batch rule as the unscreened sink: never bootstrap
@@ -623,13 +643,7 @@ object StreamOps {
               .parquet(table)
             // same delta-fold cadence as the unscreened sink (the
             // veclists sidecar has its own files-per-cell policy above)
-            if (IndexStore.deltaFileNames(spark, idxDir, "codes").size >=
-                foldDeltaAtFiles) {
-              val (b, a) =
-                graft.sources.Maintenance.compactAnnIndex(spark, idxDir)
-              System.err.println(
-                s"[vecingest] delta fold at $idxDir: $b part files -> $a")
-            }
+            foldDeltaIfNeeded(spark, idxDir)
           }
         }
       }

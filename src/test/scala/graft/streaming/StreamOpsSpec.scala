@@ -597,4 +597,23 @@ class StreamOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("batch dedup is a deterministic keeper: the same id with two " +
+    "different embeddings resolves identically regardless of arrival " +
+    "order — the property the vouched append's replay ledger requires") {
+    import spark.implicits._
+    val embA = Array.fill(8)(0.25f)
+    val embB = Array.fill(8)(-0.75f)
+    def run(rows: Seq[(Long, Array[Float])]): Map[Long, Seq[Float]] =
+      StreamOps.dedupBatchDeterministic(
+          rows.toDF("vec_id", "embedding"))
+        .as[(Long, Array[Float])].collect()
+        .map { case (id, e) => (id, e.toSeq) }.toMap
+    val fwd = run(Seq((1L, embA), (1L, embB), (2L, embA)))
+    val rev = run(Seq((2L, embA), (1L, embB), (1L, embA)))
+    assert(fwd === rev, "keeper must not depend on row order")
+    assert(fwd.keySet === Set(1L, 2L))
+    // a dropDuplicates here could legally return embA on one replay
+    // and embB on the next; the content-hash keeper cannot
+  }
 }
