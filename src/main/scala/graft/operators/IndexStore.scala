@@ -942,9 +942,10 @@ object IndexStore {
     // RE-KEY GUARD (see scaladoc): a matched id claims to be a replay —
     // verify it against the stored rows in its current home cell (one
     // cell-pruned join; codes and norms are deterministic functions of
-    // the content, so a true replay matches bit-for-bit and a changed
-    // embedding that kept its cell is refused here instead of being
-    // silently dropped).
+    // the content, so a true replay matches bit-for-bit, a changed
+    // embedding that kept its cell mismatches on codes, and one that
+    // MOVED cells finds no stored partner at all — all three non-replay
+    // shapes are refused here instead of being silently dropped).
     if (matchedN > 0) {
       val mEnc = Similarity.pqAssign(
         Similarity.subVectors(pe.filter(col("cls") === "m")
@@ -956,8 +957,16 @@ object IndexStore {
           Seq("cell"), "left_semi"))
         .select(col("vec_id"), col("sub"),
           col("code").as("stored_code"), col("nrm").as("stored_nrm"))
-      val bad = mEnc.join(stored, Seq("vec_id", "sub"))
-        .filter(col("code") =!= col("stored_code") ||
+      // LEFT join, and a NULL stored partner is itself a refusal: a
+      // matched id (it IS in the index — that's what matched means)
+      // whose changed content moved its home cell joins zero rows in
+      // the cell-pruned stored leg. Without the null check that id
+      // would silently pass the guard; with it, "moved cell" and
+      // "same cell, changed codes" both refuse loudly, and the pruned
+      // (batch-cells-only) scan is preserved.
+      val bad = mEnc.join(stored, Seq("vec_id", "sub"), "left")
+        .filter(col("stored_code").isNull ||
+          col("code") =!= col("stored_code") ||
           col("nrm") =!= col("stored_nrm"))
         .select(col("vec_id")).limit(1).count()
       if (bad > 0) throw new IllegalStateException(
@@ -1155,23 +1164,33 @@ object IndexStore {
   // committed, same trust class as the ingest IngestCommit marker.
 
   private[operators] final case class AnnCommit(n: Long, lastN: Long,
-      lastFp: Long, codes: Map[String, Long], rcodes: Map[String, Long])
+      lastFp: Long, codes: Map[String, (Long, Long)],
+      rcodes: Map[String, (Long, Long)])
 
-  private val annCommitHeader = "graftanncommit|1"
+  // v2 adds mtime to the per-file listing entries so the vouched fast
+  // path sits in the SAME trust class as stateDigest's name|length|mtime
+  // lines — a same-name same-length foreign rewrite of a codes file now
+  // forces the measured fallback instead of passing the vouch. A v1
+  // marker fails the header check and falls back (safe, re-stamps).
+  private val annCommitHeader = "graftanncommit|2"
 
   private def commitMarkerPath(dir: String) = s"$dir/_commit"
 
-  /** Exact (relative path → length) listing of a codes table's base +
-    * delta data files; `_`/`.`-led path segments (committer temp dirs,
-    * crc files, the _fold sentinel) are excluded. Driver-side only. */
+  /** Exact (relative path → (length, mtime)) listing of a codes
+    * table's base + delta data files; `_`/`.`-led path segments
+    * (committer temp dirs, crc files, the _fold sentinel) are
+    * excluded. mtime rides along so the marker's exact-match vouch
+    * matches stateDigest's trust class at no extra listing cost (the
+    * same FileStatus carries both). Driver-side only. */
   private[operators] def annListing(spark: SparkSession, dir: String,
-      table: String): Map[String, Long] = {
-    def one(root: String): Map[String, Long] = {
+      table: String): Map[String, (Long, Long)] = {
+    def one(root: String): Map[String, (Long, Long)] = {
       val (fs, p) = graft.Scratch.fs(spark, root)
       if (!fs.exists(p)) return Map.empty
       val base = fs.makeQualified(p).toString + "/"
       graft.Scratch.walkFiles(fs, p)
-        .map(s => (s.getPath.toString.stripPrefix(base), s.getLen))
+        .map(s => (s.getPath.toString.stripPrefix(base),
+          (s.getLen, s.getModificationTime)))
         .filterNot { case (rel, _) =>
           rel.split('/').exists(seg =>
             seg.startsWith("_") || seg.startsWith("."))
@@ -1194,14 +1213,16 @@ object IndexStore {
     if (lines.isEmpty || lines.head != annCommitHeader) return None
     try {
       var n = -1L; var lastN = -1L; var lastFp = 0L
-      val codes = Map.newBuilder[String, Long]
-      val rcodes = Map.newBuilder[String, Long]
+      val codes = Map.newBuilder[String, (Long, Long)]
+      val rcodes = Map.newBuilder[String, (Long, Long)]
       lines.tail.foreach { l =>
         l.split('|') match {
           case Array("n", v) => n = v.toLong
           case Array("last", c, f) => lastN = c.toLong; lastFp = f.toLong
-          case Array("codes", f, len) => codes += ((f, len.toLong))
-          case Array("rcodes", f, len) => rcodes += ((f, len.toLong))
+          case Array("codes", f, len, mt) =>
+            codes += ((f, (len.toLong, mt.toLong)))
+          case Array("rcodes", f, len, mt) =>
+            rcodes += ((f, (len.toLong, mt.toLong)))
           case _ => return None
         }
       }
@@ -1216,12 +1237,14 @@ object IndexStore {
       val (fs, p) = graft.Scratch.fs(spark, commitMarkerPath(dir))
       val body = (Seq(annCommitHeader, s"n|${c.n}",
         s"last|${c.lastN}|${c.lastFp}") ++
-        c.codes.toSeq.sorted.map { case (f, l) => s"codes|$f|$l" } ++
-        c.rcodes.toSeq.sorted.map { case (f, l) => s"rcodes|$f|$l" })
+        c.codes.toSeq.sorted.map { case (f, (l, m)) => s"codes|$f|$l|$m" } ++
+        c.rcodes.toSeq.sorted.map { case (f, (l, m)) => s"rcodes|$f|$l|$m" })
         .mkString("\n")
       val out = fs.create(p, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal, not Throwable: an OOM/VM error during the marker
+      // write must propagate, not be logged into a "successful" return
       System.err.println(s"[annidx] commit marker write failed at $dir " +
         s"(${e.getMessage}); next append falls back to the counted path")
     }

@@ -502,7 +502,7 @@ object StreamOps {
   val foldDeltaAtFiles = 64
 
   /** Deterministic per-vec_id keeper for a raw micro-batch: of rows
-    * sharing a vec_id, keep the one whose content hash is largest.
+    * sharing a vec_id, keep the one whose whole-row hash is largest.
     * `dropDuplicates` here would be a CORRECTNESS hole, not a style
     * choice: it keeps an arbitrary row, so a replayed batch carrying
     * the same id with two different embeddings could resolve to
@@ -510,20 +510,35 @@ object StreamOps {
     * appendBatch fast path's replay ledger would then miss (fingerprint
     * differs) and re-append an already-indexed id as fresh, and the
     * screened sink's re-key guard would refuse the "changed" resend.
-    * max_by over the content hash picks the same row on every replay
-    * regardless of arrival order (ties are identical rows). */
-  private[streaming] def dedupBatchDeterministic(batch: DataFrame): DataFrame =
-    batch.groupBy(col("vec_id"))
-      .agg(max_by(col("embedding"),
-        xxhash64(col("vec_id"), col("embedding"))).as("embedding"))
+    * max_by over the whole-row hash picks the same row on every replay
+    * regardless of arrival order (ties are identical rows).
+    *
+    * The keeper is the WHOLE row, not just (vec_id, embedding): callers
+    * streaming wider rows into the sinks keep their extra columns in
+    * the corpus table, matching the pre-dedup contract (the index
+    * itself only ever reads vec_id + embedding). */
+  private[streaming] def dedupBatchDeterministic(batch: DataFrame): DataFrame = {
+    val cols = batch.columns.toIndexedSeq
+    batch.groupBy(col("vec_id").as("__gk"))
+      .agg(max_by(struct(cols.map(col): _*),
+        xxhash64(cols.map(col): _*)).as("__keep"))
+      .select(cols.map(c => col(s"__keep.`$c`").as(c)): _*)
+  }
 
   /** Shared delta-fold cadence for both vector sinks: fold the append
     * delta back into the cell layout once it holds `foldDeltaAtFiles`
     * files (one driver-side listing per batch; the ~√N-file fold cost
     * amortizes to 1/64th per batch). */
   private def foldDeltaIfNeeded(spark: SparkSession, idxDir: String): Unit =
-    if (graft.operators.IndexStore
-        .deltaFileNames(spark, idxDir, "codes").size >= foldDeltaAtFiles) {
+    // max over BOTH codes tables: a repair-only append (freshN==0,
+    // tornN>0) writes only rcodes_delta files, so counting codes alone
+    // would let a replay-heavy stream grow rcodes_delta past the
+    // cadence without ever folding
+    if (math.max(
+        graft.operators.IndexStore
+          .deltaFileNames(spark, idxDir, "codes").size,
+        graft.operators.IndexStore
+          .deltaFileNames(spark, idxDir, "rcodes").size) >= foldDeltaAtFiles) {
       val (before, after) =
         graft.sources.Maintenance.compactAnnIndex(spark, idxDir)
       System.err.println(
