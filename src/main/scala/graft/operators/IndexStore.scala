@@ -123,8 +123,12 @@ object IndexStore {
     * v2: the indexable predicate tightened from nrm > 0 to
     * [[Similarity.validNorm]] (finite, positive) — a corpus holding a
     * NaN/Inf-component vector fingerprints differently, so a v1 index
-    * over one must rebuild rather than validate. */
-  val formatVersion = 2
+    * over one must rebuild rather than validate.
+    * v3: [[Similarity.kmeansCentroids]] trains sample-bound
+    * (trainPerCell·nl cap) — below the cap (all gate scales) centroids
+    * are bit-identical to v2, but a big-corpus v2 index would diverge
+    * from the in-query twin, so force the rebuild. */
+  val formatVersion = 3
 
   /** Advisory retrain threshold for [[AppendStats.drift]]. */
   val driftRetrainAt = 1.5

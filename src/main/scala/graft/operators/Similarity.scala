@@ -286,7 +286,13 @@ object Similarity {
     *    0.224 — finer √N quantization describes each neighborhood
     *    better), so the 0.45 cap is a safely conservative upper bound
     *    that increasingly over-delivers (capped defaults read 0.96 at
-    *    32k, 0.98 at 128k) rather than decaying.
+    *    32k, 0.98 at 128k) rather than decaying. Round-15 note: under
+    *    SAMPLE-BOUND training ([[trainPerCell]]) the 128k minimal-np
+    *    point moves back to ~72 (fraction 0.288 — level with the
+    *    8k/32k points; the r11 0.224 was partly a full-corpus-training
+    *    artifact) and the capped default reads 0.90 there
+    *    (ANN_BUILD_r15.json) — every measured point still sits under
+    *    the cap, so the serving dial is unchanged.
     *    The round-9 two-point exponent alone does not generalize: it
     *    predicts np=36 at nl=63 (measured recall 0.92 — 2× the scan
     *    cost of the 0.78 target) and reaches np=nl (brute-force
@@ -377,11 +383,44 @@ object Similarity {
   private def withHalfNormSq(cents: DataFrame): DataFrame =
     cents.withColumn("cn", dotD(col("cv"), col("cv")) / 2)
 
+  /** Lloyd training-set cap, per centroid — the FAISS discipline
+    * (faiss Clustering's max_points_per_centroid default): training on
+    * more than ~256 points per centroid buys no centroid quality, but
+    * on a full corpus it multiplies the inherent N·nlist assignment
+    * cost by the Lloyd round count AND grows N^1.5 (nlist ∝ √N). With
+    * the cap, training cost is 256·nl² ∝ N — the build's exponent
+    * drops from N^1.5-dominated to the assignment pass's honest
+    * linear. Serving recall is the acceptance bar, not training-set
+    * size (the recall gates re-ran unchanged at all four scales +
+    * the clustered corpora after this change). */
+  val trainPerCell = 256
+
   /** Trained (cell, cv, cn) k-means centroids over the unit vectors of
-    * `e` = (vec_id, v, nrm); `cn` = ‖cv‖²/2 for the score above. */
+    * `e` = (vec_id, v, nrm); `cn` = ‖cv‖²/2 for the score above.
+    *
+    * DETERMINISM CONTRACT (the q65↔q69 twin gate rides on it): the
+    * training set is a pure function of `e`'s CONTENT — when N exceeds
+    * the [[trainPerCell]]·nl cap, rows are kept by a vec_id-hash
+    * threshold (content-keyed, order-independent), and below the cap
+    * the plan is untouched, so the in-query trainers and the persisted
+    * [[IndexStore.build]] train on identical sets whenever they see
+    * identical corpora. The internal count() is deliberate: callers
+    * hold slightly different Ns (raw vs validNorm-filtered) and a
+    * caller-supplied N would fork the threshold between twins. */
   private[operators] def kmeansCentroids(e: DataFrame,
       nl: Int = nlist): DataFrame = {
-    var cents = withHalfNormSq(e
+    val cap = trainPerCell.toLong * nl
+    val n = e.count()
+    val eT =
+      if (n <= cap) e
+      else graft.Materialize(e.filter(
+        // keep-fraction in millionths: pmod spreads xxhash64 uniformly,
+        // so the kept count is binomial around cap (thousands of rows —
+        // tight); max(1, …) keeps at least ~N/1e6 rows from ever
+        // rounding the filter down to empty
+        pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+          lit(math.max(1L, math.round(1e6 * cap.toDouble / n)))))
+    var cents = withHalfNormSq(eT
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h")).limit(nl)
       // seeds are the only place an element-wise HOF runs: nl rows
@@ -392,7 +431,7 @@ object Similarity {
     val wCell = Window.partitionBy(col("vec_id"))
       .orderBy(col("cd").desc, col("cell"))
     for (_ <- 1 to lloydIters) {
-      val assigned = e.crossJoin(broadcast(cents))
+      val assigned = eT.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
           cellScore.as("cd"))
         .withColumn("cr", row_number().over(wCell))
