@@ -128,6 +128,69 @@ if len(sys.argv) > 1 and sys.argv[1] == "--mog":
           f"(K={k_clusters}, subs={subs}, twins=N/8)")
     sys.exit(0)
 
+if len(sys.argv) > 1 and sys.argv[1] == "--zipf":
+    # ZIPFIAN-vocabulary documents corpus for the TOKEN-JOIN family
+    # (q31/q33/q46/q72): the fixture corpora carry a ~31-token
+    # near-UNIFORM vocabulary — the adversarial case for PPjoin's
+    # prefix filters (every prefix is a stop-word) and the DEGENERATE
+    # case for posting skew (every posting equally huge). Real corpora
+    # are Zipfian; this mode generates one deterministically:
+    #
+    #   token rank r drawn with density ∝ 1/r over V ranks via the
+    #   exact inverse-CDF of continuous Zipf(s=1): r = V^u for
+    #   hash-uniform u — the head token carries ~1/ln(V) of ALL token
+    #   mass (V=50k → ~9%), the classic hot-posting regime.
+    #
+    # Near-dup structure for the dedup family: every doc i % 8 == 0
+    # gets a mutated twin (same token sequence, ~10% of positions
+    # re-drawn) — shingle/minhash/winnowing pairs exist by
+    # construction, with the same N/8 pair budget as the MoG corpora.
+    #
+    #   python3 scripts/make_ann_calib.py --zipf N V out_dir
+    n_docs = int(sys.argv[2])
+    vocab = int(sys.argv[3])
+    out = sys.argv[4]
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    # doc length: 30 + (hash % 271) tokens — mean ~165, deterministic
+    dl = "CAST(30 + (hash(i, 'len') % 271) AS BIGINT)"
+    u = "(((hash(i * 1024 + p, 'tok') % 1000000) + 0.5) / 1000000.0)"
+    mut_u = "(((hash(i * 1024 + p, 'mut') % 1000000) + 0.5) / 1000000.0)"
+    rank = f"CAST(pow({vocab}, {u}) AS BIGINT)"
+    mut_rank = f"CAST(pow({vocab}, {mut_u}) AS BIGINT)"
+    q = f"""
+    WITH pos AS (
+        SELECT i, unnest(range({dl})) AS p
+        FROM (SELECT unnest(range({n_docs})) AS i)),
+    toks AS (SELECT i, p, 't' || CAST({rank} AS VARCHAR) AS tok FROM pos),
+    docs AS (
+        SELECT i AS doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+        FROM toks GROUP BY i
+        UNION ALL
+        -- mutated twins: re-draw ~10% of positions from a second hash
+        SELECT i + {n_docs} AS doc_id,
+               string_agg(CASE WHEN hash(i * 1024 + p, 'sel') % 10 = 0
+                 THEN 't' || CAST({mut_rank} AS VARCHAR) ELSE tok END,
+                 ' ' ORDER BY p) AS text
+        FROM toks WHERE i % 8 = 0 GROUP BY i)
+    SELECT doc_id, text, 'en' AS lang,
+           'src' || CAST(doc_id % 10 AS VARCHAR) AS source,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM docs ORDER BY doc_id"""
+    con.sql(f"COPY ({q}) TO '{out}/documents.parquet' (FORMAT PARQUET)")
+    n = con.sql(
+        f"SELECT count(*) FROM '{out}/documents.parquet'").fetchone()[0]
+    hot = con.sql(f"""
+        WITH t AS (SELECT unnest(string_split(text, ' ')) tok
+                   FROM '{out}/documents.parquet')
+        SELECT sum(c), count(*), max(c)
+        FROM (SELECT tok, count(*) c FROM t GROUP BY 1)
+        """).fetchone()
+    print(f"{out}/documents.parquet: {n} zipf docs, {hot[0]} tokens, "
+          f"vocab {hot[1]}, hottest posting {hot[2]} "
+          f"({100.0 * hot[2] / hot[0]:.1f}% of mass)")
+    sys.exit(0)
+
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf4ann"
 factor = int(sys.argv[3]) if len(sys.argv) > 3 else 4

@@ -106,6 +106,12 @@ object SparkEntry {
     // no SQL oracle (three approximate index stages compose); gated on
     // composed-overlap vs the all-exact twin (Verify.pipelineGate)
     "q78_embed_pipeline"   -> (graft.operators.EmbedPipeline.q78EmbedPipeline _),
+    // deletion lifecycle, lexical leg: exact subtraction ⇒ full hash
+    // oracle (BM25 over documents minus the portable kill bucket)
+    "q79_delete_lex"       -> (graft.operators.DeletePipeline.q79DeleteLex _),
+    // deletion lifecycle, ANN leg: approximate index probe ⇒ recall
+    // vs the exact survivor top-k + zero-leak check (Verify.deleteGate)
+    "q80_delete_ann"       -> (graft.operators.DeletePipeline.q80DeleteAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -853,6 +859,17 @@ object SparkEntry {
     // VERBATIM, the q60/q53 pattern; Verify's twin gate additionally
     // diffs the two dumps row-for-row
     "q74_bm25_topk_idx" -> bm25TopkOracle,
+    // q79: the q72/q74 oracle over the DELETE SURVIVORS — the serve
+    // side ran the real deletion lifecycle (tombstones + negative
+    // partials + corpus rewrite) against a seeded scratch corpus, and
+    // exact subtraction makes it hash-equal to BM25 over `documents`
+    // minus the portable kill bucket
+    "q79_delete_lex" -> bm25TopkOracleOver(
+      s"""sdocs AS (SELECT * FROM documents
+        |  WHERE NOT (${bucketSql("kill",
+        graft.operators.DeletePipeline.killMod)} = ${
+        graft.operators.DeletePipeline.killBucket})),
+        |""".stripMargin, "sdocs"),
     "q73_hybrid_rrf" -> {
       val r = graft.operators.Retrieval
       s"""WITH qt AS (SELECT DISTINCT doc_id AS query_id,
@@ -934,13 +951,15 @@ object SparkEntry {
   private val toksSql =
     s"""list_filter(string_split($normSql, ' '), t -> t != '')"""
 
-  /** The q72 oracle, shared verbatim by q74 (persisted-index twin). */
-  private lazy val bm25TopkOracle: String = {
+  /** The q72 oracle over corpus relation `rel` (with optional leading
+    * CTEs defining it), shared verbatim by q74 (persisted-index twin)
+    * and — filtered to the delete survivors — by q79. */
+  private def bm25TopkOracleOver(extraCtes: String, rel: String): String = {
     val values = graft.operators.Retrieval.bm25Queries
       .map { case (id, q) => s"($id, '$q')" }.mkString(", ")
     s"""WITH q (query_id, text) AS (VALUES $values),
       |qt AS (SELECT DISTINCT query_id, unnest($toksSql) AS token FROM q),
-      |$bm25Ctes
+      |$extraCtes${bm25CtesOver(rel)}
       |SELECT query_id, rnk, doc_id, score FROM (
       |  SELECT query_id, doc_id, score, CAST(row_number() OVER (
       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS INT) AS rnk
@@ -948,6 +967,8 @@ object SparkEntry {
       |WHERE rnk <= ${graft.operators.Retrieval.bm25K}
       |ORDER BY query_id, rnk""".stripMargin
   }
+  private lazy val bm25TopkOracle: String =
+    bm25TopkOracleOver("", "documents")
 
   /** Quantized BM25 per-term weight — the oracle twin of
     * Retrieval.bm25Wq, token-for-token the same evaluation tree over
@@ -968,11 +989,11 @@ object SparkEntry {
     * `qt(query_id, token)` CTE above it, yields `bsc(query_id, doc_id,
     * score)`. Lockstep twin of Retrieval.bm25Scores: df is counted
     * BEFORE the per-query fan-out, dl rides the btf grouping key. */
-  private val bm25Ctes =
+  private def bm25CtesOver(rel: String): String =
     s"""st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
-      |    CAST(SUM(len($toksSql)) AS DOUBLE) AS sumdl FROM documents),
+      |    CAST(SUM(len($toksSql)) AS DOUBLE) AS sumdl FROM $rel),
       |btok AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS dl,
-      |    unnest($toksSql) AS token FROM documents),
+      |    unnest($toksSql) AS token FROM $rel),
       |btf AS (SELECT doc_id, dl, token, COUNT(*) AS tf FROM btok
       |  GROUP BY 1, 2, 3),
       |bterms AS (SELECT DISTINCT token FROM qt),
@@ -985,6 +1006,7 @@ object SparkEntry {
       |    FROM bpr JOIN qt ON bpr.token = qt.token
       |      JOIN bdf ON bpr.token = bdf.token CROSS JOIN st) w
       |  GROUP BY 1, 2)""".stripMargin
+  private lazy val bm25Ctes = bm25CtesOver("documents")
 
   /** DuckDB twin of TextFunctions.saltedBucket — the portable salted
     * md5 bucket every sampling/split/mixing/sharding oracle derives

@@ -102,6 +102,16 @@ object Verify {
   val pipelineIdx = "q78_embed_pipeline"
   val pipelineFloor = 0.55
 
+  /** q80 (deletion lifecycle, ANN leg) is gated two ways: recall@k of
+    * the post-delete IVF×PQ serve vs the exact brute-force top-k over
+    * the SURVIVOR corpus (floor = the persisted-serve class, q69's
+    * 0.55), and a ZERO-TOLERANCE leak check — a killed id appearing as
+    * a query or neighbor is recorded as recall −1 (hard fail): serving
+    * a deleted row is the one unacceptable state of the lifecycle,
+    * not a recall trade. */
+  val deleteIdx = "q80_delete_ann"
+  val deleteFloor = 0.55
+
   final case class AnnGate(recall: Double, floor: Double) {
     def pass: Boolean = recall >= floor
   }
@@ -207,6 +217,62 @@ object Verify {
       if (exact.isEmpty) { if (got.isEmpty) 1.0 else 0.0 }
       else (exact intersect got).size.toDouble / exact.size
     Some(pipelineIdx -> AnnGate(overlap, pipelineFloor))
+  }
+
+  /** Deletion gate (q80): recall of the dump vs the exact top-k over
+    * the DELETED scratch corpus, plus the zero-leak check (see
+    * [[deleteIdx]]). [[operators.DeletePipeline.ensureDeleted]] is
+    * idempotent — on the gate path the pipeline already ran during the
+    * dump, so this re-resolves the corpus dir via the validation
+    * tokens without re-deleting anything. Same isolation discipline as
+    * [[pipelineGate]]. */
+  private def deleteGate(spark: SparkSession, sfDir: String,
+      outDir: String, selected: Set[String])
+      : Option[(String, AnnGate)] = {
+    if (!selected.contains(deleteIdx)) return None
+    val dumpDir = new java.io.File(s"$outDir/$deleteIdx")
+    if (!dumpDir.exists()) return None
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got =
+      try pairs(spark.read.parquet(dumpDir.toString))
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] $deleteIdx dump unreadable, recall skipped: " +
+            e.getMessage)
+        return None
+      }
+    val (exact, killed) =
+      try {
+        import org.apache.spark.sql.functions.col
+        val corpusDir = operators.DeletePipeline.ensureDeleted(spark, sfDir)
+        val kills = sources.Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"))
+          .filter(operators.DeletePipeline.kill(col("vec_id")))
+          .collect().map(_.getLong(0)).toSet
+        (pairs(operators.Similarity.q35KnnBrute(spark, corpusDir)), kills)
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] $deleteIdx recall baseline (exact survivor " +
+            s"top-k) failed: ${e.getMessage}; deleting its dump — " +
+            "unverifiable recall is not a pass")
+        deleteOrDie(dumpDir)
+        return None
+      }
+    val leaks = got.filter { case (q, n) =>
+      killed.contains(q) || killed.contains(n)
+    }
+    val recall =
+      if (leaks.nonEmpty) {
+        System.err.println(s"[verify] $deleteIdx SERVED ${leaks.size} " +
+          s"pair(s) touching a DELETED id (e.g. ${leaks.take(3)
+            .mkString(", ")}) — deletion leaked into serving")
+        -1.0
+      }
+      else if (exact.isEmpty) { if (got.isEmpty) 1.0 else 0.0 }
+      else (exact intersect got).size.toDouble / exact.size
+    Some(deleteIdx -> AnnGate(recall, deleteFloor))
   }
 
   /** Dropped-id recall of the q71 dump vs the exact q45 survivor set
@@ -321,11 +387,12 @@ object Verify {
     val hybridEntry = hybridGate(spark, sfDir, outDir, selected)
     val screenEntry = screenGate(spark, sfDir, outDir, selected)
     val pipelineEntry = pipelineGate(spark, sfDir, outDir, selected)
+    val deleteEntry = deleteGate(spark, sfDir, outDir, selected)
     val gated =
       selected.filter(n => annFloors.contains(n) || n == annResidual).toSeq
     if (gated.isEmpty)
       return (dedupEntry ++ hybridEntry ++ screenEntry ++
-        pipelineEntry).toMap
+        pipelineEntry ++ deleteEntry).toMap
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -390,7 +457,7 @@ object Verify {
         }
       }
     (staticEntries ++ residualEntry ++ dedupEntry ++ hybridEntry ++
-      screenEntry ++ pipelineEntry).toMap
+      screenEntry ++ pipelineEntry ++ deleteEntry).toMap
   }
 
   /** Persisted-index twins: each maps to the in-query variant it must
@@ -515,7 +582,8 @@ object Verify {
     // impersonate this run's measurements
     if (names.exists(n =>
         annFloors.contains(n) || n == annResidual || n == dedupIdx ||
-          n == screenIdx || n == hybridIdx || n == pipelineIdx))
+          n == screenIdx || n == hybridIdx || n == pipelineIdx ||
+          n == deleteIdx))
       try Files.deleteIfExists(Paths.get(s"$outDir/ann_recall.json"))
       catch { case _: Throwable => () }
     val gates =
@@ -531,7 +599,8 @@ object Verify {
             "deleting gated dumps — unverifiable recall is not a pass")
         names.filter(n =>
             annFloors.contains(n) || n == annResidual || n == dedupIdx ||
-              n == screenIdx || n == hybridIdx || n == pipelineIdx)
+              n == screenIdx || n == hybridIdx || n == pipelineIdx ||
+              n == deleteIdx)
           .foreach(n => deleteOrDie(new java.io.File(s"$outDir/$n")))
         return Map.empty
       }

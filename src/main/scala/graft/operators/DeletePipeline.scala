@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** q79/q80: the DELETION lifecycle, composed end-to-end — the
+  * retention / right-to-be-forgotten pass a production corpus runs,
+  * chained through the engine's REAL persisted interfaces exactly like
+  * q78 composes the ingest side:
+  *
+  *  1. SEED: the source documents + embeddings tables become a
+  *     standing corpus in engine-managed scratch (idempotent; a
+  *     `_seed` marker carrying the SOURCE identity reseeds when the
+  *     source changes — q78's discipline), with its persisted lexical
+  *     index ([[LexIndex.ensure]]) and ANN index
+  *     ([[IndexStore.ensure]]);
+  *  2. DELETE: a deterministic kill-set (the portable salted-md5
+  *     bucket, [[graft.functions.TextFunctions.saltedBucket]] — the
+  *     q43/q52 idiom, so the DuckDB oracle can state the SAME set)
+  *     goes through [[LexIndex.deleteDocs]] and
+  *     [[IndexStore.deleteBatch]]: tombstones stamped, negative
+  *     partials appended, corpus tables rewritten — each store's own
+  *     crash discipline (see their deletion sections);
+  *  3. SERVE: the standard gated queries run against the deleted
+  *     corpus THROUGH the tombstone-aware read paths —
+  *     - q79 ([[q79DeleteLex]]): BM25 top-k via the persisted lexical
+  *       index. Negative df/stats partials subtract EXACTLY and the
+  *       tf leg anti-joins tombstones, so the result is BIT-IDENTICAL
+  *       to an index rebuilt on the survivors — which is why this leg
+  *       carries a full DuckDB HASH ORACLE (BM25 over `documents`
+  *       minus the kill predicate), the strongest gate class;
+  *     - q80 ([[q80DeleteAnn]]): IVF×PQ top-k via the persisted ANN
+  *       index, ghost codes excluded from the candidate stream.
+  *       Approximate ⇒ gated on recall vs the exact survivor top-k
+  *       (Verify's deletion gate), PLUS a zero-tolerance leak check:
+  *       a tombstoned id appearing as a neighbor is a hard fail.
+  *
+  * Re-runs admit nothing, delete nothing and serve identical bytes:
+  * the kill predicate evaluated over the already-rewritten corpus is
+  * empty, already-tombstoned ids are skipped, and both ensures ride
+  * their validation tokens.
+  *
+  * Scale note: the composition adds nothing beyond its stages — the
+  * index-side deletes are tombstone appends (cost ∝ kill-set, fold
+  * deferred to compaction), and the corpus rewrites are one
+  * distributed scan-and-copy each, the operation a retention pass
+  * pays on any store. nlistFor boundary: a kill fraction large enough
+  * to shrink the √N cell count makes the next ensure RETRAIN — the
+  * legitimate answer, same policy as append growth (observed at
+  * sf0.1: 2000 → 1875 vectors crosses 31 → 30). */
+object DeletePipeline {
+
+  /** Kill-set dial: bucket [[killBucket]] of [[killMod]] salted-md5
+    * buckets — ~1/16 of each table, portable to the oracle via
+    * SparkEntry.bucketSql. */
+  val killMod = 16
+  val killBucket = 5
+  def kill(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.TextFunctions.saltedBucket(id, "kill", killMod) ===
+      killBucket
+
+  def pipeDirFor(spark: SparkSession, sfDir: String): String =
+    graft.Scratch.stableDir(spark, "delpipe", sfDir)
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = graft.Scratch.fs(spark, path)
+    fs.exists(p)
+  }
+
+  /** Seed + delete, idempotent; returns the scratch corpus dir the
+    * serving queries read. Synchronized on the IndexStore lock like
+    * q78 (Verify dumps from several threads; q79 and q80 share this
+    * corpus). */
+  private[graft] def ensureDeleted(spark: SparkSession,
+      sfDir: String): String = IndexStore.synchronized {
+    val root = pipeDirFor(spark, sfDir)
+    val corpusDir = s"$root/c"
+    val docsTable = s"$corpusDir/documents.parquet"
+    val vecsTable = s"$corpusDir/embeddings.parquet"
+    val srcDocs = Tables.load(spark, sfDir, "documents")
+    val srcVecs = Tables.load(spark, sfDir, "embeddings")
+    // SEED IDENTITY over BOTH source tables (q78's rule: ensure
+    // validates index-vs-scratch, never scratch-vs-source)
+    def idOf(df: DataFrame, fpExpr: String): String = {
+      val r = df.agg(count(lit(1)), expr(s"bit_xor($fpExpr)")).head()
+      s"${r.getLong(0)}|${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+    }
+    val seedId = "graftdelpipe|1|" +
+      idOf(srcDocs, "xxhash64(doc_id, text)") + "|" +
+      idOf(srcVecs, "xxhash64(vec_id, embedding)")
+    val (fs, seedP) = graft.Scratch.fs(spark, s"$root/_seed")
+    val seedCurrent = fs.exists(seedP) &&
+      (try new String(graft.Scratch.readSmallFile(fs, seedP),
+        "UTF-8") == seedId
+      catch { case scala.util.control.NonFatal(_) => false })
+    if (!seedCurrent) {
+      val (rfs, rp) = graft.Scratch.fs(spark, root)
+      if (rfs.exists(rp)) rfs.delete(rp, true)
+    }
+    if (!exists(spark, docsTable)) {
+      srcDocs.write.mode(SaveMode.ErrorIfExists).parquet(docsTable)
+      srcVecs.write.mode(SaveMode.ErrorIfExists).parquet(vecsTable)
+      // marker AFTER the data (a crash between reseeds — the safe
+      // direction, q78's rule)
+      val out = fs.create(seedP, true)
+      try out.write(seedId.getBytes("UTF-8")) finally out.close()
+    }
+    // LEXICAL: ensure over the standing corpus, then delete. On a
+    // replay the kill predicate over the already-rewritten corpus is
+    // empty and deleteDocs no-ops (its corpus-pending probe also
+    // completes a crashed predecessor's rewrite).
+    LexIndex.ensure(spark, corpusDir)
+    LexIndex.deleteDocs(spark, corpusDir,
+      Tables.load(spark, corpusDir, "documents")
+        .filter(kill(col("doc_id"))).select(col("doc_id")))
+    // ANN: same sequence on the embeddings side
+    IndexStore.ensure(spark, corpusDir)
+    IndexStore.deleteBatch(spark, corpusDir,
+      Tables.load(spark, corpusDir, "embeddings")
+        .filter(kill(col("vec_id"))).select(col("vec_id")))
+    corpusDir
+  }
+
+  /** q79: BM25 top-k served from the persisted lexical index AFTER the
+    * deletion — bit-identical to a survivor rebuild (exact
+    * subtraction), hash-checked against the DuckDB oracle computing
+    * BM25 over `documents` minus the kill set. */
+  def q79DeleteLex(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpusDir = ensureDeleted(spark, sfDir)
+    LexIndex.q74Bm25TopKIdx(spark, corpusDir)
+  }
+
+  /** q80: IVF×PQ top-k served from the persisted ANN index AFTER the
+    * deletion — tombstone-aware candidate stream; gated on recall vs
+    * the exact survivor top-k plus the zero-leak check (Verify). */
+  def q80DeleteAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpusDir = ensureDeleted(spark, sfDir)
+    IndexStore.q69KnnIvfPqIdx(spark, corpusDir)
+  }
+}

@@ -262,9 +262,15 @@ object IndexStore {
 
   /** Does `m` describe an index the CURRENT code + corpus would build?
     * Any mismatch — corpus content, dial values, format — means the
-    * artifacts are stale and must not be served. */
-  private def current(m: AnnIndexMeta, n: Long, fp: Long): Boolean =
-    dialsMatch(m) && m.n == n && m.fp == fp &&
+    * artifacts are stale and must not be served. `tombN`/`tombXor`
+    * fold pending deletions into the expectation (see the deletion
+    * section): the corpus legitimately reads meta MINUS the valid
+    * tombstones. The nlist check runs on the OBSERVED corpus size — a
+    * delete (or append) that crosses an nlistFor boundary makes a
+    * retrain the legitimate answer, exactly the maintenance policy. */
+  private def current(m: AnnIndexMeta, n: Long, fp: Long,
+      tombN: Long = 0L, tombXor: Long = 0L): Boolean =
+    dialsMatch(m) && (m.n - tombN) == n && (m.fp ^ tombXor) == fp &&
       m.nl == Similarity.nlistFor(n)
 
   /** Accumulated drift of every append since the last build:
@@ -383,27 +389,33 @@ object IndexStore {
     * zero-job fast path never has to launch the parquet read of
     * `meta` (a Spark job) just to re-check dials it already vouched
     * for. Doubles round-trip through `toString`/`toDouble` exactly. */
-  private def tokenLine(digest: String, m: AnnIndexMeta): String =
+  /** Token line = digest + a copy of meta + the tombstone fold terms
+    * that were live at validation time. The digest covers the sidecar
+    * files, so a matching digest vouches for the stored (tombN,
+    * tombXor) without any Spark job — the zero-job fast path stays
+    * zero-job under pending deletions. */
+  private def tokenLine(digest: String, m: AnnIndexMeta,
+      tombN: Long, tombXor: Long): String =
     s"$digest|${m.version}|${m.n}|${m.fp}|${m.nl}|${m.res_norm}|" +
       s"${m.appended_n}|${m.subspaces}|${m.pq_codes}|${m.lloyd_iters}|" +
-      s"${m.pq_lloyd_iters}|${m.app_res_sum}"
+      s"${m.pq_lloyd_iters}|${m.app_res_sum}|$tombN|$tombXor"
 
   private def readToken(spark: SparkSession, dir: String)
-      : Option[(String, AnnIndexMeta)] = {
+      : Option[(String, AnnIndexMeta, Long, Long)] = {
     val (fs, p) = graft.Scratch.fs(spark, s"$dir/$tokenName")
     if (!fs.exists(p)) return None
     val line =
       // shared EOF-draining read (graft.Scratch.readSmallFile): a
-      // truncated one-read() line would fail the 12-part parse below
+      // truncated one-read() line would fail the 14-part parse below
       // and silently disable the fast path
       try new String(graft.Scratch.readSmallFile(fs, p), "UTF-8").trim
       catch { case scala.util.control.NonFatal(_) => "" }
     val parts = line.split('|')
-    if (parts.length != 12) None
+    if (parts.length != 14) None
     else try Some((parts(0), AnnIndexMeta(parts(1).toInt, parts(2).toLong,
       parts(3).toLong, parts(4).toInt, parts(5).toDouble, parts(6).toLong,
       parts(7).toInt, parts(8).toInt, parts(9).toInt, parts(10).toInt,
-      parts(11).toDouble)))
+      parts(11).toDouble), parts(12).toLong, parts(13).toLong))
     catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -561,9 +573,16 @@ object IndexStore {
     writeMeta(spark, shadow, m)
     graft.sources.ParquetSink.promote(fs, sp,
       new org.apache.hadoop.fs.Path(dir))
+    // a fresh build from the (already-rewritten) corpus makes every
+    // tombstone moot — and a surviving sidecar would fold a stale xor
+    // into the new meta's expectation, wedging ensure into a rebuild
+    // loop (see the deletion section; the promote above deleted the
+    // live dir's sidecar already, this clears a racing stamp)
+    clearTombstones(spark, dir)
     // the build IS a full validation (artifacts freshly derived from
     // the fingerprinted corpus), so the serving fast path starts warm
-    writeToken(spark, dir, tokenLine(stateDigest(spark, sfDir, dir), m))
+    writeToken(spark, dir,
+      tokenLine(stateDigest(spark, sfDir, dir), m, 0L, 0L))
     BuildInfo(dir, n, nl, builtNow = true,
       buildSec = (System.nanoTime() - t0) / 1e9)
   }
@@ -606,31 +625,57 @@ object IndexStore {
       policy: Option[RebuildPolicy] = None): BuildInfo =
     synchronized {
       val dir = dirFor(spark, sfDir)
-      def cheapOk(m: AnnIndexMeta): Boolean =
-        dialsMatch(m) && m.nl == Similarity.nlistFor(m.n) &&
+      def cheapOk(m: AnnIndexMeta, tombN: Long): Boolean =
+        dialsMatch(m) && m.nl == Similarity.nlistFor(m.n - tombN) &&
           !policy.exists(policyViolated(m, _))
-      def serve(m: AnnIndexMeta): BuildInfo = {
+      // served size is the EFFECTIVE corpus (meta minus pending valid
+      // tombstones) — shortlist sizing and the n=0 delegate then match
+      // what a rebuilt-on-survivors index would report
+      def serve(m: AnnIndexMeta, tombN: Long): BuildInfo = {
         compactIfPolicied(spark, sfDir, dir, m, policy)
-        BuildInfo(dir, m.n, m.nl, builtNow = false, buildSec = 0.0)
+        BuildInfo(dir, m.n - tombN, m.nl, builtNow = false, buildSec = 0.0)
       }
       val digest = stateDigest(spark, sfDir, dir)
       readToken(spark, dir) match {
         // fast path: nothing on disk moved since the full validation
         // that stamped the token — zero Spark jobs, only the in-memory
-        // checks (on the token's meta copy, which the digest vouches
-        // for byte-for-byte with the meta file)
-        case Some((d, tm)) if d == digest && cheapOk(tm) => serve(tm)
+        // checks (on the token's meta + tombstone-fold copy, which the
+        // digest vouches for byte-for-byte with the on-disk state)
+        case Some((d, tm, tombN, _)) if d == digest && cheapOk(tm, tombN) =>
+          serve(tm, tombN)
         case _ =>
           readMeta(spark, dir) match {
             case Some(m) =>
+              // deletion heal FIRST (see the deletion section): a
+              // crashed deleteBatch left tombstones whose ids are
+              // still in the corpus — complete its rewrite before any
+              // validation or rebuild reads the corpus (the only
+              // direction that can never resurrect deleted rows)
+              val (tombRows, tombN, tombXor) = tombAggregates(spark, dir)
+              if (tombRows > 0) {
+                val tids = tombstoneFrame(spark, dir).get
+                  .select(col("vec_id")).distinct()
+                val stillIn = Tables.load(spark, sfDir, "embeddings")
+                  .join(tids.hint("broadcast"), Seq("vec_id"), "left_semi")
+                if (!stillIn.isEmpty) {
+                  System.err.println(s"[annidx] completing a crashed " +
+                    s"delete's corpus rewrite at $sfDir")
+                  rewriteTableMinus(spark, s"$sfDir/embeddings.parquet",
+                    tids, "vec_id")
+                }
+              }
               val (n, fp) =
                 countAndFingerprint(Tables.load(spark, sfDir, "embeddings"))
-              if (cheapOk(m) && current(m, n, fp) &&
+              if (cheapOk(m, tombN) && current(m, n, fp, tombN, tombXor) &&
                   tablesIntact(spark, dir, m)) {
-                // validation scans only READ — the pre-scan digest
-                // still describes the state just vouched for
-                writeToken(spark, dir, tokenLine(digest, m))
-                serve(m)
+                // validation scans only READ — but the deletion heal
+                // above may have rewritten the corpus, so re-digest
+                // when tombstones are present (rare path; the digest
+                // is driver-side listing work)
+                val d2 = if (tombRows > 0) stateDigest(spark, sfDir, dir)
+                  else digest
+                writeToken(spark, dir, tokenLine(d2, m, tombN, tombXor))
+                serve(m, tombN)
               } else build(spark, sfDir, dir, knownIdentity = Some((n, fp)))
             case None => build(spark, sfDir, dir)
           }
@@ -664,8 +709,13 @@ object IndexStore {
           graft.sources.Maintenance.compactAnnIndex(spark, dir)
         System.err.println(s"[annidx] policy compaction at $dir: " +
           s"$before part files -> $after")
+        // the compaction may have FOLDED tombstones (meta changed) —
+        // re-read meta and the (now empty) sidecar for the restamp
+        // rather than vouching for the pre-fold copies
+        val m2 = readMeta(spark, dir).getOrElse(m)
+        val (_, tombN2, tombXor2) = tombAggregates(spark, dir)
         writeToken(spark, dir,
-          tokenLine(stateDigest(spark, sfDir, dir), m))
+          tokenLine(stateDigest(spark, sfDir, dir), m2, tombN2, tombXor2))
       }
     }
 
@@ -782,6 +832,22 @@ object IndexStore {
     require(m.n > 0,
       s"index at $dir was trained on an empty corpus (n=0) and has no " +
         "cells to assign into — run ensure() once the corpus has rows")
+    // DELETION CONTRACT (see the deletion section): a tombstoned id
+    // must not re-enter before compaction folds its ghost codes rows —
+    // appending would double-key the id and the serve-side anti-join
+    // would then hide BOTH copies. Driver-side existence probe on the
+    // healthy (no-pending-deletes) path; one batch-sized semi-join
+    // when tombstones exist.
+    tombstoneFrame(spark, dir).foreach { t =>
+      val hit = batch.select(col("vec_id"))
+        .join(t.select(col("vec_id")).hint("broadcast"),
+          Seq("vec_id"), "left_semi")
+        .limit(1).count()
+      if (hit > 0) throw new IllegalStateException(
+        s"batch re-adds tombstoned (deleted) vec_id(s) at $dir — " +
+          "re-adding a deleted id is legal only after a compaction " +
+          "folds its tombstone (Maintenance.compactAnnIndex)")
+    }
     val v = col("embedding").cast("array<double>")
     val pe0 = batch
       .select(col("vec_id"), col("embedding"), v.as("v"),
@@ -1147,6 +1213,190 @@ object IndexStore {
     }
   }
 
+  // --- deletion lifecycle (tombstones) ---------------------------------------
+  //
+  // The one operation appends cannot express: REMOVE rows from a
+  // served corpus (retention, right-to-be-forgotten) without a full
+  // rebuild. Shape mirrors the append-side LSM delta: deletes land in
+  // a `tombstones/` sidecar under the index dir ((vec_id, rowfp,
+  // valid, cell) — rowfp = xxhash64(vec_id, embedding) captured from
+  // the corpus row at delete time, so the corpus fingerprint xor-FOLDS
+  // across deletes the same way it xor-composes across appends), and
+  // physical removal is deferred to compaction. Invariants:
+  //
+  //  - [[deleteBatch]] stamps tombstones FIRST, then rewrites the
+  //    corpus table minus ALL tombstoned ids (shadow + promote swap).
+  //    Serving is delete-correct from the instant the tombstone file
+  //    lands (every candidate stream anti-joins the sidecar), so the
+  //    crash window between the two writes leaks nothing; [[ensure]]
+  //    HEALS that window by completing the corpus rewrite — the only
+  //    safe direction (a rebuild before the heal would re-index the
+  //    undeleted rows; after it, a rebuild can never resurrect them).
+  //  - [[ensure]] validates a tombstoned index against the FOLDED
+  //    expectation: corpus count must read meta.n − |valid tombstones|
+  //    and corpus fp must read meta.fp XOR xor(valid rowfps) — no
+  //    rescan of the deleted rows, no rebuild on the healthy path.
+  //    `valid` mirrors [[countAndFingerprint]]'s validNorm filter:
+  //    invalid-norm rows were never counted or fingerprinted, so their
+  //    deletion must not fold either.
+  //  - [[build]] CLEARS the sidecar at promote: a fresh index derives
+  //    from the (already rewritten) corpus, so every tombstone is moot
+  //    — and leaving them would fold a stale xor into the new meta's
+  //    expectation, wedging ensure into a rebuild loop.
+  //  - [[graft.sources.Maintenance.compactAnnIndex]] FOLDS: both codes
+  //    tables are rewritten minus tombstoned ids, meta.n/fp fold the
+  //    sidecar's aggregates, the sidecar is cleared. A crash anywhere
+  //    inside converges by ensure-rebuild (count/fp/integrity
+  //    mismatch), exactly like the append path's rcodes→meta window —
+  //    and never resurrects, because the corpus rewrite already
+  //    happened at deleteBatch time.
+  //  - [[appendBatch]] REFUSES a batch carrying a tombstoned id: its
+  //    ghost codes rows are still in the index until the fold, so a
+  //    re-append would double-key the id (and the serve-side anti-join
+  //    would then hide BOTH copies). Re-adding a deleted id is legal
+  //    AFTER a compaction folds the tombstone.
+  //
+  // 100 TB note: the tombstone sidecar is bounded by the fold cadence
+  // (anti-joins broadcast it); the corpus rewrite is one distributed
+  // scan-and-copy per delete batch — on a partitioned production
+  // corpus the same swap applies per affected partition. The INDEX
+  // side never rewrites outside compaction, which it was paying
+  // anyway.
+
+  final case class DeleteStats(tombstoned: Long, removedFromCorpus: Long)
+
+  /** Compaction's closing step (see [[graft.sources.Maintenance
+    * .compactAnnIndex]]): after both codes tables were rewritten minus
+    * the tombstoned ids, fold the sidecar's aggregates into meta
+    * (n/fp) and clear it. Crash windows converge by ensure-rebuild:
+    * tables-folded-but-meta-not fails the integrity probe's count leg;
+    * meta-folded-but-sidecar-present double-subtracts the expectation
+    * and fails the fingerprint leg — and neither can resurrect rows,
+    * because the corpus rewrite happened at deleteBatch time. */
+  private[graft] def foldTombstonesIntoMeta(spark: SparkSession,
+      dir: String): Unit = {
+    val (rows, validN, xor) = tombAggregates(spark, dir)
+    if (rows == 0) return
+    val m = readMeta(spark, dir).getOrElse(throw new IllegalStateException(
+      s"no readable meta at $dir — cannot fold tombstones"))
+    writeMeta(spark, dir, m.copy(n = m.n - validN, fp = m.fp ^ xor))
+    clearTombstones(spark, dir)
+  }
+
+  private[graft] def tombDirOf(dir: String): String = s"$dir/tombstones"
+
+  /** Tombstone rows (vec_id, rowfp, valid, cell), None when the
+    * sidecar is absent or holds no data files (driver-side probe). */
+  private[graft] def tombstoneFrame(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val root = tombDirOf(dir)
+    val (fs, p) = graft.Scratch.fs(spark, root)
+    if (!fs.exists(p)) return None
+    val hasData = fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!hasData) None else Some(spark.read.parquet(root))
+  }
+
+  /** (rows, valid rows, xor of valid rowfps) of the sidecar — the
+    * fold terms of every tombstone-aware validation. One small-table
+    * agg; (0,0,0) without a sidecar (driver-side probe only). */
+  private[graft] def tombAggregates(spark: SparkSession,
+      dir: String): (Long, Long, Long) =
+    tombstoneFrame(spark, dir) match {
+      case None => (0L, 0L, 0L)
+      case Some(t) =>
+        val r = t.agg(count(lit(1)),
+          count(when(col("valid"), lit(1))),
+          expr("bit_xor(case when valid then rowfp end)")).head()
+        (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+
+  private[graft] def clearTombstones(spark: SparkSession,
+      dir: String): Unit = {
+    val (fs, p) = graft.Scratch.fs(spark, tombDirOf(dir))
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Rewrite `table` minus `ids` through a shadow + promote swap —
+    * crash-atomic (a crash leaves either the old or the new table
+    * complete, never a half-rewrite). Refuses to EMPTY the table: a
+    * zero-row parquet write emits no schema-bearing part files and
+    * every later read of the corpus would throw — deleting an entire
+    * corpus is "remove the table and its index", not a delete batch. */
+  private[graft] def rewriteTableMinus(spark: SparkSession, table: String,
+      ids: DataFrame, key: String): Long = {
+    val survivors = spark.read.parquet(table)
+      .join(ids.select(col(key)).hint("broadcast"), Seq(key), "left_anti")
+    require(!survivors.isEmpty,
+      s"delete batch would remove EVERY row of $table — deleting a " +
+        "whole corpus is table+index removal, not a delete batch")
+    val shadow = s"${table}__shadow_del"
+    val (fs, sp) = graft.Scratch.fs(spark, shadow)
+    if (fs.exists(sp)) fs.delete(sp, true)
+    survivors.write.parquet(shadow)
+    graft.sources.ParquetSink.promote(fs, sp,
+      new org.apache.hadoop.fs.Path(table))
+    0L
+  }
+
+  /** Delete `kills` (a vec_id frame) from the corpus at `sfDir` and
+    * its persisted index: stamp tombstones (serving excludes them from
+    * that instant), then rewrite the corpus table minus every
+    * tombstoned id. Replay-idempotent: already-tombstoned and
+    * already-absent ids are skipped, and a replay after any crash
+    * point converges to the same state (see the section doc). Physical
+    * index removal is [[graft.sources.Maintenance.compactAnnIndex]]'s
+    * job; until then ghost codes rows are excluded by every reader. */
+  def deleteBatch(spark: SparkSession, sfDir: String,
+      kills: DataFrame): DeleteStats = synchronized {
+    import graft.functions.VectorFunctions.dotD
+    val dir = dirFor(spark, sfDir)
+    require(readMeta(spark, dir).nonEmpty,
+      s"no index at $dir — ensure() before deleteBatch (deletion is " +
+        "index maintenance; an index-less corpus is a plain filter)")
+    val table = s"$sfDir/embeddings.parquet"
+    val raw = Tables.load(spark, sfDir, "embeddings")
+    val killIds = kills.select(col("vec_id")).distinct()
+    val present = raw.join(killIds.hint("broadcast"),
+      Seq("vec_id"), "left_semi")
+    val fresh = tombstoneFrame(spark, dir).fold(present)(t =>
+      present.join(t.select(col("vec_id")).hint("broadcast"),
+        Seq("vec_id"), "left_anti"))
+    val v = col("embedding").cast("array<double>")
+    val nrm = sqrt(dotD(v, v))
+    // home cell from the INDEX's own sub-0 rows (the one definition of
+    // home), not recomputed from centroids: compaction prunes its
+    // rewrite by these cells, so they must name where the rows
+    // actually sit. Invalid-norm rows were never indexed → cell null.
+    val homes = withDeltaOf(spark, dir, "codes")(
+      _.filter(col("sub") === 0)).select(col("vec_id"), col("cell"))
+    val cap = graft.Materialize(fresh
+      .select(col("vec_id"),
+        xxhash64(col("vec_id"), col("embedding")).as("rowfp"),
+        (nrm > 0 && nrm < Double.PositiveInfinity).as("valid"))
+      .join(homes, Seq("vec_id"), "left"))
+    val freshN = cap.count()
+    if (freshN > 0)
+      cap.repartition(1).write.mode(SaveMode.Append)
+        .parquet(tombDirOf(dir))
+    // corpus rewrite: drop EVERY tombstoned id still present — this
+    // batch's and any crashed predecessor's (the replay IS the heal)
+    val removed = tombstoneFrame(spark, dir) match {
+      case None => 0L
+      case Some(t) =>
+        val tids = t.select(col("vec_id")).distinct()
+        val pendingN = raw.join(tids.hint("broadcast"),
+          Seq("vec_id"), "left_semi").count()
+        if (pendingN > 0)
+          rewriteTableMinus(spark, table, tids, "vec_id")
+        pendingN
+    }
+    DeleteStats(freshN, removed)
+  }
+
   // --- append commit marker (zero-job fast path for screened sinks) ---------
   //
   // The remaining per-append O(index) terms after the delta buffer are
@@ -1286,8 +1536,13 @@ object IndexStore {
     // (cost ∝ probed cells, never the index), q78's serving stage.
     val probed0 = withDeltaOf(spark, dir, "codes")(
       _.join(broadcast(probes), Seq("cell")))
-    val probed = exclude.fold(probed0)(x =>
-      probed0.join(x.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+    // persisted tombstones are a standing exclusion (deleted ids'
+    // ghost codes rows remain until compaction folds them), composed
+    // with the caller's soft-delete set under the same anti-join
+    val probed = (exclude.toSeq ++
+        tombstoneFrame(spark, dir).toSeq)
+      .foldLeft(probed0)((d, x) =>
+        d.join(x.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     val lut = Similarity.pqLut(Similarity.subVectors(qe),
       spark.read.parquet(s"$dir/codebook"))
     val cand = Similarity.adcShortlist(probed, lut,
@@ -1321,8 +1576,10 @@ object IndexStore {
       .join(broadcast(cents.select(col("cell"), col("cn"))), Seq("cell"))
       .select(col("vec_id").as("query_id"), col("cell"),
         (col("cd") + col("cn")).as("ct"))
-    val probed = withDeltaOf(spark, dir, "rcodes")(
-      _.join(broadcast(probesCt), Seq("cell")))
+    val probed = tombstoneFrame(spark, dir)
+      .foldLeft(withDeltaOf(spark, dir, "rcodes")(
+        _.join(broadcast(probesCt), Seq("cell"))))((d, t) =>
+        d.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti"))
     val lut = Similarity.pqLut(Similarity.subVectors(qe),
       spark.read.parquet(s"$dir/rcodebook"))
     val cand = Similarity.adcShortlist(probed, lut,

@@ -359,8 +359,17 @@ object IngestScreen {
       .select(col("vec_id").as("pid"), col("cell"))
       .join(batch.select(col("vec_id").as("pid"), col("v").as("vp"),
         col("nrm").as("np_")), Seq("pid"))
-    val lists = readLists(spark, listsDir(spark, sfDir))
+    // deleted vectors must not reject new content: pending tombstones
+    // (IndexStore deletion lifecycle) are anti-joined out of the
+    // listed side — the lists physically fold when listsCurrent
+    // mismatches the compaction-folded index meta and rebuilds from
+    // the already-rewritten corpus
+    val lists0 = readLists(spark, listsDir(spark, sfDir))
       .filter(iidFilter)
+    val lists = IndexStore.tombstoneFrame(spark, info.dir)
+      .foldLeft(lists0)((d, t) => d.join(
+        t.select(col("vec_id")).hint("broadcast"), Seq("vec_id"),
+        "left_anti"))
       .select(col("cell"), col("vec_id").as("iid"), col("v").as("vi"),
         col("nrm").as("ni"))
     val joined =

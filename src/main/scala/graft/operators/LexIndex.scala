@@ -115,20 +115,27 @@ object LexIndex {
     IndexStore.listingDigest(spark, s"$sfDir/documents.parquet", dir,
       s"lexv$formatVersion|$pfxParts")
 
-  private def tokenLine(digest: String, m: LexIndexMeta): String =
-    s"$digest|${m.version}|${m.n}|${m.fp}|${m.pfx_parts}|${m.np}"
+  /** Token line = digest + meta copy + the tombstone fold terms live
+    * at validation time (same extension as the ANN token): the digest
+    * covers the sidecar files, so a match vouches for the stored
+    * (tombN, tombXor) with zero jobs. */
+  private def tokenLine(digest: String, m: LexIndexMeta,
+      tombN: Long, tombXor: Long): String =
+    s"$digest|${m.version}|${m.n}|${m.fp}|${m.pfx_parts}|${m.np}|" +
+      s"$tombN|$tombXor"
 
   private def readToken(spark: SparkSession, dir: String)
-      : Option[(String, LexIndexMeta)] = {
+      : Option[(String, LexIndexMeta, Long, Long)] = {
     val (fs, p) = graft.Scratch.fs(spark, s"$dir/${IndexStore.tokenName}")
     if (!fs.exists(p)) return None
     val line =
       try new String(graft.Scratch.readSmallFile(fs, p), "UTF-8").trim
       catch { case scala.util.control.NonFatal(_) => "" }
     val parts = line.split('|')
-    if (parts.length != 6) None
+    if (parts.length != 8) None
     else try Some((parts(0), LexIndexMeta(parts(1).toInt,
-      parts(2).toLong, parts(3).toLong, parts(4).toInt, parts(5).toLong)))
+      parts(2).toLong, parts(3).toLong, parts(4).toInt, parts(5).toLong),
+      parts(6).toLong, parts(7).toLong))
     catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -151,25 +158,138 @@ object LexIndex {
     * vouched for by the fingerprint + shadow-swap discipline — a
     * torn partitioned write never gets promoted). */
   private def tablesIntact(spark: SparkSession, dir: String,
-      m: LexIndexMeta): Boolean =
+      m: LexIndexMeta, tombN: Long): Boolean =
     try {
       val present = Seq("tf", "df", "stats").forall { t =>
         val (fs, p) = graft.Scratch.fs(spark, s"$dir/$t")
         fs.exists(p)
       }
       present && {
-        // stats rows are additive (build partial + one per append):
-        // their SUM must equal meta.n — a torn append that wrote data
-        // but no stats row, or a foreign stats table, breaks it
+        // stats rows are additive (build partial + one per append,
+        // one NEGATIVE partial per delete batch): their SUM must
+        // equal meta.n minus the pending tombstones — a torn append
+        // that wrote data but no stats row, a crashed delete that
+        // stamped tombstones but not its negative partial, or a
+        // foreign stats table all break it
         val s = spark.read.parquet(s"$dir/stats")
           .agg(sum(col("n_docs"))).head()
-        !s.isNullAt(0) && s.getLong(0) == m.n
+        !s.isNullAt(0) && s.getLong(0) == m.n - tombN
       }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[lexidx] integrity probe failed at $dir " +
         s"(${e.getMessage}); rebuilding")
       false
     }
+
+  // --- deletion lifecycle (tombstones + negative partials) -------------------
+  //
+  // The lexical mirror of [[IndexStore]]'s deletion section, with one
+  // structural advantage: every persisted lexical value is an exact
+  // ADDITIVE fact the read path already sums, so a delete batch can
+  // subtract EXACTLY — [[deleteDocs]] appends one NEGATIVE df partial
+  // and one negative stats partial (computed from the victim rows'
+  // own tokens, the same tokenizer the build used), stamps (doc_id,
+  // rowfp) tombstones that the tf leg anti-joins, and rewrites the
+  // corpus minus the victims. Post-delete serving is BIT-IDENTICAL to
+  // a rebuild on the survivors: df/stats sums are the survivor sums
+  // by arithmetic, and the tf candidates are the survivor postings by
+  // anti-join. Write order (tombstones → partials → corpus) makes
+  // every crash window converge loudly: missing partials fail the
+  // stats-sum integrity leg (→ rebuild), a missing corpus rewrite is
+  // healed by the next [[ensure]] (the direction that can never
+  // resurrect), and a replay skips already-tombstoned ids so nothing
+  // double-subtracts. [[compact]] folds physically (tf minus
+  // tombstoned docs, df/stats partials merged, meta n/fp/np folded,
+  // sidecar cleared); [[appendBatch]] refuses a tombstoned doc_id
+  // until the fold (its ghost postings would double-key the doc).
+
+  final case class DeleteDocsStats(tombstoned: Long,
+    removedFromCorpus: Long)
+
+  private def tombDirOf(dir: String): String = s"$dir/tombstones"
+
+  private[operators] def tombstoneFrame(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val root = tombDirOf(dir)
+    val (fs, p) = graft.Scratch.fs(spark, root)
+    if (!fs.exists(p)) return None
+    val hasData = fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!hasData) None else Some(spark.read.parquet(root))
+  }
+
+  /** (rows, xor of rowfps) of the sidecar; (0, 0) when absent. */
+  private def tombAggregates(spark: SparkSession,
+      dir: String): (Long, Long) =
+    tombstoneFrame(spark, dir) match {
+      case None => (0L, 0L)
+      case Some(t) =>
+        val r = t.agg(count(lit(1)), expr("bit_xor(rowfp)")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+  private def clearTombstones(spark: SparkSession, dir: String): Unit = {
+    val (fs, p) = graft.Scratch.fs(spark, tombDirOf(dir))
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Delete `kills` (a doc_id frame) from the documents corpus at
+    * `sfDir` and its persisted lexical index — see the section doc for
+    * the exact-subtraction and crash contracts. Replay-idempotent. */
+  def deleteDocs(spark: SparkSession, sfDir: String,
+      kills: DataFrame): DeleteDocsStats = synchronized {
+    val dir = dirFor(spark, sfDir)
+    require(readMeta(spark, dir).nonEmpty,
+      s"no lexical index at $dir — ensure() before deleteDocs " +
+        "(deletion is index maintenance; an index-less corpus is a " +
+        "plain filter)")
+    val table = s"$sfDir/documents.parquet"
+    val docs = Tables.load(spark, sfDir, "documents")
+    val killIds = kills.select(col("doc_id")).distinct()
+    val present = docs.join(killIds.hint("broadcast"),
+      Seq("doc_id"), "left_semi")
+    val fresh = graft.Materialize(
+      tombstoneFrame(spark, dir).fold(present)(t =>
+        present.join(t.select(col("doc_id")).hint("broadcast"),
+          Seq("doc_id"), "left_anti")))
+    val freshN = fresh.count()
+    if (freshN > 0) {
+      // 1. tombstones (the commit point — serving's tf leg excludes
+      //    these ids from this instant)
+      fresh.select(col("doc_id"),
+          xxhash64(col("doc_id"), col("text")).as("rowfp"))
+        .repartition(1).write.mode(SaveMode.Append)
+        .parquet(tombDirOf(dir))
+      // 2. negative partials — the exact subtraction. A crash between
+      //    1 and 2 under-subtracts df/stats, which the stats-sum
+      //    integrity leg catches on the next ensure (→ rebuild).
+      val tfB = graft.Materialize(
+        Retrieval.termFreqs(fresh).withColumn("pfx", pfxOf(col("token"))))
+      if (!tfB.isEmpty)
+        tfB.groupBy(col("pfx"), col("token"))
+          .agg((-count(lit(1))).as("df"))
+          .repartition(col("pfx")).write.mode(SaveMode.Append)
+          .partitionBy("pfx").parquet(s"$dir/df")
+      Retrieval.corpusStatsLong(fresh)
+        .select((-col("n_docs")).as("n_docs"), (-col("sum_dl")).as("sum_dl"))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/stats")
+    }
+    // 3. corpus rewrite: drop EVERY tombstoned id still present —
+    //    this batch's and any crashed predecessor's (replay = heal)
+    val removed = tombstoneFrame(spark, dir) match {
+      case None => 0L
+      case Some(t) =>
+        val tids = t.select(col("doc_id")).distinct()
+        val pendingN = docs.join(tids.hint("broadcast"),
+          Seq("doc_id"), "left_semi").count()
+        if (pendingN > 0)
+          IndexStore.rewriteTableMinus(spark, table, tids, "doc_id")
+        pendingN
+    }
+    DeleteDocsStats(freshN, removed)
+  }
 
   def build(spark: SparkSession, sfDir: String, dir: String,
       knownIdentity: Option[(Long, Long)] = None): BuildInfo = {
@@ -210,7 +330,13 @@ object LexIndex {
         new org.apache.hadoop.fs.Path(s"$shadow/batches"))
     graft.sources.ParquetSink.promote(fs, sp,
       new org.apache.hadoop.fs.Path(dir))
-    writeToken(spark, dir, tokenLine(stateDigest(spark, sfDir, dir), m))
+    // a fresh build derives from the (already-rewritten) corpus —
+    // every tombstone is moot, and a survivor would wedge ensure's
+    // folded expectation (see the deletion section; the promote above
+    // swapped the old sidecar away already, this clears a racing stamp)
+    clearTombstones(spark, dir)
+    writeToken(spark, dir,
+      tokenLine(stateDigest(spark, sfDir, dir), m, 0L, 0L))
     BuildInfo(dir, n, np, builtNow = true,
       buildSec = (System.nanoTime() - t0) / 1e9)
   }
@@ -224,20 +350,44 @@ object LexIndex {
       val dir = dirFor(spark, sfDir)
       def dialsOk(m: LexIndexMeta): Boolean =
         m.version == formatVersion && m.pfx_parts == pfxParts
-      def serve(m: LexIndexMeta): BuildInfo =
-        BuildInfo(dir, m.n, m.np, builtNow = false, buildSec = 0.0)
+      // served size is the effective corpus (meta minus pending
+      // tombstones); np stays physical (it only gates the np==0
+      // part-file-less read guard, and ghost postings are still files)
+      def serve(m: LexIndexMeta, tombN: Long): BuildInfo =
+        BuildInfo(dir, m.n - tombN, m.np, builtNow = false, buildSec = 0.0)
       val digest = stateDigest(spark, sfDir, dir)
       readToken(spark, dir) match {
-        case Some((d, tm)) if d == digest && dialsOk(tm) => serve(tm)
+        case Some((d, tm, tombN, _)) if d == digest && dialsOk(tm) =>
+          serve(tm, tombN)
         case _ =>
           readMeta(spark, dir) match {
             case Some(m) =>
+              // deletion heal first (see the deletion section): finish
+              // a crashed deleteDocs' corpus rewrite before validating
+              // or rebuilding — the only direction that can never
+              // resurrect deleted rows
+              val (tombN, tombXor) = tombAggregates(spark, dir)
+              if (tombN > 0) {
+                val tids = tombstoneFrame(spark, dir).get
+                  .select(col("doc_id")).distinct()
+                val stillIn = Tables.load(spark, sfDir, "documents")
+                  .join(tids.hint("broadcast"), Seq("doc_id"), "left_semi")
+                if (!stillIn.isEmpty) {
+                  System.err.println(s"[lexidx] completing a crashed " +
+                    s"delete's corpus rewrite at $sfDir")
+                  IndexStore.rewriteTableMinus(spark,
+                    s"$sfDir/documents.parquet", tids, "doc_id")
+                }
+              }
               val docs = Tables.load(spark, sfDir, "documents")
               val (n, fp) = countAndFingerprint(docs)
-              if (dialsOk(m) && m.n == n && m.fp == fp &&
-                  tablesIntact(spark, dir, m)) {
-                writeToken(spark, dir, tokenLine(digest, m))
-                serve(m)
+              if (dialsOk(m) && (m.n - tombN) == n &&
+                  (m.fp ^ tombXor) == fp &&
+                  tablesIntact(spark, dir, m, tombN)) {
+                val d2 = if (tombN > 0) stateDigest(spark, sfDir, dir)
+                  else digest
+                writeToken(spark, dir, tokenLine(d2, m, tombN, tombXor))
+                serve(m, tombN)
               } else build(spark, sfDir, dir, knownIdentity = Some((n, fp)))
             case None => build(spark, sfDir, dir)
           }
@@ -257,9 +407,15 @@ object LexIndex {
     val pfxes = qterms.select(pfxOf(col("token")).as("pfx"))
       .distinct().collect().map(_.getLong(0)).toIndexedSeq
     val terms = qterms.select(col("token")).distinct()
-    val pruned = spark.read.parquet(s"${info.dir}/tf")
-      .filter(col("pfx").isin(pfxes: _*))
-      .join(broadcast(terms), "token")
+    // pending tombstones (deletion lifecycle): ghost postings of
+    // deleted docs are excluded here; df/stats need no exclusion —
+    // their negative partials already subtracted exactly
+    val pruned = tombstoneFrame(spark, info.dir)
+      .foldLeft(spark.read.parquet(s"${info.dir}/tf")
+        .filter(col("pfx").isin(pfxes: _*))
+        .join(broadcast(terms), "token"))((d, t) =>
+        d.join(t.select(col("doc_id")).hint("broadcast"),
+          Seq("doc_id"), "left_anti"))
     // df and stats are stored ADDITIVELY — the build writes one
     // partial, each appendBatch adds another — so the read path sums.
     // Integer sums are order-free, so a pure build (one partial) and
@@ -351,6 +507,19 @@ object LexIndex {
       s"index at $dir was built under different dials/format " +
         s"(meta: v${m.version}, pfx=${m.pfx_parts}) — rebuild before " +
         "appending")
+    // deletion contract: a tombstoned doc_id must not re-enter before
+    // compact folds its ghost postings (the tf anti-join would hide
+    // BOTH copies) — same refusal as the ANN appendBatch
+    tombstoneFrame(spark, dir).foreach { t =>
+      val hit = batch.select(col("doc_id"))
+        .join(t.select(col("doc_id")).hint("broadcast"),
+          Seq("doc_id"), "left_semi")
+        .limit(1).count()
+      if (hit > 0) throw new IllegalStateException(
+        s"batch re-adds tombstoned (deleted) doc_id(s) at $dir — " +
+          "re-adding a deleted id is legal only after compact() folds " +
+          "its tombstone")
+    }
     val (bn, bfp) = countAndFingerprint(batch)
     if (bn == 0) return AppendInfo(0, 0, replayed = false)
     val ledger = s"$dir/batches/${java.lang.Long.toHexString(bfp)}_$bn"
@@ -395,9 +564,15 @@ object LexIndex {
       // a content-preserving rewrite may EXTEND a voucher, never
       // create one: re-stamp the token after the rewrite only if the
       // pre-compact state held a valid one (appendBatch leaves none —
-      // compacting unvalidated appends must not skip their ensure)
-      val vouchedAtEntry = readToken(spark, dir).exists { case (d, tm) =>
-        d == stateDigest(spark, sfDir, dir) && tm == m
+      // compacting unvalidated appends must not skip their ensure).
+      // "Content-preserving" includes the tombstone fold below: the
+      // folded tables serve byte-identically to what the anti-join +
+      // negative partials served before it.
+      val (tombN, tombXor) = tombAggregates(spark, dir)
+      val vouchedAtEntry = readToken(spark, dir).exists {
+        case (d, tm, tN, tX) =>
+          d == stateDigest(spark, sfDir, dir) && tm == m &&
+            tN == tombN && tX == tombXor
       }
       def files(): Int = {
         val (fs, p) = graft.Scratch.fs(spark, dir)
@@ -422,13 +597,48 @@ object LexIndex {
         graft.sources.ParquetSink.swapInto(fs, shadow,
           new org.apache.hadoop.fs.Path(path))
       }
-      rewrite("tf", identity, partitioned = true)
+      // tombstone FOLD rides the same rewrite (deletion lifecycle):
+      // ghost postings drop out of tf, the negative df partials merge
+      // to the survivor counts (zero-sum tokens vanish — they
+      // contribute nothing to any query), stats partials merge, then
+      // meta folds and the sidecar clears. Crash windows converge by
+      // ensure-rebuild, and can never resurrect (the corpus rewrite
+      // happened at deleteDocs time).
+      val tombIds0 = tombstoneFrame(spark, dir)
+        .map(_.select(col("doc_id")).distinct())
+      // folded posting count, computed BEFORE any rewrite: a zero-row
+      // partitioned write leaves an unreadable shell, so when every
+      // surviving doc is blank the fold is SKIPPED (sidecar stays;
+      // the anti-join + negative partials keep serving correct) —
+      // the np==0 read guard can then never meet a shell it can't read
+      val np2 = tombIds0.map(t => spark.read.parquet(s"$dir/tf")
+        .join(t.hint("broadcast"), Seq("doc_id"), "left_anti").count())
+      val tombIds = if (np2.contains(0L)) {
+        System.err.println(s"[lexidx] tombstone fold skipped at $dir: " +
+          "every surviving posting row would vanish (blank survivors)")
+        None
+      } else tombIds0
+      rewrite("tf", d => tombIds.fold(d)(t =>
+        d.join(t.hint("broadcast"), Seq("doc_id"), "left_anti")),
+        partitioned = true)
       rewrite("df", _.groupBy(col("pfx"), col("token"))
-        .agg(sum(col("df")).as("df")), partitioned = true)
+        .agg(sum(col("df")).as("df")).filter(col("df") =!= 0),
+        partitioned = true)
       rewrite("stats", _.agg(sum(col("n_docs")).as("n_docs"),
         sum(col("sum_dl")).as("sum_dl")), partitioned = false)
-      if (vouchedAtEntry)
-        writeToken(spark, dir, tokenLine(stateDigest(spark, sfDir, dir), m))
+      if (tombN > 0 && tombIds.nonEmpty) {
+        writeMeta(spark, dir,
+          m.copy(n = m.n - tombN, fp = m.fp ^ tombXor, np = np2.get))
+        clearTombstones(spark, dir)
+      }
+      if (vouchedAtEntry) {
+        val m2 = readMeta(spark, dir).getOrElse(m)
+        // re-read the fold terms rather than assuming the fold ran —
+        // the blank-survivor edge above leaves the sidecar in place
+        val (tN2, tX2) = tombAggregates(spark, dir)
+        writeToken(spark, dir,
+          tokenLine(stateDigest(spark, sfDir, dir), m2, tN2, tX2))
+      }
       (before, files())
     }
 

@@ -276,6 +276,14 @@ object Maintenance {
   def compactAnnIndex(spark: SparkSession, indexDir: String): (Int, Int) =
     graft.operators.IndexStore.synchronized {
       import org.apache.spark.sql.functions.col
+      // deletion fold rides the same rewrite: tombstoned ids (ghost
+      // rows excluded by every reader since their deleteBatch) are
+      // dropped from both tables here, then meta folds the sidecar's
+      // (count, xor) and the sidecar clears — the physical half of
+      // the deletion lifecycle (see IndexStore's deletion section)
+      val dropIds = graft.operators.IndexStore
+        .tombstoneFrame(spark, indexDir)
+        .map(_.select(col("vec_id")).distinct())
       def one(name: String): (Int, Int) = {
         val dir = s"$indexDir/$name"
         val (fs, _) = graft.Scratch.fs(spark, dir)
@@ -298,8 +306,10 @@ object Maintenance {
         val deltaNames = graft.operators.IndexStore
           .deltaFileNames(spark, indexDir, name)
         val before = files(deltaNames.size)
-        val df = graft.operators.IndexStore
+        val df0 = graft.operators.IndexStore
           .withDeltaOf(spark, indexDir, name)(identity)
+        val df = dropIds.fold(df0)(t =>
+          df0.join(t.hint("broadcast"), Seq("vec_id"), "left_anti"))
         val shadow = new Path(dir + "__compact")
         df.repartition(col("cell")).write.mode(SaveMode.Overwrite)
           .partitionBy("cell").parquet(shadow.toString)
@@ -317,6 +327,11 @@ object Maintenance {
       }
       val codes = one("codes")
       val rcodes = one("rcodes")
+      // AFTER both swaps: meta folds the sidecar and the sidecar
+      // clears (crash windows converge by ensure-rebuild — see
+      // IndexStore.foldTombstonesIntoMeta)
+      if (dropIds.nonEmpty)
+        graft.operators.IndexStore.foldTombstonesIntoMeta(spark, indexDir)
       (codes._1 + rcodes._1, codes._2 + rcodes._2)
     }
 

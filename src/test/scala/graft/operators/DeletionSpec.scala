@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Deletion lifecycle (q79/q80): tombstone serving, ensure's folded
+  * validation + crash-window heal, compaction fold, re-add refusal —
+  * across both persisted stores. */
+class DeletionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def deleteDir(path: String): Unit = {
+    val (fs, p) = graft.Scratch.fs(spark, path)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Scratch corpus with BOTH tables copied from the fixture. */
+  private def freshCorpus(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("del_corpus").toString
+    Tables.load(spark, sfDir, "embeddings")
+      .write.parquet(s"$dir/embeddings.parquet")
+    Tables.load(spark, sfDir, "documents")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // a kill-set small enough to stay inside the built nlist boundary
+  // (500 → 470 vectors keeps nlistFor at the 16 floor), so the
+  // NO-REBUILD tombstone-serving path is what these tests exercise
+  private def killVecs(dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") % 17 === 3).select(col("vec_id"))
+
+  private def vecIds(df: DataFrame): Set[Long] =
+    df.select(col("vec_id")).as[Long].collect().toSet
+
+  test("ANN delete: tombstones exclude killed ids from every serve, " +
+    "the corpus is rewritten, ensure validates WITHOUT rebuild, and a " +
+    "replay no-ops") {
+    val dir = freshCorpus()
+    val idxDir = IndexStore.dirFor(spark, dir)
+    deleteDir(idxDir)
+    IndexStore.ensure(spark, dir)
+    val kills = vecIds(killVecs(dir))
+    assert(kills.nonEmpty)
+    val st = IndexStore.deleteBatch(spark, dir,
+      kills.toSeq.toDF("vec_id"))
+    assert(st.tombstoned == kills.size && st.removedFromCorpus == kills.size)
+    // corpus rewritten
+    assert((vecIds(Tables.load(spark, dir, "embeddings")) & kills).isEmpty)
+    // ensure: validated, NOT rebuilt (same-nl delete), effective n
+    val info = IndexStore.ensure(spark, dir)
+    assert(!info.builtNow, "ensure rebuilt after a same-nl delete — " +
+      "the tombstone-folded validation is broken")
+    assert(info.n == 500 - kills.size)
+    // ghost codes rows still present physically, but no serve leaks
+    val codesIds = vecIds(
+      IndexStore.withDeltaOf(spark, idxDir, "codes")(identity))
+    assert((codesIds & kills) == kills, "expected pre-fold ghost rows")
+    val served = IndexStore.queryIvfPq(spark, dir, info)
+    assert(served.filter(col("neighbor_id").isin(kills.toSeq: _*))
+      .isEmpty, "a deleted id was served as a neighbor")
+    val dedupSurv = vecIds(IndexStore.queryEmbedDedup(spark, dir, info))
+    assert((dedupSurv & kills).isEmpty)
+    // replay: same kill-set is a pure no-op
+    val st2 = IndexStore.deleteBatch(spark, dir, kills.toSeq.toDF("vec_id"))
+    assert(st2.tombstoned == 0 && st2.removedFromCorpus == 0)
+  }
+
+  test("ANN delete: appendBatch refuses a tombstoned id; compaction " +
+    "folds physically (meta, codes, sidecar) and serving is " +
+    "bit-identical across the fold; re-add is legal after it") {
+    val dir = freshCorpus()
+    val idxDir = IndexStore.dirFor(spark, dir)
+    deleteDir(idxDir)
+    IndexStore.ensure(spark, dir)
+    val kills = vecIds(killVecs(dir))
+    val killedRows = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id").isin(kills.toSeq: _*))
+      .select(col("vec_id"), col("embedding")).collect()
+    IndexStore.deleteBatch(spark, dir, kills.toSeq.toDF("vec_id"))
+    val info = IndexStore.ensure(spark, dir)
+    // refusal: one tombstoned id in a batch is refused loudly
+    val oneKilled = spark.createDataFrame(
+      java.util.List.of(killedRows.head),
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")).schema)
+    val ex = intercept[IllegalStateException] {
+      IndexStore.appendBatch(spark, idxDir, oneKilled)
+    }
+    assert(ex.getMessage.contains("tombstoned"))
+    val before = IndexStore.queryIvfPq(spark, dir, info)
+      .collect().map(_.toSeq).toSet
+    // FOLD
+    graft.sources.Maintenance.compactAnnIndex(spark, idxDir)
+    assert(IndexStore.tombstoneFrame(spark, idxDir).isEmpty,
+      "sidecar must clear at the fold")
+    val codesIds = vecIds(
+      IndexStore.withDeltaOf(spark, idxDir, "codes")(identity))
+    assert((codesIds & kills).isEmpty, "ghost rows survived the fold")
+    assert(IndexStore.appendState(spark, idxDir).exists(_._2 ==
+      500 - kills.size), "meta.n must fold")
+    val info2 = IndexStore.ensure(spark, dir)
+    assert(!info2.builtNow, "ensure rebuilt after the fold")
+    val after = IndexStore.queryIvfPq(spark, dir, info2)
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "serving changed across the physical fold")
+    // re-add after the fold is legal and indexes the row again
+    val st = IndexStore.appendBatch(spark, idxDir, oneKilled)
+    assert(st.appended == 1)
+  }
+
+  test("ANN crash window (tombstones stamped, corpus rewrite lost): " +
+    "ensure completes the rewrite and validates without rebuild — " +
+    "deleted rows never resurrect") {
+    val dir = freshCorpus()
+    val idxDir = IndexStore.dirFor(spark, dir)
+    deleteDir(idxDir)
+    IndexStore.ensure(spark, dir)
+    val kills = vecIds(killVecs(dir))
+    // forge the crash: stamp the tombstone file exactly as deleteBatch
+    // would, but leave the corpus untouched
+    val v = col("embedding").cast("array<double>")
+    val nrm = sqrt(graft.functions.VectorFunctions.dotD(v, v))
+    val homes = IndexStore.withDeltaOf(spark, idxDir, "codes")(
+      _.filter(col("sub") === 0)).select(col("vec_id"), col("cell"))
+    Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id").isin(kills.toSeq: _*))
+      .select(col("vec_id"),
+        xxhash64(col("vec_id"), col("embedding")).as("rowfp"),
+        (nrm > 0 && nrm < Double.PositiveInfinity).as("valid"))
+      .join(homes, Seq("vec_id"), "left")
+      .repartition(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(IndexStore.tombDirOf(idxDir))
+    // the window: corpus still carries the killed rows
+    assert((vecIds(Tables.load(spark, dir, "embeddings")) & kills)
+      == kills)
+    val info = IndexStore.ensure(spark, dir)
+    assert(!info.builtNow,
+      "ensure rebuilt inside the delete crash window — the heal + " +
+        "folded validation should have served")
+    assert((vecIds(Tables.load(spark, dir, "embeddings")) & kills)
+      .isEmpty, "ensure did not complete the crashed corpus rewrite")
+    assert(IndexStore.queryIvfPq(spark, dir, info)
+      .filter(col("neighbor_id").isin(kills.toSeq: _*)).isEmpty)
+  }
+
+  private def killDocs(dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 13 === 2).select(col("doc_id"))
+
+  private def docIds(df: DataFrame): Set[Long] =
+    df.select(col("doc_id")).as[Long].collect().toSet
+
+  private def bm25Rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("lexical delete: post-delete q74 serve is BIT-IDENTICAL to an " +
+    "index rebuilt on the survivors (exact subtraction), ensure " +
+    "validates without rebuild, replay no-ops, compact folds, and a " +
+    "tombstoned doc_id is refused until the fold") {
+    val dir = freshCorpus()
+    val lexDir = LexIndex.dirFor(spark, dir)
+    deleteDir(lexDir)
+    LexIndex.ensure(spark, dir)
+    val kills = docIds(killDocs(dir))
+    assert(kills.nonEmpty)
+    val killedRows = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id").isin(kills.toSeq: _*)).collect()
+    val st = LexIndex.deleteDocs(spark, dir, kills.toSeq.toDF("doc_id"))
+    assert(st.tombstoned == kills.size && st.removedFromCorpus == kills.size)
+    // survivor-twin corpus: a SECOND scratch dir holding only the
+    // survivors, indexed fresh — the ground truth the deleted index
+    // must match byte-for-byte
+    val twinDir = java.nio.file.Files
+      .createTempDirectory("del_lex_twin").toString
+    Tables.load(spark, dir, "documents")
+      .write.parquet(s"$twinDir/documents.parquet")
+    deleteDir(LexIndex.dirFor(spark, twinDir))
+    val got = bm25Rows(LexIndex.q74Bm25TopKIdx(spark, dir))
+    val want = bm25Rows(LexIndex.q74Bm25TopKIdx(spark, twinDir))
+    assert(got == want,
+      "deleted-index BM25 diverged from the survivor rebuild")
+    assert(!LexIndex.ensure(spark, dir).builtNow,
+      "lexical ensure rebuilt after a clean delete")
+    // replay no-op
+    val st2 = LexIndex.deleteDocs(spark, dir, kills.toSeq.toDF("doc_id"))
+    assert(st2.tombstoned == 0 && st2.removedFromCorpus == 0)
+    // re-add refusal until the fold
+    val oneKilled = spark.createDataFrame(
+      java.util.List.of(killedRows.head),
+      Tables.load(spark, sfDir, "documents").schema)
+    val ex = intercept[IllegalStateException] {
+      LexIndex.appendBatch(spark, dir, oneKilled)
+    }
+    assert(ex.getMessage.contains("tombstoned"))
+    // FOLD: physical removal, sidecar cleared, serving unchanged
+    LexIndex.compact(spark, dir)
+    assert(LexIndex.tombstoneFrame(spark, lexDir).isEmpty)
+    assert(bm25Rows(LexIndex.q74Bm25TopKIdx(spark, dir)) == want,
+      "serving changed across the lexical fold")
+    // re-add now legal
+    val ai = LexIndex.appendBatch(spark, dir, oneKilled)
+    assert(ai.docs == 1 && !ai.replayed)
+  }
+
+  test("lexical crash window (tombstones stamped, negative partials " +
+    "lost): ensure heals the corpus and REBUILDS loudly — the " +
+    "stats-sum integrity leg sees the missing subtraction") {
+    val dir = freshCorpus()
+    val lexDir = LexIndex.dirFor(spark, dir)
+    deleteDir(lexDir)
+    LexIndex.ensure(spark, dir)
+    val kills = docIds(killDocs(dir))
+    // forge: tombstones only — no negative partials, corpus untouched
+    Tables.load(spark, dir, "documents")
+      .filter(col("doc_id").isin(kills.toSeq: _*))
+      .select(col("doc_id"),
+        xxhash64(col("doc_id"), col("text")).as("rowfp"))
+      .repartition(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$lexDir/tombstones")
+    val info = LexIndex.ensure(spark, dir)
+    assert(info.builtNow,
+      "ensure served a state whose df/stats still count deleted docs")
+    assert((docIds(Tables.load(spark, dir, "documents")) & kills)
+      .isEmpty, "ensure did not complete the crashed corpus rewrite")
+    // the rebuild cleared the sidecar and serves the survivors
+    assert(LexIndex.tombstoneFrame(spark, lexDir).isEmpty)
+    assert(info.n == 500 - kills.size)
+  }
+}
