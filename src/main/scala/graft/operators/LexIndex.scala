@@ -67,6 +67,32 @@ object LexIndex {
   def dirFor(spark: SparkSession, sfDir: String): String =
     graft.Scratch.stableDir(spark, "lexidx", sfDir)
 
+  /** The documents table behind `sfDir`: the standard layout keeps it
+    * at `<sfDir>/documents.parquet`; a STREAMING ingest corpus
+    * ([[graft.streaming.StreamOps.incrementalIngestStream]]) IS the
+    * bare parquet dir itself. Resolved per call so the same lifecycle
+    * (ensure/append/delete) serves both layouts; the standard path
+    * wins when both exist, so gated corpora are unaffected. */
+  private[graft] def docsPath(spark: SparkSession, sfDir: String): String = {
+    val std = s"$sfDir/documents.parquet"
+    val (fs, p) = graft.Scratch.fs(spark, std)
+    if (fs.exists(p)) std else sfDir
+  }
+
+  private def docsOf(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(docsPath(spark, sfDir))
+
+  /** Driver-side existence probe (meta dir), the [[IndexStore
+    * .hasIndex]] mirror: the streaming docs sink uses it to pick
+    * appendBatch (index exists) vs a bootstrap build — an unreadable
+    * meta answers true here and then fails appendBatch's meta read
+    * loudly, which the sink's rebuild-once fallback converts into one
+    * ensure. */
+  def hasIndex(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = graft.Scratch.fs(spark, s"$dir/meta")
+    fs.exists(p)
+  }
+
   private def pfxOf(tokenCol: org.apache.spark.sql.Column) =
     pmod(h60(tokenCol), lit(pfxParts))
 
@@ -112,7 +138,7 @@ object LexIndex {
 
   private def stateDigest(spark: SparkSession, sfDir: String,
       dir: String): String =
-    IndexStore.listingDigest(spark, s"$sfDir/documents.parquet", dir,
+    IndexStore.listingDigest(spark, docsPath(spark, sfDir), dir,
       s"lexv$formatVersion|$pfxParts")
 
   /** Token line = digest + meta copy + the tombstone fold terms live
@@ -245,8 +271,8 @@ object LexIndex {
       s"no lexical index at $dir — ensure() before deleteDocs " +
         "(deletion is index maintenance; an index-less corpus is a " +
         "plain filter)")
-    val table = s"$sfDir/documents.parquet"
-    val docs = Tables.load(spark, sfDir, "documents")
+    val table = docsPath(spark, sfDir)
+    val docs = docsOf(spark, sfDir)
     val killIds = kills.select(col("doc_id")).distinct()
     val present = docs.join(killIds.hint("broadcast"),
       Seq("doc_id"), "left_semi")
@@ -294,7 +320,7 @@ object LexIndex {
   def build(spark: SparkSession, sfDir: String, dir: String,
       knownIdentity: Option[(Long, Long)] = None): BuildInfo = {
     val t0 = System.nanoTime()
-    val docs = Tables.load(spark, sfDir, "documents")
+    val docs = docsOf(spark, sfDir)
     val (n, fp) = knownIdentity.getOrElse(countAndFingerprint(docs))
     // one tokenize+shuffle pass, materialized: df derives from tf and
     // a second lineage execution would re-tokenize the corpus
@@ -370,16 +396,16 @@ object LexIndex {
               if (tombN > 0) {
                 val tids = tombstoneFrame(spark, dir).get
                   .select(col("doc_id")).distinct()
-                val stillIn = Tables.load(spark, sfDir, "documents")
+                val stillIn = docsOf(spark, sfDir)
                   .join(tids.hint("broadcast"), Seq("doc_id"), "left_semi")
                 if (!stillIn.isEmpty) {
                   System.err.println(s"[lexidx] completing a crashed " +
                     s"delete's corpus rewrite at $sfDir")
                   IndexStore.rewriteTableMinus(spark,
-                    s"$sfDir/documents.parquet", tids, "doc_id")
+                    docsPath(spark, sfDir), tids, "doc_id")
                 }
               }
-              val docs = Tables.load(spark, sfDir, "documents")
+              val docs = docsOf(spark, sfDir)
               val (n, fp) = countAndFingerprint(docs)
               if (dialsOk(m) && (m.n - tombN) == n &&
                   (m.fp ^ tombXor) == fp &&

@@ -1,4 +1,4 @@
-package graft
+package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions._
 object StageOverlap {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: StageOverlap <sfDir>...")
-    val spark = GraftSession.local("graft-stageoverlap")
-    import graft.operators.{EmbedPipeline, IndexStore, Similarity}
+    val spark = graft.GraftSession.local("graft-stageoverlap")
+    // EmbedPipeline, IndexStore, Similarity are package siblings
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -78,7 +78,6 @@ object StageOverlap {
       val pipeIds = corpusIds.collect().map(_.getLong(0)).toSet
       val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
       val exactComposed = {
-        import graft.operators.IngestScreen
         val pe = Similarity.prepped(spark, sfDir)
           .filter(Similarity.validNorm)
         val withinDrops = Similarity
@@ -94,7 +93,7 @@ object StageOverlap {
       }
       val screenDelta = (pipeIds diff exactComposed).size +
         (exactComposed diff pipeIds).size
-      println(s"""{"probe":"q78stages","sf":${Json.str(sfDir)},""" +
+      println(s"""{"probe":"q78stages","sf":${graft.Json.str(sfDir)},""" +
         s""""composed":${f4(overlap(got))},""" +
         s""""serve_exact":${f4(serveExact)},""" +
         s""""dedup_exact":${f4(dedupExact)},""" +

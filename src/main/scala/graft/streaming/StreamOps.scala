@@ -403,6 +403,43 @@ object StreamOps {
       IngestCommit.write(spark, corpusDir,
         IngestCommit.Marker(baseSh ++ ownSh, baseBands ++ ownBands,
           IngestCommit.listing(spark, corpusDir)))
+      // LEXICAL maintenance (composed retrieval): the admitted docs
+      // become retrievable via q74 in the SAME micro-batch — one
+      // LexIndex.appendBatch per batch (cost ∝ batch: ledger probe +
+      // tokenize + additive partial appends; the additive facts make
+      // post-append serving bit-identical to a rebuild, so the twin
+      // gate holds by construction). First non-empty batch builds.
+      // Ordered AFTER the corpus append: a retrievable doc is always a
+      // committed doc (the reverse order would index docs that might
+      // never commit). A crash between the corpus append and this
+      // write leaves the lexical meta.fp behind the corpus, which the
+      // next serve's ensure() detects and heals by rebuild — a crashed
+      // batch costs one rebuild, never a wrong answer (LexIndex's
+      // ledger-first appendBatch contract); the admitted-set replay
+      // (all rows drop as exact dups) then skips this block entirely,
+      // so nothing double-appends. Dial/format drift (or a tombstoned
+      // doc_id legitimately re-admitted through the corpus-owned
+      // dedup) falls back to one rebuild over the corpus this batch
+      // just joined — the same rebuild-once recovery the vector sink
+      // uses.
+      if (!admitted.isEmpty) {
+        import graft.operators.LexIndex
+        val lexBatch = admitted.select(col("doc_id"), col("text"))
+        try {
+          if (LexIndex.hasIndex(spark, LexIndex.dirFor(spark, corpusDir))) {
+            LexIndex.appendBatch(spark, corpusDir, lexBatch)
+            ()
+          } else {
+            LexIndex.ensure(spark, corpusDir)
+            ()
+          }
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[docingest] lexical append refused " +
+            s"(${e.getMessage}); rebuilding the lexical index once")
+          LexIndex.ensure(spark, corpusDir)
+          ()
+        }
+      }
       ()
     }
 

@@ -361,6 +361,60 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental ingest maintains the lexical index: " +
+    "admitted docs are retrievable in the same micro-batch, the " +
+    "appended index validates without rebuild, and serving is " +
+    "bit-identical to a fresh rebuild") {
+    implicit val ctx = spark.sqlContext
+    import graft.operators.LexIndex
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_lex_ingest").toString + "/corpus"
+    def deleteDir(path: String): Unit = {
+      val (fs, p) = graft.Scratch.fs(spark, path)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    deleteDir(LexIndex.dirFor(spark, corpusDir))
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamOps.incrementalIngestStream(
+        ms.toDF().toDF("doc_id", "text", "lang"), corpusDir)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_lex_ckpt").toString)
+      .start()
+    try {
+      ms.addData(Seq(
+        (1L, "alpha beta gamma delta words one", "en"),
+        (2L, "completely different seven tokens epsilon zeta eta", "en")))
+      q.processAllAvailable()
+      // batch 1 bootstrapped the lexical index over the admitted corpus
+      val info1 = LexIndex.ensure(spark, corpusDir)
+      assert(!info1.builtNow && info1.n == 2,
+        "bootstrap build missing or stale after batch 1")
+      ms.addData(Seq(
+        (3L, "unique marker xylophone quartz banjo flute", "en")))
+      q.processAllAvailable()
+      // the APPENDED index must validate against the grown corpus
+      // without a rebuild, and the just-admitted doc must serve
+      val info2 = LexIndex.ensure(spark, corpusDir)
+      assert(!info2.builtNow,
+        "lexical append left the index stale — ensure rebuilt")
+      assert(info2.n == 3)
+      val qterms = Seq((9L, "xylophone")).toDF("query_id", "token")
+      def served(info: LexIndex.BuildInfo): Set[Seq[Any]] =
+        LexIndex.queryScores(spark, info, qterms, excludeSelf = false)
+          .collect().map(_.toSeq).toSet
+      val got = served(info2)
+      assert(got.exists(_.contains(3L)),
+        "the batch-3 doc is not retrievable through the appended index")
+      // bit-identity: the appended index serves the same bytes as a
+      // fresh rebuild over the same corpus (additive partials)
+      deleteDir(LexIndex.dirFor(spark, corpusDir))
+      val info3 = LexIndex.ensure(spark, corpusDir)
+      assert(info3.builtNow)
+      assert(served(info3) == got,
+        "appended serving diverged from the fresh rebuild")
+    } finally q.stop()
+  }
+
   test("vector ingest stream: batches append to corpus and index, " +
     "replay is a no-op, q69 serves the grown corpus without a rebuild") {
     implicit val ctx = spark.sqlContext
