@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Deletion-lifecycle cost probe at scale: on a standing corpus+index,
+  * time (a) deleteBatch (tombstone stamp + corpus rewrite), (b) the
+  * next ensure (folded validation — must NOT rebuild when the kill
+  * stays inside the nlist boundary), (c) a post-delete serve, (d) the
+  * compaction fold, (e) the post-fold serve — and assert zero leaks at
+  * every step. One JSON line.
+  *
+  *   sbt "runMain graft.DeleteProbe /tmp/sf64ann 142"
+  *
+  * killMod picks the kill set (vec_id % killMod == 3): size ≈ N/mod —
+  * choose a mod that keeps nlistFor(survivors) == nlistFor(N) to
+  * exercise the incremental (no-rebuild) path.
+  */
+object DeleteProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: DeleteProbe <sfDir> [killMod]")
+    val sfDir = args(0)
+    val killMod = if (args.length > 1) args(1).toInt else 142
+    val spark = GraftSession.local("graft-deleteprobe")
+    import operators.IndexStore
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val info0 = IndexStore.ensure(spark, sfDir)
+    val kills = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % killMod === 3).select(col("vec_id"))
+    val killSet = kills.collect().map(_.getLong(0)).toSet
+    import spark.implicits._
+    val (st, delSec) = timed(IndexStore.deleteBatch(spark, sfDir,
+      killSet.toSeq.toDF("vec_id")))
+    val (info1, ensSec) = timed(IndexStore.ensure(spark, sfDir))
+    require(!info1.builtNow, "ensure rebuilt after an inside-boundary " +
+      "delete — the folded validation is broken at this scale")
+    def leakFree(tag: String): Double = {
+      val (leaks, s) = timed(IndexStore.queryIvfPq(spark, sfDir, info1)
+        .filter(col("neighbor_id").isin(killSet.toSeq: _*)).count())
+      require(leaks == 0, s"$tag served $leaks deleted neighbor(s)")
+      s
+    }
+    val serve1 = leakFree("pre-fold")
+    val ((_, foldSec)) = timed(
+      graft.sources.Maintenance.compactAnnIndex(spark,
+        IndexStore.dirFor(spark, sfDir)))
+    val (info2, ens2Sec) = timed(IndexStore.ensure(spark, sfDir))
+    require(!info2.builtNow, "ensure rebuilt after the fold")
+    val serve2 = leakFree("post-fold")
+    def f(v: Double) = Json.f3(v)
+    println(s"""{"probe":"deletescale","sf":${Json.str(sfDir)},""" +
+      s""""n":${info0.n},"killed":${st.tombstoned},""" +
+      s""""delete_sec":${f(delSec)},"ensure_folded_sec":${f(ensSec)},""" +
+      s""""serve_tombstoned_sec":${f(serve1)},"fold_sec":${f(foldSec)},""" +
+      s""""ensure_postfold_sec":${f(ens2Sec)},""" +
+      s""""serve_postfold_sec":${f(serve2)}}""")
+    spark.stop()
+  }
+}
