@@ -16,15 +16,16 @@ object BuildProbe {
     val sfDir = args(0)
     val runs = if (args.length > 1) args(1).toInt else 2
     val spark = GraftSession.local("graft-buildprobe")
-    val n = sources.Tables.load(spark, sfDir, "embeddings").count()
-    val nl = operators.Similarity.nlistFor(n)
     val dir = operators.IndexStore.dirFor(spark, sfDir)
     (1 to runs).foreach { i =>
       val (fs, p) = Scratch.fs(spark, dir)
       if (fs.exists(p)) fs.delete(p, true)
       val info = operators.IndexStore.build(spark, sfDir, dir)
-      println(f"""{"probe":"annbuild","sf":${Json.str(sfDir)},"n":$n,""" +
-        f""""nl":$nl,"run":$i,"build_sec":${info.buildSec}%.3f}""")
+      // the build's OWN n/nl (validNorm-filtered), and Json.f3 for the
+      // locale-proof number rendering every probe main uses
+      println(s"""{"probe":"annbuild","sf":${Json.str(sfDir)},""" +
+        s""""n":${info.n},"nl":${info.nl},"run":$i,""" +
+        s""""build_sec":${Json.f3(info.buildSec)}}""")
     }
     spark.stop()
   }

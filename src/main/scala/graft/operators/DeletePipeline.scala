@@ -87,7 +87,12 @@ object DeletePipeline {
       val r = df.agg(count(lit(1)), expr(s"bit_xor($fpExpr)")).head()
       s"${r.getLong(0)}|${if (r.isNullAt(1)) 0L else r.getLong(1)}"
     }
-    val seedId = "graftdelpipe|1|" +
+    // the KILL DIALS are part of the seed identity: the scratch corpus
+    // is already rewritten minus the old kill set, so a dial change
+    // must reseed — otherwise the new delete stacks on the old one and
+    // the q79 oracle (which states only the NEW kill set) mismatches
+    // forever
+    val seedId = s"graftdelpipe|1|$killMod|$killBucket|" +
       idOf(srcDocs, "xxhash64(doc_id, text)") + "|" +
       idOf(srcVecs, "xxhash64(vec_id, embedding)")
     val (fs, seedP) = graft.Scratch.fs(spark, s"$root/_seed")
@@ -98,6 +103,16 @@ object DeletePipeline {
     if (!seedCurrent) {
       val (rfs, rp) = graft.Scratch.fs(spark, root)
       if (rfs.exists(rp)) rfs.delete(rp, true)
+      // the index homes are keyed by the corpus PATH, not by the seed
+      // identity — they live outside root and must reseed WITH it:
+      // a stale tombstone sidecar would otherwise read as a "crashed
+      // delete" against the fresh seed and ensure's heal would remove
+      // the OLD kill set from the NEW corpus
+      Seq(LexIndex.dirFor(spark, corpusDir),
+          IndexStore.dirFor(spark, corpusDir)).foreach { d =>
+        val (fs2, p2) = graft.Scratch.fs(spark, d)
+        if (fs2.exists(p2)) fs2.delete(p2, true)
+      }
     }
     if (!exists(spark, docsTable)) {
       srcDocs.write.mode(SaveMode.ErrorIfExists).parquet(docsTable)

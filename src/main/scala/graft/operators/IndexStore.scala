@@ -744,8 +744,15 @@ object IndexStore {
     * when no readable index exists. */
   def infoFromMeta(spark: SparkSession, sfDir: String): Option[BuildInfo] = {
     val dir = dirFor(spark, sfDir)
-    readMeta(spark, dir).map(m =>
-      BuildInfo(dir, m.n, m.nl, builtNow = false, buildSec = 0.0))
+    readMeta(spark, dir).map { m =>
+      // pending tombstones fold here exactly as in ensure's serve:
+      // info.n is the EFFECTIVE (survivor) size — shortlist sizing and
+      // the n==0 delegate branches must agree between the two info
+      // sources (driver-side probe + one small-table agg, only when a
+      // sidecar exists)
+      val (_, tombN, _) = tombAggregates(spark, dir)
+      BuildInfo(dir, m.n - tombN, m.nl, builtNow = false, buildSec = 0.0)
+    }
   }
 
   /** Rows added by [[appendBatch]] since the last full build (0 = pure

@@ -647,9 +647,19 @@ object LexIndex {
       rewrite("tf", d => tombIds.fold(d)(t =>
         d.join(t.hint("broadcast"), Seq("doc_id"), "left_anti")),
         partitioned = true)
-      rewrite("df", _.groupBy(col("pfx"), col("token"))
-        .agg(sum(col("df")).as("df")).filter(col("df") =!= 0),
-        partitioned = true)
+      // the zero-sum drop runs ONLY when the tombstone fold does: in
+      // the skipped (blank-survivor) state every token can net to 0 —
+      // filtering would then write a zero-row partitioned shell that
+      // no later read (queryScores' df leg, the next compact) could
+      // even open. Keeping net-zero ROWS is content-preserving (they
+      // contribute nothing to any sum); when the fold runs, surviving
+      // tf rows guarantee surviving nonzero df rows, so the drop is
+      // safe there.
+      rewrite("df", d => {
+        val merged = d.groupBy(col("pfx"), col("token"))
+          .agg(sum(col("df")).as("df"))
+        if (tombIds.nonEmpty) merged.filter(col("df") =!= 0) else merged
+      }, partitioned = true)
       rewrite("stats", _.agg(sum(col("n_docs")).as("n_docs"),
         sum(col("sum_dl")).as("sum_dl")), partitioned = false)
       if (tombN > 0 && tombIds.nonEmpty) {

@@ -508,16 +508,20 @@ object StreamOps {
             case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
               // the index EXISTS but cannot accept this batch: built
               // under different dials/format (a deploy changed them),
-              // or torn beyond this batch's repair (checkpoint loss
-              // re-keyed the batches) — exactly the states whose
-              // refusal message prescribes ensure(). Without this the
-              // stream crash-loops forever on checkpoint replay of the
-              // same batch into the same state; with it the batch pays
-              // one rebuild (from the corpus, which by write order
-              // never contains un-indexed rows) and proceeds.
+              // torn beyond this batch's repair (checkpoint loss
+              // re-keyed the batches), or the batch re-adds a
+              // TOMBSTONED id (legal — the deleted row left the corpus,
+              // so the anti-join admits the resend — but appendBatch
+              // must refuse until the ghost rows fold). Each state's
+              // prescribed recovery differs: the tombstone refusal
+              // needs the FOLD (ensure alone validates the tombstoned
+              // state and would hand the retry the same refusal —
+              // a crash loop), the others need ensure()'s rebuild.
               System.err.println(s"[vecingest] appendBatch refused " +
-                s"(${e.getMessage}); rebuilding index once and retrying")
-              IndexStore.ensure(spark, corpusDir)
+                s"(${e.getMessage}); recovering once and retrying")
+              if (e.getMessage != null && e.getMessage.contains("tombstoned"))
+                graft.sources.Maintenance.compactAnnIndex(spark, idxDir)
+              else IndexStore.ensure(spark, corpusDir)
               IndexStore.appendBatch(spark, idxDir, fresh,
                 corpusScreened = true)
           }
@@ -682,12 +686,17 @@ object StreamOps {
             try IndexStore.appendBatch(spark, idxDir, admitted)
             catch {
               case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
-                // same rebuild-once contract as the unscreened sink:
-                // dial-mismatched or torn-beyond-repair indexes pay one
-                // ensure() instead of crash-looping the replay
+                // same recover-once contract as the unscreened sink:
+                // a tombstoned-id re-add needs the FOLD (ensure alone
+                // validates the tombstoned state — retry would refuse
+                // identically, a crash loop); dial-mismatched or
+                // torn-beyond-repair indexes pay one ensure()
                 System.err.println(s"[vecingest] appendBatch refused " +
-                  s"(${e.getMessage}); rebuilding index once and retrying")
-                IndexStore.ensure(spark, corpusDir)
+                  s"(${e.getMessage}); recovering once and retrying")
+                if (e.getMessage != null &&
+                    e.getMessage.contains("tombstoned"))
+                  graft.sources.Maintenance.compactAnnIndex(spark, idxDir)
+                else IndexStore.ensure(spark, corpusDir)
                 IndexStore.appendBatch(spark, idxDir, admitted)
             }
             IngestScreen.appendLists(spark, corpusDir, admitted)

@@ -148,6 +148,52 @@ class DeletionSpec extends SparkSpec {
       .filter(col("neighbor_id").isin(kills.toSeq: _*)).isEmpty)
   }
 
+  test("streaming re-add of a tombstoned id converges: the sink folds " +
+    "once and retries instead of crash-looping the replay") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val all = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    def slice(lo: Long, hi: Long): Seq[(Long, Array[Float])] =
+      all.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .as[(Long, Array[Float])].collect().toSeq
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_del_readd").toString + "/corpus"
+    val idxDir = IndexStore.dirFor(spark, corpusDir)
+    deleteDir(idxDir)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamOps.vectorIngestStream(
+        ms.toDF().toDF("vec_id", "embedding"), corpusDir)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_del_readd_ckpt").toString)
+      .start()
+    try {
+      ms.addData(slice(0, 300))
+      q.processAllAvailable()
+      // delete one id through the real lifecycle, then re-stream it:
+      // the corpus anti-join admits it (the row left the corpus), and
+      // appendBatch's tombstone refusal must be recovered by the FOLD,
+      // not by an ensure that validates the refusing state
+      IndexStore.deleteBatch(spark, corpusDir, Seq(7L).toDF("vec_id"))
+      ms.addData(slice(7, 8))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty,
+        s"stream died on the tombstoned re-add: ${q.exception}")
+      assert(IndexStore.tombstoneFrame(spark, idxDir).isEmpty,
+        "the recovery fold did not clear the tombstone")
+      val served = IndexStore.queryIvfPq(spark, corpusDir,
+        IndexStore.ensure(spark, corpusDir))
+      // the re-added id is back in corpus + index (it may or may not
+      // be a top-k neighbor; membership is what the contract promises)
+      val codesIds = IndexStore
+        .withDeltaOf(spark, idxDir, "codes")(_.filter(col("sub") === 0))
+        .select("vec_id").as[Long].collect().toSet
+      assert(codesIds.contains(7L), "re-added id missing from the index")
+      assert(served.count() > 0)
+    } finally q.stop()
+  }
+
   private def killDocs(dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 13 === 2).select(col("doc_id"))
