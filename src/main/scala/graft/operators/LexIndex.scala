@@ -263,7 +263,18 @@ object LexIndex {
 
   /** Delete `kills` (a doc_id frame) from the documents corpus at
     * `sfDir` and its persisted lexical index — see the section doc for
-    * the exact-subtraction and crash contracts. Replay-idempotent. */
+    * the exact-subtraction and crash contracts. Replay-idempotent.
+    *
+    * Works on STREAMING corpora too (the [[docsPath]] resolver), and
+    * the streaming sink's dedup indexes (`__sh`/`__bands`) need no
+    * delete path of their own: the corpus rewrite changes the corpus
+    * file listing, which invalidates the ingest marker's file-identity
+    * subset check, so the sink falls back to the committed-doc
+    * semi-join and the deleted docs' ghost index rows become invisible
+    * BY the existing crash discipline — a near-dup of deleted content
+    * is re-admitted, never phantom-rejected (DeletionSpec pins the
+    * composition end-to-end; compactIngestIndexes folds the ghosts
+    * physically on its cadence). */
   def deleteDocs(spark: SparkSession, sfDir: String,
       kills: DataFrame): DeleteDocsStats = synchronized {
     val dir = dirFor(spark, sfDir)

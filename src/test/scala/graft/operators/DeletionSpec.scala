@@ -194,6 +194,60 @@ class DeletionSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("docs-sink deletion composition: deleting a streamed doc via " +
+    "deleteDocs frees its content — the dedup indexes' ghost rows are " +
+    "invisible through the marker fallback, so a near-dup of deleted " +
+    "content is re-admitted, and the lexical index stops serving it") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft_del_docs").toString + "/corpus"
+    deleteDir(LexIndex.dirFor(spark, corpusDir))
+    val textA = "the quick brown fox jumps over the lazy dog tonight"
+    val textB = "colorless green ideas sleep furiously every single night"
+    val ms = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamOps.incrementalIngestStream(
+        ms.toDF().toDF("doc_id", "text", "lang"), corpusDir)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_del_docs_ckpt").toString)
+      .start()
+    try {
+      ms.addData(Seq((1L, textA, "en"), (2L, textB, "en")))
+      q.processAllAvailable()
+      // sanity: a near-dup of doc 1 is screened out while 1 stands
+      ms.addData(Seq((3L, textA + " again", "en")))
+      q.processAllAvailable()
+      assert(docIds(spark.read.parquet(corpusDir)) == Set(1L, 2L))
+      // DELETE doc 1 through the real lifecycle (the docsPath resolver
+      // lets deleteDocs operate on the streaming corpus layout): the
+      // corpus rewrite invalidates the ingest marker's file-identity
+      // subset check, so the sink falls back to the committed-doc
+      // semi-join — the ghost __sh/__bands rows of doc 1 become
+      // invisible BY DESIGN, not by a separate index delete
+      LexIndex.deleteDocs(spark, corpusDir, Seq(1L).toDF("doc_id"))
+      assert(docIds(spark.read.parquet(corpusDir)) == Set(2L))
+      // a near-dup of the DELETED content must now be admitted — a
+      // phantom rejection here would mean deleted content still
+      // suppresses future ingest forever
+      ms.addData(Seq((4L, textA + " again", "en")))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      assert(docIds(spark.read.parquet(corpusDir)) == Set(2L, 4L),
+        "deleted content phantom-rejected its re-admission")
+      // and the lexical side serves the survivors + the re-admission,
+      // never the deleted doc
+      val info = LexIndex.ensure(spark, corpusDir)
+      assert(!info.builtNow || info.n == 2,
+        "lexical state inconsistent after delete + re-admit")
+      val qterms = Seq((9L, "quick")).toDF("query_id", "token")
+      val hits = LexIndex.queryScores(spark, info, qterms,
+        excludeSelf = false).select(col("doc_id")).as[Long].collect().toSet
+      assert(hits.contains(4L) && !hits.contains(1L),
+        s"lexical serve leaked the deleted doc or missed the re-admit: $hits")
+    } finally q.stop()
+  }
+
   private def killDocs(dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .filter(col("doc_id") % 13 === 2).select(col("doc_id"))
