@@ -243,6 +243,11 @@ object IndexStore {
     val shadow = s"$dir/meta__shadow"
     Seq(m).toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(shadow)
     val (fs, sp) = graft.Scratch.fs(spark, shadow)
+    // fence at the COMMIT point: the shadow write above is invisible;
+    // this promote is what makes the new meta the store's truth (a
+    // no-op when this JVM holds no lease on `dir` — shadow-dir calls
+    // during build, heal paths, specs)
+    graft.sources.WriterLease.verify(spark, dir)
     graft.sources.ParquetSink.promote(fs, sp,
       new org.apache.hadoop.fs.Path(s"$dir/meta"))
   }
@@ -522,7 +527,8 @@ object IndexStore {
     * rebuild path) has already scanned the corpus — without it every
     * rebuild would pay the identity scan twice back to back. */
   def build(spark: SparkSession, sfDir: String, dir: String,
-      knownIdentity: Option[(Long, Long)] = None): BuildInfo = {
+      knownIdentity: Option[(Long, Long)] = None): BuildInfo =
+    graft.sources.WriterLease.withWrite(spark, dir, "build") {
     val t0 = System.nanoTime()
     val raw = Tables.load(spark, sfDir, "embeddings")
     val (n, fp) = knownIdentity.getOrElse(countAndFingerprint(raw))
@@ -571,6 +577,8 @@ object IndexStore {
       Similarity.lloydIters, Similarity.pqLloydIters,
       app_res_sum = 0.0)
     writeMeta(spark, shadow, m)
+    // fence before the swap that makes this candidate the live index
+    graft.sources.WriterLease.verify(spark, dir)
     graft.sources.ParquetSink.promote(fs, sp,
       new org.apache.hadoop.fs.Path(dir))
     // a fresh build from the (already-rewritten) corpus makes every
@@ -585,7 +593,7 @@ object IndexStore {
       tokenLine(stateDigest(spark, sfDir, dir), m, 0L, 0L))
     BuildInfo(dir, n, nl, builtNow = true,
       buildSec = (System.nanoTime() - t0) / 1e9)
-  }
+    }
 
   /** Serve-ready index dir for `sfDir`: reuse the persisted one when
     * it is current (see [[current]]), build otherwise. In-JVM callers
@@ -660,8 +668,14 @@ object IndexStore {
                 if (!stillIn.isEmpty) {
                   System.err.println(s"[annidx] completing a crashed " +
                     s"delete's corpus rewrite at $sfDir")
-                  rewriteTableMinus(spark, s"$sfDir/embeddings.parquet",
-                    tids, "vec_id")
+                  // the heal MUTATES — take the writer lease for just
+                  // this rewrite (ensure's validate/serve paths never
+                  // contend; only the rare crashed-delete completion)
+                  graft.sources.WriterLease.withWrite(spark, dir,
+                      "delete-heal") {
+                    rewriteTableMinus(spark, s"$sfDir/embeddings.parquet",
+                      tids, "vec_id")
+                  }
                 }
               }
               val (n, fp) =
@@ -809,7 +823,8 @@ object IndexStore {
     * replay) must keep the default, measured path. */
   def appendBatch(spark: SparkSession, dir: String,
       batch: DataFrame, corpusScreened: Boolean = false): AppendStats =
-    synchronized {
+    synchronized { graft.sources.WriterLease.withWrite(spark, dir,
+        "append") {
     import graft.functions.VectorFunctions.dotD
     // dev-only phase timer (-Dgraft.prof.append=true): stderr deltas
     val profT = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
@@ -1072,6 +1087,10 @@ object IndexStore {
     // rather than recompute
     val home = home0.join(e.select(col("vec_id")), Seq("vec_id"),
       "left_semi")
+    // fence before the first VISIBLE write (delta files are read by
+    // every withDeltaOf serve path) — a fenced append aborts here
+    // having written nothing at all
+    graft.sources.WriterLease.verify(spark, dir)
     if (freshN > 0) {
       val eFresh = pe.filter(col("cls") === "f")
         .select(col("vec_id"), col("v"), col("nrm"))
@@ -1111,7 +1130,7 @@ object IndexStore {
     stampCommit(m.n + allN)
     AppendStats(freshN, tornN,
       if (m.res_norm > 0) Some(batchRes / m.res_norm) else None)
-  }
+  } }
 
   // --- query-only paths ------------------------------------------------------
 
@@ -1284,10 +1303,12 @@ object IndexStore {
       dir: String): Unit = {
     val (rows, validN, xor) = tombAggregates(spark, dir)
     if (rows == 0) return
-    val m = readMeta(spark, dir).getOrElse(throw new IllegalStateException(
-      s"no readable meta at $dir — cannot fold tombstones"))
-    writeMeta(spark, dir, m.copy(n = m.n - validN, fp = m.fp ^ xor))
-    clearTombstones(spark, dir)
+    graft.sources.WriterLease.withWrite(spark, dir, "tombfold") {
+      val m = readMeta(spark, dir).getOrElse(throw new IllegalStateException(
+        s"no readable meta at $dir — cannot fold tombstones"))
+      writeMeta(spark, dir, m.copy(n = m.n - validN, fp = m.fp ^ xor))
+      clearTombstones(spark, dir)
+    }
   }
 
   private[graft] def tombDirOf(dir: String): String = s"$dir/tombstones"
@@ -1361,6 +1382,7 @@ object IndexStore {
       kills: DataFrame): DeleteStats = synchronized {
     import graft.functions.VectorFunctions.dotD
     val dir = dirFor(spark, sfDir)
+    graft.sources.WriterLease.withWrite(spark, dir, "delete") {
     require(readMeta(spark, dir).nonEmpty,
       s"no index at $dir — ensure() before deleteBatch (deletion is " +
         "index maintenance; an index-less corpus is a plain filter)")
@@ -1386,6 +1408,9 @@ object IndexStore {
         (nrm > 0 && nrm < Double.PositiveInfinity).as("valid"))
       .join(homes, Seq("vec_id"), "left"))
     val freshN = cap.count()
+    // fence before the tombstone append — the commit point: serving
+    // excludes the ids from the instant these rows land
+    graft.sources.WriterLease.verify(spark, dir)
     if (freshN > 0)
       cap.repartition(1).write.mode(SaveMode.Append)
         .parquet(tombDirOf(dir))
@@ -1397,12 +1422,15 @@ object IndexStore {
         val tids = t.select(col("vec_id")).distinct()
         val pendingN = raw.join(tids.hint("broadcast"),
           Seq("vec_id"), "left_semi").count()
-        if (pendingN > 0)
+        if (pendingN > 0) {
+          // fence before the corpus promote (the rewrite's commit)
+          graft.sources.WriterLease.verify(spark, dir)
           rewriteTableMinus(spark, table, tids, "vec_id")
+        }
         pendingN
     }
     DeleteStats(freshN, removed)
-  }
+  } }
 
   // --- append commit marker (zero-job fast path for screened sinks) ---------
   //
@@ -1493,7 +1521,11 @@ object IndexStore {
   }
 
   private[operators] def writeCommit(spark: SparkSession, dir: String,
-      c: AnnCommit): Unit =
+      c: AnnCommit): Unit = {
+    // fence OUTSIDE the try: a StaleWriterException is
+    // IllegalStateException (NonFatal) and the swallow-and-log below
+    // would otherwise turn a fenced marker write into a "success"
+    graft.sources.WriterLease.verify(spark, dir)
     try {
       val (fs, p) = graft.Scratch.fs(spark, commitMarkerPath(dir))
       val body = (Seq(annCommitHeader, s"n|${c.n}",
@@ -1509,6 +1541,7 @@ object IndexStore {
       System.err.println(s"[annidx] commit marker write failed at $dir " +
         s"(${e.getMessage}); next append falls back to the counted path")
     }
+  }
 
   /** IVF×PQ top-k served from a VALIDATED index — the query-many half
     * of the lifecycle a session-holding deployment runs: one

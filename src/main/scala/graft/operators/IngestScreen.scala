@@ -131,6 +131,10 @@ object IngestScreen {
     val shadow = s"${metaPath}__shadow"
     Seq(vm).toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(shadow)
     val (fs, sp) = graft.Scratch.fs(spark, shadow)
+    // commit-point fence keyed on the store dir (shadow-dir calls
+    // resolve to a key no lease is held on — no-op)
+    graft.sources.WriterLease.verify(spark,
+      new org.apache.hadoop.fs.Path(metaPath).getParent.toString)
     graft.sources.ParquetSink.promote(fs, sp,
       new org.apache.hadoop.fs.Path(metaPath))
   }
@@ -221,6 +225,7 @@ object IngestScreen {
   private def rebuildLists(spark: SparkSession, sfDir: String,
       info: IndexStore.BuildInfo, m: AnnIndexMeta): Unit = {
     val dir = listsDir(spark, sfDir)
+    graft.sources.WriterLease.withWrite(spark, dir, "rebuild") {
     val shadow = s"${dir}__shadow"
     val (fs, shadowP) = graft.Scratch.fs(spark, shadow)
     if (fs.exists(shadowP)) fs.delete(shadowP, true)
@@ -244,8 +249,11 @@ object IngestScreen {
     writeListsMeta(spark, s"$shadow/meta",
       VecListsMeta(formatVersion, m.version, m.n, m.fp, m.nl,
         Similarity.lloydIters, m.res_norm, m.appended_n))
+    // fence before the swap that makes the candidate live
+    graft.sources.WriterLease.verify(spark, dir)
     graft.sources.ParquetSink.promote(fs, shadowP,
       new org.apache.hadoop.fs.Path(dir))
+    }
   }
 
   /** Incremental maintenance: add `batch` (vec_id, embedding) rows to
@@ -265,6 +273,7 @@ object IngestScreen {
       batch: DataFrame): Long = IndexStore.synchronized {
     import graft.functions.VectorFunctions.dotD
     val dir = listsDir(spark, sfDir)
+    graft.sources.WriterLease.withWrite(spark, dir, "append") {
     val vm = readListsMeta(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"no veclists at $dir — ensureLists() before appendLists()"))
@@ -307,6 +316,8 @@ object IngestScreen {
     // pending sentinel around the data+marker pair (see [[pendingName]]):
     // any crash inside this window leaves it behind, and the next
     // ensureLists rebuilds instead of trusting a possibly-ghosted table
+    // fence before the first visible write (the pending sentinel)
+    graft.sources.WriterLease.verify(spark, dir)
     val (fs, pending) = graft.Scratch.fs(spark, s"$dir/$pendingName")
     fs.create(pending, true).close()
     fresh.select(col("vec_id"), col("v"), col("nrm"), col("cell"))
@@ -321,7 +332,7 @@ object IngestScreen {
         "completed append — the next ensureLists will rebuild " +
         "(conservative, never wrong)")
     n
-  }
+  } }
 
   /** Disk partition columns come back as the inferred type; pin `cell`
     * to its written long (same caveat as [[IndexStore.readCodes]]). */

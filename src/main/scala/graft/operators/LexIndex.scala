@@ -132,6 +132,9 @@ object LexIndex {
     val shadow = s"$dir/meta__shadow"
     Seq(m).toDF().coalesce(1).write.mode(SaveMode.Overwrite).parquet(shadow)
     val (fs, sp) = graft.Scratch.fs(spark, shadow)
+    // commit-point fence (no-op for shadow-dir calls / lease-less
+    // internal paths — see WriterLease.verify)
+    graft.sources.WriterLease.verify(spark, dir)
     graft.sources.ParquetSink.promote(fs, sp,
       new org.apache.hadoop.fs.Path(s"$dir/meta"))
   }
@@ -278,6 +281,7 @@ object LexIndex {
   def deleteDocs(spark: SparkSession, sfDir: String,
       kills: DataFrame): DeleteDocsStats = synchronized {
     val dir = dirFor(spark, sfDir)
+    graft.sources.WriterLease.withWrite(spark, dir, "delete") {
     require(readMeta(spark, dir).nonEmpty,
       s"no lexical index at $dir — ensure() before deleteDocs " +
         "(deletion is index maintenance; an index-less corpus is a " +
@@ -292,6 +296,8 @@ object LexIndex {
         present.join(t.select(col("doc_id")).hint("broadcast"),
           Seq("doc_id"), "left_anti")))
     val freshN = fresh.count()
+    // fence before the commit point below
+    graft.sources.WriterLease.verify(spark, dir)
     if (freshN > 0) {
       // 1. tombstones (the commit point — serving's tf leg excludes
       //    these ids from this instant)
@@ -321,15 +327,19 @@ object LexIndex {
         val tids = t.select(col("doc_id")).distinct()
         val pendingN = docs.join(tids.hint("broadcast"),
           Seq("doc_id"), "left_semi").count()
-        if (pendingN > 0)
+        if (pendingN > 0) {
+          // fence before the corpus promote
+          graft.sources.WriterLease.verify(spark, dir)
           IndexStore.rewriteTableMinus(spark, table, tids, "doc_id")
+        }
         pendingN
     }
     DeleteDocsStats(freshN, removed)
-  }
+  } }
 
   def build(spark: SparkSession, sfDir: String, dir: String,
-      knownIdentity: Option[(Long, Long)] = None): BuildInfo = {
+      knownIdentity: Option[(Long, Long)] = None): BuildInfo =
+    graft.sources.WriterLease.withWrite(spark, dir, "build") {
     val t0 = System.nanoTime()
     val docs = docsOf(spark, sfDir)
     val (n, fp) = knownIdentity.getOrElse(countAndFingerprint(docs))
@@ -365,6 +375,8 @@ object LexIndex {
     if (fs.exists(liveBatches))
       fs.rename(liveBatches,
         new org.apache.hadoop.fs.Path(s"$shadow/batches"))
+    // fence before the swap that makes this candidate the live index
+    graft.sources.WriterLease.verify(spark, dir)
     graft.sources.ParquetSink.promote(fs, sp,
       new org.apache.hadoop.fs.Path(dir))
     // a fresh build derives from the (already-rewritten) corpus —
@@ -538,6 +550,7 @@ object LexIndex {
   def appendBatch(spark: SparkSession, sfDir: String,
       batch: DataFrame): AppendInfo = synchronized {
     val dir = dirFor(spark, sfDir)
+    graft.sources.WriterLease.withWrite(spark, dir, "append") {
     val m = readMeta(spark, dir).getOrElse(throw new IllegalStateException(
       s"no lexical index at $dir — ensure() before appendBatch()"))
     require(m.version == formatVersion && m.pfx_parts == pfxParts,
@@ -562,6 +575,8 @@ object LexIndex {
     val ledger = s"$dir/batches/${java.lang.Long.toHexString(bfp)}_$bn"
     val (fs, lp) = graft.Scratch.fs(spark, ledger)
     if (fs.exists(lp)) return AppendInfo(0, 0, replayed = true)
+    // fence before the first visible write (the ledger entry)
+    graft.sources.WriterLease.verify(spark, dir)
     // ledger BEFORE data — see the ordering contract above
     fs.mkdirs(lp.getParent)
     fs.create(lp, true).close()
@@ -582,7 +597,7 @@ object LexIndex {
     // NO token stamp — see the scaladoc; the next ensure validates
     // m2 against the live corpus before any zero-job serving
     AppendInfo(bn, npB, replayed = false)
-  }
+  } }
 
   /** Consolidate append debris: one file per pfx dir again, df
     * partials merged back to one row per term, stats partials to one
@@ -598,6 +613,7 @@ object LexIndex {
       val dir = dirFor(spark, sfDir)
       val m = readMeta(spark, dir).getOrElse(return (0, 0))
       if (m.np == 0) return (0, 0)
+      graft.sources.WriterLease.withWrite(spark, dir, "compact") {
       // a content-preserving rewrite may EXTEND a voucher, never
       // create one: re-stamp the token after the rewrite only if the
       // pre-compact state held a valid one (appendBatch leaves none —
@@ -631,6 +647,7 @@ object LexIndex {
               .partitionBy("pfx")
           else w.coalesce(1).write.mode(SaveMode.Overwrite)
         writer.parquet(shadow.toString)
+        graft.sources.WriterLease.verify(spark, dir)
         graft.sources.ParquetSink.swapInto(fs, shadow,
           new org.apache.hadoop.fs.Path(path))
       }
@@ -687,6 +704,7 @@ object LexIndex {
           tokenLine(stateDigest(spark, sfDir, dir), m2, tN2, tX2))
       }
       (before, files())
+      }
     }
 
   /** q75: q73's hybrid RRF with BOTH legs served from persisted

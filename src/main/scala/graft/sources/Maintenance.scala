@@ -169,7 +169,8 @@ object Maintenance {
     * @return (sh, bands) net rows removed — before minus after, so
     *         rebuilds of missing rows can make a component negative */
   def compactIngestIndexes(spark: SparkSession, corpusDir: String)
-      : (Long, Long) = {
+      : (Long, Long) = WriterLease.withWrite(spark, corpusDir,
+        "idxcompact") {
     import org.apache.spark.sql.DataFrame
     import graft.operators.Dedup
     val corpus = spark.read.parquet(corpusDir).select("doc_id", "text")
@@ -207,6 +208,7 @@ object Maintenance {
         // count the written shadow, not the plan — one pass over the
         // data
         val after = spark.read.parquet(shadow.toString).count()
+        WriterLease.verify(spark, corpusDir)
         ParquetSink.swapInto(fs, shadow, new Path(dir))
         before - after
       }
@@ -275,6 +277,7 @@ object Maintenance {
     * @return (part files before, part files after) across both tables */
   def compactAnnIndex(spark: SparkSession, indexDir: String): (Int, Int) =
     graft.operators.IndexStore.synchronized {
+      WriterLease.withWrite(spark, indexDir, "compact") {
       import org.apache.spark.sql.functions.col
       // deletion fold rides the same rewrite: tombstoned ids (ghost
       // rows excluded by every reader since their deleteBatch) are
@@ -321,6 +324,7 @@ object Maintenance {
         if (deltaNames.nonEmpty)
           graft.operators.IndexStore
             .stampFold(spark, shadow.toString, deltaNames)
+        WriterLease.verify(spark, indexDir)
         ParquetSink.swapInto(fs, shadow, new Path(dir))
         graft.operators.IndexStore.healFold(spark, indexDir, name)
         (before, files(0))
@@ -333,6 +337,7 @@ object Maintenance {
       if (dropIds.nonEmpty)
         graft.operators.IndexStore.foldTombstonesIntoMeta(spark, indexDir)
       (codes._1 + rcodes._1, codes._2 + rcodes._2)
+      }
     }
 
   /** Small-file compaction for the veclists sidecar
@@ -345,6 +350,7 @@ object Maintenance {
     * Returns (files before, files after) for the `lists` table. */
   def compactVecLists(spark: SparkSession, listsDir: String): (Int, Int) =
     graft.operators.IndexStore.synchronized {
+      WriterLease.withWrite(spark, listsDir, "compact") {
       import org.apache.spark.sql.functions.col
       val dir = s"$listsDir/lists"
       val (fs, _) = graft.Scratch.fs(spark, dir)
@@ -365,7 +371,9 @@ object Maintenance {
       val shadow = new Path(dir + "__compact")
       df.repartition(col("cell")).write.mode(SaveMode.Overwrite)
         .partitionBy("cell").parquet(shadow.toString)
+      WriterLease.verify(spark, listsDir)
       ParquetSink.swapInto(fs, shadow, new Path(dir))
       (before, files())
+      }
     }
 }

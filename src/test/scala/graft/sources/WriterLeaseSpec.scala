@@ -1,0 +1,193 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.IndexStore
+
+/** Writer lease + fencing: mutual exclusion between live writers,
+  * TTL takeover of a dead one's lease (epoch bumped), commit-point
+  * fencing of a resurrected stale writer, reentrancy, and the store
+  * integration (a mutator refused under a foreign live lease leaves
+  * the store serving and intact). */
+class WriterLeaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withDials[T](ttlMs: Long, waitMs: Long)(body: => T): T = {
+    val oldT = System.getProperty("graft.lease.ttlMs")
+    val oldW = System.getProperty("graft.lease.waitMs")
+    System.setProperty("graft.lease.ttlMs", ttlMs.toString)
+    System.setProperty("graft.lease.waitMs", waitMs.toString)
+    try body finally {
+      if (oldT == null) System.clearProperty("graft.lease.ttlMs")
+      else System.setProperty("graft.lease.ttlMs", oldT)
+      if (oldW == null) System.clearProperty("graft.lease.waitMs")
+      else System.setProperty("graft.lease.waitMs", oldW)
+    }
+  }
+
+  private def tmpStore(): String =
+    java.nio.file.Files.createTempDirectory("lease_store").toString + "/s"
+
+  private def leaseFile(dir: String) = WriterLease.leasePathOf(dir)
+
+  private def writeForeign(dir: String, epoch: Long,
+      ageMs: Long = 0L, garbled: Boolean = false): Unit = {
+    val (fs, p) = graft.Scratch.fs(spark, leaseFile(dir))
+    val out = fs.create(p, true)
+    val body =
+      if (garbled) "not a lease"
+      else s"graftlease|1|$epoch|foreign-owner|someop"
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (ageMs > 0)
+      fs.setTimes(p, System.currentTimeMillis() - ageMs, -1)
+  }
+
+  private def exists(path: String): Boolean = {
+    val (fs, p) = graft.Scratch.fs(spark, path)
+    fs.exists(p)
+  }
+
+  test("acquire/release roundtrip: the lease file exists exactly " +
+    "while the body runs, epoch 1 on a clean store") {
+    val dir = tmpStore()
+    assert(!exists(leaseFile(dir)))
+    WriterLease.withWrite(spark, dir, "test") {
+      assert(exists(leaseFile(dir)))
+      assert(WriterLease.heldEpoch(spark, dir).contains(1L))
+      WriterLease.verify(spark, dir) // ours — no throw
+    }
+    assert(!exists(leaseFile(dir)), "lease not released")
+    assert(WriterLease.heldEpoch(spark, dir).isEmpty)
+  }
+
+  test("a live foreign lease blocks a second writer loudly after the " +
+    "bounded wait; a garbled one blocks the same way (conservative)") {
+    withDials(ttlMs = 60000, waitMs = 300) {
+      val dir = tmpStore()
+      writeForeign(dir, epoch = 3)
+      val e = intercept[LeaseHeldException] {
+        WriterLease.withWrite(spark, dir, "test") { fail("ran under a " +
+          "foreign live lease") }
+      }
+      assert(e.getMessage.contains("foreign-owner"))
+      writeForeign(dir, epoch = 3, garbled = true)
+      intercept[LeaseHeldException] {
+        WriterLease.withWrite(spark, dir, "test") { fail("ran under a " +
+          "garbled live lease") }
+      }
+    }
+  }
+
+  test("an EXPIRED foreign lease is taken over with the fencing epoch " +
+    "bumped; a garbled expired one restarts the chain at epoch 1") {
+    withDials(ttlMs = 400, waitMs = 300) {
+      val dir = tmpStore()
+      writeForeign(dir, epoch = 7, ageMs = 5000)
+      WriterLease.withWrite(spark, dir, "test") {
+        assert(WriterLease.heldEpoch(spark, dir).contains(8L),
+          "takeover must bump the dead holder's epoch")
+      }
+      writeForeign(dir, epoch = 9, ageMs = 5000, garbled = true)
+      WriterLease.withWrite(spark, dir, "test") {
+        assert(WriterLease.heldEpoch(spark, dir).contains(1L))
+      }
+    }
+  }
+
+  test("fencing: a writer whose lease was taken over aborts at " +
+    "verify, and release leaves the usurper's lease file intact") {
+    val dir = tmpStore()
+    intercept[StaleWriterException] {
+      WriterLease.withWrite(spark, dir, "test") {
+        // forge the takeover mid-operation
+        writeForeign(dir, epoch = 99)
+        WriterLease.verify(spark, dir)
+      }
+    }
+    // the foreign (new owner's) lease survives our release
+    val (fs, p) = graft.Scratch.fs(spark, leaseFile(dir))
+    val line = new String(graft.Scratch.readSmallFile(fs, p), "UTF-8")
+    assert(line.contains("foreign-owner"),
+      "release deleted a lease that was no longer ours")
+    // and the handle stays poisoned: a retry needs a NEW withWrite,
+    // which now (live foreign lease) waits/refuses as usual
+  }
+
+  test("reentrancy: a nested withWrite on the same store runs under " +
+    "the outer lease; only the outer exit releases") {
+    val dir = tmpStore()
+    WriterLease.withWrite(spark, dir, "outer") {
+      val outerEpoch = WriterLease.heldEpoch(spark, dir)
+      WriterLease.withWrite(spark, dir, "inner") {
+        assert(WriterLease.heldEpoch(spark, dir) == outerEpoch)
+      }
+      assert(exists(leaseFile(dir)), "inner exit released the lease")
+      WriterLease.verify(spark, dir)
+    }
+    assert(!exists(leaseFile(dir)))
+  }
+
+  test("verify is a no-op for a store this JVM holds no lease on " +
+    "(internal heal paths, specs)") {
+    val dir = tmpStore()
+    WriterLease.verify(spark, dir) // no lease anywhere — fine
+    writeForeign(dir, epoch = 1)
+    WriterLease.verify(spark, dir) // foreign lease, not ours to check
+  }
+
+  test("heartbeat renews the lease while a long mutation runs: after " +
+    "sleeping past several TTLs the lease still reads live") {
+    withDials(ttlMs = 400, waitMs = 300) {
+      val dir = tmpStore()
+      WriterLease.withWrite(spark, dir, "slow") {
+        Thread.sleep(1300) // > 3 × ttl; heartbeat period = ttl/4
+        val (fs, p) = graft.Scratch.fs(spark, leaseFile(dir))
+        val age = System.currentTimeMillis() -
+          fs.getFileStatus(p).getModificationTime
+        assert(age <= 400, s"lease mtime is $age ms old — heartbeat " +
+          "not renewing; a contender would steal a LIVE writer's lease")
+      }
+    }
+  }
+
+  test("store integration: appendBatch under a live foreign lease " +
+    "refuses loudly, writes nothing, and the store keeps serving; " +
+    "after the foreign lease expires the same append succeeds") {
+    val corpus =
+      java.nio.file.Files.createTempDirectory("lease_corpus").toString
+    Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 400)
+      .write.parquet(s"$corpus/embeddings.parquet")
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    val (fs0, ip0) = graft.Scratch.fs(spark, idxDir)
+    if (fs0.exists(ip0)) fs0.delete(ip0, true)
+    val info = IndexStore.ensure(spark, corpus)
+    assert(info.builtNow)
+    val batch = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") >= 400 && col("vec_id") < 420)
+    withDials(ttlMs = 60000, waitMs = 300) {
+      writeForeign(idxDir, epoch = 5)
+      intercept[LeaseHeldException] {
+        IndexStore.appendBatch(spark, idxDir, batch)
+      }
+      // nothing landed: the delta dirs are untouched and meta still
+      // counts the build-time corpus
+      assert(IndexStore
+        .deltaFileNames(spark, idxDir, "codes").isEmpty)
+      val served = IndexStore.queryIvfPq(spark, corpus,
+        IndexStore.BuildInfo(idxDir, info.n, info.nl, builtNow = false,
+          buildSec = 0.0))
+      assert(served.limit(1).count() == 1, "store stopped serving " +
+        "after a refused append")
+    }
+    withDials(ttlMs = 400, waitMs = 300) {
+      val (fs, p) = graft.Scratch.fs(spark, leaseFile(idxDir))
+      fs.setTimes(p, System.currentTimeMillis() - 5000, -1)
+      val st = IndexStore.appendBatch(spark, idxDir, batch)
+      assert(st.appended == 20,
+        s"append after takeover appended ${st.appended}")
+      assert(!exists(leaseFile(idxDir)), "lease not released")
+    }
+  }
+}
