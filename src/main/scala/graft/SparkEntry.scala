@@ -112,6 +112,10 @@ object SparkEntry {
     // deletion lifecycle, ANN leg: approximate index probe ⇒ recall
     // vs the exact survivor top-k + zero-leak check (Verify.deleteGate)
     "q80_delete_ann"       -> (graft.operators.DeletePipeline.q80DeleteAnn _),
+    // correction lifecycle (erase → fold → corrected re-admission):
+    // exact subtraction + exact re-addition ⇒ full hash oracle (BM25
+    // over documents with the kill bucket's text corrected)
+    "q81_correction_lex"   -> (graft.operators.DeletePipeline.q81CorrectionLex _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -869,6 +873,24 @@ object SparkEntry {
         |  WHERE NOT (${bucketSql("kill",
         graft.operators.DeletePipeline.killMod)} = ${
         graft.operators.DeletePipeline.killBucket})),
+        |""".stripMargin, "sdocs"),
+    // q81: the q72/q74 oracle over the CORRECTED corpus — the serve
+    // side ran erase → compaction fold → re-admission through the
+    // persisted index (exact subtraction AND exact re-addition), so
+    // it hash-equals BM25 over `documents` with the kill bucket's
+    // text replaced by its deterministic corrected form
+    "q81_correction_lex" -> bm25TopkOracleOver(
+      s"""sdocs AS (SELECT doc_id, text FROM documents
+        |  WHERE NOT (${bucketSql("kill",
+        graft.operators.DeletePipeline.killMod)} = ${
+        graft.operators.DeletePipeline.killBucket})
+        |  UNION ALL
+        |  SELECT doc_id, concat('${
+        graft.operators.DeletePipeline.correctionPrefix}', text) AS text
+        |  FROM documents
+        |  WHERE ${bucketSql("kill",
+        graft.operators.DeletePipeline.killMod)} = ${
+        graft.operators.DeletePipeline.killBucket}),
         |""".stripMargin, "sdocs"),
     "q73_hybrid_rrf" -> {
       val r = graft.operators.Retrieval

@@ -154,4 +154,128 @@ object DeletePipeline {
     val corpusDir = ensureDeleted(spark, sfDir)
     IndexStore.q69KnnIvfPqIdx(spark, corpusDir)
   }
+
+  // --- q81: the CORRECTION (right-to-rectification) lifecycle -------------
+  //
+  // The full GDPR-rectification shape, which composes the three
+  // lifecycle pieces nothing else exercises back to back: ERASE a
+  // kill-set ([[LexIndex.deleteDocs]]: tombstones + negative partials
+  // + corpus rewrite), physically FOLD it ([[LexIndex.compact]] — the
+  // step that makes the ids re-addable; appendBatch refuses a
+  // tombstoned id before the fold), then RE-ADMIT corrected versions
+  // of those documents through the real append interfaces (corpus
+  // append first, [[LexIndex.appendBatch]] second — a retrievable doc
+  // is always a committed doc). Because every lexical fact is an
+  // exact additive integer (postings, df, stats — subtraction and
+  // re-addition are both exact), serving after the whole sequence is
+  // BIT-IDENTICAL to an index rebuilt from scratch on the final
+  // corpus, so q81 carries a full DuckDB hash oracle: BM25 over
+  // `documents` with the kill bucket's text replaced by its corrected
+  // form. The reference anchor is the same as q79's: its MERGE can
+  // update or insert but never delete (reference df_to_azure/db.py:
+  // 36-53), so "correct" there means overwrite-in-place; a store with
+  // derived indexes must erase, fold and re-admit — this is that
+  // operation, driver-gated.
+  //
+  // Stage sentinels (`_deleted`, `_corrected`, each written AFTER its
+  // stage's data — the q78 marker rule) pin the progression so a
+  // replay of a completed stage is a cheap no-op instead of a second
+  // erase (the kill predicate keys on doc_id, which the corrected
+  // docs KEEP — without the sentinel every replay would erase and
+  // re-admit them again). Every crash window converges:
+  //  - mid-erase → deleteDocs replays (idempotent), compact folds;
+  //  - post-erase, pre-sentinel → deleteDocs no-ops (kill ids gone),
+  //    compact re-runs content-preserving;
+  //  - mid corpus append → the anti-join completes the missing rows,
+  //    appendBatch's full-set ledger then applies postings once;
+  //  - mid appendBatch → the ledger no-ops the replay and the next
+  //    ensure heals the missing postings by rebuild (fp mismatch) —
+  //    LexIndex's own crash contract, same answer;
+  //  - even LOSING both sentinels converges: the erase removes the
+  //    corrections, the append stage re-admits them, and the index
+  //    side's ledger-hit no-op is healed by the next ensure's
+  //    fingerprint rebuild — wasteful, never wrong.
+
+  /** Deterministic corrected form — stated identically in the DuckDB
+    * oracle (`concat('[v2] ', text)`). */
+  val correctionPrefix = "[v2] "
+
+  private def stamp(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = graft.Scratch.fs(spark, path)
+    fs.create(p, true).close()
+  }
+
+  /** Seed + erase + fold + re-admit, idempotent; returns the scratch
+    * corpus dir whose final content is `documents` with the kill
+    * bucket corrected. */
+  private[graft] def ensureCorrected(spark: SparkSession,
+      sfDir: String): String = IndexStore.synchronized {
+    val root = graft.Scratch.stableDir(spark, "corrpipe", sfDir)
+    val corpusDir = s"$root/c"
+    val docsTable = s"$corpusDir/documents.parquet"
+    val srcDocs = Tables.load(spark, sfDir, "documents")
+    val idRow = srcDocs
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, text))")).head()
+    val seedId = s"graftcorrpipe|1|$killMod|$killBucket|" +
+      s"${idRow.getLong(0)}|${if (idRow.isNullAt(1)) 0L else idRow.getLong(1)}"
+    val (fs, seedP) = graft.Scratch.fs(spark, s"$root/_seed")
+    val seedCurrent = fs.exists(seedP) &&
+      (try new String(graft.Scratch.readSmallFile(fs, seedP),
+        "UTF-8") == seedId
+      catch { case scala.util.control.NonFatal(_) => false })
+    if (!seedCurrent) {
+      val (rfs, rp) = graft.Scratch.fs(spark, root)
+      if (rfs.exists(rp)) rfs.delete(rp, true)
+      // the index home is keyed by the corpus PATH and must reseed
+      // with it (q79's rule — a stale tombstone sidecar against a
+      // fresh seed would heal the OLD kill set out of the NEW corpus)
+      val d = LexIndex.dirFor(spark, corpusDir)
+      val (fs2, p2) = graft.Scratch.fs(spark, d)
+      if (fs2.exists(p2)) fs2.delete(p2, true)
+    }
+    if (!exists(spark, docsTable)) {
+      srcDocs.write.mode(SaveMode.ErrorIfExists).parquet(docsTable)
+      val out = fs.create(seedP, true)
+      try out.write(seedId.getBytes("UTF-8")) finally out.close()
+    }
+    val deletedMark = s"$root/_deleted"
+    val correctedMark = s"$root/_corrected"
+    if (!exists(spark, deletedMark)) {
+      LexIndex.ensure(spark, corpusDir)
+      LexIndex.deleteDocs(spark, corpusDir,
+        Tables.load(spark, corpusDir, "documents")
+          .filter(kill(col("doc_id"))).select(col("doc_id")))
+      // fold the tombstones physically — the step that licenses
+      // re-adding the ids (appendBatch refuses a pending tombstone)
+      LexIndex.compact(spark, corpusDir)
+      stamp(spark, deletedMark)
+    }
+    if (!exists(spark, correctedMark)) {
+      val corr = srcDocs.filter(kill(col("doc_id")))
+        .select(col("doc_id"),
+          concat(lit(correctionPrefix), col("text")).as("text"))
+      // corpus FIRST (idempotent: only the rows a crashed attempt did
+      // not land), index second — the docs-sink commit order
+      val missing = corr.join(
+        spark.read.parquet(docsTable).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      if (!missing.isEmpty)
+        missing.write.mode(SaveMode.Append).parquet(docsTable)
+      // full-set batch: the ledger fingerprint is then stable across
+      // replays whatever subset the corpus append had landed
+      LexIndex.appendBatch(spark, corpusDir, corr)
+      stamp(spark, correctedMark)
+    }
+    corpusDir
+  }
+
+  /** q81: BM25 top-k served from the persisted lexical index after
+    * erase → fold → corrected re-admission — bit-identical to a
+    * rebuild on the final corpus (exact subtraction + exact
+    * re-addition), hash-checked against the DuckDB oracle stating
+    * BM25 over `documents` with the kill bucket's text corrected. */
+  def q81CorrectionLex(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpusDir = ensureCorrected(spark, sfDir)
+    LexIndex.q74Bm25TopKIdx(spark, corpusDir)
+  }
 }

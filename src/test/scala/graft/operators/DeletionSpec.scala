@@ -331,4 +331,56 @@ class DeletionSpec extends SparkSpec {
     assert(LexIndex.tombstoneFrame(spark, lexDir).isEmpty)
     assert(info.n == 500 - kills.size)
   }
+
+  test("q81 correction lifecycle: erase → fold → corrected " +
+    "re-admission leaves the final corpus with every kill-bucket doc " +
+    "in its corrected form, no pending tombstones, and index-served " +
+    "BM25 bit-identical to the ad-hoc twin on that corpus; torn-stage " +
+    "replays converge to the same bytes") {
+    val root = graft.Scratch.stableDir(spark, "corrpipe", sfDir)
+    val corpusDir = s"$root/c"
+    deleteDir(root)
+    deleteDir(LexIndex.dirFor(spark, corpusDir))
+    val r1 = DeletePipeline.q81CorrectionLex(spark, sfDir).collect().toSeq
+    assert(r1.nonEmpty)
+    // the kill bucket is present, corrected, exactly once per id
+    val docs = Tables.load(spark, corpusDir, "documents")
+    val killed = docs.filter(DeletePipeline.kill(col("doc_id")))
+    assert(killed.limit(1).count() == 1, "empty kill bucket — the " +
+      "lifecycle exercised nothing")
+    assert(killed.filter(!col("text")
+      .startsWith(DeletePipeline.correctionPrefix)).isEmpty,
+      "a kill-bucket doc survived uncorrected")
+    assert(killed.groupBy(col("doc_id")).count()
+      .filter(col("count") > 1).isEmpty,
+      "a corrected doc was admitted twice")
+    assert(docs.count() ==
+      Tables.load(spark, sfDir, "documents").count())
+    // physically folded: no tombstones pending after the sequence
+    assert(LexIndex.tombstoneFrame(spark,
+      LexIndex.dirFor(spark, corpusDir)).isEmpty)
+    // index-served = ad-hoc exact twin, bit for bit (exact
+    // subtraction + exact re-addition is the q81 oracle's premise)
+    val adhoc = Retrieval.q72Bm25TopK(spark, corpusDir).collect().toSeq
+    assert(r1 == adhoc, "index-served BM25 diverged from the ad-hoc " +
+      "twin on the corrected corpus")
+    // torn append-stage marker: the replay no-ops (corpus anti-join
+    // empty, appendBatch ledger hit) and serves identical bytes
+    deleteDir(s"$root/_corrected")
+    val r2 = DeletePipeline.q81CorrectionLex(spark, sfDir).collect().toSeq
+    assert(r2 == r1)
+    // losing BOTH stage sentinels re-runs erase + re-admission over
+    // the already-corrected corpus — wasteful by design, and must
+    // still converge to the same bytes (the ledger-hit no-op on the
+    // index side heals through ensure's fingerprint rebuild)
+    deleteDir(s"$root/_deleted")
+    deleteDir(s"$root/_corrected")
+    val r3 = DeletePipeline.q81CorrectionLex(spark, sfDir).collect().toSeq
+    assert(r3 == r1)
+    val killed3 = Tables.load(spark, corpusDir, "documents")
+      .filter(DeletePipeline.kill(col("doc_id")))
+    assert(killed3.filter(col("text").startsWith(
+      DeletePipeline.correctionPrefix + DeletePipeline.correctionPrefix))
+      .isEmpty, "a second correction pass stacked the prefix twice")
+  }
 }
