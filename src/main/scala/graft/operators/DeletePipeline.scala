@@ -69,6 +69,46 @@ object DeletePipeline {
     fs.exists(p)
   }
 
+  /** Source-table identity term (count + order-free xor fingerprint)
+    * for a seed id. */
+  private def sourceId(df: DataFrame, fpExpr: String): String = {
+    val r = df.agg(count(lit(1)), expr(s"bit_xor($fpExpr)")).head()
+    s"${r.getLong(0)}|${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
+
+  /** The ONE seed discipline both scratch pipelines (q79/q80's
+    * delpipe, q81's corrpipe) run, so the reseed contract can never
+    * drift between them:
+    *  - a seed-identity mismatch wipes the scratch root AND the index
+    *    homes (the homes are keyed by the corpus PATH, not the seed —
+    *    a stale tombstone sidecar against a fresh seed would read as
+    *    a "crashed delete" and ensure's heal would remove the OLD
+    *    kill set from the NEW corpus);
+    *  - the seed marker is written AFTER the data (a crash between
+    *    reseeds — the safe direction, q78's rule). */
+  private def ensureSeeded(spark: SparkSession, root: String,
+      seedId: String, indexHomes: Seq[String])(dataPresent: => Boolean)(
+      writeData: => Unit): Unit = {
+    val (fs, seedP) = graft.Scratch.fs(spark, s"$root/_seed")
+    val seedCurrent = fs.exists(seedP) &&
+      (try new String(graft.Scratch.readSmallFile(fs, seedP),
+        "UTF-8") == seedId
+      catch { case scala.util.control.NonFatal(_) => false })
+    if (!seedCurrent) {
+      val (rfs, rp) = graft.Scratch.fs(spark, root)
+      if (rfs.exists(rp)) rfs.delete(rp, true)
+      indexHomes.foreach { d =>
+        val (fs2, p2) = graft.Scratch.fs(spark, d)
+        if (fs2.exists(p2)) fs2.delete(p2, true)
+      }
+    }
+    if (!dataPresent) {
+      writeData
+      val out = fs.create(seedP, true)
+      try out.write(seedId.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Seed + delete, idempotent; returns the scratch corpus dir the
     * serving queries read. Synchronized on the IndexStore lock like
     * q78 (Verify dumps from several threads; q79 and q80 share this
@@ -82,45 +122,20 @@ object DeletePipeline {
     val srcDocs = Tables.load(spark, sfDir, "documents")
     val srcVecs = Tables.load(spark, sfDir, "embeddings")
     // SEED IDENTITY over BOTH source tables (q78's rule: ensure
-    // validates index-vs-scratch, never scratch-vs-source)
-    def idOf(df: DataFrame, fpExpr: String): String = {
-      val r = df.agg(count(lit(1)), expr(s"bit_xor($fpExpr)")).head()
-      s"${r.getLong(0)}|${if (r.isNullAt(1)) 0L else r.getLong(1)}"
-    }
-    // the KILL DIALS are part of the seed identity: the scratch corpus
-    // is already rewritten minus the old kill set, so a dial change
-    // must reseed — otherwise the new delete stacks on the old one and
-    // the q79 oracle (which states only the NEW kill set) mismatches
-    // forever
+    // validates index-vs-scratch, never scratch-vs-source). The KILL
+    // DIALS are part of it: the scratch corpus is already rewritten
+    // minus the old kill set, so a dial change must reseed —
+    // otherwise the new delete stacks on the old one and the q79
+    // oracle (which states only the NEW kill set) mismatches forever
     val seedId = s"graftdelpipe|1|$killMod|$killBucket|" +
-      idOf(srcDocs, "xxhash64(doc_id, text)") + "|" +
-      idOf(srcVecs, "xxhash64(vec_id, embedding)")
-    val (fs, seedP) = graft.Scratch.fs(spark, s"$root/_seed")
-    val seedCurrent = fs.exists(seedP) &&
-      (try new String(graft.Scratch.readSmallFile(fs, seedP),
-        "UTF-8") == seedId
-      catch { case scala.util.control.NonFatal(_) => false })
-    if (!seedCurrent) {
-      val (rfs, rp) = graft.Scratch.fs(spark, root)
-      if (rfs.exists(rp)) rfs.delete(rp, true)
-      // the index homes are keyed by the corpus PATH, not by the seed
-      // identity — they live outside root and must reseed WITH it:
-      // a stale tombstone sidecar would otherwise read as a "crashed
-      // delete" against the fresh seed and ensure's heal would remove
-      // the OLD kill set from the NEW corpus
+      sourceId(srcDocs, "xxhash64(doc_id, text)") + "|" +
+      sourceId(srcVecs, "xxhash64(vec_id, embedding)")
+    ensureSeeded(spark, root, seedId,
       Seq(LexIndex.dirFor(spark, corpusDir),
-          IndexStore.dirFor(spark, corpusDir)).foreach { d =>
-        val (fs2, p2) = graft.Scratch.fs(spark, d)
-        if (fs2.exists(p2)) fs2.delete(p2, true)
-      }
-    }
-    if (!exists(spark, docsTable)) {
+        IndexStore.dirFor(spark, corpusDir)))(
+      exists(spark, docsTable)) {
       srcDocs.write.mode(SaveMode.ErrorIfExists).parquet(docsTable)
       srcVecs.write.mode(SaveMode.ErrorIfExists).parquet(vecsTable)
-      // marker AFTER the data (a crash between reseeds — the safe
-      // direction, q78's rule)
-      val out = fs.create(seedP, true)
-      try out.write(seedId.getBytes("UTF-8")) finally out.close()
     }
     // LEXICAL: ensure over the standing corpus, then delete. On a
     // replay the kill predicate over the already-rewritten corpus is
@@ -214,29 +229,12 @@ object DeletePipeline {
     val corpusDir = s"$root/c"
     val docsTable = s"$corpusDir/documents.parquet"
     val srcDocs = Tables.load(spark, sfDir, "documents")
-    val idRow = srcDocs
-      .agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id, text))")).head()
     val seedId = s"graftcorrpipe|1|$killMod|$killBucket|" +
-      s"${idRow.getLong(0)}|${if (idRow.isNullAt(1)) 0L else idRow.getLong(1)}"
-    val (fs, seedP) = graft.Scratch.fs(spark, s"$root/_seed")
-    val seedCurrent = fs.exists(seedP) &&
-      (try new String(graft.Scratch.readSmallFile(fs, seedP),
-        "UTF-8") == seedId
-      catch { case scala.util.control.NonFatal(_) => false })
-    if (!seedCurrent) {
-      val (rfs, rp) = graft.Scratch.fs(spark, root)
-      if (rfs.exists(rp)) rfs.delete(rp, true)
-      // the index home is keyed by the corpus PATH and must reseed
-      // with it (q79's rule — a stale tombstone sidecar against a
-      // fresh seed would heal the OLD kill set out of the NEW corpus)
-      val d = LexIndex.dirFor(spark, corpusDir)
-      val (fs2, p2) = graft.Scratch.fs(spark, d)
-      if (fs2.exists(p2)) fs2.delete(p2, true)
-    }
-    if (!exists(spark, docsTable)) {
+      sourceId(srcDocs, "xxhash64(doc_id, text)")
+    ensureSeeded(spark, root, seedId,
+      Seq(LexIndex.dirFor(spark, corpusDir)))(
+      exists(spark, docsTable)) {
       srcDocs.write.mode(SaveMode.ErrorIfExists).parquet(docsTable)
-      val out = fs.create(seedP, true)
-      try out.write(seedId.getBytes("UTF-8")) finally out.close()
     }
     val deletedMark = s"$root/_deleted"
     val correctedMark = s"$root/_corrected"

@@ -823,8 +823,10 @@ object IndexStore {
     * replay) must keep the default, measured path. */
   def appendBatch(spark: SparkSession, dir: String,
       batch: DataFrame, corpusScreened: Boolean = false): AppendStats =
-    synchronized { graft.sources.WriterLease.withWrite(spark, dir,
-        "append") {
+    // lease OUTSIDE the monitor: a foreign holder's bounded wait must
+    // never block this JVM's readers (ensure/serve ride the monitor)
+    graft.sources.WriterLease.withWrite(spark, dir,
+        "append") { synchronized {
     import graft.functions.VectorFunctions.dotD
     // dev-only phase timer (-Dgraft.prof.append=true): stderr deltas
     val profT = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
@@ -1379,10 +1381,12 @@ object IndexStore {
     * index removal is [[graft.sources.Maintenance.compactAnnIndex]]'s
     * job; until then ghost codes rows are excluded by every reader. */
   def deleteBatch(spark: SparkSession, sfDir: String,
-      kills: DataFrame): DeleteStats = synchronized {
-    import graft.functions.VectorFunctions.dotD
+      kills: DataFrame): DeleteStats = {
     val dir = dirFor(spark, sfDir)
+    // lease outside the monitor — same ordering note as appendBatch
     graft.sources.WriterLease.withWrite(spark, dir, "delete") {
+    synchronized {
+    import graft.functions.VectorFunctions.dotD
     require(readMeta(spark, dir).nonEmpty,
       s"no index at $dir — ensure() before deleteBatch (deletion is " +
         "index maintenance; an index-less corpus is a plain filter)")
@@ -1430,7 +1434,7 @@ object IndexStore {
         pendingN
     }
     DeleteStats(freshN, removed)
-  } }
+  } } }
 
   // --- append commit marker (zero-job fast path for screened sinks) ---------
   //

@@ -270,10 +270,12 @@ object IngestScreen {
     * Returns the number of rows actually appended (0 on a pure
     * replay). */
   def appendLists(spark: SparkSession, sfDir: String,
-      batch: DataFrame): Long = IndexStore.synchronized {
-    import graft.functions.VectorFunctions.dotD
+      batch: DataFrame): Long = {
     val dir = listsDir(spark, sfDir)
+    // lease OUTSIDE the monitor (see IndexStore.appendBatch's note)
     graft.sources.WriterLease.withWrite(spark, dir, "append") {
+    IndexStore.synchronized {
+    import graft.functions.VectorFunctions.dotD
     val vm = readListsMeta(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"no veclists at $dir — ensureLists() before appendLists()"))
@@ -332,7 +334,7 @@ object IngestScreen {
         "completed append — the next ensureLists will rebuild " +
         "(conservative, never wrong)")
     n
-  } }
+  } } }
 
   /** Disk partition columns come back as the inferred type; pin `cell`
     * to its written long (same caveat as [[IndexStore.readCodes]]). */

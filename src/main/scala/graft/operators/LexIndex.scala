@@ -279,9 +279,11 @@ object LexIndex {
     * composition end-to-end; compactIngestIndexes folds the ghosts
     * physically on its cadence). */
   def deleteDocs(spark: SparkSession, sfDir: String,
-      kills: DataFrame): DeleteDocsStats = synchronized {
+      kills: DataFrame): DeleteDocsStats = {
     val dir = dirFor(spark, sfDir)
+    // lease OUTSIDE the monitor (see IndexStore.appendBatch's note)
     graft.sources.WriterLease.withWrite(spark, dir, "delete") {
+    synchronized {
     require(readMeta(spark, dir).nonEmpty,
       s"no lexical index at $dir — ensure() before deleteDocs " +
         "(deletion is index maintenance; an index-less corpus is a " +
@@ -335,7 +337,7 @@ object LexIndex {
         pendingN
     }
     DeleteDocsStats(freshN, removed)
-  } }
+  } } }
 
   def build(spark: SparkSession, sfDir: String, dir: String,
       knownIdentity: Option[(Long, Long)] = None): BuildInfo =
@@ -548,9 +550,11 @@ object LexIndex {
     * on any mismatch) — divergence is always detected at the next
     * serve, never served. */
   def appendBatch(spark: SparkSession, sfDir: String,
-      batch: DataFrame): AppendInfo = synchronized {
+      batch: DataFrame): AppendInfo = {
     val dir = dirFor(spark, sfDir)
+    // lease OUTSIDE the monitor (see IndexStore.appendBatch's note)
     graft.sources.WriterLease.withWrite(spark, dir, "append") {
+    synchronized {
     val m = readMeta(spark, dir).getOrElse(throw new IllegalStateException(
       s"no lexical index at $dir — ensure() before appendBatch()"))
     require(m.version == formatVersion && m.pfx_parts == pfxParts,
@@ -597,7 +601,7 @@ object LexIndex {
     // NO token stamp — see the scaladoc; the next ensure validates
     // m2 against the live corpus before any zero-job serving
     AppendInfo(bn, npB, replayed = false)
-  } }
+  } } }
 
   /** Consolidate append debris: one file per pfx dir again, df
     * partials merged back to one row per term, stats partials to one
@@ -608,12 +612,13 @@ object LexIndex {
     * one full validation). The `batches/` ledger is kept — it resets
     * with the next rebuild, which bounds its size by the rebuild
     * cadence. @return (part files before, after) */
-  def compact(spark: SparkSession, sfDir: String): (Int, Int) =
+  def compact(spark: SparkSession, sfDir: String): (Int, Int) = {
+    val dir = dirFor(spark, sfDir)
+    // lease OUTSIDE the monitor (see IndexStore.appendBatch's note)
+    graft.sources.WriterLease.withWrite(spark, dir, "compact") {
     synchronized {
-      val dir = dirFor(spark, sfDir)
       val m = readMeta(spark, dir).getOrElse(return (0, 0))
       if (m.np == 0) return (0, 0)
-      graft.sources.WriterLease.withWrite(spark, dir, "compact") {
       // a content-preserving rewrite may EXTEND a voucher, never
       // create one: re-stamp the token after the rewrite only if the
       // pre-compact state held a valid one (appendBatch leaves none —
@@ -704,8 +709,8 @@ object LexIndex {
           tokenLine(stateDigest(spark, sfDir, dir), m2, tN2, tX2))
       }
       (before, files())
-      }
-    }
+    } }
+  }
 
   /** q75: q73's hybrid RRF with BOTH legs served from persisted
     * indexes — the deployment shape of hybrid search (a standing

@@ -276,8 +276,10 @@ object Maintenance {
     *
     * @return (part files before, part files after) across both tables */
   def compactAnnIndex(spark: SparkSession, indexDir: String): (Int, Int) =
-    graft.operators.IndexStore.synchronized {
-      WriterLease.withWrite(spark, indexDir, "compact") {
+    // lease OUTSIDE the monitor: a foreign holder's bounded wait must
+    // never block this JVM's readers on the IndexStore lock
+    WriterLease.withWrite(spark, indexDir, "compact") {
+      graft.operators.IndexStore.synchronized {
       import org.apache.spark.sql.functions.col
       // deletion fold rides the same rewrite: tombstoned ids (ghost
       // rows excluded by every reader since their deleteBatch) are
@@ -349,8 +351,8 @@ object Maintenance {
     * run-quiesced + IndexStore-lock contract as [[compactAnnIndex]].
     * Returns (files before, files after) for the `lists` table. */
   def compactVecLists(spark: SparkSession, listsDir: String): (Int, Int) =
-    graft.operators.IndexStore.synchronized {
-      WriterLease.withWrite(spark, listsDir, "compact") {
+    WriterLease.withWrite(spark, listsDir, "compact") {
+      graft.operators.IndexStore.synchronized {
       import org.apache.spark.sql.functions.col
       val dir = s"$listsDir/lists"
       val (fs, _) = graft.Scratch.fs(spark, dir)

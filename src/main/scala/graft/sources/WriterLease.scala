@@ -38,16 +38,18 @@ final class StaleWriterException(msg: String)
   *    `<storeDir>__lease` created with create-exclusive (atomic
   *    O_EXCL via java.nio on `file:` — Hadoop's RawLocalFileSystem
   *    create(overwrite=false) is check-then-create, NOT atomic — and
-  *    `fs.create(p, false)` on HDFS/object stores, where it is). A
+  *    `fs.create(p, false)` elsewhere: atomic on HDFS, advisory on
+  *    S3-like stores; see FILESYSTEM HONESTY below). A
   *    second writer waits up to `waitMs` (contention between a
   *    per-batch sink and a compaction is transient — bounded waiting
   *    IS the serialization the contract used to outsource), then
   *    throws [[LeaseHeldException]] loudly.
   *  - CRASH TAKEOVER: the holder's daemon heartbeat renews the lease
-  *    file's mtime every ttl/4; a lease whose mtime is older than
-  *    `ttlMs` is dead. Takeover renames it aside (rename is atomic on
-  *    both local and HDFS, so exactly ONE contending taker wins) and
-  *    re-creates it with the fencing epoch bumped.
+  *    file's mtime every ttl/4 (rewriting the object where setTimes
+  *    is unsupported); a lease whose mtime is older than `ttlMs` is
+  *    dead. Takeover renames it aside (atomic on local and HDFS, so
+  *    exactly ONE contending taker wins there) and re-creates it with
+  *    the fencing epoch bumped.
   *  - FENCING (resurrected writers): a paused-not-dead writer that
   *    resumes after its lease was taken must not land a stale commit.
   *    Every store mutation calls [[verify]] immediately before each
@@ -73,17 +75,40 @@ final class StaleWriterException(msg: String)
   * "whole overlapping mutations" to "one pre-verified rename", and
   * the validation layer was always the backstop for that rename.
   *
+  * FILESYSTEM HONESTY: the mutual-exclusion primitive is atomic
+  * create-exclusive/rename — real on local (O_EXCL) and HDFS, NOT on
+  * S3-like object stores, whose create(overwrite=false) is
+  * check-then-PUT and whose rename is copy+delete (and which often
+  * reject setTimes — the heartbeat falls back to rewriting the lease
+  * object, whose fresh timestamp is the renewal). On such stores the
+  * lease degrades to ADVISORY plus the validation backstop above; a
+  * deployment there should point the lease at a coordination-capable
+  * path (HDFS/NFS) or swap this object's primitives for conditional
+  * PUTs. Same trust ladder as everywhere here: prevent where the
+  * primitive is real, detect-and-heal where it is not.
+  *
   * The lease file lives OUTSIDE the store dir (sibling suffix, like
   * the `__shadow_`/`__old` family) deliberately: it survives the
   * store's own shadow-promote swap, and it never feeds
   * stateDigest/annListing — heartbeat mtime renewals must not
   * invalidate validation tokens every ttl/4.
   *
-  * In-JVM, the stores already serialize mutators on the IndexStore
-  * lock; [[withWrite]] is reentrant per (JVM, store) so composed
-  * operations (ensure→build, deleteDocs→rewrite, pipeline steps)
-  * acquire once at the top. Acquire only happens when a mutation is
-  * actually about to run — read/validate paths never contend. */
+  * In-JVM: [[withWrite]] is reentrant PER THREAD (composed
+  * operations — ensure→build, deleteDocs→rewrite, pipeline steps —
+  * acquire once at the top of their own stack) and SERIALIZES other
+  * threads of the same JVM on the same store through the registry
+  * (bounded wait, then the same loud [[LeaseHeldException]]) — the
+  * store monitors no longer have to be the only in-process writer
+  * arbiter, which matters for the public unsynchronized mutators
+  * (IndexStore.build, Maintenance.compactIngestIndexes). Lock
+  * ordering: the per-batch public mutators take lease → store
+  * monitor (so a foreign holder's bounded wait never blocks the
+  * monitor that serves readers); the composed ensure paths take
+  * monitor → lease when they decide to mutate. A cross-thread
+  * collision between the two orders cannot deadlock past `waitMs` —
+  * the lease side throws loudly and releases. Acquire only happens
+  * when a mutation is actually about to run — read/validate paths
+  * never contend. */
 object WriterLease {
 
   /** Lease liveness TTL. A holder missing `ttlMs` of heartbeats
@@ -98,18 +123,23 @@ object WriterLease {
   private val header = "graftlease|1"
 
   final case class Handle(dir: String, leasePath: String,
-      ownerId: String, epoch: Long, op: String) {
+      ownerId: String, op: String, ownerThread: Thread) {
+    // epoch is assigned by the filesystem acquisition (takeover reads
+    // the dead holder's); the handle registers BEFORE that as the
+    // in-JVM reservation, so other threads already queue on it
+    @volatile private[WriterLease] var epoch: Long = 0L
     @volatile private[WriterLease] var poisoned: Boolean = false
-    @volatile private[WriterLease] var depth: Int = 1
     @volatile private[WriterLease] var beat: Thread = null
     private[WriterLease] def line: String =
       s"$header|$epoch|$ownerId|$op"
   }
 
-  /** JVM-wide registry of held leases, keyed by qualified store path.
-    * Guarded by its own monitor: mutators of DIFFERENT stores may
-    * hold leases concurrently (the streaming sinks maintain several
-    * stores from different foreachBatch threads). */
+  /** JVM-wide registry of held (or being-acquired) leases, keyed by
+    * qualified store path. Guarded by its own monitor: mutators of
+    * DIFFERENT stores may hold leases concurrently (the streaming
+    * sinks maintain several stores from different foreachBatch
+    * threads); a SECOND thread on the SAME store queues here with the
+    * same bounded wait as a second process. */
   private val held =
     scala.collection.mutable.Map.empty[String, Handle]
 
@@ -169,7 +199,10 @@ object WriterLease {
     } catch { case NonFatal(_) => None }
 
   /** Run `body` holding the writer lease of `dir` (acquiring it, or
-    * reentering the one this JVM already holds). Acquisition waits a
+    * reentering the one this THREAD already holds — a nested call is
+    * strictly LIFO on one stack, so no counting is needed). A second
+    * thread of this JVM queues on the registry with the same bounded
+    * wait a second process pays at the file. Acquisition waits a
     * bounded `waitMs` for a LIVE holder, takes over an EXPIRED one
     * with the epoch bumped, and throws [[LeaseHeldException]] when
     * the wait runs out. The lease is released (file deleted if still
@@ -179,32 +212,59 @@ object WriterLease {
   def withWrite[T](spark: SparkSession, dir: String, op: String)
       (body: => T): T = {
     val (fs, p, key) = resolve(spark, dir)
-    val reenter = held.synchronized {
-      held.get(key) match {
-        case Some(h) => h.depth += 1; true
-        case None => false
+    val self = Thread.currentThread()
+    val deadline = System.currentTimeMillis() + waitMs
+    var h: Handle = null
+    var reenter = false
+    while (h == null) {
+      held.synchronized {
+        held.get(key) match {
+          case Some(e) if e.ownerThread eq self =>
+            h = e; reenter = true
+          case Some(_) => () // another thread — wait outside the lock
+          case None =>
+            // reserve in-JVM before touching the filesystem, so a
+            // second thread queues here instead of double-acquiring
+            h = Handle(key.stripSuffix("__lease"), key,
+              java.util.UUID.randomUUID().toString, op, self)
+            held.put(key, h)
+        }
+      }
+      if (h == null) {
+        if (System.currentTimeMillis() >= deadline)
+          throw new LeaseHeldException(
+            s"store at ${key.stripSuffix("__lease")} is held by " +
+              s"another writer thread of this process — waited " +
+              s"${waitMs} ms; serialize writers or raise " +
+              "-Dgraft.lease.waitMs")
+        Thread.sleep(100)
       }
     }
-    if (reenter) {
-      try body
-      finally held.synchronized(held.get(key).foreach(_.depth -= 1))
-    } else {
-      val h = acquire(fs, p, key, op)
+    if (reenter) body
+    else {
+      try acquire(fs, p, key, h, deadline)
+      catch { case t: Throwable =>
+        held.synchronized(held.remove(key)); throw t
+      }
       try body
       finally release(fs, p, key, h)
     }
   }
 
   private def acquire(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path, key: String, op: String): Handle = {
-    val deadline = System.currentTimeMillis() + waitMs
-    val ownerId = java.util.UUID.randomUUID().toString
-    var h: Handle = null
-    while (h == null) {
+      p: org.apache.hadoop.fs.Path, key: String, h: Handle,
+      deadline: Long): Unit = {
+    var done = false
+    while (!done) {
       val st =
         try Some(fs.getFileStatus(p))
         catch { case _: java.io.FileNotFoundException => None }
       val now = System.currentTimeMillis()
+      def refuse(why: String): Nothing =
+        throw new LeaseHeldException(
+          s"store at ${key.stripSuffix("__lease")} $why — waited " +
+            s"${waitMs} ms; serialize writers or raise " +
+            "-Dgraft.lease.waitMs")
       st match {
         case Some(s) if now - s.getModificationTime <= ttlMs =>
           // live holder — bounded wait, then refuse loudly
@@ -212,37 +272,41 @@ object WriterLease {
             val who = readLease(fs, p)
               .map { case (e, o, wop) => s"epoch=$e owner=$o op=$wop" }
               .getOrElse("unreadable lease")
-            throw new LeaseHeldException(
-              s"store at ${key.stripSuffix("__lease")} is held by a " +
-                s"live writer ($who, renewed " +
-                s"${now - s.getModificationTime} ms ago) — waited " +
-                s"${waitMs} ms; serialize writers or raise " +
-                "-Dgraft.lease.waitMs")
+            refuse(s"is held by a live writer ($who, renewed " +
+              s"${now - s.getModificationTime} ms ago)")
           }
           Thread.sleep(250)
         case Some(s) =>
           // expired — take over: exactly one contender wins the rename
           val prevEpoch = readLease(fs, p).map(_._1).getOrElse(0L)
           val aside = new org.apache.hadoop.fs.Path(
-            s"$key.stale.${ownerId.take(8)}")
+            s"$key.stale.${h.ownerId.take(8)}")
           if (try fs.rename(p, aside) catch { case NonFatal(_) => false }) {
             try fs.delete(aside, false)
             catch { case NonFatal(_) => () }
-            val cand = Handle(key.stripSuffix("__lease"), key, ownerId,
-              prevEpoch + 1, op)
-            if (createExclusive(fs, p, cand.line)) h = cand
-            // lost the post-rename create race — loop re-evaluates
+            h.epoch = prevEpoch + 1
+            if (createExclusive(fs, p, h.line)) done = true
           }
-          // lost the rename race — loop re-evaluates the new holder
+          // lost the rename / post-rename create race, or the rename
+          // itself keeps failing (read-only mount, store quirk): the
+          // deadline bounds the loop — never a busy-spin — and the
+          // sleep paces the retries
+          if (!done) {
+            if (now >= deadline)
+              refuse("has an expired lease this writer could not take " +
+                "over (rename/create kept failing or losing races)")
+            Thread.sleep(250)
+          }
         case None =>
-          val cand = Handle(key.stripSuffix("__lease"), key, ownerId,
-            1L, op)
-          if (createExclusive(fs, p, cand.line)) h = cand
+          h.epoch = 1L
+          if (createExclusive(fs, p, h.line)) done = true
+          else if (now >= deadline)
+            refuse("could not be acquired (create-exclusive kept " +
+              "losing races)")
+          // lost the create race — loop re-evaluates the new holder
       }
     }
-    held.synchronized(held.put(key, h))
     startHeartbeat(fs, p, h)
-    h
   }
 
   /** Renew mtime every ttl/4; poison the handle the moment the lease
@@ -262,7 +326,18 @@ object WriterLease {
             val ours = readLease(fs, p)
               .exists { case (e, o, _) => e == h.epoch && o == h.ownerId }
             if (!ours) h.poisoned = true
-            else fs.setTimes(p, System.currentTimeMillis(), -1)
+            else try fs.setTimes(p, System.currentTimeMillis(), -1)
+            catch {
+              case _: UnsupportedOperationException =>
+                // object stores reject setTimes — rewrite the lease
+                // object instead; its fresh timestamp IS the renewal
+                // (non-atomic overwrite, but an unreadable mid-write
+                // lease reads as held-by-unknown under mtime expiry —
+                // conservative)
+                val out = fs.create(p, true)
+                try out.write(h.line.getBytes("UTF-8"))
+                finally out.close()
+            }
           } catch {
             case NonFatal(_) => () // transient FS hiccup: mtime keeps
             // its last value; ttl/4 cadence gives 4 tries before expiry
