@@ -116,6 +116,10 @@ object SparkEntry {
     // exact subtraction + exact re-addition ⇒ full hash oracle (BM25
     // over documents with the kill bucket's text corrected)
     "q81_correction_lex"   -> (graft.operators.DeletePipeline.q81CorrectionLex _),
+    // correction lifecycle, ANN leg: the re-keyed codes must serve
+    // the NEW geometry ⇒ recall vs the exact top-k on the corrected
+    // corpus + corrected-region recall (Verify.correctionGate)
+    "q82_correction_ann"   -> (graft.operators.DeletePipeline.q82CorrectionAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -112,6 +112,20 @@ object Verify {
   val deleteIdx = "q80_delete_ann"
   val deleteFloor = 0.55
 
+  /** q82 (correction lifecycle, ANN leg): recall@k of the
+    * post-correction IVF×PQ serve vs the exact top-k over the FINAL
+    * (corrected) corpus — the exact twin already embodies the new
+    * geometry, so ordinary recall proves the re-keyed codes serve it.
+    * A second entry records the CORRECTED-REGION recall (exact pairs
+    * whose query or neighbor is a corrected id): the re-keyed rows
+    * are ~1/16 of the corpus, and overall recall alone could hide a
+    * region that serves nothing. Region floor is lower — the region
+    * sample is small and PQ error concentrates where geometry just
+    * changed. */
+  val correctionIdx = "q82_correction_ann"
+  val correctionFloor = 0.55
+  val correctionRegionFloor = 0.40
+
   final case class AnnGate(recall: Double, floor: Double) {
     def pass: Boolean = recall >= floor
   }
@@ -275,6 +289,60 @@ object Verify {
     Some(deleteIdx -> AnnGate(recall, deleteFloor))
   }
 
+  /** Correction gate (q82): recall of the dump vs the exact top-k
+    * over the CORRECTED scratch corpus, plus the corrected-region
+    * recall (see [[correctionIdx]]). [[operators.DeletePipeline
+    * .ensureCorrected]] is idempotent — the pipeline already ran
+    * during the dump. */
+  private def correctionGate(spark: SparkSession, sfDir: String,
+      outDir: String, selected: Set[String])
+      : Seq[(String, AnnGate)] = {
+    if (!selected.contains(correctionIdx)) return Nil
+    val dumpDir = new java.io.File(s"$outDir/$correctionIdx")
+    if (!dumpDir.exists()) return Nil
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got =
+      try pairs(spark.read.parquet(dumpDir.toString))
+      catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] $correctionIdx dump unreadable, recall skipped: " +
+            e.getMessage)
+        return Nil
+      }
+    val (exact, corrected) =
+      try {
+        import org.apache.spark.sql.functions.col
+        val corpusDir =
+          operators.DeletePipeline.ensureCorrected(spark, sfDir)
+        val corrIds = sources.Tables.load(spark, sfDir, "embeddings")
+          .select(col("vec_id"))
+          .filter(operators.DeletePipeline.kill(col("vec_id")))
+          .collect().map(_.getLong(0)).toSet
+        (pairs(operators.Similarity.q35KnnBrute(spark, corpusDir)),
+          corrIds)
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[verify] $correctionIdx recall baseline (exact corrected " +
+            s"top-k) failed: ${e.getMessage}; deleting its dump — " +
+            "unverifiable recall is not a pass")
+        deleteOrDie(dumpDir)
+        return Nil
+      }
+    def recallOf(base: Set[(Long, Long)]): Double =
+      if (base.isEmpty) { if (got.isEmpty) 1.0 else 0.0 }
+      else (base intersect got).size.toDouble / base.size
+    val region = exact.filter { case (q, n) =>
+      corrected.contains(q) || corrected.contains(n)
+    }
+    // region recall against `got` as a whole is correct: a region
+    // pair found anywhere in the dump is served
+    Seq(correctionIdx -> AnnGate(recallOf(exact), correctionFloor),
+      s"${correctionIdx}_region" ->
+        AnnGate(recallOf(region), correctionRegionFloor))
+  }
+
   /** Dropped-id recall of the q71 dump vs the exact q45 survivor set
     * (from this run's q45 dump when selected, else computed live).
     * Returns None when q71 wasn't dumped (already failing) or isn't in
@@ -388,11 +456,12 @@ object Verify {
     val screenEntry = screenGate(spark, sfDir, outDir, selected)
     val pipelineEntry = pipelineGate(spark, sfDir, outDir, selected)
     val deleteEntry = deleteGate(spark, sfDir, outDir, selected)
+    val correctionEntries = correctionGate(spark, sfDir, outDir, selected)
     val gated =
       selected.filter(n => annFloors.contains(n) || n == annResidual).toSeq
     if (gated.isEmpty)
       return (dedupEntry ++ hybridEntry ++ screenEntry ++
-        pipelineEntry ++ deleteEntry).toMap
+        pipelineEntry ++ deleteEntry ++ correctionEntries).toMap
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -457,7 +526,8 @@ object Verify {
         }
       }
     (staticEntries ++ residualEntry ++ dedupEntry ++ hybridEntry ++
-      screenEntry ++ pipelineEntry ++ deleteEntry).toMap
+      screenEntry ++ pipelineEntry ++ deleteEntry ++
+      correctionEntries).toMap
   }
 
   /** Persisted-index twins: each maps to the in-query variant it must

@@ -220,21 +220,36 @@ object DeletePipeline {
     fs.create(p, true).close()
   }
 
+  /** Deterministic corrected form of a vector: negation — a content
+    * change that keeps the norm (the index must re-key the id, and
+    * the exact twin on the same corpus sees the identical doubles, so
+    * no portability concern arises: q82 is recall-gated, not
+    * SQL-oracled). HOF is CodegenFallback but runs only over the
+    * batch-sized kill bucket, never the corpus. */
+  private def correctedVec: org.apache.spark.sql.Column =
+    expr("transform(embedding, x -> -x)")
+
   /** Seed + erase + fold + re-admit, idempotent; returns the scratch
     * corpus dir whose final content is `documents` with the kill
-    * bucket corrected. */
+    * bucket's text corrected and `embeddings` with the kill bucket's
+    * vectors corrected (negated). */
   private[graft] def ensureCorrected(spark: SparkSession,
       sfDir: String): String = IndexStore.synchronized {
     val root = graft.Scratch.stableDir(spark, "corrpipe", sfDir)
     val corpusDir = s"$root/c"
     val docsTable = s"$corpusDir/documents.parquet"
+    val vecsTable = s"$corpusDir/embeddings.parquet"
     val srcDocs = Tables.load(spark, sfDir, "documents")
-    val seedId = s"graftcorrpipe|1|$killMod|$killBucket|" +
-      sourceId(srcDocs, "xxhash64(doc_id, text)")
+    val srcVecs = Tables.load(spark, sfDir, "embeddings")
+    val seedId = s"graftcorrpipe|2|$killMod|$killBucket|" +
+      sourceId(srcDocs, "xxhash64(doc_id, text)") + "|" +
+      sourceId(srcVecs, "xxhash64(vec_id, embedding)")
     ensureSeeded(spark, root, seedId,
-      Seq(LexIndex.dirFor(spark, corpusDir)))(
+      Seq(LexIndex.dirFor(spark, corpusDir),
+        IndexStore.dirFor(spark, corpusDir)))(
       exists(spark, docsTable)) {
       srcDocs.write.mode(SaveMode.ErrorIfExists).parquet(docsTable)
+      srcVecs.write.mode(SaveMode.ErrorIfExists).parquet(vecsTable)
     }
     val deletedMark = s"$root/_deleted"
     val correctedMark = s"$root/_corrected"
@@ -246,6 +261,14 @@ object DeletePipeline {
       // fold the tombstones physically — the step that licenses
       // re-adding the ids (appendBatch refuses a pending tombstone)
       LexIndex.compact(spark, corpusDir)
+      // ANN leg, same sequence: tombstones + corpus rewrite, then the
+      // compaction fold removes the ghost codes rows and the sidecar
+      IndexStore.ensure(spark, corpusDir)
+      IndexStore.deleteBatch(spark, corpusDir,
+        Tables.load(spark, corpusDir, "embeddings")
+          .filter(kill(col("vec_id"))).select(col("vec_id")))
+      graft.sources.Maintenance.compactAnnIndex(spark,
+        IndexStore.dirFor(spark, corpusDir))
       stamp(spark, deletedMark)
     }
     if (!exists(spark, correctedMark)) {
@@ -262,6 +285,19 @@ object DeletePipeline {
       // full-set batch: the ledger fingerprint is then stable across
       // replays whatever subset the corpus append had landed
       LexIndex.appendBatch(spark, corpusDir, corr)
+      // ANN leg: corrected (negated) vectors re-enter through the
+      // real append interface — fresh after the fold; a replay that
+      // finds them already indexed no-ops through the re-key guard
+      // (same content ⇒ same codes, bit for bit)
+      val corrV = srcVecs.filter(kill(col("vec_id")))
+        .select(col("vec_id"), correctedVec.as("embedding"))
+      val missingV = corrV.join(
+        spark.read.parquet(vecsTable).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      if (!missingV.isEmpty)
+        missingV.write.mode(SaveMode.Append).parquet(vecsTable)
+      IndexStore.appendBatch(spark,
+        IndexStore.dirFor(spark, corpusDir), corrV)
       stamp(spark, correctedMark)
     }
     corpusDir
@@ -275,5 +311,17 @@ object DeletePipeline {
   def q81CorrectionLex(spark: SparkSession, sfDir: String): DataFrame = {
     val corpusDir = ensureCorrected(spark, sfDir)
     LexIndex.q74Bm25TopKIdx(spark, corpusDir)
+  }
+
+  /** q82: IVF×PQ top-k served from the persisted ANN index after the
+    * SAME erase → compaction fold → corrected re-admission — the
+    * trained-artifact store's rectification leg, where "corrected"
+    * means the codes tables must serve the NEW geometry for the
+    * re-keyed ids. Approximate ⇒ recall-gated vs the exact top-k on
+    * the final (corrected) corpus, with the corrected-region recall
+    * recorded alongside (Verify.correctionGate). */
+  def q82CorrectionAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpusDir = ensureCorrected(spark, sfDir)
+    IndexStore.q69KnnIvfPqIdx(spark, corpusDir)
   }
 }

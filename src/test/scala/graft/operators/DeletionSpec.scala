@@ -359,6 +359,17 @@ class DeletionSpec extends SparkSpec {
     // physically folded: no tombstones pending after the sequence
     assert(LexIndex.tombstoneFrame(spark,
       LexIndex.dirFor(spark, corpusDir)).isEmpty)
+    assert(IndexStore.tombstoneFrame(spark,
+      IndexStore.dirFor(spark, corpusDir)).isEmpty)
+    // the ANN leg's xor fingerprint composes EXACTLY across
+    // erase → fold → corrected re-admission: ensure validates the
+    // final index against the final corpus with NO rebuild
+    val annInfo = IndexStore.ensure(spark, corpusDir)
+    assert(!annInfo.builtNow, "ensure rebuilt after the correction " +
+      "lifecycle — the fingerprint fold across erase/fold/re-add is " +
+      "broken")
+    assert(annInfo.n ==
+      Tables.load(spark, sfDir, "embeddings").count())
     // index-served = ad-hoc exact twin, bit for bit (exact
     // subtraction + exact re-addition is the q81 oracle's premise)
     val adhoc = Retrieval.q72Bm25TopK(spark, corpusDir).collect().toSeq
