@@ -668,10 +668,12 @@ object IndexStore {
                 if (!stillIn.isEmpty) {
                   System.err.println(s"[annidx] completing a crashed " +
                     s"delete's corpus rewrite at $sfDir")
-                  // the heal MUTATES — take the writer lease for just
-                  // this rewrite (ensure's validate/serve paths never
-                  // contend; only the rare crashed-delete completion)
-                  graft.sources.WriterLease.withWrite(spark, dir,
+                  // the heal MUTATES the CORPUS — take the corpus-dir
+                  // writer lease for just this rewrite (the same lease
+                  // the streaming sinks hold around their corpus
+                  // appends, so a rewrite can never swap away a file
+                  // an in-flight append just landed)
+                  graft.sources.WriterLease.withWrite(spark, sfDir,
                       "delete-heal") {
                     rewriteTableMinus(spark, s"$sfDir/embeddings.parquet",
                       tids, "vec_id")
@@ -1427,9 +1429,17 @@ object IndexStore {
         val pendingN = raw.join(tids.hint("broadcast"),
           Seq("vec_id"), "left_semi").count()
         if (pendingN > 0) {
-          // fence before the corpus promote (the rewrite's commit)
+          // fence before the corpus promote (the rewrite's commit),
+          // and hold the CORPUS-DIR lease across it: the streaming
+          // sinks take the same lease around their corpus appends, so
+          // the swap can never discard a file an in-flight append
+          // just landed (hold order index→corpus; the sinks never
+          // hold both at once, so no cycle)
           graft.sources.WriterLease.verify(spark, dir)
-          rewriteTableMinus(spark, table, tids, "vec_id")
+          graft.sources.WriterLease.withWrite(spark, sfDir,
+              "corpus-rewrite") {
+            rewriteTableMinus(spark, table, tids, "vec_id")
+          }
         }
         pendingN
     }

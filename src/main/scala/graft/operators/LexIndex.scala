@@ -330,9 +330,14 @@ object LexIndex {
         val pendingN = docs.join(tids.hint("broadcast"),
           Seq("doc_id"), "left_semi").count()
         if (pendingN > 0) {
-          // fence before the corpus promote
+          // fence before the corpus promote, and hold the CORPUS-DIR
+          // lease across it (see IndexStore.deleteBatch's note: the
+          // docs sink takes the same lease around its corpus append)
           graft.sources.WriterLease.verify(spark, dir)
-          IndexStore.rewriteTableMinus(spark, table, tids, "doc_id")
+          graft.sources.WriterLease.withWrite(spark, sfDir,
+              "corpus-rewrite") {
+            IndexStore.rewriteTableMinus(spark, table, tids, "doc_id")
+          }
         }
         pendingN
     }
@@ -426,8 +431,13 @@ object LexIndex {
                 if (!stillIn.isEmpty) {
                   System.err.println(s"[lexidx] completing a crashed " +
                     s"delete's corpus rewrite at $sfDir")
-                  IndexStore.rewriteTableMinus(spark,
-                    docsPath(spark, sfDir), tids, "doc_id")
+                  // corpus-dir lease around the rewrite (the docs
+                  // sink holds the same lease for its corpus append)
+                  graft.sources.WriterLease.withWrite(spark, sfDir,
+                      "delete-heal") {
+                    IndexStore.rewriteTableMinus(spark,
+                      docsPath(spark, sfDir), tids, "doc_id")
+                  }
                 }
               }
               val docs = docsOf(spark, sfDir)

@@ -359,6 +359,14 @@ object StreamOps {
       val admittedSh = graft.Materialize(Dedup.shingleIndex(admitted))
       val mode = if (empty) org.apache.spark.sql.SaveMode.Overwrite
         else org.apache.spark.sql.SaveMode.Append
+      // CORPUS-DIR writer lease around the mutation span (index
+      // writes → corpus append → marker): the same lease a retention
+      // deleteDocs holds across its corpus rewrite and
+      // compactIngestIndexes holds across its swaps, so a cross-JVM
+      // rewrite can never swap away a file this batch just landed.
+      // Held only for the writes (the lexical append below takes its
+      // own store lease AFTER this releases — never two at once here)
+      graft.sources.WriterLease.withWrite(spark, corpusDir, "ingest") {
       // skip writes for an empty frame: partitionBy with zero rows
       // writes NO part files, leaving a footer-less dir every later
       // full-dir read would throw on (bands' 16-rows-per-doc means
@@ -403,6 +411,7 @@ object StreamOps {
       IngestCommit.write(spark, corpusDir,
         IngestCommit.Marker(baseSh ++ ownSh, baseBands ++ ownBands,
           IngestCommit.listing(spark, corpusDir)))
+      }
       // LEXICAL maintenance (composed retrieval): the admitted docs
       // become retrievable via q74 in the SAME micro-batch — one
       // LexIndex.appendBatch per batch (cost ∝ batch: ledger probe +
@@ -490,7 +499,11 @@ object StreamOps {
         ()
       } else if (!fs.exists(marker)) {
         // bootstrap: first batch becomes the corpus, index built on it
-        b.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(table)
+        // (corpus-dir lease: see the docs sink's span note)
+        graft.sources.WriterLease.withWrite(spark, corpusDir, "ingest") {
+          b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(table)
+        }
         IndexStore.ensure(spark, corpusDir)
       } else {
         if (!IndexStore.hasIndex(spark, idxDir))
@@ -525,8 +538,15 @@ object StreamOps {
               IndexStore.appendBatch(spark, idxDir, fresh,
                 corpusScreened = true)
           }
-          fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
-            .parquet(table)
+          // corpus-dir lease around the corpus append (a concurrent
+          // retention delete's rewrite takes the same lease — hold
+          // order index→corpus is only ever taken by the delete; this
+          // sink holds one lease at a time, so no cycle)
+          graft.sources.WriterLease.withWrite(spark, corpusDir,
+              "ingest") {
+            fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(table)
+          }
           // bound the delta buffer: every reader scans the delta
           // UNPRUNED (that's the price of O(1)-file appends)
           foldDeltaIfNeeded(spark, idxDir)
@@ -638,8 +658,11 @@ object StreamOps {
         // bootstrap: the first batch screens only against itself
         val admitted = b.join(IngestScreen.withinBatchDrops(b),
           Seq("vec_id"), "left_anti")
-        admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(table)
+        // corpus-dir lease around the corpus write (docs sink's note)
+        graft.sources.WriterLease.withWrite(spark, corpusDir, "ingest") {
+          admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(table)
+        }
         val info = IndexStore.ensure(spark, corpusDir)
         IngestScreen.ensureLists(spark, corpusDir, info)
       } else {
@@ -700,8 +723,13 @@ object StreamOps {
                 IndexStore.appendBatch(spark, idxDir, admitted)
             }
             IngestScreen.appendLists(spark, corpusDir, admitted)
-            admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
-              .parquet(table)
+            // corpus-dir lease around the corpus append (held alone —
+            // the store leases above released at their call's end)
+            graft.sources.WriterLease.withWrite(spark, corpusDir,
+                "ingest") {
+              admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
+                .parquet(table)
+            }
             // same delta-fold cadence as the unscreened sink (the
             // veclists sidecar has its own files-per-cell policy above)
             foldDeltaIfNeeded(spark, idxDir)

@@ -332,6 +332,57 @@ class DeletionSpec extends SparkSpec {
     assert(info.n == 500 - kills.size)
   }
 
+  test("a retention delete whose corpus rewrite is refused by a held " +
+    "corpus-dir writer lease (a concurrent ingest batch) stops in the " +
+    "documented healable state, and the replay completes it") {
+    import graft.sources.{LeaseHeldException, WriterLease}
+    val dir = freshCorpus()
+    val lexDir = LexIndex.dirFor(spark, dir)
+    deleteDir(lexDir)
+    LexIndex.ensure(spark, dir)
+    val kills = docIds(killDocs(dir))
+    assert(kills.nonEmpty)
+    // forge a live foreign corpus-dir lease (an in-flight ingest
+    // batch in another JVM) and shrink the bounded wait
+    val oldW = System.getProperty("graft.lease.waitMs")
+    System.setProperty("graft.lease.waitMs", "300")
+    try {
+      val (fs, p) =
+        graft.Scratch.fs(spark, WriterLease.leasePathOf(dir))
+      val out = fs.create(p, true)
+      try out.write("graftlease|1|4|foreign-owner|ingest"
+        .getBytes("UTF-8")) finally out.close()
+      intercept[LeaseHeldException] {
+        LexIndex.deleteDocs(spark, dir,
+          Tables.load(spark, dir, "documents")
+            .filter(col("doc_id").isin(kills.toSeq: _*))
+            .select(col("doc_id")))
+      }
+      // the refusal point is the corpus rewrite: tombstones + negative
+      // partials landed (the crash-equivalent state ensure can heal),
+      // the corpus itself is untouched
+      assert(LexIndex.tombstoneFrame(spark, lexDir).nonEmpty,
+        "refusal happened before the tombstone commit point")
+      assert((docIds(Tables.load(spark, dir, "documents")) & kills)
+        == kills, "corpus rewrite ran under a foreign corpus lease")
+      fs.delete(p, false)
+    } finally {
+      if (oldW == null) System.clearProperty("graft.lease.waitMs")
+      else System.setProperty("graft.lease.waitMs", oldW)
+    }
+    // replay with the lease gone: already-tombstoned ids are skipped,
+    // the pending rewrite completes (the replay IS the heal)
+    val st = LexIndex.deleteDocs(spark, dir,
+      Tables.load(spark, dir, "documents")
+        .filter(col("doc_id").isin(kills.toSeq: _*)).select(col("doc_id")))
+    assert(st.tombstoned == 0 && st.removedFromCorpus == kills.size)
+    assert((docIds(Tables.load(spark, dir, "documents")) & kills).isEmpty)
+    val info = LexIndex.ensure(spark, dir)
+    assert(!info.builtNow,
+      "ensure rebuilt after a completed replayed delete")
+    assert(info.n == 500 - kills.size)
+  }
+
   test("q81 correction lifecycle: erase → fold → corrected " +
     "re-admission leaves the final corpus with every kill-bucket doc " +
     "in its corrected form, no pending tombstones, and index-served " +
