@@ -39,21 +39,24 @@ object CorrectionProbe {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
-    (1 to runs).foreach { run =>
+    try (1 to runs).foreach { run =>
       // fresh scratch corpus per run (ensureCorrected's own seed
       // discipline would reuse state across runs — this probe wants
-      // cold numbers per stage, so it drives the stages itself)
+      // cold numbers per stage, so it drives the stages itself).
+      // try/finally below: a failed stage (e.g. the validate REQUIRE)
+      // must not strand a full corpus copy + two index dirs on disk
       val root = java.nio.file.Files
         .createTempDirectory("corrprobe").toString
       val corpus = s"$root/c"
+      val lexDir = LexIndex.dirFor(spark, corpus)
+      val annDir = IndexStore.dirFor(spark, corpus)
+      try {
       Tables.load(spark, src, "documents")
         .write.mode(SaveMode.ErrorIfExists)
         .parquet(s"$corpus/documents.parquet")
       Tables.load(spark, src, "embeddings")
         .write.mode(SaveMode.ErrorIfExists)
         .parquet(s"$corpus/embeddings.parquet")
-      val lexDir = LexIndex.dirFor(spark, corpus)
-      val annDir = IndexStore.dirFor(spark, corpus)
       Seq(lexDir, annDir).foreach(deleteDir)
 
       val nDocs = Tables.load(spark, corpus, "documents").count()
@@ -126,9 +129,11 @@ object CorrectionProbe {
         s""""validate_sec":${Json.f3(validate)},""" +
         s""""lifecycle_sec":${Json.f3(lifecycle)},""" +
         s""""rebuild_sec":${Json.f3(rebuild)}}""")
-      deleteDir(root)
-      Seq(lexDir, annDir).foreach(deleteDir)
+      } finally {
+        deleteDir(root)
+        Seq(lexDir, annDir).foreach(deleteDir)
+      }
     }
-    spark.stop()
+    finally spark.stop()
   }
 }

@@ -672,11 +672,22 @@ object IndexStore {
                   // writer lease for just this rewrite (the same lease
                   // the streaming sinks hold around their corpus
                   // appends, so a rewrite can never swap away a file
-                  // an in-flight append just landed)
+                  // an in-flight append just landed). Contention note:
+                  // this rare path (crashed delete) can wait out the
+                  // bounded window inside the store monitor and fail
+                  // LOUDLY to a reader — acceptable for a state that
+                  // only a crashed writer leaves behind; the retry
+                  // heals. The pending probe re-runs INSIDE the lease:
+                  // the wait may have outlasted the crashed delete's
+                  // replay, and the O(corpus) rewrite must not run as
+                  // a token-churning no-op.
                   graft.sources.WriterLease.withWrite(spark, sfDir,
                       "delete-heal") {
-                    rewriteTableMinus(spark, s"$sfDir/embeddings.parquet",
-                      tids, "vec_id")
+                    if (!Tables.load(spark, sfDir, "embeddings")
+                        .join(tids.hint("broadcast"), Seq("vec_id"),
+                          "left_semi").isEmpty)
+                      rewriteTableMinus(spark,
+                        s"$sfDir/embeddings.parquet", tids, "vec_id")
                   }
                 }
               }
@@ -1429,16 +1440,25 @@ object IndexStore {
         val pendingN = raw.join(tids.hint("broadcast"),
           Seq("vec_id"), "left_semi").count()
         if (pendingN > 0) {
-          // fence before the corpus promote (the rewrite's commit),
-          // and hold the CORPUS-DIR lease across it: the streaming
-          // sinks take the same lease around their corpus appends, so
-          // the swap can never discard a file an in-flight append
-          // just landed (hold order index→corpus; the sinks never
-          // hold both at once, so no cycle)
-          graft.sources.WriterLease.verify(spark, dir)
+          // hold the CORPUS-DIR lease across the rewrite: the
+          // streaming sinks take the same lease around their corpus
+          // appends, so the swap can never discard a file an
+          // in-flight append just landed (hold order index→corpus;
+          // the sinks never hold both at once, so no cycle)
           graft.sources.WriterLease.withWrite(spark, sfDir,
               "corpus-rewrite") {
-            rewriteTableMinus(spark, table, tids, "vec_id")
+            // RE-verify the index lease and RE-probe the pending set
+            // INSIDE the corpus lease: the acquisition may have
+            // waited out a takeover (this writer is then stale — the
+            // rewrite must not land) or a concurrent delete that
+            // already removed the ids (the O(corpus) rewrite would
+            // be a pure no-op swap that churns every token)
+            graft.sources.WriterLease.verify(spark, dir)
+            val stillPending = spark.read.parquet(table)
+              .join(tids.hint("broadcast"), Seq("vec_id"), "left_semi")
+              .limit(1).count()
+            if (stillPending > 0)
+              rewriteTableMinus(spark, table, tids, "vec_id")
           }
         }
         pendingN

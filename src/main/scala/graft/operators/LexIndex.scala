@@ -330,13 +330,20 @@ object LexIndex {
         val pendingN = docs.join(tids.hint("broadcast"),
           Seq("doc_id"), "left_semi").count()
         if (pendingN > 0) {
-          // fence before the corpus promote, and hold the CORPUS-DIR
-          // lease across it (see IndexStore.deleteBatch's note: the
-          // docs sink takes the same lease around its corpus append)
-          graft.sources.WriterLease.verify(spark, dir)
+          // CORPUS-DIR lease across the rewrite (see IndexStore
+          // .deleteBatch's note: the docs sink takes the same lease
+          // around its corpus append)
           graft.sources.WriterLease.withWrite(spark, sfDir,
               "corpus-rewrite") {
-            IndexStore.rewriteTableMinus(spark, table, tids, "doc_id")
+            // re-verify + re-probe INSIDE the lease (the wait may
+            // have outlasted a takeover or a concurrent delete that
+            // already removed the ids — see IndexStore.deleteBatch)
+            graft.sources.WriterLease.verify(spark, dir)
+            val stillPending = spark.read.parquet(table)
+              .join(tids.hint("broadcast"), Seq("doc_id"), "left_semi")
+              .limit(1).count()
+            if (stillPending > 0)
+              IndexStore.rewriteTableMinus(spark, table, tids, "doc_id")
           }
         }
         pendingN
@@ -432,11 +439,16 @@ object LexIndex {
                   System.err.println(s"[lexidx] completing a crashed " +
                     s"delete's corpus rewrite at $sfDir")
                   // corpus-dir lease around the rewrite (the docs
-                  // sink holds the same lease for its corpus append)
+                  // sink holds the same lease for its corpus append);
+                  // pending probe re-run INSIDE the lease — see the
+                  // ANN heal's contention note
                   graft.sources.WriterLease.withWrite(spark, sfDir,
                       "delete-heal") {
-                    IndexStore.rewriteTableMinus(spark,
-                      docsPath(spark, sfDir), tids, "doc_id")
+                    if (!docsOf(spark, sfDir)
+                        .join(tids.hint("broadcast"), Seq("doc_id"),
+                          "left_semi").isEmpty)
+                      IndexStore.rewriteTableMinus(spark,
+                        docsPath(spark, sfDir), tids, "doc_id")
                   }
                 }
               }

@@ -33,7 +33,19 @@ object Maintenance {
 
   /** @return (files before, files after) */
   def compact(spark: SparkSession, path: String,
-      targetRowsPerFile: Long): (Int, Int) = {
+      targetRowsPerFile: Long): (Int, Int) =
+    // writer lease over the SAME key the streaming sinks use for
+    // their corpus appends: a table under a corpus dir
+    // (`<dir>/<table>.parquet`) leases the dir; a bare table dir (the
+    // docs-sink corpus layout) leases itself — so compacting a live
+    // corpus table serializes against in-flight ingest batches
+    // instead of silently deleting a just-landed append with the
+    // swapped-away dir. Standing tables nobody appends to pay one
+    // uncontended acquire.
+    WriterLease.withWrite(spark,
+      if (path.stripSuffix("/").endsWith(".parquet"))
+        new Path(path.stripSuffix("/")).getParent.toString
+      else path, "compact") {
     val (fs, root) = graft.Scratch.fs(spark, path)
     // count parts RECURSIVELY so partitioned layouts report honestly
     // (a top-level glob reads a hive table as "0 files")
@@ -136,7 +148,7 @@ object Maintenance {
     }
     ParquetSink.swapInto(fs, shadow, root)
     (before, parquetFiles())
-  }
+    }
 
   /** Restore the incremental-ingest dedup indexes (`<corpusDir>__sh`,
     * `<corpusDir>__bands` — [[graft.streaming.StreamOps
@@ -156,15 +168,18 @@ object Maintenance {
     * the corpus, so one run reconverges the state no matter how it
     * was damaged.
     *
-    * Concurrency contract: run QUIESCED (stream stopped, or between
-    * micro-batches). Each index rewrites through a shadow dir +
-    * recoverable swap, so a mid-compaction CRASH leaves a complete
-    * copy live or at `__old`, and even a torn state (one index
-    * compacted, the other not) stays correct under the sink's
-    * visibility filter. A concurrent APPEND, however, can land in the
-    * swapped-away dir and be deleted with it — the missing-row
-    * rebuild on the next run restores exactly that loss, but until
-    * then near-dups of the affected docs pass the screen unscreened.
+    * Concurrency contract: the corpus-dir WRITER LEASE arbitrates —
+    * this whole rewrite holds it, and the docs sink holds the same
+    * lease around its index-writes→corpus→marker span, so a
+    * concurrent batch now WAITS (the sink's patient wait, then a loud
+    * recoverable batch failure) instead of silently landing an append
+    * in a swapped-away dir. Each index still rewrites through a
+    * shadow dir + recoverable swap, so a mid-compaction CRASH leaves
+    * a complete copy live or at `__old`, and even a torn state (one
+    * index compacted, the other not) stays correct under the sink's
+    * visibility filter; the missing-row rebuild on the next run
+    * remains the backstop for any loss a lease-less legacy writer
+    * could still cause.
     *
     * @return (sh, bands) net rows removed — before minus after, so
     *         rebuilds of missing rows can make a component negative */

@@ -362,6 +362,34 @@ object WriterLease {
     } catch { case NonFatal(_) => () }
   }
 
+  /** [[withWrite]] with PATIENCE for the long-holder case: a corpus
+    * rewrite (retention delete, compaction) is O(corpus) and can
+    * legitimately outlast one `waitMs` window, and the per-batch
+    * ingest sinks are the callers that meet it. Retries the bounded
+    * wait up to `graft.lease.ingestAttempts` times (default 4 ⇒ ~2 min
+    * of total patience at the default wait) before letting the
+    * [[LeaseHeldException]] fly. A genuinely longer hold still fails
+    * the batch loudly — and a failed streaming batch is RECOVERABLE
+    * by design: the sinks are checkpoint-replay idempotent, so a
+    * query restart replays the batch against the by-then-released
+    * store. */
+  def withWritePatient[T](spark: SparkSession, dir: String, op: String)
+      (body: => T): T = {
+    val attempts = math.max(1,
+      Integer.getInteger("graft.lease.ingestAttempts", 4))
+    var left = attempts
+    while (true) {
+      left -= 1
+      try return withWrite(spark, dir, op)(body)
+      catch {
+        case e: LeaseHeldException if left > 0 =>
+          System.err.println(s"[lease] $op on $dir: holder outlasted " +
+            s"one wait window ($left retries left): ${e.getMessage}")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Commit-point fence: throw [[StaleWriterException]] when this
     * JVM's lease on `dir` was lost. No-op when this JVM holds no
     * lease for `dir` — internal callers (heal paths invoked from

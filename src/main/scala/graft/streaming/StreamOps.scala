@@ -360,13 +360,20 @@ object StreamOps {
       val mode = if (empty) org.apache.spark.sql.SaveMode.Overwrite
         else org.apache.spark.sql.SaveMode.Append
       // CORPUS-DIR writer lease around the mutation span (index
-      // writes → corpus append → marker): the same lease a retention
+      // writes → corpus append → marker derivation — the marker's
+      // fallback path runs its committed-listing jobs INSIDE the
+      // lease deliberately: the listing must be consistent with the
+      // corpus state it vouches for): the same lease a retention
       // deleteDocs holds across its corpus rewrite and
       // compactIngestIndexes holds across its swaps, so a cross-JVM
       // rewrite can never swap away a file this batch just landed.
-      // Held only for the writes (the lexical append below takes its
-      // own store lease AFTER this releases — never two at once here)
-      graft.sources.WriterLease.withWrite(spark, corpusDir, "ingest") {
+      // The lexical append below takes its own store lease AFTER
+      // this releases — never two at once here. PATIENT variant: a
+      // retention rewrite can legitimately outlast one wait window;
+      // past its patience the batch fails loudly and the
+      // checkpoint-replay-idempotent sink recovers on restart.
+      graft.sources.WriterLease.withWritePatient(spark, corpusDir,
+          "ingest") {
       // skip writes for an empty frame: partitionBy with zero rows
       // writes NO part files, leaving a footer-less dir every later
       // full-dir read would throw on (bands' 16-rows-per-doc means
@@ -500,7 +507,8 @@ object StreamOps {
       } else if (!fs.exists(marker)) {
         // bootstrap: first batch becomes the corpus, index built on it
         // (corpus-dir lease: see the docs sink's span note)
-        graft.sources.WriterLease.withWrite(spark, corpusDir, "ingest") {
+        graft.sources.WriterLease.withWritePatient(spark, corpusDir,
+            "ingest") {
           b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(table)
         }
@@ -542,7 +550,7 @@ object StreamOps {
           // retention delete's rewrite takes the same lease — hold
           // order index→corpus is only ever taken by the delete; this
           // sink holds one lease at a time, so no cycle)
-          graft.sources.WriterLease.withWrite(spark, corpusDir,
+          graft.sources.WriterLease.withWritePatient(spark, corpusDir,
               "ingest") {
             fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
               .parquet(table)
@@ -659,7 +667,8 @@ object StreamOps {
         val admitted = b.join(IngestScreen.withinBatchDrops(b),
           Seq("vec_id"), "left_anti")
         // corpus-dir lease around the corpus write (docs sink's note)
-        graft.sources.WriterLease.withWrite(spark, corpusDir, "ingest") {
+        graft.sources.WriterLease.withWritePatient(spark, corpusDir,
+            "ingest") {
           admitted.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(table)
         }
@@ -725,7 +734,7 @@ object StreamOps {
             IngestScreen.appendLists(spark, corpusDir, admitted)
             // corpus-dir lease around the corpus append (held alone —
             // the store leases above released at their call's end)
-            graft.sources.WriterLease.withWrite(spark, corpusDir,
+            graft.sources.WriterLease.withWritePatient(spark, corpusDir,
                 "ingest") {
               admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
                 .parquet(table)
