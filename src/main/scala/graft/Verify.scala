@@ -104,13 +104,18 @@ object Verify {
 
   /** q80 (deletion lifecycle, ANN leg) is gated two ways: recall@k of
     * the post-delete IVF×PQ serve vs the exact brute-force top-k over
-    * the SURVIVOR corpus (floor = the persisted-serve class, q69's
-    * 0.55), and a ZERO-TOLERANCE leak check — a killed id appearing as
+    * the SURVIVOR corpus (floor 0.65, measured-minus-margin — see
+    * [[deleteFloor]]), and a ZERO-TOLERANCE leak check — a killed id appearing as
     * a query or neighbor is recorded as recall −1 (hard fail): serving
     * a deleted row is the one unacceptable state of the lifecycle,
     * not a recall trade. */
   val deleteIdx = "q80_delete_ann"
-  val deleteFloor = 0.55
+  // Floor raised 0.55 → 0.65 (VERDICT r15 #3, the q75 precedent):
+  // measured 0.72–0.86 across the four gate scales
+  // (ANN_RECALL_r15_*.json) — at 0.55 a silent 0.15+ recall
+  // regression passed; 0.65 leaves one jitter band under the
+  // measured minimum.
+  val deleteFloor = 0.65
 
   /** q82 (correction lifecycle, ANN leg): recall@k of the
     * post-correction IVF×PQ serve vs the exact top-k over the FINAL
@@ -123,8 +128,12 @@ object Verify {
     * sample is small and PQ error concentrates where geometry just
     * changed. */
   val correctionIdx = "q82_correction_ann"
-  val correctionFloor = 0.55
-  val correctionRegionFloor = 0.40
+  // Floors raised (VERDICT r15 #3): recall 0.55 → 0.65 vs measured
+  // 0.72–0.84, region 0.40 → 0.55 vs measured 0.60–1.00
+  // (CORRECTION_RECALL_r15.json, 4 scales) — measured-minus-margin,
+  // the q75/q80 discipline.
+  val correctionFloor = 0.65
+  val correctionRegionFloor = 0.55
 
   final case class AnnGate(recall: Double, floor: Double) {
     def pass: Boolean = recall >= floor
@@ -337,10 +346,22 @@ object Verify {
       corrected.contains(q) || corrected.contains(n)
     }
     // region recall against `got` as a whole is correct: a region
-    // pair found anywhere in the dump is served
+    // pair found anywhere in the dump is served. An EMPTY region set
+    // (no exact top-k pair touches a corrected id — small corpus or
+    // sparse kill bucket) is a VACUOUS pass, not recallOf's
+    // empty-base⇒0.0: that rule exists for the FULL baseline, where
+    // an empty base against a non-empty dump means a leak; here it
+    // would fail the gate at 0.0 with nothing to verify (ADVICE r15).
+    val regionRecall =
+      if (region.isEmpty) {
+        System.err.println(s"[verify] $correctionIdx corrected-region " +
+          "pair set is empty (no exact pair touches a corrected id) — " +
+          "vacuous pass")
+        1.0
+      } else (region intersect got).size.toDouble / region.size
     Seq(correctionIdx -> AnnGate(recallOf(exact), correctionFloor),
       s"${correctionIdx}_region" ->
-        AnnGate(recallOf(region), correctionRegionFloor))
+        AnnGate(regionRecall, correctionRegionFloor))
   }
 
   /** Dropped-id recall of the q71 dump vs the exact q45 survivor set

@@ -355,11 +355,44 @@ object WriterLease {
     held.synchronized(held.remove(key))
     h.poisoned = true
     Option(h.beat).foreach(_.interrupt())
-    try {
-      val ours = readLease(fs, p)
-        .exists { case (e, o, _) => e == h.epoch && o == h.ownerId }
-      if (ours) fs.delete(p, false)
-    } catch { case NonFatal(_) => () }
+    // A transient read/delete hiccup here must not orphan OUR live
+    // lease file: the heartbeat is already stopped, so a left-behind
+    // file blocks every subsequent writer (any JVM) for a full TTL
+    // even though the store is free (ADVICE r15). Retry the
+    // ours-check/delete a few times; on a persistently unreadable
+    // line, fall back to matching our ownerId in the RAW bytes (the
+    // parse may fail on a torn heartbeat rewrite while the uuid is
+    // still legible) — but never delete a CONFIRMED foreign line.
+    var attempts = 3
+    var done = false
+    while (!done && attempts > 0) {
+      attempts -= 1
+      try {
+        readLease(fs, p) match {
+          case Some((e, o, _)) =>
+            if (e == h.epoch && o == h.ownerId) fs.delete(p, false)
+            done = true // confirmed line: ours → deleted, foreign → leave
+          case None =>
+            if (!fs.exists(p)) done = true // already gone — fine
+            else {
+              val raw =
+                try new String(graft.Scratch.readSmallFile(fs, p), "UTF-8")
+                catch { case NonFatal(_) => "" }
+              if (raw.contains(h.ownerId)) {
+                fs.delete(p, false); done = true
+              }
+              // garbled and not visibly ours: retry (a foreign
+              // takeover mid-rewrite settles into a parsable line)
+            }
+        }
+      } catch { case NonFatal(_) => () }
+      if (!done && attempts > 0) Thread.sleep(100)
+    }
+    if (!done)
+      System.err.println(s"[lease] release of $key could not confirm " +
+        "ownership after retries — if the file is ours it expires by " +
+        "TTL (a later writer takes over); never deleting a possibly-" +
+        "foreign lease")
   }
 
   /** [[withWrite]] with PATIENCE for the long-holder case: a corpus
@@ -395,10 +428,26 @@ object WriterLease {
     * lease for `dir` — internal callers (heal paths invoked from
     * serving reads, specs forging states) mutate under the stores'
     * own crash discipline without a lease; every PUBLIC mutator
-    * acquires, so production writes are always fenced. */
+    * acquires, so production writes are always fenced.
+    *
+    * Scoped to THIS THREAD's completed acquisition (ADVICE r15):
+    * commit-point fences always run on the acquiring thread (the
+    * withWrite body), so a handle owned by ANOTHER thread — or one
+    * registered as the in-JVM reservation but still inside the
+    * bounded wait on a foreign holder (epoch == 0) — is none of this
+    * caller's business. Without the scoping, a lease-less heal/serve
+    * path calling verify during a sibling thread's acquisition window
+    * would read the foreign holder's line, POISON the acquiring
+    * thread's handle, and throw from a thread holding nothing —
+    * spuriously aborting both. */
   def verify(spark: SparkSession, dir: String): Unit = {
     val (fs, p, key) = resolve(spark, dir)
-    val h = held.synchronized(held.get(key)).getOrElse(return)
+    val h = held.synchronized(held.get(key)) match {
+      case Some(x)
+          if (x.ownerThread eq Thread.currentThread()) && x.epoch != 0L =>
+        x
+      case _ => return
+    }
     val ours = !h.poisoned &&
       (try readLease(fs, p)
         .exists { case (e, o, _) => e == h.epoch && o == h.ownerId }

@@ -374,6 +374,15 @@ object StreamOps {
       // checkpoint-replay-idempotent sink recovers on restart.
       graft.sources.WriterLease.withWritePatient(spark, corpusDir,
           "ingest") {
+      // FENCE before the first VISIBLE write of the span (the
+      // scaladoc contract WriterLease.verify documents): a writer
+      // stalled past TTL and taken over must not resume and land the
+      // whole multi-job span — a concurrent retention rewrite by the
+      // new owner could swap away a corpus append this stale batch
+      // just landed, losing admitted docs while the streaming
+      // checkpoint advances (ADVICE r15). The heartbeat poisons the
+      // handle at takeover, so this usually trips before any write.
+      graft.sources.WriterLease.verify(spark, corpusDir)
       // skip writes for an empty frame: partitionBy with zero rows
       // writes NO part files, leaving a footer-less dir every later
       // full-dir read would throw on (bands' 16-rows-per-doc means
@@ -415,6 +424,12 @@ object StreamOps {
         }
       val ownSh = oneLayout(shAfter -- shBefore.keySet)
       val ownBands = bandsAfter -- bandsBefore.keySet
+      // Re-fence before the marker stamp, and OUTSIDE IngestCommit
+      // .write's swallow-all try (same reasoning as IndexStore
+      // .writeCommit's "fence OUTSIDE the try"): a fenced marker
+      // write must abort the batch loudly, never be logged as a
+      // perf-only marker miss while the checkpoint advances.
+      graft.sources.WriterLease.verify(spark, corpusDir)
       IngestCommit.write(spark, corpusDir,
         IngestCommit.Marker(baseSh ++ ownSh, baseBands ++ ownBands,
           IngestCommit.listing(spark, corpusDir)))

@@ -136,6 +136,64 @@ class WriterLeaseSpec extends SparkSpec {
     WriterLease.verify(spark, dir) // foreign lease, not ours to check
   }
 
+  test("verify from a NON-acquiring thread during another thread's " +
+    "bounded wait is a no-op and does not poison the acquirer") {
+    withDials(ttlMs = 60000, waitMs = 2000) {
+      val dir = tmpStore()
+      writeForeign(dir, epoch = 3) // live foreign holder
+      val acquired = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val a = new Thread(() =>
+        try WriterLease.withWrite(spark, dir, "acquirer") {
+          acquired.set(true)
+        } catch { case t: Throwable => failed.set(t) })
+      a.start()
+      Thread.sleep(300) // a is now inside its bounded wait (epoch 0)
+      // a lease-less heal/serve path fencing THIS dir must see "not my
+      // handle" and return — before the thread-ownership scoping it
+      // read the foreign line, poisoned a's handle, and threw from a
+      // thread holding nothing
+      WriterLease.verify(spark, dir)
+      // free the store: a's wait should now succeed cleanly
+      val (fs, p) = graft.Scratch.fs(spark, leaseFile(dir))
+      fs.delete(p, false)
+      a.join(5000)
+      assert(failed.get() == null,
+        s"acquirer failed after a foreign-thread verify: ${failed.get()}")
+      assert(acquired.get(), "acquirer never ran its body")
+    }
+  }
+
+  test("release deletes an unparsable lease file that still carries " +
+    "our owner id (torn heartbeat rewrite), and never deletes garbled " +
+    "foreign debris") {
+    val dir = tmpStore()
+    var ownerId: String = null
+    WriterLease.withWrite(spark, dir, "test") {
+      val (fs, p) = graft.Scratch.fs(spark, leaseFile(dir))
+      ownerId = new String(graft.Scratch.readSmallFile(fs, p), "UTF-8")
+        .split('|')(3)
+      // forge a torn rewrite: unparsable line, our uuid still legible
+      val out = fs.create(p, true)
+      try out.write(s"torn $ownerId torn".getBytes("UTF-8"))
+      finally out.close()
+    }
+    assert(!exists(leaseFile(dir)), "release left OUR torn lease " +
+      "behind — every later writer pays a full TTL on a free store")
+    // garbled debris NOT ours: release must leave it (could be a
+    // foreign holder mid-rewrite)
+    WriterLease.withWrite(spark, dir, "test2") {
+      val (fs, p) = graft.Scratch.fs(spark, leaseFile(dir))
+      val out = fs.create(p, true)
+      try out.write("not a lease at all".getBytes("UTF-8"))
+      finally out.close()
+    }
+    assert(exists(leaseFile(dir)),
+      "release deleted a garbled lease it could not prove was ours")
+    val (fs, p) = graft.Scratch.fs(spark, leaseFile(dir))
+    fs.delete(p, false)
+  }
+
   test("heartbeat renews the lease while a long mutation runs: after " +
     "sleeping past several TTLs the lease still reads live") {
     withDials(ttlMs = 400, waitMs = 300) {
