@@ -134,8 +134,13 @@ object Bench {
   /** One flag threshold for adjudicateXrun AND the noise-line
     * unresolved count — a count judged at a different bar than the
     * flags were raised at would under/overstate reproduced
-    * regressions. */
-  private[graft] val xrunFlagFactor = 3.0
+    * regressions. Tightened 3.0 → 2.0 (VERDICT r15 #1): the r15
+    * continuation spread carried a 1.5–2.4× host-normalized drift
+    * cluster vs BENCH_CLEAN that the 3× bar passed silently; at 2×
+    * those queries re-run under this adjudicator and a surviving
+    * flag is stamped into the artifact instead of discovered a round
+    * later. The within-run med/min bar is already 2.0 — one bar. */
+  private[graft] val xrunFlagFactor = 2.0
 
   private[graft] def adjudicateXrun(
       initial: Map[String, Vector[Double]],
@@ -250,6 +255,44 @@ object Bench {
         vlBuildErr = Some(Json.err(e))
         None
       }
+    // composed-lifecycle scratch pipelines (q79–q82): force the seed +
+    // index-build + erase/correct phase ONCE before the timing loop,
+    // reported as its own field — on a cold container the first timed
+    // q81 run otherwise carries the whole ~8 s scratch build and the
+    // single-run driver artifact records it as query cost (BENCH_r15
+    // q81 8.47 s vs 1.04 s spread median; VERDICT r15 #6). The scratch
+    // roots are deleted first so the number is the reproducible COLD
+    // build, same contract as index_build_sec.
+    var delpipeBuildErr: Option[String] = None
+    val delpipeBuildSec: Option[Double] =
+      if (!SparkEntry.queries.contains("q79_delete_lex")) None
+      else try {
+        val root = operators.DeletePipeline.pipeDirFor(spark, sfDir)
+        val (fs, p) = Scratch.fs(spark, root)
+        if (fs.exists(p)) fs.delete(p, true)
+        val t0 = System.nanoTime()
+        operators.DeletePipeline.ensureDeleted(spark, sfDir)
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] delpipe build failed: ${e.getMessage}")
+        delpipeBuildErr = Some(Json.err(e))
+        None
+      }
+    var corrpipeBuildErr: Option[String] = None
+    val corrpipeBuildSec: Option[Double] =
+      if (!SparkEntry.queries.contains("q81_correction_lex")) None
+      else try {
+        val root = Scratch.stableDir(spark, "corrpipe", sfDir)
+        val (fs, p) = Scratch.fs(spark, root)
+        if (fs.exists(p)) fs.delete(p, true)
+        val t0 = System.nanoTime()
+        operators.DeletePipeline.ensureCorrected(spark, sfDir)
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] corrpipe build failed: ${e.getMessage}")
+        corrpipeBuildErr = Some(Json.err(e))
+        None
+      }
     var errors = Map.empty[String, String]
     val initial: Map[String, Vector[Double]] =
       SparkEntry.queries.map { case (name, fn) =>
@@ -304,6 +347,16 @@ object Bench {
         .map(s => s""","veclists_build_sec":${f3(s)}""").getOrElse("") +
       vlBuildErr
         .map(m => s""","veclists_build_error":${Json.str(m)}""")
+        .getOrElse("") +
+      delpipeBuildSec
+        .map(s => s""","delpipe_build_sec":${f3(s)}""").getOrElse("") +
+      delpipeBuildErr
+        .map(m => s""","delpipe_build_error":${Json.str(m)}""")
+        .getOrElse("") +
+      corrpipeBuildSec
+        .map(s => s""","corrpipe_build_sec":${f3(s)}""").getOrElse("") +
+      corrpipeBuildErr
+        .map(m => s""","corrpipe_build_error":${Json.str(m)}""")
         .getOrElse("") +
       indexBuildErr
         .map(m => s""","index_build_error":${Json.str(m)}""").getOrElse("")

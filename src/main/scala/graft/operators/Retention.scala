@@ -40,11 +40,38 @@ import graft.sources.Tables
   * corpus-dir lease the streaming sinks hold around their appends —
   * a forget can run against a live ingest stream and they serialize.
   *
-  * Stores that were never built are skipped (an index-less corpus is
-  * a plain filter — deleting derived state that does not exist is a
-  * no-op, not an error), so `forget` is safe on a corpus where only
-  * one of the two tables has an index. */
+  * A side that was never indexed still forgets: the corpus table is
+  * rewritten minus the ids through the SAME shadow+promote swap and
+  * corpus-dir lease the indexed deletions use ([[forgetTableOnly]] —
+  * VERDICT r15 #2), so "no index" never silently half-forgets and
+  * never pushes the lease discipline onto the caller. Derived state
+  * that does not exist is simply not touched. */
 object Retention {
+
+  /** Index-less forget for one corpus table: rewrite it minus `ids`
+    * through [[IndexStore.rewriteTableMinus]]'s crash-atomic
+    * shadow+promote, under the corpus-dir writer lease the streaming
+    * sinks hold around their appends — the swap can never discard a
+    * file an in-flight ingest batch just landed, and a retention
+    * forget serializes against live ingest exactly like the indexed
+    * path. Replay-convergent: a replay sees no ids present and
+    * no-ops. Returns the rows removed. */
+  private def forgetTableOnly(spark: SparkSession, corpusDir: String,
+      table: String, ids: DataFrame, key: String): Long = {
+    val kids = ids.select(col(key)).distinct()
+    graft.sources.WriterLease.withWrite(spark, corpusDir,
+        "corpus-rewrite") {
+      val present = spark.read.parquet(table)
+        .join(kids.hint("broadcast"), Seq(key), "left_semi").count()
+      if (present > 0) {
+        // fence immediately before the visible swap (the commit
+        // point) — the acquisition may have waited out a takeover
+        graft.sources.WriterLease.verify(spark, corpusDir)
+        IndexStore.rewriteTableMinus(spark, table, kids, key)
+      }
+      present
+    }
+  }
 
   final case class ForgetStats(
       docsTombstoned: Long, docsRemovedFromCorpus: Long,
@@ -65,18 +92,13 @@ object Retention {
         val st = LexIndex.deleteDocs(spark, corpusDir,
           ids.select(col("doc_id")))
         (st.tombstoned, st.removedFromCorpus)
-      case Some(_) =>
-        // no lexical index: the corpus table alone still must forget.
-        // An id-less rewrite through the same shadow+promote +
-        // corpus-lease discipline the indexed path uses would deserve
-        // its own surface; refusing loudly is safer than silently
-        // deleting only the indexed side — build the index (cheap
-        // relative to owning a corpus) or filter the table directly.
-        throw new IllegalStateException(
-          s"no lexical index at $lexDir — Retention.forget composes " +
-            "each store's deletion lifecycle; for an index-less " +
-            "corpus filter the table directly (a plain rewrite), or " +
-            "LexIndex.ensure first")
+      case Some(ids) =>
+        // no lexical index: the corpus table alone still forgets,
+        // through the same shadow+promote + corpus-lease discipline
+        // (nothing derived exists to tombstone, so tombstoned = 0 and
+        // a later LexIndex.ensure builds over the survivors)
+        (0L, forgetTableOnly(spark, corpusDir,
+          s"$corpusDir/documents.parquet", ids, "doc_id"))
       case None => (0L, 0L)
     }
     val (vT, vR) = vecIds match {
@@ -84,20 +106,20 @@ object Retention {
         val st = IndexStore.deleteBatch(spark, corpusDir,
           ids.select(col("vec_id")))
         (st.tombstoned, st.removedFromCorpus)
-      case Some(_) =>
-        throw new IllegalStateException(
-          s"no ANN index at $annDir — Retention.forget composes each " +
-            "store's deletion lifecycle; for an index-less corpus " +
-            "filter the table directly, or IndexStore.ensure first")
+      case Some(ids) =>
+        (0L, forgetTableOnly(spark, corpusDir,
+          s"$corpusDir/embeddings.parquet", ids, "vec_id"))
       case None => (0L, 0L)
     }
     val (fl, fa) =
       if (!foldNow) (false, false)
       else (
-        docIds.nonEmpty && {
+        // index-less sides have nothing to fold: their rewrite above
+        // was already the physical removal
+        docIds.nonEmpty && LexIndex.hasIndex(spark, lexDir) && {
           LexIndex.compact(spark, corpusDir); true
         },
-        vecIds.nonEmpty && {
+        vecIds.nonEmpty && IndexStore.hasIndex(spark, annDir) && {
           graft.sources.Maintenance.compactAnnIndex(spark, annDir); true
         })
     ForgetStats(dT, dR, vT, vR, fl, fa)

@@ -87,6 +87,28 @@ final class StaleWriterException(msg: String)
   * PUTs. Same trust ladder as everywhere here: prevent where the
   * primitive is real, detect-and-heal where it is not.
   *
+  * EPOCH-IN-MARKERS (design decision, VERDICT r15 #8 — scoped, NOT
+  * implemented): stamping the fencing epoch into the commit markers
+  * (`_commit`, vtoken, ingest marker) and checking monotonicity at
+  * validation would upgrade the object-store story from "foreign
+  * write detected by digest" to "stale writer identified by epoch".
+  * Scoping found the check needs a SECOND durable primitive the
+  * stores don't otherwise have: the epoch's source of truth is the
+  * lease FILE, which is deleted on release — a validator arriving
+  * with no live lease has nothing to compare a marker's stamp
+  * against, so monotonicity requires a persistent per-store epoch
+  * high-water file that every acquisition reads and every takeover
+  * rewrites. That file's own writes are exactly as non-atomic on an
+  * object store as the lease's (a torn high-water rewrite yields
+  * false "stale writer" verdicts on healthy stores — worse than the
+  * digest's honest "something moved, revalidate"), and the digest
+  * backstop already converges to a correct answer in every such
+  * window at zero extra I/O. Decision: keep detect-and-heal; the
+  * epoch stamp buys a better diagnostic label, not a smaller
+  * corruption window, and its new failure mode is not worth that
+  * label. Revisit only alongside real conditional-PUT primitives
+  * (which would fix the lease itself first).
+  *
   * The lease file lives OUTSIDE the store dir (sibling suffix, like
   * the `__shadow_`/`__old` family) deliberately: it survives the
   * store's own shadow-promote swap, and it never feeds

@@ -113,6 +113,42 @@ class DeletionSpec extends SparkSpec {
     assert(st.appended == 1)
   }
 
+  test("foldAtTombstones policy: ensure folds the sidecar once at the " +
+    "threshold, serving is bit-identical across the policy fold, and " +
+    "the next policied ensure is a no-op") {
+    val dir = freshCorpus()
+    val idxDir = IndexStore.dirFor(spark, dir)
+    deleteDir(idxDir)
+    IndexStore.ensure(spark, dir)
+    val kills = vecIds(killVecs(dir))
+    IndexStore.deleteBatch(spark, dir, kills.toSeq.toDF("vec_id"))
+    // below threshold: tombstones stay pending (serving anti-joins)
+    val lax = IndexStore.RebuildPolicy(
+      foldAtTombstones = kills.size + 1L)
+    val infoLax = IndexStore.ensure(spark, dir, Some(lax))
+    assert(!infoLax.builtNow)
+    assert(IndexStore.tombstoneFrame(spark, idxDir).nonEmpty,
+      "a below-threshold sidecar must not fold")
+    val before = IndexStore.queryIvfPq(spark, dir, infoLax)
+      .collect().map(_.toSeq).toSet
+    // at threshold: the fold fires inside ensure, no manual call
+    val strict = IndexStore.RebuildPolicy(
+      foldAtTombstones = kills.size.toLong)
+    val info = IndexStore.ensure(spark, dir, Some(strict))
+    assert(!info.builtNow, "the policy fold must compact, not rebuild")
+    assert(IndexStore.tombstoneFrame(spark, idxDir).isEmpty,
+      "sidecar must clear at the policy fold")
+    assert(IndexStore.appendState(spark, idxDir).exists(_._2 ==
+      500 - kills.size), "meta.n must fold")
+    val after = IndexStore.queryIvfPq(spark, dir, info)
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "serving changed across the policy fold")
+    // fired once: the sidecar is gone, a replayed policied ensure
+    // must neither fold again nor rebuild
+    val info2 = IndexStore.ensure(spark, dir, Some(strict))
+    assert(!info2.builtNow && info2.n == 500 - kills.size)
+  }
+
   test("ANN crash window (tombstones stamped, corpus rewrite lost): " +
     "ensure completes the rewrite and validates without rebuild — " +
     "deleted rows never resurrect") {

@@ -8,7 +8,8 @@ import graft.sources.Tables
 /** [[Retention.forget]]/[[Retention.forgetWhere]] — the user-facing
   * multi-store forget: predicate kill sets removed from both corpora
   * and excluded from serving, replay convergence, the deferred-fold
-  * default vs foldNow, and the loud index-less refusal. */
+  * default vs foldNow, and the index-less plain-rewrite path (same
+  * shadow+promote + corpus-lease discipline, VERDICT r15 #2). */
 class RetentionSpec extends SparkSpec {
   import spark.implicits._
 
@@ -83,20 +84,67 @@ class RetentionSpec extends SparkSpec {
     assert(!annInfo2.builtNow && annInfo2.n == 500 - killVecs.size)
   }
 
-  test("forget on an index-less corpus refuses loudly instead of " +
-    "deleting only the side that has an index") {
+  test("forget on a never-indexed corpus rewrites the table through " +
+    "the shadow+promote + corpus-lease path: rows gone, replay " +
+    "no-ops, a later ensure builds over the survivors") {
     val dir = freshCorpus()
     // no ensure — no stores exist
-    intercept[IllegalStateException] {
-      Retention.forget(spark, dir,
-        docIds = Some(Seq(1L).toDF("doc_id")))
-    }
-    intercept[IllegalStateException] {
-      Retention.forget(spark, dir,
-        vecIds = Some(Seq(1L).toDF("vec_id")))
-    }
+    val killDocs = Seq(3L, 7L, 11L)
+    val killVecs = Seq(2L, 5L)
+    val st = Retention.forget(spark, dir,
+      docIds = Some(killDocs.toDF("doc_id")),
+      vecIds = Some(killVecs.toDF("vec_id")),
+      foldNow = true) // nothing derived to fold — must not throw
+    assert(st.docsTombstoned == 0 && st.vecsTombstoned == 0,
+      "an index-less side has no derived state to tombstone")
+    assert(st.docsRemovedFromCorpus == killDocs.size &&
+      st.vecsRemovedFromCorpus == killVecs.size)
+    assert(!st.foldedLex && !st.foldedAnn)
+    assert(Tables.load(spark, dir, "documents")
+      .filter(col("doc_id").isin(killDocs: _*)).isEmpty)
+    assert(Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id").isin(killVecs: _*)).isEmpty)
+    // replay converges: the ids are gone, nothing rewrites
+    val st2 = Retention.forget(spark, dir,
+      docIds = Some(killDocs.toDF("doc_id")),
+      vecIds = Some(killVecs.toDF("vec_id")))
+    assert(st2.docsRemovedFromCorpus == 0 && st2.vecsRemovedFromCorpus == 0)
+    // a later ensure builds over the survivors — no ghost state
+    val lexInfo = LexIndex.ensure(spark, dir)
+    assert(lexInfo.builtNow && lexInfo.n == 500 - killDocs.size)
     // and a no-op forget (nothing to forget) is legal without stores
-    val st = Retention.forget(spark, dir)
-    assert(st == Retention.ForgetStats(0, 0, 0, 0, false, false))
+    val st3 = Retention.forget(spark, dir)
+    assert(st3 == Retention.ForgetStats(0, 0, 0, 0, false, false))
+  }
+
+  test("index-less forget serializes against a live corpus-lease " +
+    "holder: a held foreign lease refuses it loudly after the bounded " +
+    "wait, and the table is untouched") {
+    import graft.sources.{LeaseHeldException, WriterLease}
+    val dir = freshCorpus()
+    val oldW = System.getProperty("graft.lease.waitMs")
+    System.setProperty("graft.lease.waitMs", "300")
+    try {
+      // forge a live ingest batch's corpus lease from another process
+      val (fs, p) = graft.Scratch.fs(spark, WriterLease.leasePathOf(dir))
+      val out = fs.create(p, true)
+      try out.write("graftlease|1|4|foreign-owner|ingest".getBytes("UTF-8"))
+      finally out.close()
+      val before = Tables.load(spark, dir, "documents").count()
+      intercept[LeaseHeldException] {
+        Retention.forget(spark, dir,
+          docIds = Some(Seq(3L).toDF("doc_id")))
+      }
+      assert(Tables.load(spark, dir, "documents").count() == before,
+        "a refused forget mutated the corpus")
+      fs.delete(p, false)
+      // with the lease free the same forget completes
+      val st = Retention.forget(spark, dir,
+        docIds = Some(Seq(3L).toDF("doc_id")))
+      assert(st.docsRemovedFromCorpus == 1)
+    } finally {
+      if (oldW == null) System.clearProperty("graft.lease.waitMs")
+      else System.setProperty("graft.lease.waitMs", oldW)
+    }
   }
 }
