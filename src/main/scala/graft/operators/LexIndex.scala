@@ -407,8 +407,20 @@ object LexIndex {
   /** Serve-ready lexical index for `sfDir`: zero-job token fast path,
     * full fingerprint validation on any observable change, rebuild on
     * mismatch — the [[IndexStore.ensure]] contract without the
-    * append/drift axes (no append path exists to drift). */
-  def ensure(spark: SparkSession, sfDir: String): BuildInfo =
+    * append/drift axes (no append path exists to drift).
+    *
+    * `foldAtTombstones`: the [[IndexStore.RebuildPolicy
+    * .foldAtTombstones]] mirror (same VERDICT r15 #5 rationale) —
+    * when the pending tombstone count reaches the threshold, ensure
+    * runs [[compact]] (whose rewrite folds the tombstones physically
+    * and clears the sidecar; serving is bit-identical across it), so
+    * a delete-heavy corpus stops paying the per-query ghost-posting
+    * anti-join without a manual maintenance call. Default MaxValue =
+    * never (the amortized compaction-cadence default). The
+    * tombstone-free common case pays nothing: the trigger reads the
+    * tombN the token/validation already computed. */
+  def ensure(spark: SparkSession, sfDir: String,
+      foldAtTombstones: Long = Long.MaxValue): BuildInfo =
     synchronized {
       val dir = dirFor(spark, sfDir)
       def dialsOk(m: LexIndexMeta): Boolean =
@@ -417,7 +429,22 @@ object LexIndex {
       // tombstones); np stays physical (it only gates the np==0
       // part-file-less read guard, and ghost postings are still files)
       def serve(m: LexIndexMeta, tombN: Long): BuildInfo =
-        BuildInfo(dir, m.n - tombN, m.np, builtNow = false, buildSec = 0.0)
+        if (tombN > 0 && tombN >= foldAtTombstones) {
+          System.err.println(s"[lexidx] policy fold at $dir: $tombN " +
+            "pending tombstone(s) at/over the threshold")
+          // monitor → lease order, the composed-ensure discipline
+          // (same as the delete-heal above); compact re-stamps the
+          // token itself. Blank-survivor corpora skip the fold inside
+          // compact (loudly) — the re-read below then serves the
+          // still-pending state correctly.
+          compact(spark, sfDir)
+          val m2 = readMeta(spark, dir).getOrElse(m)
+          val (tN2, _) = tombAggregates(spark, dir)
+          BuildInfo(dir, m2.n - tN2, m2.np, builtNow = false,
+            buildSec = 0.0)
+        } else
+          BuildInfo(dir, m.n - tombN, m.np, builtNow = false,
+            buildSec = 0.0)
       val digest = stateDigest(spark, sfDir, dir)
       readToken(spark, dir) match {
         case Some((d, tm, tombN, _)) if d == digest && dialsOk(tm) =>

@@ -96,9 +96,11 @@ object Retention {
         // no lexical index: the corpus table alone still forgets,
         // through the same shadow+promote + corpus-lease discipline
         // (nothing derived exists to tombstone, so tombstoned = 0 and
-        // a later LexIndex.ensure builds over the survivors)
+        // a later LexIndex.ensure builds over the survivors).
+        // docsPath resolves both layouts — `documents.parquet` under
+        // the dir, or the streaming docs sink's bare-dir table
         (0L, forgetTableOnly(spark, corpusDir,
-          s"$corpusDir/documents.parquet", ids, "doc_id"))
+          LexIndex.docsPath(spark, corpusDir), ids, "doc_id"))
       case None => (0L, 0L)
     }
     val (vT, vR) = vecIds match {

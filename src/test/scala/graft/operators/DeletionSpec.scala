@@ -149,6 +149,42 @@ class DeletionSpec extends SparkSpec {
     assert(!info2.builtNow && info2.n == 500 - kills.size)
   }
 
+  test("lexical foldAtTombstones policy: ensure folds the sidecar at " +
+    "the threshold, q74 serving is bit-identical across the fold, and " +
+    "a replayed policied ensure no-ops") {
+    val dir = freshCorpus()
+    val lexDir = LexIndex.dirFor(spark, dir)
+    deleteDir(lexDir)
+    LexIndex.ensure(spark, dir)
+    val kills = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 17 === 3).select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(kills.nonEmpty)
+    LexIndex.deleteDocs(spark, dir, kills.toSeq.toDF("doc_id"))
+    // below threshold: pending tombstones keep serving via anti-join
+    val infoLax = LexIndex.ensure(spark, dir,
+      foldAtTombstones = kills.size + 1L)
+    assert(!infoLax.builtNow && infoLax.n == 500 - kills.size)
+    assert(LexIndex.tombstoneFrame(spark, lexDir).nonEmpty,
+      "a below-threshold sidecar must not fold")
+    val before = LexIndex.q74Bm25TopKIdx(spark, dir)
+      .collect().map(_.toSeq).toSet
+    // at threshold: the fold fires inside ensure
+    val info = LexIndex.ensure(spark, dir,
+      foldAtTombstones = kills.size.toLong)
+    assert(!info.builtNow && info.n == 500 - kills.size,
+      "the policy fold must compact, not rebuild")
+    assert(LexIndex.tombstoneFrame(spark, lexDir).isEmpty,
+      "sidecar must clear at the policy fold")
+    val after = LexIndex.q74Bm25TopKIdx(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(after == before, "BM25 serving changed across the policy fold")
+    // fired once: replay neither folds again nor rebuilds
+    val info2 = LexIndex.ensure(spark, dir,
+      foldAtTombstones = kills.size.toLong)
+    assert(!info2.builtNow && info2.n == 500 - kills.size)
+  }
+
   test("ANN crash window (tombstones stamped, corpus rewrite lost): " +
     "ensure completes the rewrite and validates without rebuild — " +
     "deleted rows never resurrect") {

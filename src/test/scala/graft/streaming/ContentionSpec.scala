@@ -145,4 +145,110 @@ class ContentionSpec extends SparkSpec {
       deleteDir(corpusDir)
     }
   }
+
+  test("a concurrent docs forget and live docs ingest serialize " +
+    "through the corpus + lexical leases: no deadlock, no lost " +
+    "admitted doc, kills gone from corpus and BM25 serving") {
+    import graft.operators.{LexIndex, Retention}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("contention_docs").toString + "/c"
+    val lexDir = LexIndex.dirFor(spark, corpusDir)
+    def deleteDir(path: String): Unit = {
+      val (fs, p) = graft.Scratch.fs(spark, path)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    deleteDir(lexDir)
+
+    val src = graft.sources.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect()
+    // per-batch token namespaces (IngestProbe's docScale discipline):
+    // zero shingle overlap with the corpus → genuinely admitted
+    def mkBatch(i: Int): Seq[(Long, String, String)] =
+      src.take(200).zipWithIndex.map { case ((_, text, lang), j) =>
+        (900000000L + i.toLong * 200 + j,
+          text.split(' ').map(w => s"zz${i}_$w").mkString(" "), lang)
+      }.toSeq
+
+    val ms = MemoryStream[(Long, String, String)]
+    val q = StreamOps.incrementalIngestStream(
+        ms.toDF().toDF("doc_id", "text", "lang"), corpusDir)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("contention_docs_ckpt").toString)
+      .start()
+    def progressSum: Long = q.recentProgress.map(_.numInputRows).sum
+    def corpusIds(): Set[Long] = {
+      var left = 5
+      while (true) {
+        try return spark.read.parquet(corpusDir)
+          .select("doc_id").as[Long].collect().toSet
+        catch { case e: Throwable if left > 0 =>
+          left -= 1; Thread.sleep(300)
+        }
+      }
+      Set.empty
+    }
+    var everSeen = Set.empty[Long]
+    def feed(rows: Seq[(Long, String, String)]): Unit = {
+      val before = progressSum
+      ms.addData(rows)
+      val deadline = System.nanoTime() + 300L * 1000000000L
+      var sum = -1L
+      while (sum < before + rows.size && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        sum = progressSum
+        if (sum < before + rows.size) Thread.sleep(100)
+      }
+      assert(sum >= before + rows.size,
+        "docs ingest barrier timed out — deadlock or dead query")
+      everSeen ++= corpusIds()
+    }
+
+    try {
+      feed(src.toSeq) // bootstrap: corpus + sh/bands + lexical index
+      feed(mkBatch(0))
+
+      val kills = src.map(_._1).filter(_ % 17 == 3)
+      assert(kills.nonEmpty)
+      val forgetErr =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val forget = new Thread(() =>
+        try Retention.forget(spark, corpusDir,
+          docIds = Some(kills.toSeq.toDF("doc_id")))
+        catch { case t: Throwable => forgetErr.set(t) },
+        "spec-docs-forget")
+      forget.start()
+      feed(mkBatch(1))
+      feed(mkBatch(2))
+      forget.join(300000L)
+      assert(!forget.isAlive, "docs forget deadlocked against live ingest")
+      assert(forgetErr.get() == null,
+        s"concurrent docs forget failed: ${forgetErr.get()}")
+      feed(mkBatch(3))
+
+      val idSet = corpusIds()
+      val lost = (everSeen -- kills) -- idSet
+      assert(lost.isEmpty, s"${lost.size} committed doc(s) vanished " +
+        s"(e.g. ${lost.take(3).mkString(",")}) — a rewrite swapped " +
+        "away an append it raced")
+      (0 to 3).foreach { b =>
+        assert(mkBatch(b).map(_._1).exists(idSet.contains),
+          s"docs batch $b landed no rows at all")
+      }
+      assert(kills.forall(!idSet.contains(_)),
+        "a forgotten doc_id survived the concurrent forget")
+      // lexical serving excludes the kills from this instant
+      val served = LexIndex.q74Bm25TopKIdx(spark, corpusDir)
+        .filter(col("doc_id").isin(kills.toSeq: _*))
+      assert(served.isEmpty,
+        "post-forget BM25 serving returned a deleted doc")
+    } finally {
+      try q.stop() catch { case _: Throwable => () }
+      deleteDir(LexIndex.dirFor(spark, corpusDir))
+      deleteDir(corpusDir)
+      deleteDir(corpusDir + "__sh"); deleteDir(corpusDir + "__bands")
+    }
+  }
 }
