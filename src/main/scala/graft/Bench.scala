@@ -376,8 +376,8 @@ object Bench {
         }.mkString("{", ",", "}")
     // cross-run stamp: host_factor documents the control even when
     // nothing flagged (a reader can re-normalize any query manually);
-    // a flag whose "after" is still > 3 survived its re-runs — a
-    // reproduced regression vs the clean record, not steal
+    // a flag whose "after" is still > xrunFlagFactor survived its
+    // re-runs — a reproduced regression vs the clean record, not steal
     val xrunField =
       if (hostFactor <= 0) ""
       else s""","xrun":{"ref":${Json.str(refPath)},""" +

@@ -46,21 +46,15 @@ object ContentionProbe {
     val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
     val batchSize = 1000
-    // fresh ids + per-batch decorrelated content — IngestProbe's
-    // discipline: a suppressed batch would measure the screen only
-    def freshVec(emb: Array[Float], batch: Int): Array[Float] = {
-      val lag = (batch + 1) * 8 % math.max(1, emb.length)
-      val out = new Array[Float](emb.length)
-      var j = 0
-      while (j < emb.length) {
-        out(j) = -emb((j + lag) % emb.length) - 0.001f * (batch + 1)
-        j += 1
-      }
-      out
-    }
+    // 3 pre + ≤12 contended + 3 post: guard the decorrelation up
+    // front (StreamDrive carries the lag-uniqueness contract the
+    // first copy of this harness silently dropped)
+    val maxBatches = 18
+    StreamDrive.requireDecorrelated(maxBatches, src.head._2.length)
     def mkBatch(i: Int): Seq[(Long, Array[Float])] =
       src.take(batchSize).zipWithIndex.map { case ((_, emb), j) =>
-        (900000000L + i.toLong * batchSize + j, freshVec(emb, i))
+        (900000000L + i.toLong * batchSize + j,
+          StreamDrive.freshVec(emb, i))
       }.toSeq
 
     val ms = MemoryStream[(Long, Array[Float])]
@@ -69,41 +63,21 @@ object ContentionProbe {
       .option("checkpointLocation", java.nio.file.Files
         .createTempDirectory("contention_ckpt").toString)
       .start()
-    def progressSum: Long = q.recentProgress.map(_.numInputRows).sum
-    def awaitConsumed(expected: Long): Unit = {
-      val deadline = System.nanoTime() + 600L * 1000000000L
-      var sum = -1L
-      while (sum < expected && System.nanoTime() < deadline) {
-        q.processAllAvailable()
-        sum = progressSum
-        if (sum < expected) Thread.sleep(200)
-      }
-      require(sum >= expected, s"ingest barrier timed out: $sum of " +
-        s"$expected source rows consumed — deadlock or dead query")
-    }
     // lost-write witness (see the convergence block): every id EVER
     // observed in the corpus must survive to the end unless killed —
     // the screen legitimately drops within-batch near-dups, so
     // "every batch row lands" would be the wrong assertion. Reads are
     // retried across the forget's promote-swap window.
     var everSeen = Set.empty[Long]
-    def corpusIdArray(): Array[Long] = {
-      var left = 5
-      while (true) {
-        try return spark.read.parquet(s"$corpusDir/embeddings.parquet")
-          .select("vec_id").as[Long].collect()
-        catch { case e: Throwable if left > 0 =>
-          left -= 1; Thread.sleep(300)
-        }
-      }
-      Array.empty
-    }
+    def corpusIdArray(): Array[Long] =
+      StreamDrive.readIdsRetried(spark,
+        s"$corpusDir/embeddings.parquet", "vec_id")
     def timedBatch(i: Int): Double = {
-      val before = progressSum
+      val before = StreamDrive.progressSum(q)
       val b = mkBatch(i)
       val t0 = System.nanoTime()
       ms.addData(b)
-      awaitConsumed(before + b.size)
+      StreamDrive.awaitConsumed(q, before + b.size)
       val s = (System.nanoTime() - t0) / 1e9
       everSeen ++= corpusIdArray()
       s
@@ -117,7 +91,7 @@ object ContentionProbe {
       // bootstrap: the seeded corpus + index build through the sink
       val t0 = System.nanoTime()
       ms.addData(src.toSeq)
-      awaitConsumed(src.length.toLong)
+      StreamDrive.awaitConsumed(q, src.length.toLong)
       val bootSec = (System.nanoTime() - t0) / 1e9
 
       val preSecs = (0 until 3).map(timedBatch)

@@ -62,12 +62,9 @@ object IngestProbe {
     spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     // lag-uniqueness guard for freshVec (64-dim fixtures): congruent
     // or zero lags re-create the wholesale-rejection measurement bug
-    // the per-batch decorrelation exists to fix
-    require((0 until nBatches).map(i => (i + 1) * 8 % 64).distinct.size
-        == nBatches &&
-        (0 until nBatches).forall(i => (i + 1) * 8 % 64 != 0),
-      s"nBatches=$nBatches yields colliding/zero circular-shift lags " +
-        "at dim 64 — batches would near-dup each other or the corpus")
+    // the per-batch decorrelation exists to fix (the guard + map now
+    // live in StreamDrive, shared with the contention harnesses)
+    StreamDrive.requireDecorrelated(nBatches, 64)
     val scales = Seq(
       ("sf0.1", "/root/testdata/sf0.1"),
       ("big", sys.env.getOrElse("GRAFT_INGEST_BIG_DIR", "/tmp/sfbig")))
@@ -80,56 +77,15 @@ object IngestProbe {
     def timed[A](body: => A): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    /** Completion BARRIER on cumulative source consumption.
-      * processAllAvailable alone is racy at long batch times (observed
-      * at the 32k corpus: it returned in 0.4 s while the trigger's
-      * real ~30 s of work landed in LATER timed windows — per-batch
-      * attribution was garbage and the final q.stop() even abandoned
-      * the tail). A batch's progress event posts only AFTER its
-      * foreachBatch completed, so Σ numInputRows ≥ rows-added-so-far
-      * is the exact "all my data was processed" signal — independent
-      * of how many rows the sink's screens ADMIT (a corpus-count
-      * barrier would need the data-dependent admission count).
-      *
-      * DELTA-based, not cumulative: the caller reads the pre-window
-      * sum and waits for `before + n` — absolute expectations drift
-      * when a trigger's numInputRows over-counts (observed +1 per
-      * addData block on this Spark) and a drifted cumulative target
-      * can be satisfied BEFORE the window's own work runs, collapsing
-      * the measured time to the polling overhead. */
+    // barrier + decorrelating map: ONE implementation in
+    // [[StreamDrive]] (shared with the contention harnesses — the
+    // rationale docs live there)
     def progressSum(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
-      q.recentProgress.map(_.numInputRows).sum
+      StreamDrive.progressSum(q)
     def awaitConsumed(q: org.apache.spark.sql.streaming.StreamingQuery,
-        expected: Long): Unit = {
-      val deadline = System.nanoTime() + 600L * 1000000000L
-      var sum = -1L
-      while (sum < expected && System.nanoTime() < deadline) {
-        q.processAllAvailable()
-        sum = progressSum(q)
-        if (sum < expected) Thread.sleep(200)
-      }
-      require(sum >= expected,
-        s"ingest barrier timed out: $sum source rows consumed, " +
-          s"expected $expected — the sink stalled or the query died")
-    }
-    /** Per-batch DECORRELATING map: circular-shift by a per-batch lag
-      * (a permutation — cosine-preserving, distribution-preserving),
-      * then negate+shift. Distinct lags make cross-batch cosines ~
-      * N(0, 1/dim) like make_ann_calib's replicas; the first svec
-      * probe naively reused one map for every batch and each batch
-      * was a near-dup (cosine ≈ 1) of the previously ADMITTED one —
-      * the screen rejected batches 1..k wholesale and the "per-batch
-      * cost" measured screening with no admission at all. */
-    def freshVec(emb: Array[Float], batch: Int): Array[Float] = {
-      val lag = (batch + 1) * 8 % math.max(1, emb.length)
-      val out = new Array[Float](emb.length)
-      var j = 0
-      while (j < emb.length) {
-        out(j) = -emb((j + lag) % emb.length) - 0.001f * (batch + 1)
-        j += 1
-      }
-      out
-    }
+        expected: Long): Unit = StreamDrive.awaitConsumed(q, expected)
+    def freshVec(emb: Array[Float], batch: Int): Array[Float] =
+      StreamDrive.freshVec(emb, batch)
 
     /** Vector path: bootstrap = corpus write + index build (batch 1);
       * then fixed 500-vector batches, ids offset out of the corpus

@@ -644,7 +644,23 @@ object IndexStore {
     * compaction (never a rebuild) when append slivers pile up — see
     * [[RebuildPolicy]]. */
   def ensure(spark: SparkSession, sfDir: String,
-      policy: Option[RebuildPolicy] = None): BuildInfo =
+      policy: Option[RebuildPolicy] = None): BuildInfo = {
+    val info = ensureSync(spark, sfDir, policy)
+    // layout-policy compaction AFTER the monitor releases, so the
+    // compaction path takes lease → monitor like every other public
+    // mutator (compactAnnIndex's own order). Running it inside
+    // serve() under the monitor inverted that order against a
+    // concurrent direct compactAnnIndex (lease held, blocked on the
+    // monitor) — a bounded ABBA stall that threw LeaseHeldException
+    // out of a SERVE path after waitMs. Content-preserving either
+    // way, so info (computed pre-compaction) stays valid: effective
+    // n, nl and the dir don't move.
+    if (!info.builtNow) compactIfPolicied(spark, sfDir, info.dir, policy)
+    info
+  }
+
+  private def ensureSync(spark: SparkSession, sfDir: String,
+      policy: Option[RebuildPolicy]): BuildInfo =
     synchronized {
       val dir = dirFor(spark, sfDir)
       def cheapOk(m: AnnIndexMeta, tombN: Long): Boolean =
@@ -653,10 +669,8 @@ object IndexStore {
       // served size is the EFFECTIVE corpus (meta minus pending valid
       // tombstones) — shortlist sizing and the n=0 delegate then match
       // what a rebuilt-on-survivors index would report
-      def serve(m: AnnIndexMeta, tombN: Long): BuildInfo = {
-        compactIfPolicied(spark, sfDir, dir, m, policy)
+      def serve(m: AnnIndexMeta, tombN: Long): BuildInfo =
         BuildInfo(dir, m.n - tombN, m.nl, builtNow = false, buildSec = 0.0)
-      }
       val digest = stateDigest(spark, sfDir, dir)
       readToken(spark, dir) match {
         // fast path: nothing on disk moved since the full validation
@@ -723,53 +737,71 @@ object IndexStore {
       }
     }
 
-  /** [[RebuildPolicy.compactAtFilesPerCell]] enforcement: glob the two
-    * codes tables' `cell=` dirs (driver-side metadata only) and run
-    * [[graft.sources.Maintenance.compactAnnIndex]] when any cell's
-    * sliver count reached the threshold, then re-stamp the token (the
-    * rewrite is content-preserving — `m` is untouched, only the layout
-    * moved — and the index was JUST validated). Called with the
-    * IndexStore lock held. */
+  /** [[RebuildPolicy.compactAtFilesPerCell]] + [[RebuildPolicy
+    * .foldAtTombstones]] enforcement: glob the two codes tables'
+    * `cell=` dirs / probe the tombstone sidecar (driver-side metadata
+    * + one small-table agg) and run [[graft.sources.Maintenance
+    * .compactAnnIndex]] at a threshold, then re-stamp the token (the
+    * rewrite is content-preserving — only layout moves and tombstones
+    * fold — and the index was JUST validated by the caller).
+    *
+    * Called OUTSIDE the store monitor: the compaction takes lease →
+    * monitor (compactAnnIndex's own order, re-entered per thread), so
+    * this never inverts against a concurrent direct compactAnnIndex.
+    * The trigger is probed twice — once unguarded (cheap, skips the
+    * lease entirely on the quiet path) and again INSIDE the lease
+    * (a racing policied ensure may have just compacted; the rewrite
+    * must not run twice). */
   private def compactIfPolicied(spark: SparkSession, sfDir: String,
-      dir: String, m: AnnIndexMeta, policy: Option[RebuildPolicy]): Unit =
+      dir: String, policy: Option[RebuildPolicy]): Unit =
     policy.filter(p => p.compactAtFilesPerCell < Int.MaxValue ||
         p.foldAtTombstones < Long.MaxValue).foreach { p =>
-      val worst =
-        if (p.compactAtFilesPerCell == Int.MaxValue) Nil
-        else Seq("codes", "rcodes").flatMap { t =>
-        val (fs, _) = graft.Scratch.fs(spark, s"$dir/$t")
-        val st = fs.globStatus(
-          new org.apache.hadoop.fs.Path(s"$dir/$t/cell=*/*.parquet"))
-        // the delta buffer counts against the same threshold: every
-        // reader scans ALL delta files unpruned, so an unbounded delta
-        // is the new form of the sliver problem the policy exists for
-        val deltaN = deltaFileNames(spark, dir, t).size
-        (if (st == null) Nil
-         else st.groupBy(_.getPath.getParent).values.map(_.length)) ++
-          (if (deltaN > 0) Seq(deltaN) else Nil)
+      def triggered(): (Boolean, Long) = {
+        val worst =
+          if (p.compactAtFilesPerCell == Int.MaxValue) Nil
+          else Seq("codes", "rcodes").flatMap { t =>
+            val (fs, _) = graft.Scratch.fs(spark, s"$dir/$t")
+            val st = fs.globStatus(
+              new org.apache.hadoop.fs.Path(s"$dir/$t/cell=*/*.parquet"))
+            // the delta buffer counts against the same threshold:
+            // every reader scans ALL delta files unpruned, so an
+            // unbounded delta is the new form of the sliver problem
+            // the policy exists for
+            val deltaN = deltaFileNames(spark, dir, t).size
+            (if (st == null) Nil
+             else st.groupBy(_.getPath.getParent).values.map(_.length)) ++
+              (if (deltaN > 0) Seq(deltaN) else Nil)
+          }
+        // tombstone-cadence axis: exists() probe first, so the common
+        // tombstone-free store never runs the sidecar agg
+        val pendingTombs =
+          if (p.foldAtTombstones == Long.MaxValue) 0L
+          else if (tombstoneFrame(spark, dir).isEmpty) 0L
+          else tombAggregates(spark, dir)._2
+        ((worst.nonEmpty && worst.max >= p.compactAtFilesPerCell) ||
+          pendingTombs >= p.foldAtTombstones, pendingTombs)
       }
-      // tombstone-cadence axis: exists() probe first, so the common
-      // tombstone-free store never runs the sidecar agg
-      val pendingTombs =
-        if (p.foldAtTombstones == Long.MaxValue) 0L
-        else if (tombstoneFrame(spark, dir).isEmpty) 0L
-        else tombAggregates(spark, dir)._2
-      if ((worst.nonEmpty && worst.max >= p.compactAtFilesPerCell) ||
-          pendingTombs >= p.foldAtTombstones) {
-        val (before, after) =
-          graft.sources.Maintenance.compactAnnIndex(spark, dir)
-        System.err.println(s"[annidx] policy compaction at $dir: " +
-          s"$before part files -> $after" +
-          (if (pendingTombs >= p.foldAtTombstones)
-            s" (folded $pendingTombs pending tombstones)" else ""))
-        // the compaction may have FOLDED tombstones (meta changed) —
-        // re-read meta and the (now empty) sidecar for the restamp
-        // rather than vouching for the pre-fold copies
-        val m2 = readMeta(spark, dir).getOrElse(m)
-        val (_, tombN2, tombXor2) = tombAggregates(spark, dir)
-        writeToken(spark, dir,
-          tokenLine(stateDigest(spark, sfDir, dir), m2, tombN2, tombXor2))
-      }
+      if (triggered()._1)
+        graft.sources.WriterLease.withWrite(spark, dir, "policy-compact") {
+          val (go, pendingTombs) = triggered()
+          if (go) {
+            val (before, after) =
+              graft.sources.Maintenance.compactAnnIndex(spark, dir)
+            System.err.println(s"[annidx] policy compaction at $dir: " +
+              s"$before part files -> $after" +
+              (if (pendingTombs >= p.foldAtTombstones)
+                s" (folded $pendingTombs pending tombstones)" else ""))
+            // the compaction may have FOLDED tombstones (meta
+            // changed) — re-read meta and the (now empty) sidecar
+            // for the restamp rather than vouching for stale copies
+            readMeta(spark, dir).foreach { m2 =>
+              val (_, tombN2, tombXor2) = tombAggregates(spark, dir)
+              writeToken(spark, dir,
+                tokenLine(stateDigest(spark, sfDir, dir), m2, tombN2,
+                  tombXor2))
+            }
+          }
+        }
     }
 
   /** Is there a persisted index at `dir`? The streaming ingest sink

@@ -420,7 +420,49 @@ object LexIndex {
     * tombstone-free common case pays nothing: the trigger reads the
     * tombN the token/validation already computed. */
   def ensure(spark: SparkSession, sfDir: String,
-      foldAtTombstones: Long = Long.MaxValue): BuildInfo =
+      foldAtTombstones: Long = Long.MaxValue): BuildInfo = {
+    val info = ensureSync(spark, sfDir)
+    // policy fold AFTER the monitor releases (lease → monitor, the
+    // order compact itself takes) — folding inside the synchronized
+    // serve inverted it against a concurrent direct compact (lease
+    // held, blocked on the monitor): a bounded ABBA stall that threw
+    // LeaseHeldException out of a SERVE path after waitMs. Probed
+    // cheaply first (tombstone-free corpora skip everything), then
+    // GUARDED against the blank-survivor corner: compact skips its
+    // fold when every surviving posting row would vanish, so an
+    // unguarded trigger would re-run the full three-table rewrite on
+    // EVERY ensure of such a corpus forever — pre-probe the survivor
+    // count (the same probe compact runs) and stand down loudly
+    // instead. A racing fold is absorbed by the re-probe: tombN
+    // re-reads as 0 and nothing reruns.
+    if (foldAtTombstones != Long.MaxValue && !info.builtNow) {
+      val dir = dirFor(spark, sfDir)
+      val (tombN, _) = tombAggregates(spark, dir)
+      if (tombN > 0 && tombN >= foldAtTombstones) {
+        val survivors = tombstoneFrame(spark, dir)
+          .map(t => spark.read.parquet(s"$dir/tf")
+            .join(t.select(col("doc_id")).distinct().hint("broadcast"),
+              Seq("doc_id"), "left_anti").limit(1).count())
+          .getOrElse(1L)
+        if (survivors == 0)
+          System.err.println(s"[lexidx] policy fold at $dir stood " +
+            "down: blank survivors (compact would skip the fold); " +
+            "the anti-join + negative partials keep serving exactly")
+        else {
+          System.err.println(s"[lexidx] policy fold at $dir: $tombN " +
+            "pending tombstone(s) at/over the threshold")
+          compact(spark, sfDir)
+          val m2 = readMeta(spark, dir)
+          val (tN2, _) = tombAggregates(spark, dir)
+          return m2.map(m => BuildInfo(dir, m.n - tN2, m.np,
+            builtNow = false, buildSec = 0.0)).getOrElse(info)
+        }
+      }
+    }
+    info
+  }
+
+  private def ensureSync(spark: SparkSession, sfDir: String): BuildInfo =
     synchronized {
       val dir = dirFor(spark, sfDir)
       def dialsOk(m: LexIndexMeta): Boolean =
@@ -429,22 +471,8 @@ object LexIndex {
       // tombstones); np stays physical (it only gates the np==0
       // part-file-less read guard, and ghost postings are still files)
       def serve(m: LexIndexMeta, tombN: Long): BuildInfo =
-        if (tombN > 0 && tombN >= foldAtTombstones) {
-          System.err.println(s"[lexidx] policy fold at $dir: $tombN " +
-            "pending tombstone(s) at/over the threshold")
-          // monitor → lease order, the composed-ensure discipline
-          // (same as the delete-heal above); compact re-stamps the
-          // token itself. Blank-survivor corpora skip the fold inside
-          // compact (loudly) — the re-read below then serves the
-          // still-pending state correctly.
-          compact(spark, sfDir)
-          val m2 = readMeta(spark, dir).getOrElse(m)
-          val (tN2, _) = tombAggregates(spark, dir)
-          BuildInfo(dir, m2.n - tN2, m2.np, builtNow = false,
-            buildSec = 0.0)
-        } else
-          BuildInfo(dir, m.n - tombN, m.np, builtNow = false,
-            buildSec = 0.0)
+        BuildInfo(dir, m.n - tombN, m.np, builtNow = false,
+          buildSec = 0.0)
       val digest = stateDigest(spark, sfDir, dir)
       readToken(spark, dir) match {
         case Some((d, tm, tombN, _)) if d == digest && dialsOk(tm) =>

@@ -220,6 +220,52 @@ object WriterLease {
       else None
     } catch { case NonFatal(_) => None }
 
+  /** ONE attempt at "does the lease file still carry `h`'s line?" —
+    * the shared probe of the heartbeat, [[verify]] and [[release]],
+    * so all three judge ownership identically:
+    *  - Some(true): parsed line matches (epoch + owner id), or the
+    *    line is torn mid-rewrite but OUR acquisition uuid is legible
+    *    in the raw bytes (the object-store heartbeat RENEWS by
+    *    non-atomic rewrite — a reader racing it sees a torn file of
+    *    our own making; uuids are per-acquisition, so a legible uuid
+    *    identifies this very handle).
+    *  - Some(false): file confirmed missing, or a parsed line that is
+    *    someone else's — a takeover happened.
+    *  - None: unreadable THIS attempt (transient FS error, or torn
+    *    bytes without our uuid — possibly a foreign takeover
+    *    mid-write); the caller retries or tolerates, it must not
+    *    fence on one bad read (ADVICE-class: the heartbeat tolerates
+    *    4 missed renewals before TTL expiry; a fence that tolerates
+    *    zero failed reads poisons healthy writers on FS hiccups). */
+  private def oursNow(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, h: Handle): Option[Boolean] =
+    try {
+      if (!fs.exists(p)) Some(false)
+      else readLease(fs, p) match {
+        case Some((e, o, _)) => Some(e == h.epoch && o == h.ownerId)
+        case None =>
+          val raw =
+            try new String(graft.Scratch.readSmallFile(fs, p), "UTF-8")
+            catch { case NonFatal(_) => "" }
+          if (raw.contains(h.ownerId)) Some(true) else None
+      }
+    } catch { case NonFatal(_) => None }
+
+  /** [[oursNow]] retried a few times; None when every attempt was
+    * unreadable. */
+  private def oursRetried(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, h: Handle,
+      attempts: Int = 3): Option[Boolean] = {
+    var left = attempts
+    while (left > 0) {
+      oursNow(fs, p, h) match {
+        case s @ Some(_) => return s
+        case None => left -= 1; if (left > 0) Thread.sleep(100)
+      }
+    }
+    None
+  }
+
   /** Run `body` holding the writer lease of `dir` (acquiring it, or
     * reentering the one this THREAD already holds — a nested call is
     * strictly LIFO on one stack, so no counting is needed). A second
@@ -345,20 +391,27 @@ object WriterLease {
         catch { case _: InterruptedException => live = false }
         if (live && !h.poisoned) {
           try {
-            val ours = readLease(fs, p)
-              .exists { case (e, o, _) => e == h.epoch && o == h.ownerId }
-            if (!ours) h.poisoned = true
-            else try fs.setTimes(p, System.currentTimeMillis(), -1)
-            catch {
-              case _: UnsupportedOperationException =>
-                // object stores reject setTimes — rewrite the lease
-                // object instead; its fresh timestamp IS the renewal
-                // (non-atomic overwrite, but an unreadable mid-write
-                // lease reads as held-by-unknown under mtime expiry —
-                // conservative)
-                val out = fs.create(p, true)
-                try out.write(h.line.getBytes("UTF-8"))
-                finally out.close()
+            // oursNow: a torn read (our own object-store renewal
+            // rewrite, a transient FS error) is None → tolerated like
+            // a missed renewal, NOT a takeover verdict; only a
+            // CONFIRMED foreign/missing line poisons
+            oursNow(fs, p, h) match {
+              case Some(false) => h.poisoned = true
+              case None => () // unreadable — ttl/4 cadence retries
+              case Some(true) =>
+                try fs.setTimes(p, System.currentTimeMillis(), -1)
+                catch {
+                  case _: UnsupportedOperationException =>
+                    // object stores reject setTimes — rewrite the
+                    // lease object instead; its fresh timestamp IS
+                    // the renewal (non-atomic overwrite, but an
+                    // unreadable mid-write lease reads as
+                    // held-by-unknown under mtime expiry —
+                    // conservative)
+                    val out = fs.create(p, true)
+                    try out.write(h.line.getBytes("UTF-8"))
+                    finally out.close()
+                }
             }
           } catch {
             case NonFatal(_) => () // transient FS hiccup: mtime keeps
@@ -380,41 +433,30 @@ object WriterLease {
     // A transient read/delete hiccup here must not orphan OUR live
     // lease file: the heartbeat is already stopped, so a left-behind
     // file blocks every subsequent writer (any JVM) for a full TTL
-    // even though the store is free (ADVICE r15). Retry the
-    // ours-check/delete a few times; on a persistently unreadable
-    // line, fall back to matching our ownerId in the RAW bytes (the
-    // parse may fail on a torn heartbeat rewrite while the uuid is
-    // still legible) — but never delete a CONFIRMED foreign line.
-    var attempts = 3
-    var done = false
-    while (!done && attempts > 0) {
-      attempts -= 1
-      try {
-        readLease(fs, p) match {
-          case Some((e, o, _)) =>
-            if (e == h.epoch && o == h.ownerId) fs.delete(p, false)
-            done = true // confirmed line: ours → deleted, foreign → leave
-          case None =>
-            if (!fs.exists(p)) done = true // already gone — fine
-            else {
-              val raw =
-                try new String(graft.Scratch.readSmallFile(fs, p), "UTF-8")
-                catch { case NonFatal(_) => "" }
-              if (raw.contains(h.ownerId)) {
-                fs.delete(p, false); done = true
-              }
-              // garbled and not visibly ours: retry (a foreign
-              // takeover mid-rewrite settles into a parsable line)
-            }
+    // even though the store is free (ADVICE r15). [[oursRetried]]
+    // retries the ours-check (with the torn-rewrite raw-uuid
+    // fallback); a confirmed-ours line is deleted, a confirmed
+    // foreign/missing one is left, and a persistently unreadable one
+    // is left too (never delete a possibly-foreign lease — if it was
+    // ours it expires by TTL and a later writer takes over).
+    oursRetried(fs, p, h) match {
+      case Some(true) =>
+        try fs.delete(p, false)
+        catch { case NonFatal(_) =>
+          // delete itself hiccuped — one more try, then the TTL rule
+          try { Thread.sleep(100); fs.delete(p, false) }
+          catch { case NonFatal(_) =>
+            System.err.println(s"[lease] release of $key could not " +
+              "delete our lease file — it expires by TTL")
+          }
         }
-      } catch { case NonFatal(_) => () }
-      if (!done && attempts > 0) Thread.sleep(100)
+      case Some(false) => () // no longer ours — the new owner's file
+      case None =>
+        System.err.println(s"[lease] release of $key could not " +
+          "confirm ownership after retries — if the file is ours it " +
+          "expires by TTL (a later writer takes over); never " +
+          "deleting a possibly-foreign lease")
     }
-    if (!done)
-      System.err.println(s"[lease] release of $key could not confirm " +
-        "ownership after retries — if the file is ours it expires by " +
-        "TTL (a later writer takes over); never deleting a possibly-" +
-        "foreign lease")
   }
 
   /** [[withWrite]] with PATIENCE for the long-holder case: a corpus
@@ -470,17 +512,35 @@ object WriterLease {
         x
       case _ => return
     }
-    val ours = !h.poisoned &&
-      (try readLease(fs, p)
-        .exists { case (e, o, _) => e == h.epoch && o == h.ownerId }
-      catch { case NonFatal(_) => false })
-    if (!ours) {
-      h.poisoned = true
+    if (h.poisoned)
       throw new StaleWriterException(
         s"writer lease on $dir (epoch ${h.epoch}, op ${h.op}) was " +
           "taken over — this writer looked dead past the TTL; " +
           "aborting before the commit write (the partial state is a " +
           "standard crash window the new owner's ensure/heal repairs)")
+    // oursRetried, not a single read: one transient FS hiccup (or a
+    // torn racing heartbeat rewrite on an object store) must not
+    // misdiagnose a LIVE writer as fenced and kill its whole span —
+    // the heartbeat tolerates 4 missed renewals before TTL expiry,
+    // so a fence tolerating zero failed reads would be strictly
+    // jumpier than the liveness authority it fronts for. A
+    // persistently-unreadable line with an unpoisoned handle is
+    // trusted (the heartbeat keeps watching at ttl/4 cadence and
+    // poisons on any CONFIRMED foreign line).
+    oursRetried(fs, p, h) match {
+      case Some(true) => ()
+      case Some(false) =>
+        h.poisoned = true
+        throw new StaleWriterException(
+          s"writer lease on $dir (epoch ${h.epoch}, op ${h.op}) was " +
+            "taken over — this writer looked dead past the TTL; " +
+            "aborting before the commit write (the partial state is " +
+            "a standard crash window the new owner's ensure/heal " +
+            "repairs)")
+      case None =>
+        System.err.println(s"[lease] verify on $dir: lease file " +
+          "unreadable after retries — trusting the live heartbeat " +
+          "(it poisons on any confirmed takeover)")
     }
   }
 

@@ -382,6 +382,11 @@ object StreamOps {
       // just landed, losing admitted docs while the streaming
       // checkpoint advances (ADVICE r15). The heartbeat poisons the
       // handle at takeover, so this usually trips before any write.
+      // On the fresh-acquisition path this fence is adjacent to the
+      // acquire (near-vacuous, one small read); it earns its keep in
+      // the REENTRANT composition — a caller already holding the
+      // corpus lease across prior work (retention pipelines, specs)
+      // re-enters here, and then this is the span's first real fence.
       graft.sources.WriterLease.verify(spark, corpusDir)
       // skip writes for an empty frame: partitionBy with zero rows
       // writes NO part files, leaving a footer-less dir every later
@@ -748,7 +753,17 @@ object StreamOps {
             }
             IngestScreen.appendLists(spark, corpusDir, admitted)
             // corpus-dir lease around the corpus append (held alone —
-            // the store leases above released at their call's end)
+            // the store leases above released at their call's end).
+            // No explicit verify fence here, DELIBERATELY: unlike the
+            // docs sink's single long-held span, every write of this
+            // sink freshly acquires its own lease, and a fresh
+            // acquisition is inherently fenced — a writer stalled
+            // past TTL re-ACQUIRES here (waits out or takes over the
+            // current holder) rather than resuming inside a stale
+            // hold, so there is no pre-acquired window for a
+            // takeover to invalidate. A forget's rewrite serializes
+            // against this append at acquisition, and a rewrite
+            // AFTER it reads the appended rows as survivors.
             graft.sources.WriterLease.withWritePatient(spark, corpusDir,
                 "ingest") {
               admitted.write.mode(org.apache.spark.sql.SaveMode.Append)

@@ -36,22 +36,13 @@ class ContentionSpec extends SparkSpec {
 
     val src = graft.sources.Tables.load(spark, sfDir, "embeddings")
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-    // fresh ids + decorrelated content per batch (IngestProbe's
-    // discipline — a near-dup batch would be screened out wholesale
-    // and the lost-write assertion would assert on nothing)
-    def freshVec(emb: Array[Float], batch: Int): Array[Float] = {
-      val lag = (batch + 1) * 8 % math.max(1, emb.length)
-      val out = new Array[Float](emb.length)
-      var j = 0
-      while (j < emb.length) {
-        out(j) = -emb((j + lag) % emb.length) - 0.001f * (batch + 1)
-        j += 1
-      }
-      out
-    }
+    // fresh ids + decorrelated content per batch via the shared
+    // StreamDrive map (a near-dup batch would be screened out
+    // wholesale and the lost-write assertion would assert on nothing)
+    graft.StreamDrive.requireDecorrelated(4, src.head._2.length)
     def mkBatch(i: Int): Seq[(Long, Array[Float])] =
       src.take(200).zipWithIndex.map { case ((_, emb), j) =>
-        (900000000L + i.toLong * 200 + j, freshVec(emb, i))
+        (900000000L + i.toLong * 200 + j, graft.StreamDrive.freshVec(emb, i))
       }.toSeq
 
     val ms = MemoryStream[(Long, Array[Float])]
@@ -60,21 +51,8 @@ class ContentionSpec extends SparkSpec {
       .option("checkpointLocation", java.nio.file.Files
         .createTempDirectory("contention_spec_ckpt").toString)
       .start()
-    def progressSum: Long = q.recentProgress.map(_.numInputRows).sum
-    // retried: a read landing exactly inside the forget's
-    // promote-swap window (rename-aside → rename-in) can transiently
-    // miss the dir — that's the reader-vs-swap seam, not a lost write
-    def corpusIds(): Set[Long] = {
-      var left = 5
-      while (true) {
-        try return spark.read.parquet(s"$corpusDir/embeddings.parquet")
-          .select("vec_id").as[Long].collect().toSet
-        catch { case e: Throwable if left > 0 =>
-          left -= 1; Thread.sleep(300)
-        }
-      }
-      Set.empty
-    }
+    def corpusIds(): Set[Long] = graft.StreamDrive.readIdsRetried(
+      spark, s"$corpusDir/embeddings.parquet", "vec_id").toSet
     // the no-lost-write witness: every id EVER observed in the corpus
     // must survive to the end unless the forget killed it. (Asserting
     // "every batch row lands" would be wrong — the screen LEGITIMATELY
@@ -83,17 +61,10 @@ class ContentionSpec extends SparkSpec {
     // rewrite never swaps away rows an append already committed.)
     var everSeen = Set.empty[Long]
     def feed(rows: Seq[(Long, Array[Float])]): Unit = {
-      val before = progressSum
+      val before = graft.StreamDrive.progressSum(q)
       ms.addData(rows)
-      val deadline = System.nanoTime() + 300L * 1000000000L
-      var sum = -1L
-      while (sum < before + rows.size && System.nanoTime() < deadline) {
-        q.processAllAvailable()
-        sum = progressSum
-        if (sum < before + rows.size) Thread.sleep(100)
-      }
-      assert(sum >= before + rows.size,
-        "ingest barrier timed out — deadlock or dead query")
+      graft.StreamDrive.awaitConsumed(q, before + rows.size,
+        deadlineSec = 300L)
       everSeen ++= corpusIds()
     }
 
@@ -178,31 +149,14 @@ class ContentionSpec extends SparkSpec {
       .option("checkpointLocation", java.nio.file.Files
         .createTempDirectory("contention_docs_ckpt").toString)
       .start()
-    def progressSum: Long = q.recentProgress.map(_.numInputRows).sum
-    def corpusIds(): Set[Long] = {
-      var left = 5
-      while (true) {
-        try return spark.read.parquet(corpusDir)
-          .select("doc_id").as[Long].collect().toSet
-        catch { case e: Throwable if left > 0 =>
-          left -= 1; Thread.sleep(300)
-        }
-      }
-      Set.empty
-    }
+    def corpusIds(): Set[Long] = graft.StreamDrive.readIdsRetried(
+      spark, corpusDir, "doc_id").toSet
     var everSeen = Set.empty[Long]
     def feed(rows: Seq[(Long, String, String)]): Unit = {
-      val before = progressSum
+      val before = graft.StreamDrive.progressSum(q)
       ms.addData(rows)
-      val deadline = System.nanoTime() + 300L * 1000000000L
-      var sum = -1L
-      while (sum < before + rows.size && System.nanoTime() < deadline) {
-        q.processAllAvailable()
-        sum = progressSum
-        if (sum < before + rows.size) Thread.sleep(100)
-      }
-      assert(sum >= before + rows.size,
-        "docs ingest barrier timed out — deadlock or dead query")
+      graft.StreamDrive.awaitConsumed(q, before + rows.size,
+        deadlineSec = 300L)
       everSeen ++= corpusIds()
     }
 
