@@ -24,6 +24,20 @@ object Graft {
 
   /** Load `df` into a SQL table or parquet folder.
     *
+    * Route-specific knobs, stated rather than silently shared (the
+    * reference accepts every knob on both routes and drops the
+    * inapplicable ones on the floor — here the SQL-only knobs at
+    * their DEFAULTS are simply unused by the parquet route, and
+    * passing a NON-default SQL-only knob with `parquet = true` is
+    * refused loudly; same in reverse for the parquet-only knobs):
+    *
+    *  - SQL route only: `textLength`, `decimalPrecision`, `dtypes`,
+    *    `cleanStaging`, `dialect`, `batchSize`, `numPartitions`,
+    *    `stagingSchema`, `exactlyOnce`;
+    *  - parquet route only: `singleFile`, `partitionBy` (hive layout —
+    *    the partition-pruning lever at 100 TB; incompatible with
+    *    `singleFile`).
+    *
     * @param method   "create" (DDL-replace target), "append", "upsert"
     * @param idField  key columns, required for upsert
     * @param parquet  true → parquet route (`target` is the base dir);
@@ -31,6 +45,13 @@ object Graft {
     * @param singleFile parquet route only: reference-compatible
     *                 single-object layout (`schema/table.parquet` as ONE
     *                 file — see [[graft.sources.ParquetSink]])
+    * @param partitionBy parquet route only: hive partition columns
+    * @param stagingSchema SQL route only: schema of the upsert /
+    *                 exactly-once staging tables (must differ from
+    *                 `schema` under upsert)
+    * @param exactlyOnce SQL route only: route create/append loads
+    *                 through the staged exactly-once path (see
+    *                 [[graft.sql.SqlSink.Config]])
     * @return true if data was written; false = empty-input no-op
     */
   def dfToTable(
@@ -48,16 +69,42 @@ object Graft {
       dialect: Dialect = SqlServerDialect,
       batchSize: Int = 10000,
       numPartitions: Option[Int] = None,
-      singleFile: Boolean = false): Boolean = {
+      singleFile: Boolean = false,
+      partitionBy: Seq[String] = Nil,
+      stagingSchema: String = "staging",
+      exactlyOnce: Boolean = false): Boolean = {
     val m = Method.parse(method)
-    if (parquet)
+    if (parquet) {
+      val sqlOnly = Seq(
+        (textLength != 255) -> "textLength",
+        (decimalPrecision != 2) -> "decimalPrecision",
+        dtypes.nonEmpty -> "dtypes",
+        !cleanStaging -> "cleanStaging",
+        (dialect != SqlServerDialect) -> "dialect",
+        (batchSize != 10000) -> "batchSize",
+        numPartitions.nonEmpty -> "numPartitions",
+        (stagingSchema != "staging") -> "stagingSchema",
+        exactlyOnce -> "exactlyOnce").collect { case (true, n) => n }
+      require(sqlOnly.isEmpty,
+        s"parquet route ignores SQL-only knobs — remove: " +
+          sqlOnly.mkString(", "))
       ParquetSink.write(df,
         ParquetSink.Config(target, tablename, schema, m, idField,
-          singleFile = singleFile))
-    else
+          singleFile = singleFile, partitionBy = partitionBy))
+    } else {
+      val pqOnly = Seq(
+        singleFile -> "singleFile",
+        partitionBy.nonEmpty -> "partitionBy").collect {
+        case (true, n) => n
+      }
+      require(pqOnly.isEmpty,
+        s"SQL route ignores parquet-only knobs — remove: " +
+          pqOnly.mkString(", "))
       SqlSink.write(df, SqlSink.Config(target, tablename, schema, m,
         idField, textLength, decimalPrecision, dtypes, cleanStaging,
-        dialect = dialect, batchSize = batchSize,
-        numPartitions = numPartitions))
+        stagingSchema = stagingSchema, dialect = dialect,
+        batchSize = batchSize, numPartitions = numPartitions,
+        exactlyOnceAppend = exactlyOnce))
+    }
   }
 }

@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Validations {
 
+  /** `col()` with the name backtick-quoted (backticks doubled): a
+    * plain `col("a.b")` parses the dot as nested-field access, so a
+    * literal column named "a.b" either throws or — worse, when a
+    * struct column "a" with field "b" coexists — silently resolves to
+    * the WRONG column. Every helper here and in the sinks that turns
+    * a user-supplied column NAME into a Column goes through this. */
+  def qcol(name: String): org.apache.spark.sql.Column =
+    col("`" + name.replace("`", "``") + "`")
+
   sealed abstract class Method(val name: String)
   object Method {
     case object Create extends Method("create")
@@ -49,7 +58,7 @@ object Validations {
 
   /** Distributed key-uniqueness assert (reference utils.py:87-89). */
   def requireUniqueKeys(df: DataFrame, keys: Seq[String]): Unit = {
-    val dup = df.groupBy(keys.map(col): _*)
+    val dup = df.groupBy(keys.map(qcol): _*)
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
       .limit(1)

@@ -57,7 +57,14 @@ object Upsert {
       case _ => c.isNull
     }
   private def missing(df: DataFrame, c: String): Column =
-    missingCol(df.schema(c).dataType, col(c))
+    missingCol(df.schema(c).dataType, graft.checks.Validations.qcol(c))
+
+  /** Column `c` of alias `a`, with `c` backtick-quoted: a dotted or
+    * otherwise-special column name must parse as one identifier under
+    * the alias, not as nested-field access
+    * ([[graft.checks.Validations.qcol]]'s rule, aliased form). */
+  private def ac(a: String, c: String): Column =
+    col(a + ".`" + c.replace("`", "``") + "`")
 
   /** Cell-level upsert (pandas `combine_first`): full-outer join on keys,
     * new cell wins unless missing. */
@@ -65,14 +72,14 @@ object Upsert {
     requireSameColumns(newDf, oldDf)
     val n = newDf.alias("__n")
     val o = oldDf.alias("__o")
-    val cond = keys.map(k => col(s"__n.$k") === col(s"__o.$k")).reduce(_ && _)
+    val cond = keys.map(k => ac("__n", k) === ac("__o", k)).reduce(_ && _)
     val nonKeys = newDf.columns.filterNot(keys.contains).toSeq
     val projected =
-      keys.map(k => coalesce(col(s"__n.$k"), col(s"__o.$k")).as(k)) ++
+      keys.map(k => coalesce(ac("__n", k), ac("__o", k)).as(k)) ++
       nonKeys.map { c =>
-        val nc = col(s"__n.$c")
+        val nc = ac("__n", c)
         when(missingCol(newDf.schema(c).dataType, nc),
-          col(s"__o.$c")).otherwise(nc).as(c)
+          ac("__o", c)).otherwise(nc).as(c)
       }
     n.join(o, cond, "full_outer").select(projected: _*)
   }
@@ -82,13 +89,15 @@ object Upsert {
   def rowReplace(newDf: DataFrame, oldDf: DataFrame, keys: Seq[String]): DataFrame = {
     requireSameColumns(newDf, oldDf)
     val survivors = oldDf.join(newDf, keys, "left_anti")
-    newDf.unionByName(survivors).orderBy(keys.map(col): _*)
+    newDf.unionByName(survivors)
+      .orderBy(keys.map(graft.checks.Validations.qcol): _*)
   }
 
   /** Reference-faithful dispatch (export.py:392-404): any missing value
-    * in a non-key column of the NEW frame → row-level, else cell-level. */
+    * in a non-key column of the NEW frame → row-level, else cell-level.
+    * (Column-set equality is validated by the branch this dispatches
+    * to — once, not twice.) */
   def upsert(newDf: DataFrame, oldDf: DataFrame, keys: Seq[String]): DataFrame = {
-    requireSameColumns(newDf, oldDf)
     val nonKeys = newDf.columns.filterNot(keys.contains).toSeq
     val anyMissing = nonKeys.nonEmpty &&
       !newDf.filter(nonKeys.map(missing(newDf, _)).reduce(_ || _)).isEmpty

@@ -220,6 +220,20 @@ object ParquetSink {
           else writer(df, SaveMode.Overwrite).parquet(path)
         } else {
           val old = spark.read.parquet(path)
+          // the OLD side must be key-unique too (the reference checks
+          // only the new frame, utils.py:87-89 at export.py:412 — but
+          // a prior append can land duplicate keys on disk, and the
+          // full-outer join would then silently emit one output row
+          // PER old copy, multiplying rows in a sink whose contract
+          // is unique keys). One column-pruned key scan — small next
+          // to the full-outer join + rewrite the upsert already pays.
+          try Validations.requireUniqueKeys(old, cfg.idField)
+          catch { case e: graft.checks.UpsertError =>
+            throw graft.checks.UpsertError(
+              s"existing table at $path violates key uniqueness — a " +
+                "prior append landed duplicate keys; deduplicate " +
+                s"before upserting (${e.getMessage})")
+          }
           val merged = Upsert.upsert(df, old, cfg.idField)
           if (cfg.singleFile) {
             // writeSingleFile stages into a tmp dir first, so the read

@@ -30,6 +30,23 @@ sealed trait Dialect {
   def dropTableSql(schema: String, name: String): String
   /** Map a generic DDL type to this dialect (VARCHAR(MAX) is MSSQL-only). */
   def ddlType(t: graft.types.SqlTypeMapper.SqlType): String
+  /** Delete every row of `schema.table` whose `attCol` is not its
+    * partition's (pidCol group's) MINIMUM — the staged-upsert
+    * duplicate-attempt collapse (SqlSink.dedupStagedUpsert). The
+    * correlated-MIN shape is collision-proof like finalizeAppend's;
+    * it is a dialect seam because the two engines disagree on how a
+    * searched DELETE exposes its target to a correlated subquery:
+    * Derby takes a standard correlation name on the target, T-SQL
+    * needs its alias-DELETE extension (`DELETE s FROM t s WHERE …`). */
+  def deleteLosingAttempts(schema: String, table: String,
+      pidCol: String, attCol: String): String = {
+    // standard-SQL form (Derby and most engines)
+    val t = this.table(schema, table)
+    s"DELETE FROM $t s WHERE s.${quote(attCol)} <> " +
+      s"(SELECT MIN(m.${quote(attCol)}) FROM $t m " +
+      s"WHERE m.${quote(pidCol)} = s.${quote(pidCol)})" +
+      statementTerminator
+  }
 }
 
 /** Azure SQL / SQL Server — the reference's target engine. */
@@ -57,6 +74,18 @@ case object SqlServerDialect extends Dialect {
   def dropTableSql(schema: String, name: String): String =
     s"DROP TABLE IF EXISTS ${table(schema, name)}"
   def ddlType(t: graft.types.SqlTypeMapper.SqlType): String = t.ddl
+  // T-SQL's alias-DELETE extension: a plain searched DELETE cannot
+  // alias its target, and the unaliased target is awkward to
+  // reference from the correlated subquery — `DELETE s FROM … s` is
+  // the documented T-SQL idiom
+  override def deleteLosingAttempts(schema: String, table: String,
+      pidCol: String, attCol: String): String = {
+    val t = this.table(schema, table)
+    s"DELETE s FROM $t s WHERE s.${quote(attCol)} <> " +
+      s"(SELECT MIN(m.${quote(attCol)}) FROM $t m " +
+      s"WHERE m.${quote(pidCol)} = s.${quote(pidCol)})" +
+      statementTerminator
+  }
 }
 
 /** Embedded Apache Derby — hermetic stand-in for integration tests. */

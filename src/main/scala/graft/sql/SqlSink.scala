@@ -68,8 +68,14 @@ object SqlSink {
   private def replaceTable(df: DataFrame, cfg: Config, schema: String): Unit = {
     cfg.dialect.createSchemaSql(schema)
       .foreach(JdbcOps.executeIgnore(cfg.url, _))
+    // DDL text BEFORE the DROP: inference can throw (an unmapped dtype,
+    // a failed refine scan), and a throw after the DROP would leave the
+    // standing target destroyed with nothing created in its place —
+    // create is drop+recreate (reference export.py:169), but never
+    // drop-then-maybe-recreate
+    val ddl = createTableSql(df, cfg, schema)
     JdbcOps.executeIgnore(cfg.url, cfg.dialect.dropTableSql(schema, cfg.table))
-    JdbcOps.execute(cfg.url, createTableSql(df, cfg, schema))
+    JdbcOps.execute(cfg.url, ddl)
   }
 
   private def jdbcAppend(df: DataFrame, cfg: Config, schema: String): Unit = {
@@ -117,17 +123,25 @@ object SqlSink {
     * serialization of concurrent independent writers; external
     * coordination (a scheduler lock per target) owns the latter, as
     * it does for the reference's ADF pipeline-per-table model. */
-  private[sql] def stageForAppend(norm: DataFrame, cfg: Config): Unit = {
+  /** (pid, att)-tagged copy of `norm` — the attempt-identity scheme of
+    * every staged load (see [[stageForAppend]]'s doc). Repartitions
+    * FIRST (the tags must describe the partitions actually written),
+    * so callers pass `numPartitions = None` onward. */
+  private def tagAttempts(norm: DataFrame, cfg: Config): DataFrame = {
     import org.apache.spark.sql.functions.spark_partition_id
     require(!norm.columns.exists(c => c == pidCol || c == attCol),
-      s"exactlyOnceAppend reserves column names $pidCol/$attCol")
+      s"staged writes reserve column names $pidCol/$attCol")
     val repart = cfg.numPartitions.map(norm.repartition(_)).getOrElse(norm)
-    val tagged = repart
+    repart
       .withColumn(pidCol, spark_partition_id())
       .withColumn(attCol, org.apache.spark.sql.graftbridge.Bridge.column(
         graft.functions.TaskAttemptId()))
+  }
+
+  private[sql] def stageForAppend(norm: DataFrame, cfg: Config): Unit = {
+    val tagged = tagAttempts(norm, cfg)
     val scfg = cfg.copy(table = appendStagingTable(cfg),
-      numPartitions = None) // already repartitioned above the tags
+      numPartitions = None) // already repartitioned under the tags
     replaceTable(tagged, scfg, cfg.stagingSchema)
     jdbcAppend(tagged, scfg, cfg.stagingSchema)
   }
@@ -163,26 +177,76 @@ object SqlSink {
         d.dropTableSql(cfg.stagingSchema, appendStagingTable(cfg)))
   }
 
+  /** Collapse duplicate-committed attempts in the upsert staging
+    * table to exactly one per partition — the same correlated-MIN rule
+    * as [[finalizeAppend]], as a DELETE so the MERGE text (golden-
+    * pinned, reference db.py shape) stays untouched: the tag columns
+    * ride in staging, the MERGE names only data columns. Correlated to
+    * the delete target by its exposed (unqualified) table name — the
+    * standard-SQL outer reference both SQL Server and Derby resolve. */
+  private def dedupStagedUpsert(cfg: Config): Unit =
+    JdbcOps.execute(cfg.url, cfg.dialect.deleteLosingAttempts(
+      cfg.stagingSchema, cfg.table, pidCol, attCol))
+
   /** Entry point: validate, normalize, route on method. Returns true if
-    * anything was written (false = empty-input short-circuit, O3). */
-  def write(df: DataFrame, cfg: Config): Boolean = {
+    * anything was written (false = empty-input short-circuit, O3).
+    *
+    * Column names are TRIMMED once at this boundary (frame, idField and
+    * dtype-override keys together). The reference strips them only
+    * inside the MERGE text (db.py:18) — stripping in one consumer but
+    * not the others desynchronizes the generated DDL from the raw
+    * column names Spark's distributed JDBC writer quotes in its
+    * INSERT, and a whitespace-padded CSV header would then fail every
+    * bulk write AFTER create already dropped the old table. Names that
+    * collide once trimmed are refused loudly (DoubleColumnNamesError),
+    * never silently merged. */
+  def write(df: DataFrame, cfg0: Config): Boolean = {
     Validations.requireUniqueColumnNames(df)
+    val trimmedNames = df.columns.map(_.trim)
+    val dfT =
+      if (df.columns.sameElements(trimmedNames)) df
+      else df.toDF(trimmedNames.toIndexedSeq: _*)
+    Validations.requireUniqueColumnNames(dfT)
+    val cfg = cfg0.copy(idField = cfg0.idField.map(_.trim),
+      dtypes = cfg0.dtypes.map { case (k, v) => k.trim -> v })
     Validations.requireIdField(cfg.method, cfg.idField)
-    if (Validations.isEmpty(df)) return false
-    val norm = SqlTypeMapper.normalizeIntervals(df)
+    if (Validations.isEmpty(dfT)) return false
+    val norm = SqlTypeMapper.normalizeIntervals(dfT)
     cfg.method match {
       case Method.Create =>
         replaceTable(norm, cfg, cfg.schema)
-        jdbcAppend(norm, cfg, cfg.schema)
+        if (cfg.exactlyOnceAppend) {
+          // the freshly-created target deserves the same retry
+          // discipline as an exactly-once append: the direct JDBC
+          // write commits per partition, so a post-commit task retry
+          // would double that partition's rows in a table whose
+          // content should be exactly `df`
+          stageForAppend(norm, cfg)
+          finalizeAppend(norm, cfg)
+        } else jdbcAppend(norm, cfg, cfg.schema)
       case Method.Append if cfg.exactlyOnceAppend =>
         stageForAppend(norm, cfg)
         finalizeAppend(norm, cfg)
       case Method.Append =>
         jdbcAppend(norm, cfg, cfg.schema)
       case Method.Upsert =>
+        // staging under the TARGET's own name: equal schemas would
+        // make replaceTable drop the target itself and the MERGE
+        // self-merge — every pre-existing row silently lost
+        require(cfg.schema != cfg.stagingSchema,
+          s"upsert stages under '${cfg.stagingSchema}.${cfg.table}' — " +
+            "stagingSchema must differ from the target schema, or the " +
+            "staging DDL replaces the target itself")
         Validations.requireUniqueKeys(norm, cfg.idField)
-        replaceTable(norm, cfg, cfg.stagingSchema)
-        jdbcAppend(norm, cfg, cfg.stagingSchema)
+        // staging rides the (pid, att) tags so a post-commit task
+        // retry (at-least-once JDBC writer) cannot leave two copies
+        // of a partition for the MERGE to double-insert under new
+        // keys; dedupStagedUpsert collapses to one attempt per pid
+        val tagged = tagAttempts(norm, cfg)
+        val scfg = cfg.copy(numPartitions = None)
+        replaceTable(tagged, scfg, cfg.stagingSchema)
+        jdbcAppend(tagged, scfg, cfg.stagingSchema)
+        dedupStagedUpsert(cfg)
         val merge = MergeBuilder(cfg.table, cfg.schema, cfg.idField,
           norm.columns.toSeq, cfg.dialect, cfg.stagingSchema)
         JdbcOps.execute(cfg.url, merge.mergeStatement)

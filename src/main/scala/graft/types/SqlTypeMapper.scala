@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.checks.UnknownDtypeError
+import graft.checks.Validations.qcol
 
 /** Spark schema → SQL Server column-type mapping with data-driven
   * refinement (SURVEY.md §1.2, §2 O4-O8).
@@ -63,7 +64,7 @@ object SqlTypeMapper {
           // combination. (decimal, not long: long truncates the
           // fraction.)
           acc.withColumn(f.name,
-            col(f.name).cast(DayTimeIntervalType(DayTimeIntervalType.DAY,
+            qcol(f.name).cast(DayTimeIntervalType(DayTimeIntervalType.DAY,
                 DayTimeIntervalType.SECOND))
               .cast(DecimalType(24, 6)).cast(DoubleType))
         case _ => acc
@@ -96,10 +97,10 @@ object SqlTypeMapper {
     if (strCols.isEmpty && intCols.isEmpty) return base
 
     val aggs: Seq[Column] =
-      strCols.map(c => max(length(col(c))).as(s"__len__$c")) ++
+      strCols.map(c => max(length(qcol(c))).as(s"__len__$c")) ++
       intCols.flatMap(c => Seq(
-        min(col(c)).cast(LongType).as(s"__min__$c"),
-        max(col(c)).cast(LongType).as(s"__max__$c")))
+        min(qcol(c)).cast(LongType).as(s"__min__$c"),
+        max(qcol(c)).cast(LongType).as(s"__max__$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
 
     val widened = strCols.flatMap { c =>

@@ -51,4 +51,29 @@ class GraftApiSpec extends SparkSpec {
     val empty = Seq.empty[(Int, String)].toDF("id", "v")
     assert(!Graft.dfToTable(empty, "t", "s", base, parquet = true))
   }
+
+  test("route-specific knobs are validated, not silently dropped: a " +
+    "non-default SQL-only knob with parquet=true is refused, and " +
+    "vice versa") {
+    import graft.SparkSpec
+    val df = Seq((1, "a")).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Graft.dfToTable(df, "t", "s",
+        java.nio.file.Files.createTempDirectory("gk").toString,
+        parquet = true, batchSize = 5000)
+    }
+    assert(e1.getMessage.contains("batchSize"))
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.dfToTable(df, "t", "s", "jdbc:derby:memory:gk;create=true",
+        singleFile = true)
+    }
+    assert(e2.getMessage.contains("singleFile"))
+    // parquet-only knobs work on the parquet route
+    val base = java.nio.file.Files.createTempDirectory("gk2").toString
+    assert(Graft.dfToTable(Seq((1, "a", "p1"), (2, "b", "p2"))
+      .toDF("id", "v", "part"), "t", "s", base,
+      parquet = true, partitionBy = Seq("part")))
+    assert(spark.read.parquet(s"$base/s/t.parquet")
+      .where("part = 'p1'").count() === 1)
+  }
 }

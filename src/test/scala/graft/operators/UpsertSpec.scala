@@ -87,4 +87,23 @@ class UpsertSpec extends SparkSpec {
       .orderBy("k1", "k2").as[(Int, Int, String)].collect().toSeq
     assert(got === Seq((1, 1, "a"), (1, 2, "B"), (2, 1, "c")))
   }
+
+  test("dotted column names are literal identifiers in every mode " +
+    "(keys and cells): never parsed as nested-field access") {
+    val newDf = Seq((1, "n1"), (3, "n3")).toDF("k.x", "v.y")
+    val oldDf = Seq((1, "o1"), (2, "o2")).toDF("k.x", "v.y")
+    val cell = Upsert.combineFirst(newDf, oldDf, Seq("k.x"))
+      .orderBy(graft.checks.Validations.qcol("k.x"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(cell === Seq((1, "n1"), (2, "o2"), (3, "n3")))
+    val row = Upsert.rowReplace(newDf, oldDf, Seq("k.x"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(row === Seq((1, "n1"), (2, "o2"), (3, "n3")))
+    // the dispatch probe's missing() scan crosses the same names
+    val withNull = Seq((1, "n1"), (3, null.asInstanceOf[String]))
+      .toDF("k.x", "v.y")
+    val dispatched = Upsert.upsert(withNull, oldDf, Seq("k.x"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(dispatched === Seq((1, "n1"), (2, "o2"), (3, null)))
+  }
 }

@@ -134,4 +134,21 @@ class ParquetSinkSpec extends SparkSpec {
           partitionBy = Seq("v"), singleFile = true))
     }
   }
+
+  test("upsert refuses a key-duplicated EXISTING table instead of " +
+    "silently multiplying rows through the full-outer join") {
+    val base = tmpBase()
+    ParquetSink.write(Seq((1, "a")).toDF("id", "v"),
+      ParquetSink.Config(base, "t", "s", Method.Create))
+    // a prior append lands the same key again — legal for append
+    ParquetSink.write(Seq((1, "a2")).toDF("id", "v"),
+      ParquetSink.Config(base, "t", "s", Method.Append))
+    val e = intercept[graft.checks.UpsertError] {
+      ParquetSink.write(Seq((1, "new")).toDF("id", "v"),
+        ParquetSink.Config(base, "t", "s", Method.Upsert, Seq("id")))
+    }
+    assert(e.getMessage.contains("existing table"))
+    // and the on-disk table is untouched by the refused upsert
+    assert(spark.read.parquet(s"$base/s/t.parquet").count() === 2)
+  }
 }

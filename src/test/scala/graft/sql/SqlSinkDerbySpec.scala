@@ -130,9 +130,11 @@ class SqlSinkDerbySpec extends SparkSpec {
       cfg("t_stale", Method.Create))
     SqlSink.write(Seq((2, "B"), (3, "c")).toDF("col_a", "col_b"),
       up(Seq("col_a")))
-    // stale staging with the OLD column names is really there
+    // stale staging with the OLD column names is really there (plus
+    // the attempt tags the staged-upsert dedup rides on — the MERGE
+    // names only data columns, so the tags never reach the target)
     assert(readBack("t_stale", "staging").columns.toSeq ===
-      Seq("col_a", "col_b"))
+      Seq("col_a", "col_b", "__graft_pid", "__graft_att"))
     // re-create + upsert under renamed columns — reference throws here
     SqlSink.write(Seq((1, "a"), (2, "b")).toDF("test_a", "test_b"),
       cfg("t_stale", Method.Create))
@@ -295,6 +297,86 @@ class SqlSinkDerbySpec extends SparkSpec {
     assertThrows[IllegalArgumentException] {
       SqlSink.write(Seq((1, 2)).toDF("id", "__graft_att"), eo)
     }
+  }
+
+  test("create with an unmappable column fails BEFORE the drop: the " +
+    "standing target survives a failed inference intact") {
+    SqlSink.write(Seq((1, "keep")).toDF("id", "v"),
+      cfg("t_guard", Method.Create))
+    assertThrows[graft.checks.UnknownDtypeError] {
+      SqlSink.write(Seq((1, Array(1.0, 2.0))).toDF("id", "arr"),
+        cfg("t_guard", Method.Create))
+    }
+    assert(readBack("t_guard").as[(Int, String)].collect().toSeq ===
+      Seq((1, "keep")),
+      "a failed create destroyed the table it could not replace")
+  }
+
+  test("upsert refuses schema == stagingSchema: staging under the " +
+    "target's own name would DDL-replace the target and self-merge") {
+    val bad = SqlSink.Config(url, "t_self", "staging", Method.Upsert,
+      Seq("id"), dialect = DerbyDialect)
+    assertThrows[IllegalArgumentException] {
+      SqlSink.write(Seq((1, "x")).toDF("id", "v"), bad)
+    }
+  }
+
+  test("whitespace-padded column names are trimmed ONCE at the " +
+    "boundary: DDL, distributed JDBC INSERT and MERGE all agree " +
+    "(reference db.py:18 strips only in the MERGE)") {
+    val df = Seq((1, 10), (2, 20)).toDF(" id ", "  amount")
+    SqlSink.write(df, cfg("t_pad", Method.Create))
+    assert(readBack("t_pad").columns.toSeq === Seq("id", "amount"))
+    // padded idField resolves against the trimmed frame too
+    SqlSink.write(Seq((2, 21), (3, 30)).toDF(" id ", "amount  "),
+      cfg("t_pad", Method.Upsert, Seq(" id ")))
+    assert(readBack("t_pad").orderBy("id").as[(Int, Int)].collect()
+      .toSeq === Seq((1, 10), (2, 21), (3, 30)))
+    // names that COLLIDE once trimmed are refused, never merged
+    assertThrows[graft.checks.DoubleColumnNamesError] {
+      SqlSink.write(Seq((1, 2)).toDF("a", "a "),
+        cfg("t_pad2", Method.Create))
+    }
+  }
+
+  test("dotted column names are literal identifiers end-to-end " +
+    "(create + upsert): never parsed as nested-field access") {
+    val df = Seq((1, "x"), (2, "y")).toDF("id", "v.w")
+    SqlSink.write(df, cfg("t_dot", Method.Create))
+    assert(readBack("t_dot").columns.toSeq === Seq("id", "v.w"))
+    SqlSink.write(Seq((2, "Y"), (3, "z")).toDF("id", "v.w"),
+      cfg("t_dot", Method.Upsert, Seq("id")))
+    assert(readBack("t_dot").orderBy("id").collect().map(_.getString(1))
+      .toSeq === Seq("x", "Y", "z"))
+  }
+
+  test("staged-upsert attempt dedup: a forged double-committed " +
+    "partition in staging collapses to ONE attempt, so the MERGE " +
+    "inserts new keys exactly once") {
+    // forge the post-commit-retry state by hand: staging.t_dup holds
+    // partition 0 twice (attempts 100 and 200), the target exists and
+    // is empty of these keys — before the dedup DELETE, the MERGE
+    // would insert both copies of every new key
+    SqlSink.write(Seq((1, "seed")).toDF("id", "v"),
+      cfg("t_dup", Method.Create))
+    JdbcOps.executeIgnore(url, "CREATE SCHEMA \"staging\"")
+    JdbcOps.executeIgnore(url, "DROP TABLE \"staging\".\"t_dup\"")
+    JdbcOps.execute(url, "CREATE TABLE \"staging\".\"t_dup\" " +
+      "(\"id\" INT, \"v\" VARCHAR(255), \"__graft_pid\" INT, " +
+      "\"__graft_att\" INT)")
+    Seq((2, "a", 0, 100), (3, "b", 0, 100), // attempt 100, complete
+        (2, "a", 0, 200), (3, "b", 0, 200), // its post-commit retry
+        (4, "c", 1, 150))                   // partition 1, single
+      .foreach { case (id, v, pid, att) =>
+        JdbcOps.execute(url, "INSERT INTO \"staging\".\"t_dup\" " +
+          s"VALUES ($id, '$v', $pid, $att)")
+      }
+    JdbcOps.execute(url, DerbyDialect.deleteLosingAttempts(
+      "staging", "t_dup", "__graft_pid", "__graft_att"))
+    val left = readBack("t_dup", "staging").orderBy("id")
+      .select("id", "__graft_att").as[(Int, Int)].collect().toSeq
+    assert(left === Seq((2, 100), (3, 100), (4, 150)),
+      "the losing attempt survived the collapse")
   }
 
   test("tableExists: present/absent verdicts, underscore is literal") {
