@@ -622,8 +622,17 @@ object Dedup {
     val batchUnique = exactDedup(
       incoming.withColumn("fp", fingerprint(col("text"))),
       col("fp"), Seq(col("doc_id")))
+    // NULL-SAFE anti-join (<=>): a null-text doc fingerprints to a
+    // NULL fp, and an equi-key anti-join never matches NULL keys — a
+    // corpus already holding one null-text doc would then re-admit
+    // another from EVERY batch (the intra-batch exactDedup groups
+    // NULL fps into one keeper, so the cross screen must treat them
+    // as equals too; the near-dup screen can't catch them either —
+    // shingleIndex filters token-less docs out)
     val fresh = materialize(
-      batchUnique.join(corpusFp, Seq("fp"), "left_anti"))
+      batchUnique.alias("__b").join(corpusFp.alias("__c"),
+          col("__b.fp") <=> col("__c.fp"), "left_anti")
+        .select(batchUnique.columns.map(c => col(s"__b.`$c`").as(c)): _*))
 
     val freshSh = materialize(shingleIndex(fresh))
     val nearDup =
@@ -746,9 +755,17 @@ object Dedup {
       nearDupPairs(sh2, 0.5), "doc_a", "doc_b")
       .filter(col("vtx") =!= col("comp"))
       .select(col("vtx").as("doc_id"))
-    // contamination vs the raw benchmark probes (q53 semantics)
-    val pe = shingled(spark, sfDir).filter(col("doc_id") < contamProbes)
-      .select(explode(col("sh")).as("sg")).distinct()
+    // contamination vs the raw benchmark probes (q53 semantics).
+    // Shingle ONLY the probe rows: `shingled()` eagerly materializes
+    // the WHOLE corpus's shingle table, and the doc_id filter cannot
+    // push below an eager checkpoint — q54 would tokenize+shingle the
+    // full corpus a second time (sh2 already covers the survivors) to
+    // read ~contamProbes rows. Filter-then-shingle is O(probes);
+    // exploding an empty shingle array yields no rows, so the
+    // size(sh) > 0 guard is implied.
+    val pe = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") < contamProbes)
+      .select(explode(shingles3(col("text"))).as("sg")).distinct()
     val contam = sh2.filter(col("doc_id") >= contamProbes)
       .select(col("doc_id"), explode(col("sh")).as("sg"))
       .join(broadcast(pe), "sg")
@@ -974,11 +991,17 @@ object Dedup {
         array_join(slice(col("t"), col("seg_idx") * sw + 1, lit(sw)), " ")
           .as("seg"))
       .withColumn("fp", md5(col("seg")))
-    val kept = segs.groupBy(col("fp"))
+    // materialized: `kept` (fp keeper) and `totals` (per-doc counts)
+    // shuffle on DIFFERENT keys, so without this the dominant per-doc
+    // normalize/tokenize/segment pass executes twice — the exact
+    // re-derivation cost the file's materialize convention exists to
+    // avoid (q33's measured lesson)
+    val segsM = materialize(segs)
+    val kept = segsM.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg"))).as("k"))
       .select(col("k.doc_id").as("doc_id"), col("k.seg_idx").as("seg_idx"),
         col("k.seg").as("seg"))
-    val totals = segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    val totals = segsM.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
     val reassembled = kept.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("seg_idx"), col("seg"))))
           .as("pm"),

@@ -109,19 +109,23 @@ object Retrieval {
   /** (doc_id, dl, token, tf) over the corpus: one map-side-combinable
     * shuffle; `dl` rides the key (see object doc).
     *
-    * `dl` is computed in its OWN select BELOW the explode — putting
-    * `tokenCount` and `explode` in one select plans the dl expression
-    * in the Project ABOVE the Generate, where the full
-    * normalize+split regex re-runs once per exploded TOKEN row
-    * (~avg-dl× per doc; measured 7.8 s → 0.9 s on the sf0.1 tf build
-    * when moved below, where Generate's child evaluates once per
-    * doc). The regex is the dominant token-query cost (see
-    * TextFunctions.tokens) — never let it ride an exploded stream. */
+    * The token ARRAY is computed exactly once, in the Generate's
+    * child — `dl` is then a size() over the materialized array
+    * attribute ABOVE the Generate (an O(1) header read per exploded
+    * row), never a second run of the normalize+split regex. The
+    * earlier form computed `tokenCount(text)` and `tokens(text)` as
+    * two independent expressions: no cross-operator subexpression
+    * elimination applies, so the regex — the dominant token-query
+    * cost (see TextFunctions.tokens; measured 7.8 s → 0.9 s on the
+    * sf0.1 tf build when it stopped riding the exploded stream) —
+    * ran twice per document. The when-guard replicates tokenCount's
+    * NULL rule exactly (`toks` is NULL iff `text` is NULL), keeping
+    * dl bit-identical for every row that survives the explode. */
   private[operators] def termFreqs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokenCount(col("text")).as("dl"),
-        col("text"))
-      .select(col("doc_id"), col("dl"),
-        explode(tokens(col("text"))).as("token"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        when(col("toks").isNotNull, size(col("toks"))).as("dl"),
+        explode(col("toks")).as("token"))
       .groupBy(col("doc_id"), col("dl"), col("token"))
       .agg(count(lit(1)).as("tf"))
 

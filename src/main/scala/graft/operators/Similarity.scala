@@ -165,7 +165,13 @@ object Similarity {
     * random embeddings (max pairwise cosine ≈ 0.51) only the exact
     * path is meaningful. */
   def q45EmbedDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val dropped = q34CosinePairs(spark, sfDir)
+    // exactPairs directly, NOT q34CosinePairs: q34's public surface
+    // adds a repartition(vec_a) + global orderBy whose only purpose
+    // is feeding ITS oracle's deterministic order — the repartition
+    // exchange survives under this distinct (the sort folds away, the
+    // shuffle does not), a full wasted pass over the O(N²) pair
+    // stream per q45 run
+    val dropped = exactPairs(prepped(spark, sfDir).filter(validNorm))
       .select(col("vec_b").as("vec_id")).distinct()
     emb(spark, sfDir).select(col("vec_id"), col("label"))
       .join(dropped, Seq("vec_id"), "left_anti")
@@ -658,7 +664,16 @@ object Similarity {
       cents = graft.Materialize(withHalfNormSq(assigned
         .select(col("sub"), col("code"), posexplode(col("sv")))
         .groupBy(col("sub"), col("code"), col("pos"))
-        .agg((sum(floor(col("col") * 1e6).cast("long"))
+        // DECIMAL(38,0) accumulator, not long: component·1e6 terms
+        // summed over a whole code's members can exceed a long for
+        // large-magnitude (still finite-norm) data, and the ANSI sum
+        // would throw mid-build. 38 digits absorb any real corpus;
+        // the per-term integers are unchanged, so small-data
+        // centroids stay bit-identical (build path — one Lloyd pass
+        // per iter, not the per-query scan, so the decimal agg cost
+        // is amortized)
+        .agg((sum(floor(col("col") * 1e6)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
           .cast("double") / 1e6 / count(lit(1))).as("m"))
         .groupBy(col("sub"), col("code"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
@@ -701,12 +716,22 @@ object Similarity {
     * float-aggregation discipline; quantizing an APPROXIMATE score at
     * 1e-12 costs nothing), pinned by DeterminismSpec. NaN/Inf partials
     * cannot reach this cast: [[validNorm]] excludes non-finite-norm
-    * vectors at every entry path, and a finite norm bounds every
-    * component (floor(NaN) cast to long would THROW under ANSI, not
-    * truncate — the filter is what keeps this expression total), with
-    * [[rerankTopK]]'s NaN filter as the final-score backstop. */
+    * vectors at every entry path (floor(NaN) cast to long would THROW
+    * under ANSI, not truncate), with [[rerankTopK]]'s NaN filter as
+    * the final-score backstop. MAGNITUDE, however, is NOT bounded by
+    * validNorm (a finite norm can be astronomically large), and
+    * |partial| ≤ ‖centroid‖ scales with the data — a corpus of
+    * ~1e8-magnitude components would push partial·1e12 past
+    * Long.MaxValue and the ANSI cast (or the long SUM) would throw
+    * mid-scan. The clamp at ±1e5 keeps 8 subspace partials safely
+    * inside a long (8·1e5·1e12 < 2^63) and is value-IDENTICAL for any
+    * sanely-scaled embedding space (cosine workloads sit orders of
+    * magnitude below it); a pathological corpus saturates its approx
+    * scores instead of crashing, and the exact re-rank still orders
+    * the shortlist correctly. */
   private[operators] def adcSum: Column =
-    sum(floor(col("partial") * 1e12).cast("long")).cast("double") / 1e12
+    sum(floor(least(greatest(col("partial"), lit(-1e5)), lit(1e5)) * 1e12)
+      .cast("long")).cast("double") / 1e12
   private[operators] def adcShortlist(codes: DataFrame, lut: DataFrame,
       joinKeys: Seq[String], shortlist: Int,
       approxScore: Column = adcSum / max(col("nrm"))): DataFrame =

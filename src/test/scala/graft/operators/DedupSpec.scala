@@ -381,6 +381,32 @@ class DedupSpec extends SparkSpec {
     assert(replay.count() === 0)
   }
 
+  test("null-text cross-dedup: a corpus already holding a null-text " +
+    "doc suppresses batch null-text docs (null-safe fp anti-join), " +
+    "consistent with the intra-batch keeper") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq((1L, "real content here", "en"),
+      (2L, null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "lang")
+    val batch = Seq((10L, null.asInstanceOf[String], "en"),
+      (11L, "genuinely fresh words entirely", "en"))
+      .toDF("doc_id", "text", "lang")
+    val admitted = Dedup.cleanIncrement(batch, corpus, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted === Set(11L),
+      "a null-text doc re-admitted against a corpus that has one — " +
+        "the fp anti-join is not null-safe")
+    // and with NO null-text doc in the corpus, exactly one null-text
+    // batch doc admits (the intra-batch keeper), like exactDedup
+    val admitted2 = Dedup.cleanIncrement(
+      Seq((20L, null.asInstanceOf[String], "en"),
+        (21L, null.asInstanceOf[String], "en"))
+        .toDF("doc_id", "text", "lang"),
+      corpus.filter(col("text").isNotNull), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted2 === Set(20L))
+  }
+
   test("ingest crash-replay: orphaned own index rows don't block " +
     "re-admission") {
     // the streaming sink writes indexes BEFORE the corpus; a crash
