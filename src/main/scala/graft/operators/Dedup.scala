@@ -976,11 +976,18 @@ object Dedup {
     // one-empty-token list so they yield exactly one (empty) segment
     // and so one clean_text row. The oracle twin (toksNn in
     // SparkEntry) is the same raw string_split for the same reason.
-    val toks = Tables.load(spark, sfDir, "documents")
+    // materialized at the TOKEN level, not the segment level: toks is
+    // consumed by two branches (the segment keeper and the per-doc
+    // totals), so without this the dominant normalize+split regex
+    // runs twice per doc (q33's measured lesson) — while
+    // materializing the EXPLODED segment table instead would
+    // checkpoint a corpus-sized-times-segments frame just to avoid a
+    // projection
+    val toks = materialize(Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
         split(graft.functions.TextFunctions.normText(
           coalesce(col("text"), lit(""))), " ").as("t"))
-      .filter(size(col("t")) >= 1)
+      .filter(size(col("t")) >= 1))
     val segs = toks
       .select(col("doc_id"),
         explode(sequence(lit(0),
@@ -991,17 +998,17 @@ object Dedup {
         array_join(slice(col("t"), col("seg_idx") * sw + 1, lit(sw)), " ")
           .as("seg"))
       .withColumn("fp", md5(col("seg")))
-    // materialized: `kept` (fp keeper) and `totals` (per-doc counts)
-    // shuffle on DIFFERENT keys, so without this the dominant per-doc
-    // normalize/tokenize/segment pass executes twice — the exact
-    // re-derivation cost the file's materialize convention exists to
-    // avoid (q33's measured lesson)
-    val segsM = materialize(segs)
-    val kept = segsM.groupBy(col("fp"))
+    val kept = segs.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg"))).as("k"))
       .select(col("k.doc_id").as("doc_id"), col("k.seg_idx").as("seg_idx"),
         col("k.seg").as("seg"))
-    val totals = segsM.groupBy(col("doc_id")).agg(count(lit(1)).as("n_segs"))
+    // per-doc segment count DERIVED from the token array — exactly
+    // segs.groupBy(doc_id).count() (each doc emits ceil(|t|/sw)
+    // segments by construction), without generating a single segment
+    // row or shuffling anything: an O(docs) projection off the
+    // materialized toks
+    val totals = toks.select(col("doc_id"),
+      floor((size(col("t")) + lit(sw - 1)) / sw).cast("long").as("n_segs"))
     val reassembled = kept.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("seg_idx"), col("seg"))))
           .as("pm"),
