@@ -29,6 +29,24 @@ object Bench {
     }
   }
 
+  /** Pre-delete for a COLD build measurement, refusing to proceed on
+    * a failed delete (Verify.deleteOrDie's unchecked-false
+    * discipline): a survivor dir would make ensure() VALIDATE the
+    * stale artifacts — build_sec recorded as ~0 and the timed runs
+    * served by a prior build's index, a silent stale-artifact
+    * measurement in a committed record. */
+  private def deleteColdOrDie(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val (fs, p) = Scratch.fs(spark, dir)
+    if (fs.exists(p)) {
+      fs.delete(p, true)
+      if (fs.exists(p))
+        throw new IllegalStateException(s"failed to delete $dir for a " +
+          "cold build — a stale survivor would impersonate the build " +
+          "measurement")
+    }
+  }
+
   /** One timed materialization through the noop sink: every row runs
     * the FULL plan — count() would let Catalyst eliminate final
     * sorts/projections. Seconds. Shared with [[IsoBench]].
@@ -212,9 +230,7 @@ object Bench {
     val indexBuildSec: Option[Double] =
       if (!SparkEntry.queries.contains("q69_knn_ivfpq_idx")) None
       else try {
-        val (fs, p) = Scratch.fs(spark,
-          operators.IndexStore.dirFor(spark, sfDir))
-        if (fs.exists(p)) fs.delete(p, true)
+        deleteColdOrDie(spark, operators.IndexStore.dirFor(spark, sfDir))
         Some(operators.IndexStore.ensure(spark, sfDir).buildSec)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] index build failed: ${e.getMessage}")
@@ -229,9 +245,7 @@ object Bench {
     val lexBuildSec: Option[Double] =
       if (!SparkEntry.queries.contains("q74_bm25_topk_idx")) None
       else try {
-        val (fs, p) = Scratch.fs(spark,
-          operators.LexIndex.dirFor(spark, sfDir))
-        if (fs.exists(p)) fs.delete(p, true)
+        deleteColdOrDie(spark, operators.LexIndex.dirFor(spark, sfDir))
         Some(operators.LexIndex.ensure(spark, sfDir).buildSec)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] lex index build failed: ${e.getMessage}")
@@ -245,9 +259,7 @@ object Bench {
     val vlBuildSec: Option[Double] =
       if (!SparkEntry.queries.contains("q76_ingest_screen")) None
       else try {
-        val (fs, p) = Scratch.fs(spark,
-          operators.IngestScreen.listsDir(spark, sfDir))
-        if (fs.exists(p)) fs.delete(p, true)
+        deleteColdOrDie(spark, operators.IngestScreen.listsDir(spark, sfDir))
         Some(operators.IngestScreen.ensureLists(spark, sfDir,
           operators.IndexStore.ensure(spark, sfDir)))
       } catch { case e: Throwable =>
@@ -265,11 +277,14 @@ object Bench {
     // build, same contract as index_build_sec.
     var delpipeBuildErr: Option[String] = None
     val delpipeBuildSec: Option[Double] =
-      if (!SparkEntry.queries.contains("q79_delete_lex")) None
+      // keyed on EITHER consumer of the shared scratch: dropping q79
+      // while keeping q80 must not hand q80's first timed run the
+      // whole cold seed+erase build (the BENCH_r15 distortion class)
+      if (!Seq("q79_delete_lex", "q80_delete_ann")
+          .exists(SparkEntry.queries.contains)) None
       else try {
-        val root = operators.DeletePipeline.pipeDirFor(spark, sfDir)
-        val (fs, p) = Scratch.fs(spark, root)
-        if (fs.exists(p)) fs.delete(p, true)
+        deleteColdOrDie(spark,
+          operators.DeletePipeline.pipeDirFor(spark, sfDir))
         val t0 = System.nanoTime()
         operators.DeletePipeline.ensureDeleted(spark, sfDir)
         Some((System.nanoTime() - t0) / 1e9)
@@ -280,11 +295,11 @@ object Bench {
       }
     var corrpipeBuildErr: Option[String] = None
     val corrpipeBuildSec: Option[Double] =
-      if (!SparkEntry.queries.contains("q81_correction_lex")) None
+      if (!Seq("q81_correction_lex", "q82_correction_ann")
+          .exists(SparkEntry.queries.contains)) None
       else try {
-        val root = Scratch.stableDir(spark, "corrpipe", sfDir)
-        val (fs, p) = Scratch.fs(spark, root)
-        if (fs.exists(p)) fs.delete(p, true)
+        deleteColdOrDie(spark,
+          operators.DeletePipeline.corrPipeDirFor(spark, sfDir))
         val t0 = System.nanoTime()
         operators.DeletePipeline.ensureCorrected(spark, sfDir)
         Some((System.nanoTime() - t0) / 1e9)
@@ -336,6 +351,18 @@ object Bench {
     val spreadQs = spreads.map { case (k, (med, mn, mx)) =>
       s"${Json.str(k)}:{\"med\":${f3(med)},\"min\":${f3(mn)},\"max\":${f3(mx)}}"
     }.mkString("{", ",", "}")
+    // seconds-only variant for the NOISE line: the error strings (up
+    // to ~200 chars each, five possible at once) belong in the spread
+    // FILE — on the stdout line they could push noise+median past the
+    // driver's 2000-char tail and truncate the very fields the noise
+    // line exists to preserve
+    val idxSecsField = Seq(
+      indexBuildSec.map(s => s""","index_build_sec":${f3(s)}"""),
+      lexBuildSec.map(s => s""","lex_index_build_sec":${f3(s)}"""),
+      vlBuildSec.map(s => s""","veclists_build_sec":${f3(s)}"""),
+      delpipeBuildSec.map(s => s""","delpipe_build_sec":${f3(s)}"""),
+      corrpipeBuildSec.map(s => s""","corrpipe_build_sec":${f3(s)}"""))
+      .flatten.mkString
     val idxField = indexBuildSec
       .map(s => s""","index_build_sec":${f3(s)}""").getOrElse("") +
       lexBuildSec
@@ -414,7 +441,7 @@ object Bench {
         val unresolved = xrunFlags.count(_._2._3 > xrunFlagFactor)
         s""","xrun_flags":${xrunFlags.size},"xrun_unresolved":$unresolved"""
       }
-    println(s"""{"noise":{"contaminated":${contaminated.size}$worst$readj$xrunNote$idxField$basisField,"spread":${Json.str(spreadPath)}}}""")
+    println(s"""{"noise":{"contaminated":${contaminated.size}$worst$readj$xrunNote$idxSecsField$basisField,"spread":${Json.str(spreadPath)}}}""")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors

@@ -50,14 +50,24 @@ object GraftSession {
     * this to a few × total cores for the same reason — fine-grained
     * first, coalesce to ~64 MB partitions at runtime. */
   def builder(appName: String = "graft"): SparkSession.Builder = {
-    val cpus = sys.env.getOrElse(
+    val raw = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    // fail fast naming the knob (the GRAFT_VERIFY_PARALLEL pattern):
+    // a malformed value would otherwise surface as a bare
+    // NumberFormatException from deep inside the builder with no hint
+    // of which env var was wrong
+    val cpus =
+      try { val n = raw.trim.toInt; require(n >= 1); n }
+      catch { case _: NumberFormatException | _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CPUS must be a positive integer, got '$raw'")
+      }
     configure(SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        cpus.toInt * 16)
+        cpus * 16)
       .config("spark.ui.enabled", "false"))
   }
 

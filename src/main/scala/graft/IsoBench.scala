@@ -12,7 +12,18 @@ object IsoBench {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: IsoBench <sfDir> <runs> <query...>")
     val sfDir = args(0)
-    val runs = args(1).toInt
+    // fail fast naming the argument (the GRAFT_VERIFY_PARALLEL
+    // pattern): a non-integer or non-positive <runs> must not surface
+    // as a bare NumberFormatException or an empty.min crash after the
+    // whole session startup + warmup already ran
+    val runs =
+      try args(1).toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"<runs> must be an integer, got '${args(1)}' — usage: " +
+            "IsoBench <sfDir> <runs> <query...>")
+      }
+    require(runs >= 1, s"<runs> must be >= 1, got $runs")
     val names = args.drop(2).toSeq
     val unknown = names.toSet -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")

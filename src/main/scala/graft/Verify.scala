@@ -139,6 +139,26 @@ object Verify {
     def pass: Boolean = recall >= floor
   }
 
+  /** THE set of recall/overlap-gated query names — the one list the
+    * stale-artifact pre-delete, the machinery-failure dump deletion
+    * and the below-floor enforcement all consult. It was previously
+    * two copy-pasted inline predicates, and the q82 gate landed in
+    * NEITHER: a targeted q82 re-run could read a stale prior-run
+    * ann_recall.json as its own pass, and a gate-machinery failure
+    * deleted every gated dump EXCEPT q82's. */
+  private[graft] def gatedNames: Set[String] =
+    annFloors.keySet + annResidual + dedupIdx + screenIdx + hybridIdx +
+      pipelineIdx + deleteIdx + correctionIdx
+
+  /** Dump directory a GATE ENTRY enforces on: the corrected-region
+    * entry (`q82_correction_ann_region`) is a second verdict on the
+    * q82 dump itself — deleting a literal `*_region` dir would no-op
+    * (it never exists) and the region floor would never be enforced
+    * on the driver's rows-only path. */
+  private def dumpNameOf(gateEntry: String): String =
+    if (gateEntry == s"${correctionIdx}_region") correctionIdx
+    else gateEntry
+
   /** Delete a dump dir and FAIL LOUDLY when the delete itself fails:
     * every deletion in this gate exists to turn a bad dump into a
     * missing-dump driver FAIL, so an undeletable dump (permission
@@ -486,6 +506,14 @@ object Verify {
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // EAGER, deliberately (a lazy val here was tried and reverted):
+    // recallOfDump wraps each dump read in a swallow-and-skip try, so
+    // a lazily-forced baseline failure inside it would be
+    // misattributed as "dump unreadable" and SKIPPED — the gated dump
+    // would survive with unverifiable recall, the exact silent pass
+    // the gate exists to prevent. Thrown here, the failure aborts the
+    // whole gate and enforceAnnGate's catch deletes every gated dump
+    // (unverifiable ≠ pass), which VerifyGateSpec pins.
     val exact = pairs(operators.Similarity.q35KnnBrute(spark, sfDir))
     // vacuous-corpus guard: with an EMPTY exact baseline (a corpus of
     // zero/invalid vectors — n=0 states IndexStore and the ingest
@@ -671,10 +699,7 @@ object Verify {
     // spread): when this run is responsible for gated queries, a prior
     // run's ann_recall.json must not survive a failed or empty gate to
     // impersonate this run's measurements
-    if (names.exists(n =>
-        annFloors.contains(n) || n == annResidual || n == dedupIdx ||
-          n == screenIdx || n == hybridIdx || n == pipelineIdx ||
-          n == deleteIdx))
+    if (names.exists(gatedNames.contains))
       try Files.deleteIfExists(Paths.get(s"$outDir/ann_recall.json"))
       catch { case _: Throwable => () }
     val gates =
@@ -688,10 +713,7 @@ object Verify {
         System.err.println(
           s"[verify] ann recall gate itself failed (${e.getMessage}); " +
             "deleting gated dumps — unverifiable recall is not a pass")
-        names.filter(n =>
-            annFloors.contains(n) || n == annResidual || n == dedupIdx ||
-              n == screenIdx || n == hybridIdx || n == pipelineIdx ||
-              n == deleteIdx)
+        names.filter(gatedNames.contains)
           .foreach(n => deleteOrDie(new java.io.File(s"$outDir/$n")))
         return Map.empty
       }
@@ -700,7 +722,7 @@ object Verify {
         System.err.println(
           s"[verify] $name failed: recall@${operators.Similarity.k} " +
             s"${f4(g.recall)} below floor ${f4(g.floor)}")
-        deleteOrDie(new java.io.File(s"$outDir/$name"))
+        deleteOrDie(new java.io.File(s"$outDir/${dumpNameOf(name)}"))
       }
     }
     if (gates.nonEmpty) {

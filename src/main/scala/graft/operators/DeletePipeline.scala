@@ -64,6 +64,12 @@ object DeletePipeline {
   def pipeDirFor(spark: SparkSession, sfDir: String): String =
     graft.Scratch.stableDir(spark, "delpipe", sfDir)
 
+  /** Scratch root of the CORRECTION pipeline (q81/q82) — the one
+    * accessor Bench's cold pre-build deletes through, so the prefix
+    * cannot silently diverge between the pipeline and its bench. */
+  def corrPipeDirFor(spark: SparkSession, sfDir: String): String =
+    graft.Scratch.stableDir(spark, "corrpipe", sfDir)
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val (fs, p) = graft.Scratch.fs(spark, path)
     fs.exists(p)
@@ -235,7 +241,7 @@ object DeletePipeline {
     * vectors corrected (negated). */
   private[graft] def ensureCorrected(spark: SparkSession,
       sfDir: String): String = IndexStore.synchronized {
-    val root = graft.Scratch.stableDir(spark, "corrpipe", sfDir)
+    val root = corrPipeDirFor(spark, sfDir)
     val corpusDir = s"$root/c"
     val docsTable = s"$corpusDir/documents.parquet"
     val vecsTable = s"$corpusDir/embeddings.parquet"

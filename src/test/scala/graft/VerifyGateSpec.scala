@@ -242,6 +242,39 @@ class VerifyGateSpec extends SparkSpec {
     assert(!new java.io.File(s"$out3/${Verify.screenIdx}").exists())
   }
 
+  test("correction gate: a region-only degradation fails the region " +
+    "floor and deletes the REAL q82 dump — the _region entry enforces " +
+    "on q82_correction_ann, not on a nonexistent directory") {
+    val outDir = Files.createTempDirectory("graft_anngate_corr").toString
+    val corpusDir =
+      graft.operators.DeletePipeline.ensureCorrected(spark, sfDir)
+    val exact = graft.operators.Similarity.q35KnnBrute(spark, corpusDir)
+    val corrIds = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .filter(graft.operators.DeletePipeline.kill(col("vec_id")))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(corrIds.nonEmpty)
+    // corrupt ONLY the corrected-region pairs: overall recall stays
+    // comfortably over its floor, the region serves nothing — the
+    // exact regression class the region floor exists for
+    val corrupted = exact.withColumn("neighbor_id",
+      when(col("query_id").isin(corrIds.toSeq: _*) ||
+          col("neighbor_id").isin(corrIds.toSeq: _*),
+        col("neighbor_id") + lit(1000000L)).otherwise(col("neighbor_id")))
+    dump(corrupted, outDir, "q82_correction_ann")
+    val gates = Verify.enforceAnnGate(spark, sfDir, outDir,
+      Seq("q82_correction_ann"))
+    assert(gates("q82_correction_ann").pass,
+      "the overall recall leg should still pass — the region is small")
+    val region = gates("q82_correction_ann_region")
+    assert(!region.pass && region.recall === 0.0)
+    assert(!new java.io.File(s"$outDir/q82_correction_ann").exists(),
+      "a region-floor failure must delete the q82 dump itself")
+    // and the artifact carries both entries
+    val rj = Files.readString(
+      java.nio.file.Paths.get(s"$outDir/ann_recall.json"))
+    assert(rj.contains("q82_correction_ann_region"))
+  }
+
   test("twin identity: a persisted-index dump diverging from its " +
     "in-query twin is deleted; an identical one survives") {
     val outDir = Files.createTempDirectory("graft_twin").toString
