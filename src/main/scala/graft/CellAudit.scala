@@ -20,12 +20,26 @@ object CellAudit {
     val spark = GraftSession.local("graft-cellaudit")
     args.foreach { sfDir =>
       val info = operators.IndexStore.ensure(spark, sfDir)
+      // n=0 guard (q76's rule): an empty/all-invalid-norm corpus
+      // builds an index with NO codes table — the read below would
+      // throw PATH_NOT_FOUND, and sizes.last/head on an empty array
+      // would throw either way. Nothing to audit; say so and move on.
+      if (info.n == 0) {
+        println(s"""{"probe":"cellaudit","sf":${Json.str(sfDir)},""" +
+          s""""n":0,"cells_used":0}""")
+      } else {
       val sizes = operators.IndexStore
         .withDeltaOf(spark, info.dir, "codes")(_.filter(col("sub") === 0))
         .groupBy(col("cell")).agg(count(lit(1)).as("c"))
         .select(col("c")).collect().map(_.getLong(0)).sorted
       val n = sizes.length
-      def pct(p: Double): Long = sizes(math.min(n - 1, (p * n).toInt))
+      // percentile_disc rank: 0-based index ceil(p·n)−1. The earlier
+      // (p·n).toInt form indexed p99 at sizes.last for any n ≤ 100
+      // cells (every gate-scale index), printing max==p99 and a
+      // max/p99 spread of 1.0 — hiding exactly the single-outlier
+      // mega-cell this probe exists to surface.
+      def pct(p: Double): Long =
+        sizes(math.max(0, math.min(n - 1, math.ceil(p * n).toInt - 1)))
       val med = pct(0.5)
       println(s"""{"probe":"cellaudit","sf":${Json.str(sfDir)},""" +
         s""""n":${info.n},"nl":${info.nl},"cells_used":$n,""" +
@@ -33,6 +47,7 @@ object CellAudit {
         s""""min":${sizes.head},"max_over_median":${
           String.format(java.util.Locale.ROOT, "%.2f",
             Double.box(sizes.last.toDouble / math.max(1L, med)))}}""")
+      }
     }
     spark.stop()
   }

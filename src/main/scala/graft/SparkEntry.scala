@@ -549,7 +549,9 @@ object SparkEntry {
         |    unnest(embedding) AS v
         |  FROM embeddings)
         |SELECT label, pos,
-        |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+        |  CAST(SUM(CASE WHEN isfinite(CAST(v AS DOUBLE))
+        |      THEN CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT) END)
+        |      AS DOUBLE)
         |    / 1000000.0 / COUNT(*) AS centroid,
         |  COUNT(*) AS n_vecs
         |FROM e GROUP BY label, pos
@@ -772,10 +774,14 @@ object SparkEntry {
         |FROM k WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "q51_quantize_embed" ->
       """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
-        |s AS (SELECT label,
-        |    nullif(greatest(list_aggregate(v, 'max'), -list_aggregate(v, 'min'))/127.0,
-        |      0) AS scale, v
+        |s0 AS (SELECT label,
+        |    greatest(list_aggregate(v, 'max'), -list_aggregate(v, 'min'))/127.0
+        |      AS scale0, v
         |  FROM e),
+        |s AS (SELECT label,
+        |    CASE WHEN isfinite(scale0) AND scale0 <> 0 THEN scale0 END
+        |      AS scale, v
+        |  FROM s0),
         |ex AS (SELECT label, scale, unnest(v) AS x FROM s),
         |er AS (SELECT label, scale, x - round(x/scale)*scale AS err FROM ex)
         |SELECT label, COUNT(*) AS n_dims,

@@ -32,15 +32,23 @@ object Advanced {
     * never hash-match an oracle, and engines disagree on float→DECIMAL
     * casts. The exact-fixed-point-sum pattern is also the right one for
     * a 1000-executor cluster: bit-identical results at any parallelism. */
-  def q37LabelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+  def q37LabelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    // non-finite elements are excluded from the SUM but still counted
+    // (one poisoned vector must not crash the ANSI double→long cast —
+    // floor(NaN/Inf) is uncastable — nor silently skew every centroid
+    // of its label); the oracle states the identical CASE-guard, so
+    // the two engines keep agreeing on poisoned corpora too
+    val vd = col("v").cast("double")
+    val finite = !isnan(vd) && abs(vd) =!= lit(Double.PositiveInfinity)
     Tables.load(spark, sfDir, "embeddings")
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(
-        (sum(floor(col("v").cast("double") * 1e6).cast("long"))
+        (sum(when(finite, floor(vd * 1e6).cast("long")))
           .cast("double") / 1000000.0 / count(lit(1))).as("centroid"),
         count(lit(1)).as("n_vecs"))
       .orderBy(col("label"), col("pos"))
+  }
 
   /** q25: discrete percentiles (p50/p90/p99 of extended price per return
     * flag) — `value at rank ceil(p*n)`, i.e. percentile_disc semantics,
@@ -132,7 +140,11 @@ object Advanced {
       .groupBy(year(col("o_orderdate")).as("yr"))
       .pivot("o_orderstatus", Seq("O", "F", "P"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // fill scoped to the PIVOT columns: an unqualified fill also
+      // rewrites a NULL yr group key (null o_orderdate) to year 0,
+      // where the CASE-aggregation oracle keeps NULL — a silent hash
+      // mismatch the moment a corpus carries one null order date
+      .na.fill(0L, Seq("O", "F", "P"))
       .orderBy(col("yr"))
 
   /** q27: calendar seasonality — order counts and decimal totals by
@@ -254,8 +266,15 @@ object Advanced {
     // an all-zero embedding has scale = 0: dividing by it is NaN in
     // Spark but a hard error in ANSI engines (the DuckDB oracle) —
     // null the scale out (nullif on the oracle side) so both engines
-    // skip the row's error terms identically
-    val safeScale = when(col("scale") === 0.0, lit(null)).otherwise(col("scale"))
+    // skip the row's error terms identically. A NaN/Inf COMPONENT is
+    // the same class from the other direction (scale itself goes
+    // non-finite, the === 0 guard misses it, and floor(NaN)→long is
+    // an ANSI crash): null those scales too, mirrored by the oracle's
+    // isfinite CASE — the poisoned row counts its dims and
+    // contributes no error terms, exactly like the zero-vector rule
+    val safeScale = when(col("scale") === 0.0 || isnan(col("scale")) ||
+        abs(col("scale")) === lit(Double.PositiveInfinity), lit(null))
+      .otherwise(col("scale"))
     val err = e.select(col("label"), safeScale.as("scale"), posexplode(col("v")))
       .withColumn("err",
         col("col") - round(col("col") / col("scale")) * col("scale"))

@@ -101,43 +101,67 @@ object EmbedPipeline {
       }
       var info = IndexStore.ensure(spark, corpusDir)
       IngestScreen.ensureLists(spark, corpusDir, info)
-      // 2. INGEST: corpus anti-join first (replay no-op), then the
-      // within-batch keeper, then the corpus screen
-      val corpusIds = spark.read.parquet(table).select("vec_id")
-      val fresh = graft.Materialize(
-        all.filter(IngestScreen.batchPred)
-          .join(corpusIds, Seq("vec_id"), "left_anti"))
-      if (!fresh.isEmpty) {
-        val b2 = fresh.join(
-          IngestScreen.withinBatchDrops(fresh), Seq("vec_id"), "left_anti")
-        val admitted = graft.Materialize(
-          b2.join(IngestScreen.screenBatch(spark, corpusDir, info, b2),
-            Seq("vec_id"), "left_anti"))
-        // 3. ADMIT — index, lists, corpus, in the sink's crash order
-        if (!admitted.isEmpty) {
-          val stats = IndexStore.appendBatch(spark, info.dir,
-            admitted.select(col("vec_id"), col("embedding")))
-          IngestScreen.appendLists(spark, corpusDir,
-            admitted.select(col("vec_id"), col("embedding")))
-          admitted.write.mode(SaveMode.Append).parquet(table)
-          val re = IndexStore.ensure(spark, corpusDir)
-          // drift detector, scoped to where the contract PROMISES a
-          // validate-without-rebuild: growing n across an nlistFor
-          // boundary makes a retrain the LEGITIMATE ensure answer
-          // (the cell count must track √N — the maintenance policy,
-          // not interface drift), so only a same-nl rebuild is a
-          // broken appendBatch↔ensure contract
-          // repaired rows grow meta.n too (a torn-repair replay after
-          // a crash between the two codes writes) — omit them and a
-          // legitimate boundary-crossing rebuild would be condemned
-          require(!re.builtNow ||
-              Similarity.nlistFor(
-                info.n + stats.appended + stats.repaired) != info.nl,
-            "pipeline invariant broken: ensure() REBUILT after a " +
-              "same-nl append — the incremental-maintenance contract " +
-              "between appendBatch and ensure has drifted")
-          info = re
+      // 2-3. INGEST + ADMIT, gated by a STAGE MARKER (`_ingested`,
+      // the q81 sentinel discipline): a completed run's replay must
+      // be a literal serve-only no-op. The corpus anti-join alone
+      // cannot promise that — a row the EXACT within-batch keeper
+      // dropped in run 1 is still corpus-absent on replay, its
+      // admitted partner no longer rides the batch side, and the
+      // APPROXIMATE corpus screen (bounded nprobe) may miss the
+      // partner's cell and admit it — mutating the standing corpus
+      // between reps (observable wherever nlistFor(n) > the probe
+      // cap). The marker is stamped AFTER the admit stage completes
+      // (crash → no marker → the replay re-runs ingest, whose crash
+      // windows are the sink's own: partially-admitted rows anti-join
+      // out, and the residual re-screen of run-1-dropped rows is
+      // confined to that bounded recovery, converging to a corpus the
+      // screens accept — never a silent wrong SERVE).
+      val (mfs, ingMarker) = graft.Scratch.fs(spark, s"$root/_ingested")
+      if (!mfs.exists(ingMarker)) {
+        val corpusIds = spark.read.parquet(table).select("vec_id")
+        val fresh = graft.Materialize(
+          all.filter(IngestScreen.batchPred)
+            .join(corpusIds, Seq("vec_id"), "left_anti"))
+        if (!fresh.isEmpty) {
+          val b2 = graft.Materialize(fresh.join(
+            IngestScreen.withinBatchDrops(fresh), Seq("vec_id"),
+            "left_anti"))
+          // batch shape by COUNT (the streaming sink's rule): this
+          // framing batch is a fixed slice of the table, so at a big
+          // dir the broadcast-probes form would force |batch|·np wide
+          // vector rows through the driver
+          val admitted = graft.Materialize(
+            b2.join(IngestScreen.screenBatch(spark, corpusDir, info, b2,
+                smallBatch = b2.count() <= IngestScreen.smallBatchMax),
+              Seq("vec_id"), "left_anti"))
+          if (!admitted.isEmpty) {
+            val stats = IndexStore.appendBatch(spark, info.dir,
+              admitted.select(col("vec_id"), col("embedding")))
+            IngestScreen.appendLists(spark, corpusDir,
+              admitted.select(col("vec_id"), col("embedding")))
+            admitted.write.mode(SaveMode.Append).parquet(table)
+            val re = IndexStore.ensure(spark, corpusDir)
+            // drift detector, scoped to where the contract PROMISES a
+            // validate-without-rebuild: growing n across an nlistFor
+            // boundary makes a retrain the LEGITIMATE ensure answer
+            // (the cell count must track √N — the maintenance policy,
+            // not interface drift), so only a same-nl rebuild is a
+            // broken appendBatch↔ensure contract
+            // repaired rows grow meta.n too (a torn-repair replay
+            // after a crash between the two codes writes) — omit them
+            // and a legitimate boundary-crossing rebuild would be
+            // condemned
+            require(!re.builtNow ||
+                Similarity.nlistFor(
+                  info.n + stats.appended + stats.repaired) != info.nl,
+              "pipeline invariant broken: ensure() REBUILT after a " +
+                "same-nl append — the incremental-maintenance " +
+                "contract between appendBatch and ensure has drifted")
+            info = re
+          }
         }
+        val out = mfs.create(ingMarker, true)
+        try out.write(seedId.getBytes("UTF-8")) finally out.close()
       }
       // 4. DEDUP: the q71 operator over the grown corpus; non-survivors
       // become the serving exclusion set
@@ -152,6 +176,52 @@ object EmbedPipeline {
         .orderBy(col("query_id"), col("rank"))
     }
 
+  /** Exact composed-corpus ids — stages 1-3 with every approximation
+    * replaced (exact within-batch dedup, exact batch-vs-corpus
+    * screen), straight from the source table. ONE definition shared
+    * by [[q78ExactTwin]] and the StageOverlap probe, which previously
+    * carried a byte-identical inline copy that could drift (and
+    * re-ran the O(|batch|·N) screen twice per probe dir).
+    * Invalid-norm batch rows are admitted unscreened — the q45/q76
+    * rule both paths share. */
+  private[graft] def exactComposedIds(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val all = Tables.load(spark, sfDir, "embeddings")
+    val pe = Similarity.prepped(spark, sfDir).filter(Similarity.validNorm)
+    val withinDrops = Similarity
+      .exactPairs(pe.filter(IngestScreen.batchPred))
+      .select(col("vec_b").as("vec_id")).distinct()
+    val admitted = all.filter(IngestScreen.batchPred)
+      .select(col("vec_id"))
+      .join(withinDrops, Seq("vec_id"), "left_anti")
+      .join(IngestScreen.exactRejects(spark, sfDir),
+        Seq("vec_id"), "left_anti")
+    all.filter(!IngestScreen.batchPred)
+      .select(col("vec_id")).union(admitted)
+  }
+
+  /** Brute-force top-k over a prepped (vec_id, v, nrm) frame: queries
+    * from `queries` (aliased (query_id, qv, qnrm)), neighbors from
+    * `neighbors` — the exact serving leg [[q78ExactTwin]] and the
+    * StageOverlap probe share. Emits (query_id, neighbor_id, rank). */
+  private[graft] def bruteTopK(queries: DataFrame,
+      neighbors: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.dotD
+    broadcast(queries)
+      .join(neighbors, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotD(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          .as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg
+        .topkAgg(col("cosine"), col("neighbor_id"), Similarity.k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** The EXACT composition the gate floors q78 against — every
     * approximate stage replaced by its exact counterpart, computed
     * straight from the source table (no scratch state, so a corrupted
@@ -161,26 +231,8 @@ object EmbedPipeline {
     * survivors. O(N²) — gate-scale ground truth, not a serving path. */
   private[graft] def q78ExactTwin(spark: SparkSession,
       sfDir: String): DataFrame = {
-    import graft.functions.VectorFunctions.dotD
-    val all = Tables.load(spark, sfDir, "embeddings")
-    val v = col("embedding").cast("array<double>")
-    val pe = all
-      .select(col("vec_id"), v.as("v"), sqrt(dotD(v, v)).as("nrm"))
-      .filter(Similarity.validNorm)
-    // stages 2-3, exact: admitted = batch − within-batch drops − the
-    // exact corpus screen (IngestScreen.exactRejects is precisely
-    // batch-vs-corpus over this split). Invalid-norm batch rows are
-    // admitted unscreened — the q45/q76 rule both paths share.
-    val withinDrops = Similarity
-      .exactPairs(pe.filter(IngestScreen.batchPred))
-      .select(col("vec_b").as("vec_id")).distinct()
-    val admitted = all.filter(IngestScreen.batchPred)
-      .select(col("vec_id"))
-      .join(withinDrops, Seq("vec_id"), "left_anti")
-      .join(IngestScreen.exactRejects(spark, sfDir),
-        Seq("vec_id"), "left_anti")
-    val composed = all.filter(!IngestScreen.batchPred)
-      .select(col("vec_id")).union(admitted)
+    val pe = Similarity.prepped(spark, sfDir).filter(Similarity.validNorm)
+    val composed = exactComposedIds(spark, sfDir)
     // stage 4, exact: q45's keeper rule over the composed corpus
     val dedupDrops = Similarity
       .exactPairs(pe.join(composed, Seq("vec_id"), "left_semi"))
@@ -194,18 +246,6 @@ object EmbedPipeline {
       .filter(col("vec_id") < Similarity.knnQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"))
-    val scored = broadcast(q)
-      .join(se, col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (dotD(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
-          .as("cosine"))
-    scored.groupBy(col("query_id"))
-      .agg(graft.functions.TopKAgg
-        .topkAgg(col("cosine"), col("neighbor_id"), Similarity.k)
-        .as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), col("col.id").as("neighbor_id"),
-        (col("pos") + 1).cast("int").as("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    bruteTopK(q, se)
   }
 }

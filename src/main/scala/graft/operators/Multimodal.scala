@@ -298,14 +298,19 @@ object Multimodal {
     * instead of failing the task — at 100 TB a corpus WILL contain
     * truncated files, and one bad record must not kill a 10k-task
     * stage. */
-  private def decodeImage(payload: Array[Byte]): Option[(Int, Int)] =
-    // NonFatal, not just IOException: ImageIO plugins throw
-    // IllegalArgumentException / CMMException / index errors on
-    // malformed-but-not-truncated bodies (bogus ICC profiles,
-    // dimension fields) — any of them must mark, not kill the stage
+  /** THE guarded payload→image read — decode and resize both route
+    * through here so the load-bearing catch discipline cannot drift
+    * between them. NonFatal, not just IOException: ImageIO plugins
+    * throw IllegalArgumentException / CMMException / index errors on
+    * malformed-but-not-truncated bodies (bogus ICC profiles,
+    * dimension fields) — any of them must mark, not kill the stage. */
+  private def readImage(payload: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(payload)))
-      .map(img => (img.getWidth, img.getHeight))
     catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeImage(payload: Array[Byte]): Option[(Int, Int)] =
+    readImage(payload).map(img => (img.getWidth, img.getHeight))
 
   /** Feature extraction for one record: REAL dimensions for image
     * kinds and REAL header metadata for audio kinds (-1 marks an
@@ -359,10 +364,7 @@ object Multimodal {
       it.map { r =>
         val real =
           if (r.payload == null) None
-          else if (isImage(r.kind))
-            try Option(javax.imageio.ImageIO.read(
-                new ByteArrayInputStream(r.payload)))
-            catch { case scala.util.control.NonFatal(_) => None }
+          else if (isImage(r.kind)) readImage(r.payload)
           else None
         real match {
           case Some(img) =>

@@ -47,24 +47,16 @@ object StageOverlap {
       val droppedIdx = corpusIds.join(
         IndexStore.queryEmbedDedup(spark, corpusDir, info)
           .select(col("vec_id")), Seq("vec_id"), "left_anti")
-      // exact brute-force top-k among survivors over frame `e`
+      // exact brute-force top-k among survivors — EmbedPipeline's own
+      // serving-leg helper (one definition with the twin's stage 5)
       def bruteServe(dropped: DataFrame): DataFrame = {
-        import graft.functions.VectorFunctions.dotD
         val pe = Similarity.prepped(spark, corpusDir)
           .filter(Similarity.validNorm)
         val se = pe.join(dropped, Seq("vec_id"), "left_anti")
         val q = pe.filter(col("vec_id") < Similarity.knnQueries)
           .select(col("vec_id").as("query_id"), col("v").as("qv"),
             col("nrm").as("qnrm"))
-        broadcast(q).join(se, col("query_id") =!= col("vec_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            (dotD(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
-              .as("cosine"))
-          .groupBy(col("query_id"))
-          .agg(graft.functions.TopKAgg.topkAgg(col("cosine"),
-            col("neighbor_id"), Similarity.k).as("top"))
-          .select(col("query_id"), posexplode(col("top")))
-          .select(col("query_id"), col("col.id").as("neighbor_id"))
+        EmbedPipeline.bruteTopK(q, se)
       }
       val serveExact = overlap(pairs(bruteServe(droppedIdx)))
       // exact dedup over the pipeline corpus, IVF×PQ serve
@@ -74,23 +66,13 @@ object StageOverlap {
       val dedupExact = overlap(pairs(
         IndexStore.queryIvfPq(spark, corpusDir, info,
           exclude = Some(droppedExact))))
-      // stage 2/3 drift: pipeline corpus vs the twin's exact composed set
+      // stage 2/3 drift: pipeline corpus vs the twin's exact composed
+      // set — EmbedPipeline's own definition (previously an inline
+      // copy that re-ran the O(|batch|·N) exact screen a second time
+      // per dir and could drift from the twin)
       val pipeIds = corpusIds.collect().map(_.getLong(0)).toSet
-      val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
-      val exactComposed = {
-        val pe = Similarity.prepped(spark, sfDir)
-          .filter(Similarity.validNorm)
-        val withinDrops = Similarity
-          .exactPairs(pe.filter(IngestScreen.batchPred))
-          .select(col("vec_b").as("vec_id")).distinct()
-        val admitted = all.filter(IngestScreen.batchPred)
-          .select(col("vec_id"))
-          .join(withinDrops, Seq("vec_id"), "left_anti")
-          .join(IngestScreen.exactRejects(spark, sfDir),
-            Seq("vec_id"), "left_anti")
-        all.filter(!IngestScreen.batchPred).select(col("vec_id"))
-          .union(admitted).collect().map(_.getLong(0)).toSet
-      }
+      val exactComposed = EmbedPipeline.exactComposedIds(spark, sfDir)
+        .collect().map(_.getLong(0)).toSet
       val screenDelta = (pipeIds diff exactComposed).size +
         (exactComposed diff pipeIds).size
       println(s"""{"probe":"q78stages","sf":${graft.Json.str(sfDir)},""" +
