@@ -33,7 +33,7 @@ object Maintenance {
 
   /** @return (files before, files after) */
   def compact(spark: SparkSession, path: String,
-      targetRowsPerFile: Long): (Int, Int) =
+      targetRowsPerFile: Long): (Int, Int) = {
     // writer lease over the SAME key the streaming sinks use for
     // their corpus appends: a table under a corpus dir
     // (`<dir>/<table>.parquet`) leases the dir; a bare table dir (the
@@ -42,10 +42,11 @@ object Maintenance {
     // instead of silently deleting a just-landed append with the
     // swapped-away dir. Standing tables nobody appends to pay one
     // uncontended acquire.
-    WriterLease.withWrite(spark,
+    val leaseDir =
       if (path.stripSuffix("/").endsWith(".parquet"))
         new Path(path.stripSuffix("/")).getParent.toString
-      else path, "compact") {
+      else path
+    WriterLease.withWrite(spark, leaseDir, "compact") {
     val (fs, root) = graft.Scratch.fs(spark, path)
     // count parts RECURSIVELY so partitioned layouts report honestly
     // (a top-level glob reads a hive table as "0 files")
@@ -87,6 +88,14 @@ object Maintenance {
       // PRESERVE the hive layout: rewriting a partitioned table flat
       // would silently demote partition directories to data columns
       // and permanently lose planning-time pruning (q58's property).
+      // HONESTY: partition VALUES round-trip through Spark's
+      // partition-type inference, so a foreign layout with string
+      // values that LOOK numeric ("id=007") re-emits canonicalized
+      // dirs ("id=7") — content-preserving for every layout this
+      // engine writes (typed values), not byte-preserving for such
+      // foreign dir names; compact a string-partitioned foreign
+      // layout with inference disabled session-wide if dir names are
+      // load-bearing.
       // targetRowsPerFile is honored WITHIN each partition dir: a
       // partition whose row count exceeds it is salted into
       // ceil(rows/target) write groups (≈ that many files in its dir —
@@ -97,11 +106,16 @@ object Maintenance {
       require(!df.columns.exists(_.startsWith("__compact_")),
         "compact reserves the __compact_* column-name prefix")
       val pcols = parts.map(col)
-      val counts = df.groupBy(pcols: _*)
+      // materialized: consumed twice (the totalFiles agg below and
+      // the broadcast build side of the quota join) — unmaterialized,
+      // the full-table groupBy scan would execute once per consumer,
+      // doubling the dominant read of exactly the large tables
+      // compaction targets
+      val counts = graft.Materialize(df.groupBy(pcols: _*)
         .agg(count(lit(1)).as("__compact_cnt"))
         .withColumn("__compact_nf", greatest(lit(1),
           ceil(col("__compact_cnt") / targetRowsPerFile)).cast("int"))
-        .drop("__compact_cnt")
+        .drop("__compact_cnt"))
       // live partition count is small by definition of a sane layout —
       // broadcast the per-partition file quota back onto the rows.
       // NULL-SAFE join keys, not a plain equi-join: a hive layout
@@ -146,9 +160,15 @@ object Maintenance {
       df.repartition(files).write.mode(SaveMode.Overwrite)
         .parquet(shadow.toString)
     }
+    // fence at the COMMIT point like every sibling compaction here: a
+    // compactor stalled past TTL whose lease was taken over must not
+    // swap a pre-takeover shadow over a table the new owner has since
+    // appended to — that would silently delete the committed rows
+    WriterLease.verify(spark, leaseDir)
     ParquetSink.swapInto(fs, shadow, root)
     (before, parquetFiles())
     }
+  }
 
   /** Restore the incremental-ingest dedup indexes (`<corpusDir>__sh`,
     * `<corpusDir>__bands` — [[graft.streaming.StreamOps
@@ -252,7 +272,13 @@ object Maintenance {
     // both dirs were just rebuilt lockstep from the corpus — every row
     // is committed, so the fresh listings ARE the commit marker (the
     // old marker's file entries died with the swap; without a re-stamp
-    // every later batch would pay the fallback semi-join)
+    // every later batch would pay the fallback semi-join).
+    // Re-fence before the stamp, OUTSIDE IngestCommit.write's
+    // swallow-all (StreamOps' marker discipline): a compactor fenced
+    // after its swaps must not stamp a marker built from listings
+    // that now include a new owner's UNCOMMITTED in-flight files —
+    // that marker would vouch for orphan rows as committed
+    WriterLease.verify(spark, corpusDir)
     graft.streaming.IngestCommit.write(spark, corpusDir,
       graft.streaming.IngestCommit.Marker(
         graft.streaming.IngestCommit.listing(spark, corpusDir + "__sh"),

@@ -34,7 +34,10 @@ object PandasParquet {
   def read(spark: SparkSession, path: String): DataFrame = {
     val df = spark.read.parquet(path)
     timedeltaColumns(spark, path).foldLeft(df) { case (acc, (name, scale)) =>
-      acc.withColumn(name, col(name).cast("double") / lit(scale))
+      // qcol: a pandas column may legally be named "elapsed.time" —
+      // a bare col() would parse the dot as struct-field access
+      acc.withColumn(name,
+        graft.checks.Validations.qcol(name).cast("double") / lit(scale))
     }
   }
 

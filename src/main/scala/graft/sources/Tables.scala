@@ -23,6 +23,14 @@ object Tables {
     * division whose rounding disagrees with an oracle that truncates.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // session-scoped by DESIGN, not restored: the conf is consulted
+    // both at schema inference (here) and again when the scan
+    // executes, so a set-read-restore window would break the returned
+    // (lazy) frame's own execution. The side effect is that later
+    // TIMESTAMP(NANOS) parquet reads in this session surface long
+    // nanos instead of failing PARQUET_TYPE_ILLEGAL — every such read
+    // in this engine routes through this loader (which normalizes),
+    // so the trade is deliberate and documented rather than hidden.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEventTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }

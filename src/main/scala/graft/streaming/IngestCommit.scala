@@ -68,11 +68,19 @@ object IngestCommit {
     if (!fs.exists(root)) return Map.empty
     val base = fs.makeQualified(root).toString + "/"
     graft.Scratch.walkFiles(fs, root)
-      .filter { s =>
-        val n = s.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-      .map(s => (s.getPath.toString.stripPrefix(base), s.getLen)).toMap
+      .map(s => (s.getPath.toString.stripPrefix(base), s.getLen))
+      // hidden-ness checked on EVERY path segment, not just the file
+      // name: Spark's directory reads ignore whole hidden dirs, so a
+      // crashed job's `_temporary/.../part-x.parquet` debris must stay
+      // out of the marker too — listed, it would either be vouched as
+      // committed (duplicate rows served via the marker's explicit-
+      // path read that the fallback full-dir read ignores) or, as a
+      // corpus entry, be deleted by the next job's committer cleanup
+      // and spuriously invalidate the marker every batch
+      .filterNot { case (rel, _) =>
+        rel.split('/').exists(seg =>
+          seg.startsWith("_") || seg.startsWith("."))
+      }.toMap
   }
 
   /** Logical schemas of the two index tables — explicit on every
@@ -183,7 +191,9 @@ object IngestCommit {
         m.corpus.toSeq.sorted.map { case (f, l) => s"corpus|$f|$l" })
         .mkString("\n")
       try out.write(body.getBytes("UTF-8")) finally out.close()
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal only: an OOM/interrupt mid-stamp must propagate, not
+      // be logged as a perf-only marker miss while the JVM is dying
       System.err.println(s"[ingest] commit marker write failed at " +
         s"${markerPath(corpusDir)} (${e.getMessage}); next batch will " +
         "re-validate via the committed semi-join")
