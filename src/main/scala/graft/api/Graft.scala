@@ -100,6 +100,13 @@ object Graft {
       require(pqOnly.isEmpty,
         s"SQL route ignores parquet-only knobs — remove: " +
           pqOnly.mkString(", "))
+      // same refuse-loudly contract as the route-only knobs above:
+      // SqlSink consults exactlyOnceAppend only on the create/append
+      // branches — upsert is already retry-safe via its (pid, attempt)-
+      // tagged staging + MERGE, so the knob would be a silent no-op
+      require(!exactlyOnce || m != Method.Upsert,
+        "exactlyOnce applies to create/append only — upsert is " +
+          "already exactly-once via its staged MERGE; remove the knob")
       SqlSink.write(df, SqlSink.Config(target, tablename, schema, m,
         idField, textLength, decimalPrecision, dtypes, cleanStaging,
         stagingSchema = stagingSchema, dialect = dialect,

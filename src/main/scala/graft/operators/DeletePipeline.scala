@@ -283,11 +283,16 @@ object DeletePipeline {
           concat(lit(correctionPrefix), col("text")).as("text"))
       // corpus FIRST (idempotent: only the rows a crashed attempt did
       // not land), index second — the docs-sink commit order
+      // generation-resolved read AND append: the erase leg's
+      // deleteDocs migrated the corpus table to the retained-
+      // generation layout, so survivors (and this append's target)
+      // live in the newest generation (see Generations)
+      val docsCur = graft.sources.Generations.resolve(spark, docsTable)
       val missing = corr.join(
-        spark.read.parquet(docsTable).select(col("doc_id")),
+        spark.read.parquet(docsCur).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
       if (!missing.isEmpty)
-        missing.write.mode(SaveMode.Append).parquet(docsTable)
+        missing.write.mode(SaveMode.Append).parquet(docsCur)
       // full-set batch: the ledger fingerprint is then stable across
       // replays whatever subset the corpus append had landed
       LexIndex.appendBatch(spark, corpusDir, corr)
@@ -297,11 +302,12 @@ object DeletePipeline {
       // (same content ⇒ same codes, bit for bit)
       val corrV = srcVecs.filter(kill(col("vec_id")))
         .select(col("vec_id"), correctedVec.as("embedding"))
+      val vecsCur = graft.sources.Generations.resolve(spark, vecsTable)
       val missingV = corrV.join(
-        spark.read.parquet(vecsTable).select(col("vec_id")),
+        spark.read.parquet(vecsCur).select(col("vec_id")),
         Seq("vec_id"), "left_anti")
       if (!missingV.isEmpty)
-        missingV.write.mode(SaveMode.Append).parquet(vecsTable)
+        missingV.write.mode(SaveMode.Append).parquet(vecsCur)
       IndexStore.appendBatch(spark,
         IndexStore.dirFor(spark, corpusDir), corrV)
       stamp(spark, correctedMark)

@@ -118,7 +118,8 @@ object EmbedPipeline {
       // screens accept — never a silent wrong SERVE).
       val (mfs, ingMarker) = graft.Scratch.fs(spark, s"$root/_ingested")
       if (!mfs.exists(ingMarker)) {
-        val corpusIds = spark.read.parquet(table).select("vec_id")
+        val corpusIds = spark.read.parquet(
+          graft.sources.Generations.resolve(spark, table)).select("vec_id")
         val fresh = graft.Materialize(
           all.filter(IngestScreen.batchPred)
             .join(corpusIds, Seq("vec_id"), "left_anti"))
@@ -139,7 +140,8 @@ object EmbedPipeline {
               admitted.select(col("vec_id"), col("embedding")))
             IngestScreen.appendLists(spark, corpusDir,
               admitted.select(col("vec_id"), col("embedding")))
-            admitted.write.mode(SaveMode.Append).parquet(table)
+            admitted.write.mode(SaveMode.Append)
+              .parquet(graft.sources.Generations.resolve(spark, table))
             val re = IndexStore.ensure(spark, corpusDir)
             // drift detector, scoped to where the contract PROMISES a
             // validate-without-rebuild: growing n across an nlistFor

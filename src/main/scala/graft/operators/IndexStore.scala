@@ -358,15 +358,21 @@ object IndexStore {
       val contentPrefix = contentRoot
         .map(cr => fs.makeQualified(
           new org.apache.hadoop.fs.Path(cr)).toString + "/")
-      // Scratch.walkFiles (plain listStatus), NOT fs.listFiles: the
-      // located-status iterator resolves block locations per file at
-      // ~7 ms each on LocalFileSystem — 0.55 s for a 74-file index,
-      // when the whole point of the token path is to be cheap.
-      // The token itself must not feed its own digest (writing it
-      // would invalidate it); everything else under the index dir —
-      // meta, codes, even stranded __old/__shadow debris — counts,
-      // conservatively forcing a full validation when present.
-      graft.Scratch.walkFiles(fs, p).foreach { s =>
+      // Generations.walkCurrentFiles (plain listStatus recursion), NOT
+      // fs.listFiles: the located-status iterator resolves block
+      // locations per file at ~7 ms each on LocalFileSystem — 0.55 s
+      // for a 74-file index, when the whole point of the token path is
+      // to be cheap. Generation-aware so that RETIRED generations (and
+      // their TTL GC) are digest-invisible — the digest vouches for
+      // current content, and a retention GC must never invalidate a
+      // token over state no reader serves. (Absorbed-but-retained
+      // delta files DO count until reaped — their reap forces one
+      // conservative revalidation, same class as stranded __shadow
+      // debris.) The token itself must not feed its own digest
+      // (writing it would invalidate it); everything else under the
+      // index dir — meta, codes, even stranded __old/__shadow debris —
+      // counts, conservatively forcing a full validation when present.
+      graft.sources.Generations.walkCurrentFiles(fs, p).foreach { s =>
         if (!s.getPath.getName.startsWith(tokenName)) {
           val line = s"${s.getPath}|${s.getLen}|${s.getModificationTime}"
           // the 64 KiB bound keeps a pathological foreign file under
@@ -753,16 +759,29 @@ object IndexStore {
     * (a racing policied ensure may have just compacted; the rewrite
     * must not run twice). */
   private def compactIfPolicied(spark: SparkSession, sfDir: String,
-      dir: String, policy: Option[RebuildPolicy]): Unit =
+      dir: String, policy: Option[RebuildPolicy]): Unit = {
+    // LOCK-ORDER GUARD (ADVICE r16): this path takes lease → monitor.
+    // A caller that wraps a POLICIED ensure() in IndexStore
+    // .synchronized would enter here monitor-first and re-create the
+    // ABBA stall the post-monitor call site exists to avoid (a
+    // concurrent compactAnnIndex holds the lease and blocks on the
+    // monitor). No current monitor-holding caller passes a policy;
+    // refuse loudly if one ever does rather than deadlock-by-timeout.
+    require(policy.isEmpty || !Thread.holdsLock(IndexStore),
+      "policied ensure()/compactIfPolicied must not be called while " +
+        "holding the IndexStore monitor — lease-then-monitor is the " +
+        "required order (see compactAnnIndex)")
     policy.filter(p => p.compactAtFilesPerCell < Int.MaxValue ||
         p.foldAtTombstones < Long.MaxValue).foreach { p =>
       def triggered(): (Boolean, Long) = {
         val worst =
           if (p.compactAtFilesPerCell == Int.MaxValue) Nil
           else Seq("codes", "rcodes").flatMap { t =>
-            val (fs, _) = graft.Scratch.fs(spark, s"$dir/$t")
+            // current generation only — retired copies are not layout
+            val cur = graft.sources.Generations.resolve(spark, s"$dir/$t")
+            val (fs, _) = graft.Scratch.fs(spark, cur)
             val st = fs.globStatus(
-              new org.apache.hadoop.fs.Path(s"$dir/$t/cell=*/*.parquet"))
+              new org.apache.hadoop.fs.Path(s"$cur/cell=*/*.parquet"))
             // the delta buffer counts against the same threshold:
             // every reader scans ALL delta files unpruned, so an
             // unbounded delta is the new form of the sliver problem
@@ -803,6 +822,7 @@ object IndexStore {
           }
         }
     }
+  }
 
   /** Is there a persisted index at `dir`? The streaming ingest sink
     * uses this to detect a crashed bootstrap (corpus written, build
@@ -1216,9 +1236,12 @@ object IndexStore {
 
   /** Disk partition columns come back as the inferred partition type;
     * pin `cell` to its written long so downstream joins/broadcasts see
-    * the build-time schema. */
+    * the build-time schema. Generation-resolved: a compacted/folded
+    * codes table serves its newest committed generation while retired
+    * ones idle out their TTL (see [[graft.sources.Generations]]). */
   private[operators] def readCodes(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).withColumn("cell", col("cell").cast("long"))
+    spark.read.parquet(graft.sources.Generations.resolve(spark, path))
+      .withColumn("cell", col("cell").cast("long"))
 
   // --- delta buffer (LSM L0 for the codes tables) ---------------------------
   //
@@ -1231,60 +1254,104 @@ object IndexStore {
   // cadence) and the base leg keeps its DPP-pruned plan — when the
   // delta is empty the returned plan is BYTE-IDENTICAL to the pre-delta
   // shape. [[graft.sources.Maintenance.compactAnnIndex]] FOLDS the
-  // delta into the cell layout during its shadow rewrite; the
-  // swap-vs-delta-delete crash window is closed by a `_fold` sentinel
-  // written INTO the shadow before the swap (invisible to parquet — an
-  // underscore file), listing exactly the delta files the shadow
-  // absorbed: [[healFold]] (run before any delta listing) deletes the
-  // listed files and clears the sentinel, idempotently, so any crash
-  // point either leaves the delta intact (swap never happened) or
-  // completes the deletion — never a doubled row.
+  // delta into the cell layout during its shadow rewrite, which commits
+  // as a new retained GENERATION of the table ([[graft.sources
+  // .Generations]] — in-flight scans keep their planned base files).
+  // The absorbed delta files get the same reader-snapshot treatment:
+  // they are NOT deleted at fold time (a scan that planned splits over
+  // base ∪ delta would lose its delta files mid-read) — instead the
+  // `_fold` sentinel written INTO the shadow (invisible to parquet — an
+  // underscore file) records `name|foldMillis` per absorbed file, every
+  // delta read EXCLUDES the sentinel-listed names (reads are
+  // explicit-file-list, so retained absorbed files are never served
+  // twice), and the physical delete happens once an entry's fold age
+  // exceeds the Generations TTL ([[reapAbsorbedDelta]], piggybacked on
+  // every delta listing). A crash at any point leaves either the old
+  // generation live (sentinel unborn with the shadow — delta still
+  // served) or the new one (sentinel in place — delta excluded): never
+  // a doubled row, never a file pulled from under a planned scan
+  // before the TTL.
 
-  private[operators] def deltaDirOf(dir: String, table: String): String =
+  private[graft] def deltaDirOf(dir: String, table: String): String =
     s"$dir/${table}_delta"
 
-  private def foldMarker(dir: String, table: String): String =
-    s"$dir/$table/_fold"
+  /** The `_fold` sentinel lives INSIDE the current generation of the
+    * base table (stamped into the shadow pre-commit), so it commits
+    * and retires atomically with the base it describes. */
+  private def foldMarker(spark: SparkSession, dir: String,
+      table: String): String =
+    graft.sources.Generations.resolve(spark, s"$dir/$table") + "/_fold"
 
-  /** Complete a crashed fold: delete the delta files the live base's
-    * `_fold` sentinel lists (their rows are in the base since the
-    * swap), then clear the sentinel. Driver-side, idempotent, no-op
-    * without a sentinel. */
-  private[graft] def healFold(spark: SparkSession, dir: String,
-      table: String): Unit = {
-    val (fs, mp) = graft.Scratch.fs(spark, foldMarker(dir, table))
-    if (!fs.exists(mp)) return
-    val names =
+  /** Absorbed delta files of the CURRENT base generation:
+    * name → foldMillis. Legacy (name-only) sentinel lines date from
+    * the sentinel file's own mtime. Empty without a sentinel. */
+  private[graft] def absorbedDelta(spark: SparkSession, dir: String,
+      table: String): Map[String, Long] = {
+    val (fs, mp) = graft.Scratch.fs(spark, foldMarker(spark, dir, table))
+    if (!fs.exists(mp)) return Map.empty
+    val fileTime =
+      try fs.getFileStatus(mp).getModificationTime
+      catch { case scala.util.control.NonFatal(_) =>
+        System.currentTimeMillis() }
+    val lines =
       try new String(graft.Scratch.readSmallFile(fs, mp), "UTF-8")
         .split('\n').map(_.trim).filter(_.nonEmpty)
       catch { case scala.util.control.NonFatal(_) => Array.empty[String] }
-    val dd = deltaDirOf(dir, table)
-    names.foreach { n =>
-      val (dfs, p) = graft.Scratch.fs(spark, s"$dd/$n")
-      if (dfs.exists(p)) dfs.delete(p, false)
-    }
-    fs.delete(mp, false)
+    lines.map { l =>
+      l.split('|') match {
+        case Array(n, at) if at.forall(_.isDigit) => (n, at.toLong)
+        case _ => (l, fileTime)
+      }
+    }.toMap
   }
 
-  /** Stamp the fold sentinel into `shadowTableDir` (pre-swap). */
+  /** Physically delete absorbed delta files whose fold age exceeds the
+    * Generations TTL — no planned scan can still reference them under
+    * the TTL contract. Idempotent, driver-side; entries for
+    * already-gone files are inert (pruned at the next fold's
+    * carry-forward). */
+  private def reapAbsorbedDelta(spark: SparkSession, dir: String,
+      table: String, absorbed: Map[String, Long]): Unit = {
+    if (absorbed.isEmpty) return
+    val cutoff =
+      System.currentTimeMillis() - graft.sources.Generations.ttlMs(spark)
+    val dd = deltaDirOf(dir, table)
+    absorbed.foreach { case (n, at) =>
+      if (at < cutoff) {
+        val (dfs, p) = graft.Scratch.fs(spark, s"$dd/$n")
+        if (dfs.exists(p)) dfs.delete(p, false)
+      }
+    }
+  }
+
+  /** Stamp the fold sentinel into `shadowTableDir` (pre-commit):
+    * `entries` = every delta file whose rows the shadow's base now
+    * owns — the files this fold absorbed plus the still-on-disk
+    * entries carried forward from the previous generation's sentinel. */
   private[graft] def stampFold(spark: SparkSession,
-      shadowTableDir: String, deltaFileNames: Seq[String]): Unit = {
+      shadowTableDir: String, entries: Map[String, Long]): Unit = {
     val (fs, p) = graft.Scratch.fs(spark, s"$shadowTableDir/_fold")
     val out = fs.create(p, true)
-    try out.write(deltaFileNames.sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write(entries.toSeq.sorted.map { case (n, at) => s"$n|$at" }
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** Data file names currently in a table's delta dir (post-heal). */
+  /** Data file names currently SERVED from a table's delta dir:
+    * on-disk files minus the current generation's absorbed set (their
+    * rows live in the base since the fold; the files stay until the
+    * TTL — reaped here as a side effect). */
   private[graft] def deltaFileNames(spark: SparkSession, dir: String,
       table: String): Seq[String] = {
-    healFold(spark, dir, table)
+    val absorbed = absorbedDelta(spark, dir, table)
+    reapAbsorbedDelta(spark, dir, table, absorbed)
     val (fs, p) = graft.Scratch.fs(spark, deltaDirOf(dir, table))
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq
       .filter { s =>
         val n = s.getPath.getName
-        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+        s.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          !absorbed.contains(n)
       }
       .map(_.getPath.getName)
   }
@@ -1292,12 +1359,16 @@ object IndexStore {
   /** The delta leg of a codes table, or None when empty — callers
     * union it under their OWN pruning so the base leg's plan (DPP and
     * all) is untouched, and skip the union entirely when there is no
-    * delta. */
+    * delta. EXPLICIT file-list read (never the whole dir): absorbed-
+    * but-retained files must not be served twice. */
   private[operators] def deltaFrame(spark: SparkSession, dir: String,
       table: String): Option[DataFrame] = {
     val names = deltaFileNames(spark, dir, table)
     if (names.isEmpty) None
-    else Some(spark.read.parquet(deltaDirOf(dir, table)))
+    else {
+      val dd = deltaDirOf(dir, table)
+      Some(spark.read.parquet(names.sorted.map(n => s"$dd/$n"): _*))
+    }
   }
 
   /** base-leg-through-`prune` ∪ delta-leg-through-`prune` — the one
@@ -1429,17 +1500,19 @@ object IndexStore {
     * corpus is "remove the table and its index", not a delete batch. */
   private[graft] def rewriteTableMinus(spark: SparkSession, table: String,
       ids: DataFrame, key: String): Long = {
-    val survivors = spark.read.parquet(table)
+    val survivors = spark.read
+      .parquet(graft.sources.Generations.resolve(spark, table))
       .join(ids.select(col(key)).hint("broadcast"), Seq(key), "left_anti")
     require(!survivors.isEmpty,
       s"delete batch would remove EVERY row of $table — deleting a " +
         "whole corpus is table+index removal, not a delete batch")
-    val shadow = s"${table}__shadow_del"
-    val (fs, sp) = graft.Scratch.fs(spark, shadow)
-    if (fs.exists(sp)) fs.delete(sp, true)
+    // retained-generation commit (VERDICT r16 #1): the previous table
+    // copy stays byte-identical at its old paths until the TTL, so a
+    // scan that planned its splits before this forget completes
+    // correctly; new readers resolve to the survivors
+    val shadow = graft.sources.Generations.shadowFor(spark, table)
     survivors.write.parquet(shadow)
-    graft.sources.ParquetSink.promote(fs, sp,
-      new org.apache.hadoop.fs.Path(table))
+    graft.sources.Generations.commit(spark, table, shadow)
     0L
   }
 
@@ -1512,7 +1585,8 @@ object IndexStore {
             // already removed the ids (the O(corpus) rewrite would
             // be a pure no-op swap that churns every token)
             graft.sources.WriterLease.verify(spark, dir)
-            val stillPending = spark.read.parquet(table)
+            val stillPending = spark.read
+              .parquet(graft.sources.Generations.resolve(spark, table))
               .join(tids.hint("broadcast"), Seq("vec_id"), "left_semi")
               .limit(1).count()
             if (stillPending > 0)
@@ -1577,9 +1651,15 @@ object IndexStore {
             seg.startsWith("_") || seg.startsWith("."))
         }.toMap
     }
-    one(s"$dir/$table").map { case (f, l) => (s"$table/$f", l) } ++
-      one(deltaDirOf(dir, table)).map { case (f, l) =>
-        (s"${table}_delta/$f", l)
+    // base leg generation-resolved (rel paths are gen-relative — a
+    // fold commits a new generation and legitimately invalidates the
+    // marker once); delta leg restricted to the SERVED file set, so
+    // absorbed-but-TTL-retained files neither vouch nor invalidate
+    val served = deltaFileNames(spark, dir, table).toSet
+    one(graft.sources.Generations.resolve(spark, s"$dir/$table"))
+      .map { case (f, l) => (s"$table/$f", l) } ++
+      one(deltaDirOf(dir, table)).collect {
+        case (f, l) if served.contains(f) => (s"${table}_delta/$f", l)
       }
   }
 

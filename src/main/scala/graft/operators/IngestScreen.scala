@@ -189,8 +189,11 @@ object IngestScreen {
       case Some(vm) if listsCurrent(vm, m) && dataIntact(vm) &&
           !fs.exists(pending) =>
         if (compactAtFilesPerCell > 0 && vm.n > 0) {
+          // current generation only (see compactVecLists)
+          val listsCur = graft.sources.Generations
+            .resolve(spark, s"$dir/lists")
           val st = fs.globStatus(
-            new org.apache.hadoop.fs.Path(s"$dir/lists/cell=*/*.parquet"))
+            new org.apache.hadoop.fs.Path(s"$listsCur/cell=*/*.parquet"))
           val worst =
             if (st == null || st.isEmpty) 0
             else st.groupBy(_.getPath.getParent).values.map(_.length).max
@@ -325,7 +328,8 @@ object IngestScreen {
     fresh.select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       .repartition(col("cell"))
       .write.partitionBy("cell").mode(SaveMode.Append)
-      .parquet(s"$dir/lists")
+      // resolved inside the lease (Generations appender contract)
+      .parquet(graft.sources.Generations.resolve(spark, s"$dir/lists"))
     writeListsMeta(spark, s"$dir/meta",
       vm.copy(n = vm.n + n, fp = vm.fp ^ fp,
         appended_n = vm.appended_n + n))
@@ -337,9 +341,12 @@ object IngestScreen {
   } } }
 
   /** Disk partition columns come back as the inferred type; pin `cell`
-    * to its written long (same caveat as [[IndexStore.readCodes]]). */
+    * to its written long (same caveat as [[IndexStore.readCodes]]).
+    * Generation-resolved (compactVecLists commits retained
+    * generations — see [[graft.sources.Generations]]). */
   private def readLists(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/lists")
+    spark.read.parquet(
+      graft.sources.Generations.resolve(spark, s"$dir/lists"))
       .withColumn("cell", col("cell").cast("long"))
 
   // --- the screen ------------------------------------------------------------

@@ -80,7 +80,8 @@ object LexIndex {
   }
 
   private def docsOf(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(docsPath(spark, sfDir))
+    spark.read.parquet(graft.sources.Generations.resolve(spark,
+      docsPath(spark, sfDir)))
 
   /** Driver-side existence probe (meta dir), the [[IndexStore
     * .hasIndex]] mirror: the streaming docs sink uses it to pick
@@ -95,6 +96,14 @@ object LexIndex {
 
   private def pfxOf(tokenCol: org.apache.spark.sql.Column) =
     pmod(h60(tokenCol), lit(pfxParts))
+
+  /** Generation-resolved table path ([[graft.sources.Generations]]):
+    * [[compact]] commits tf/df/stats rewrites as retained generations,
+    * so every reader — and every appender, inside the store lease —
+    * resolves to the newest committed one; identity for a
+    * never-compacted store. */
+  private def cur(spark: SparkSession, path: String): String =
+    graft.sources.Generations.resolve(spark, path)
 
   /** (row count, xor fingerprint) of the documents corpus in one scan
     * — same xor rationale as [[IndexStore]] (order-independent,
@@ -200,7 +209,7 @@ object LexIndex {
         // that wrote data but no stats row, a crashed delete that
         // stamped tombstones but not its negative partial, or a
         // foreign stats table all break it
-        val s = spark.read.parquet(s"$dir/stats")
+        val s = spark.read.parquet(cur(spark, s"$dir/stats"))
           .agg(sum(col("n_docs"))).head()
         !s.isNullAt(0) && s.getLong(0) == m.n - tombN
       }
@@ -316,10 +325,11 @@ object LexIndex {
         tfB.groupBy(col("pfx"), col("token"))
           .agg((-count(lit(1))).as("df"))
           .repartition(col("pfx")).write.mode(SaveMode.Append)
-          .partitionBy("pfx").parquet(s"$dir/df")
+          .partitionBy("pfx").parquet(cur(spark, s"$dir/df"))
       Retrieval.corpusStatsLong(fresh)
         .select((-col("n_docs")).as("n_docs"), (-col("sum_dl")).as("sum_dl"))
-        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/stats")
+        .coalesce(1).write.mode(SaveMode.Append)
+        .parquet(cur(spark, s"$dir/stats"))
     }
     // 3. corpus rewrite: drop EVERY tombstoned id still present —
     //    this batch's and any crashed predecessor's (replay = heal)
@@ -440,7 +450,7 @@ object LexIndex {
       val (tombN, _) = tombAggregates(spark, dir)
       if (tombN > 0 && tombN >= foldAtTombstones) {
         val survivors = tombstoneFrame(spark, dir)
-          .map(t => spark.read.parquet(s"$dir/tf")
+          .map(t => spark.read.parquet(cur(spark, s"$dir/tf"))
             .join(t.select(col("doc_id")).distinct().hint("broadcast"),
               Seq("doc_id"), "left_anti").limit(1).count())
           .getOrElse(1L)
@@ -539,7 +549,7 @@ object LexIndex {
     // deleted docs are excluded here; df/stats need no exclusion —
     // their negative partials already subtracted exactly
     val pruned = tombstoneFrame(spark, info.dir)
-      .foldLeft(spark.read.parquet(s"${info.dir}/tf")
+      .foldLeft(spark.read.parquet(cur(spark, s"${info.dir}/tf"))
         .filter(col("pfx").isin(pfxes: _*))
         .join(broadcast(terms), "token"))((d, t) =>
         d.join(t.select(col("doc_id")).hint("broadcast"),
@@ -551,11 +561,11 @@ object LexIndex {
     // computation over the grown corpus: append preserves q74's
     // bit-identity, not just its recall (postings/df/stats are exact
     // facts, unlike the ANN index's trained artifacts).
-    val dfq = spark.read.parquet(s"${info.dir}/df")
+    val dfq = spark.read.parquet(cur(spark, s"${info.dir}/df"))
       .filter(col("pfx").isin(pfxes: _*))
       .join(broadcast(terms), "token")
       .groupBy(col("token")).agg(sum(col("df")).as("df"))
-    val statsLong = spark.read.parquet(s"${info.dir}/stats")
+    val statsLong = spark.read.parquet(cur(spark, s"${info.dir}/stats"))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     Retrieval.scoreAgainst(pruned, qterms, dfq, statsLong, excludeSelf)
   }
@@ -666,13 +676,13 @@ object LexIndex {
     val npB = tfB.count()
     if (npB > 0) {
       tfB.repartition(col("pfx")).write.mode(SaveMode.Append)
-        .partitionBy("pfx").parquet(s"$dir/tf")
+        .partitionBy("pfx").parquet(cur(spark, s"$dir/tf"))
       tfB.groupBy(col("pfx"), col("token")).agg(count(lit(1)).as("df"))
         .repartition(col("pfx")).write.mode(SaveMode.Append)
-        .partitionBy("pfx").parquet(s"$dir/df")
+        .partitionBy("pfx").parquet(cur(spark, s"$dir/df"))
     }
     Retrieval.corpusStatsLong(batch).coalesce(1)
-      .write.mode(SaveMode.Append).parquet(s"$dir/stats")
+      .write.mode(SaveMode.Append).parquet(cur(spark, s"$dir/stats"))
     val m2 = m.copy(n = m.n + bn, fp = m.fp ^ bfp, np = m.np + npB)
     writeMeta(spark, dir, m2)
     // NO token stamp — see the scaladoc; the next ensure validates
@@ -710,8 +720,10 @@ object LexIndex {
             tN == tombN && tX == tombXor
       }
       def files(): Int = {
+        // current generations only: retired copies awaiting their TTL
+        // are storage, not layout
         val (fs, p) = graft.Scratch.fs(spark, dir)
-        graft.Scratch.walkFiles(fs, p).count { s =>
+        graft.sources.Generations.walkCurrentFiles(fs, p).count { s =>
           val nm = s.getPath.getName
           nm.endsWith(".parquet") && !nm.startsWith("_") && !nm.startsWith(".")
         }
@@ -720,18 +732,19 @@ object LexIndex {
       def rewrite(sub: String, transform: DataFrame => DataFrame,
           partitioned: Boolean): Unit = {
         val path = s"$dir/$sub"
-        val (fs, _) = graft.Scratch.fs(spark, path)
-        val shadow = new org.apache.hadoop.fs.Path(path + "__compact")
-        val w = transform(spark.read.parquet(path))
+        // retained-generation commit (reader snapshot isolation): the
+        // previous table generation stays at its planned paths until
+        // the Generations TTL, so a mid-compaction BM25 scan completes
+        val shadow = graft.sources.Generations.shadowFor(spark, path)
+        val w = transform(spark.read.parquet(cur(spark, path)))
         val writer =
           if (partitioned)
             w.repartition(col("pfx")).write.mode(SaveMode.Overwrite)
               .partitionBy("pfx")
           else w.coalesce(1).write.mode(SaveMode.Overwrite)
-        writer.parquet(shadow.toString)
+        writer.parquet(shadow)
         graft.sources.WriterLease.verify(spark, dir)
-        graft.sources.ParquetSink.swapInto(fs, shadow,
-          new org.apache.hadoop.fs.Path(path))
+        graft.sources.Generations.commit(spark, path, shadow)
       }
       // tombstone FOLD rides the same rewrite (deletion lifecycle):
       // ghost postings drop out of tf, the negative df partials merge
@@ -747,7 +760,7 @@ object LexIndex {
       // surviving doc is blank the fold is SKIPPED (sidecar stays;
       // the anti-join + negative partials keep serving correct) —
       // the np==0 read guard can then never meet a shell it can't read
-      val np2 = tombIds0.map(t => spark.read.parquet(s"$dir/tf")
+      val np2 = tombIds0.map(t => spark.read.parquet(cur(spark, s"$dir/tf"))
         .join(t.hint("broadcast"), Seq("doc_id"), "left_anti").count())
       val tombIds = if (np2.contains(0L)) {
         System.err.println(s"[lexidx] tombstone fold skipped at $dir: " +

@@ -61,7 +61,8 @@ object Retention {
     val kids = ids.select(col(key)).distinct()
     graft.sources.WriterLease.withWrite(spark, corpusDir,
         "corpus-rewrite") {
-      val present = spark.read.parquet(table)
+      val present = spark.read
+        .parquet(graft.sources.Generations.resolve(spark, table))
         .join(kids.hint("broadcast"), Seq(key), "left_semi").count()
       if (present > 0) {
         // fence immediately before the visible swap (the commit
@@ -109,8 +110,15 @@ object Retention {
           ids.select(col("vec_id")))
         (st.tombstoned, st.removedFromCorpus)
       case Some(ids) =>
-        (0L, forgetTableOnly(spark, corpusDir,
-          s"$corpusDir/embeddings.parquet", ids, "vec_id"))
+        // both-layouts resolution, mirroring LexIndex.docsPath (ADVICE
+        // r16): the standard layout keeps the table at
+        // `<dir>/embeddings.parquet`; a bare-dir vec corpus IS the
+        // parquet dir itself — without this, a bare-dir forget died
+        // with PATH_NOT_FOUND instead of forgetting
+        val std = s"$corpusDir/embeddings.parquet"
+        val (vfs, vp) = graft.Scratch.fs(spark, std)
+        val vecsTable = if (vfs.exists(vp)) std else corpusDir
+        (0L, forgetTableOnly(spark, corpusDir, vecsTable, ids, "vec_id"))
       case None => (0L, 0L)
     }
     val (fl, fa) =

@@ -1,0 +1,218 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Retained-generation table swaps — reader snapshot isolation for
+  * every store rewrite (compaction, retention forget, deletion fold).
+  *
+  * The problem (VERDICT r16 #1): [[ParquetSink.swapInto]] renames the
+  * live directory aside and deletes it as soon as the shadow is
+  * promoted. The writer lease arbitrates WRITERS only — a long-running
+  * query that planned its file splits before the swap loses its files
+  * mid-scan and fails its tasks. Crash-not-wrong-answer, but at 100 TB
+  * a nightly compaction overlaps hours-long scans as a matter of
+  * course. No rename/delete scheme can fix this: a reader's planned
+  * splits are absolute file paths, so the old files must stay
+  * byte-for-byte AT THOSE PATHS until every scan that could reference
+  * them is done.
+  *
+  * The layout (the Iceberg/Delta insight re-expressed on plain
+  * parquet + rename-commit, no manifest format needed because the
+  * commit unit is a whole directory):
+  *
+  * {{{
+  *   <table>/                      stable root — the path callers hold
+  *   <table>/part-*.parquet        LEGACY generation 0 (pre-migration)
+  *   <table>/_gen_<epoch>/...      immutable generation directories
+  *   <table>/.gen_tmp_<uuid>/      in-flight shadow (hidden, uncommitted)
+  * }}}
+  *
+  *  - '''resolve''' = the newest committed `_gen_<epoch>` dir, or the
+  *    root itself when none exists (legacy layout, zero migration).
+  *    One `listStatus`, lock-free — readers never take the lease.
+  *  - '''commit''' = one checked rename `.gen_tmp_* -> _gen_<max+1>`.
+  *    Underscore/dot prefixes keep both invisible to any naive
+  *    `spark.read.parquet(root)` (Spark hides `_`/`.` paths), so a
+  *    legacy reader mid-migration still sees exactly the generation-0
+  *    files — a stale-but-complete snapshot, never a mixed one.
+  *  - '''first commit touches nothing''': generation 0's files stay in
+  *    place at the root; they are retired (GC'd) only after the TTL.
+  *  - '''GC''' (piggybacked on every commit, plus callable): a
+  *    non-newest generation is deleted once its RETIREMENT — the
+  *    commit of its successor, approximated by the successor dir's
+  *    mtime — is older than `spark.graft.gen.ttlMs`. The newest
+  *    committed generation is never deleted. Stale `.gen_tmp_*` debris
+  *    (a crashed rewrite) falls under the same TTL.
+  *
+  * Contract: TTL must exceed the longest scan you run against the
+  * store (default 30 min; a warehouse doing hours-long scans over
+  * compacting tables sets it to hours — the cost is K retained copies
+  * of exactly the tables being rewritten, not of the whole warehouse).
+  * Writers (swap + GC) run under the store's writer lease at every
+  * call site; readers resolve lock-free and may observe the previous
+  * generation for one resolve — stale-but-consistent by construction.
+  *
+  * The reference has no answer here at all — its blob overwrite
+  * deletes the old bytes mid-download the same way
+  * (reference export.py:417-423); this is extension surface. */
+object Generations {
+
+  private val Pre = "_gen_"
+  private val TmpPre = ".gen_tmp_"
+
+  /** Retirement TTL for non-newest generations (and crashed-shadow
+    * debris). Size above the longest scan against swapped stores. */
+  def ttlMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.gen.ttlMs").map(_.toLong)
+      .getOrElse(30L * 60 * 1000)
+
+  private def epochOf(name: String): Option[Long] =
+    if (name.startsWith(Pre))
+      name.stripPrefix(Pre).toLongOption.filter(_ >= 0)
+    else None
+
+  /** Committed generations under `root`, ascending by epoch. */
+  private[graft] def gens(fs: FileSystem, root: Path): Seq[(Long, Path)] =
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) Nil
+    else fs.listStatus(root).toSeq.flatMap { s =>
+      if (s.isDirectory) epochOf(s.getPath.getName).map((_, s.getPath))
+      else None
+    }.sortBy(_._1)
+
+  /** The directory a reader (or an appender) of `dir` must use: the
+    * newest committed generation, or `dir` itself when the table has
+    * never been generation-swapped. Appenders MUST resolve inside the
+    * table's writer lease (a swap between resolve and append would
+    * land rows in a retired generation); readers resolve lock-free. */
+  def resolve(spark: SparkSession, dir: String): String = {
+    val (fs, p) = graft.Scratch.fs(spark, dir)
+    resolvePath(fs, p).toString
+  }
+
+  /** Rebuilt as a child of the caller's `root` (not the listing's
+    * fully-qualified path), so the returned string stays in the same
+    * form the caller's path was in — `java.io.File`-safe in specs and
+    * stable for string comparison against [[commit]]'s return. */
+  def resolvePath(fs: FileSystem, root: Path): Path =
+    gens(fs, root) match {
+      case Nil => root
+      case gs => new Path(root, gs.last._2.getName)
+    }
+
+  /** True when `dir` has at least one committed generation. */
+  def hasGens(spark: SparkSession, dir: String): Boolean = {
+    val (fs, p) = graft.Scratch.fs(spark, dir)
+    gens(fs, p).nonEmpty
+  }
+
+  /** A fresh hidden shadow dir INSIDE `root` for the next generation's
+    * rewrite. Inside the root (not a sibling) so commit is a same-dir
+    * rename — atomic on every FS that matters — and so naive readers
+    * of the root never see it (dot prefix). */
+  def shadowFor(spark: SparkSession, dir: String): String = {
+    val (fs, root) = graft.Scratch.fs(spark, dir)
+    fs.mkdirs(root)
+    new Path(root, TmpPre + java.util.UUID.randomUUID().toString).toString
+  }
+
+  /** Commit `shadow` as the next generation of `dir` (one checked
+    * rename), then GC expired generations. Caller holds the table's
+    * writer lease. Returns the committed generation path. A crash
+    * before the rename leaves TTL-bounded hidden debris; after it, the
+    * new generation is live — there is no window with no complete,
+    * readable copy, and no window where a planned scan loses a file. */
+  def commit(spark: SparkSession, dir: String, shadow: String): String = {
+    val (fs, root) = graft.Scratch.fs(spark, dir)
+    val sp = new Path(shadow)
+    val next = gens(fs, root).lastOption.map(_._1 + 1).getOrElse(1L)
+    val target = new Path(root, s"$Pre$next")
+    // checked like swapInto/promote: a silent false would strand the
+    // only copy of the rewrite in a hidden dir the next GC deletes
+    if (!fs.rename(sp, target))
+      throw new java.io.IOException(
+        s"generation commit: rename $sp -> $target returned false; " +
+          "shadow left in place, previous generation still live")
+    gc(spark, dir)
+    target.toString
+  }
+
+  /** Recursive CURRENT-content file listing: like
+    * [[graft.Scratch.walkFiles]], but at every directory level it
+    * descends only the newest committed generation (when any exists),
+    * skipping retired gens, legacy generation-0 entries, and in-flight
+    * `.gen_tmp_*` shadows. Digests and commit-marker listings use this
+    * so that retention GC — which deletes only retired state — can
+    * never invalidate a token/marker that vouched for current state. */
+  def walkCurrentFiles(fs: FileSystem, root: Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    if (!fs.exists(root)) return Nil
+    val rootSt = fs.getFileStatus(root)
+    if (!rootSt.isDirectory) return Seq(rootSt)
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+    val stack = scala.collection.mutable.Stack(root)
+    while (stack.nonEmpty) {
+      val entries = fs.listStatus(stack.pop()).toSeq
+      val gensHere = entries.filter(s =>
+        s.isDirectory && epochOf(s.getPath.getName).nonEmpty)
+      if (gensHere.nonEmpty) {
+        // this directory is generational: current content = newest gen
+        // only (legacy/non-gen siblings are retired generation 0)
+        stack.push(gensHere.maxBy(s =>
+          epochOf(s.getPath.getName).get).getPath)
+      } else entries.foreach { s =>
+        if (s.getPath.getName.startsWith(TmpPre)) ()
+        else if (s.isDirectory) stack.push(s.getPath)
+        else out += s
+      }
+    }
+    out.toSeq
+  }
+
+  /** Delete retired generations (and legacy generation-0 root files,
+    * and crashed-shadow debris) whose retirement is older than the
+    * TTL. Retirement time of generation g = commit time of g's
+    * successor (the successor dir's mtime — set when its contents were
+    * written, seconds before its commit; conservative by at most the
+    * rewrite duration). Legacy root files retire when the FIRST
+    * generation commits. Never touches the newest generation. Caller
+    * holds the writer lease. Returns entries deleted. */
+  def gc(spark: SparkSession, dir: String): Int = {
+    val (fs, root) = graft.Scratch.fs(spark, dir)
+    if (!fs.exists(root)) return 0
+    val ttl = ttlMs(spark)
+    val now = System.currentTimeMillis()
+    // ONE listing up front: ages come from these statuses, never from
+    // a re-stat of an entry an earlier loop may have deleted
+    val entries = fs.listStatus(root).toSeq
+    val gs = entries
+      .filter(s => s.isDirectory && epochOf(s.getPath.getName).nonEmpty)
+      .sortBy(s => epochOf(s.getPath.getName).get)
+    var deleted = 0
+    def expired(retiredAt: Long): Boolean = now - retiredAt > ttl
+    // retired generations: each non-newest gen, aged by its successor
+    if (gs.size >= 2) gs.sliding(2).foreach {
+      case Seq(g, succ) if expired(succ.getModificationTime) =>
+        if (fs.delete(g.getPath, true)) deleted += 1
+      case _ => ()
+    }
+    // legacy generation 0 — every non-hidden root entry (loose part
+    // files, or a hive layout's k=v dirs) — retires when gen 1 does
+    gs.headOption.foreach { first =>
+      if (expired(first.getModificationTime))
+        entries.foreach { s =>
+          val n = s.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".") &&
+              fs.delete(s.getPath, true)) deleted += 1
+        }
+    }
+    // crashed-shadow debris, aged by its own last write
+    entries.foreach { s =>
+      if (s.getPath.getName.startsWith(TmpPre) &&
+          expired(s.getModificationTime) &&
+          fs.delete(s.getPath, true)) deleted += 1
+    }
+    deleted
+  }
+}

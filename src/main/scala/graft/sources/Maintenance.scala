@@ -49,9 +49,10 @@ object Maintenance {
     WriterLease.withWrite(spark, leaseDir, "compact") {
     val (fs, root) = graft.Scratch.fs(spark, path)
     // count parts RECURSIVELY so partitioned layouts report honestly
-    // (a top-level glob reads a hive table as "0 files")
+    // (a top-level glob reads a hive table as "0 files");
+    // current-generation only, so retired copies don't count
     def parquetFiles(): Int =
-      graft.Scratch.walkFiles(fs, root).count { s =>
+      Generations.walkCurrentFiles(fs, root).count { s =>
         val nm = s.getPath.getName
         s.isFile && nm.endsWith(".parquet") && !nm.startsWith("_") &&
           !nm.startsWith(".")
@@ -68,7 +69,7 @@ object Maintenance {
     // bucketBy), which preserves the name encoding.
     val bucketPattern = java.util.regex.Pattern.compile("_\\d{5}\\.c\\d{3}")
     def firstBucketFile(): Option[String] =
-      graft.Scratch.walkFiles(fs, root).collectFirst {
+      Generations.walkCurrentFiles(fs, root).collectFirst {
         case s if s.getPath.getName.endsWith(".parquet") &&
             bucketPattern.matcher(s.getPath.getName).find() =>
           s.getPath.getName
@@ -81,9 +82,13 @@ object Maintenance {
           "bucketed writer instead")
     }
     val before = parquetFiles()
-    val parts = partitionCols(fs, root)
-    val df = spark.read.parquet(path)
-    val shadow = new Path(path + "__compact")
+    // read + partition-detect the CURRENT generation; the rewrite
+    // commits as the next one (retained-generation swap — in-flight
+    // scans keep their planned files, see [[Generations]])
+    val current = Generations.resolve(spark, path)
+    val parts = partitionCols(fs, new Path(current))
+    val df = spark.read.parquet(current)
+    val shadow = new Path(Generations.shadowFor(spark, path))
     if (parts.nonEmpty) {
       // PRESERVE the hive layout: rewriting a partitioned table flat
       // would silently demote partition directories to data columns
@@ -162,10 +167,11 @@ object Maintenance {
     }
     // fence at the COMMIT point like every sibling compaction here: a
     // compactor stalled past TTL whose lease was taken over must not
-    // swap a pre-takeover shadow over a table the new owner has since
-    // appended to — that would silently delete the committed rows
+    // commit a pre-takeover shadow over a table the new owner has
+    // since appended to — that would silently retire the committed
+    // rows with the old generation
     WriterLease.verify(spark, leaseDir)
-    ParquetSink.swapInto(fs, shadow, root)
+    Generations.commit(spark, path, shadow.toString)
     (before, parquetFiles())
     }
   }
@@ -208,7 +214,9 @@ object Maintenance {
         "idxcompact") {
     import org.apache.spark.sql.DataFrame
     import graft.operators.Dedup
-    val corpus = spark.read.parquet(corpusDir).select("doc_id", "text")
+    val corpus = spark.read
+      .parquet(Generations.resolve(spark, corpusDir))
+      .select("doc_id", "text")
     val committed = corpus.select("doc_id")
     def rewrite(dir: String, clean: DataFrame => DataFrame,
         rebuild: DataFrame => DataFrame,
@@ -221,30 +229,34 @@ object Maintenance {
       val df =
         if (graft.streaming.IngestCommit.listing(spark, dir).isEmpty)
           graft.streaming.IngestCommit.readFiles(spark, dir, Nil, schema)
-        else spark.read.parquet(dir)
+        else spark.read.parquet(Generations.resolve(spark, dir))
       val before = df.count()
       val kept = clean(df.join(committed, Seq("doc_id"), "left_semi"))
       val lost = corpus.join(df.select("doc_id"), Seq("doc_id"), "left_anti")
       val full = kept.unionByName(rebuild(lost))
-      val (fs, shadow) = graft.Scratch.fs(spark, dir + "__compact")
       if (full.isEmpty) {
         // the corpus deserves NO index rows (all docs sub-3-token):
         // the lockstep rewrite of an empty index is an ABSENT dir —
         // the same invariant as the sink's skip-empty-writes, and the
         // shape every reader guards — never a zero-row partitionBy
-        // shadow, which writes no part files and would swap in an
-        // unreadable shell
-        val target = new Path(dir)
+        // shadow, which writes no part files and would commit an
+        // unreadable shell. The whole-dir delete is the ONE swap here
+        // that cannot retain a generation (absence is the committed
+        // state); a scan racing this empty-index edge fails and
+        // retries — bounded by the edge being an all-blank corpus.
+        val (fs, target) = graft.Scratch.fs(spark, dir)
         if (fs.exists(target)) fs.delete(target, true)
-        if (fs.exists(shadow)) fs.delete(shadow, true)
         before
       } else {
-        write(full, shadow.toString)
+        val shadow = Generations.shadowFor(spark, dir)
+        write(full, shadow)
         // count the written shadow, not the plan — one pass over the
         // data
-        val after = spark.read.parquet(shadow.toString).count()
+        val after = spark.read.parquet(shadow).count()
         WriterLease.verify(spark, corpusDir)
-        ParquetSink.swapInto(fs, shadow, new Path(dir))
+        // retained-generation commit: readers that planned splits on
+        // the previous index files keep them until the TTL
+        Generations.commit(spark, dir, shadow)
         before - after
       }
     }
@@ -332,23 +344,27 @@ object Maintenance {
         .map(_.select(col("vec_id")).distinct())
       def one(name: String): (Int, Int) = {
         val dir = s"$indexDir/$name"
-        val (fs, _) = graft.Scratch.fs(spark, dir)
         // delta files count as part files here: folding them away IS
         // part of this compaction's contract (see IndexStore's delta
         // buffer doc — appends land one delta file per batch instead
         // of per-cell slivers, and the fold restores the cell layout)
         def files(deltaN: Int): Int = {
+          // current generation only (retired gens idle out their TTL);
           // globStatus returns NULL (not empty) when the parent path is
           // missing — e.g. compaction pointed at a never-built indexDir;
           // let the parquet read below fail with its meaningful error
-          val st = fs.globStatus(new Path(dir + "/cell=*/*.parquet"))
+          val cur = Generations.resolve(spark, dir)
+          val (fs, _) = graft.Scratch.fs(spark, cur)
+          val st = fs.globStatus(new Path(cur + "/cell=*/*.parquet"))
           (if (st == null) 0 else st.length) + deltaN
         }
-        // ONE post-heal delta listing serves the before-count, the
-        // fold sentinel, and (as zero) the after-count — the lock held
+        // ONE delta listing serves the before-count, the fold
+        // sentinel, and (as zero) the after-count — the lock held
         // in-JVM quiesces the file set, and each deltaFileNames call
-        // is a healFold probe + listStatus round-trip worth not
+        // is a sentinel probe + listStatus round-trip worth not
         // repeating on object stores
+        val absorbed = graft.operators.IndexStore
+          .absorbedDelta(spark, indexDir, name)
         val deltaNames = graft.operators.IndexStore
           .deltaFileNames(spark, indexDir, name)
         val before = files(deltaNames.size)
@@ -356,20 +372,30 @@ object Maintenance {
           .withDeltaOf(spark, indexDir, name)(identity)
         val df = dropIds.fold(df0)(t =>
           df0.join(t.hint("broadcast"), Seq("vec_id"), "left_anti"))
-        val shadow = new Path(dir + "__compact")
+        val shadow = Generations.shadowFor(spark, dir)
         df.repartition(col("cell")).write.mode(SaveMode.Overwrite)
-          .partitionBy("cell").parquet(shadow.toString)
-        // fold sentinel BEFORE the swap: after the swap the base owns
-        // the delta rows, and healFold (idempotent, run by every
-        // reader) deletes exactly the absorbed files — a crash at any
-        // point either leaves the delta intact or completes the
-        // deletion, never a doubled row
-        if (deltaNames.nonEmpty)
-          graft.operators.IndexStore
-            .stampFold(spark, shadow.toString, deltaNames)
+          .partitionBy("cell").parquet(shadow)
+        // fold sentinel INTO the shadow, BEFORE the commit: once the
+        // shadow is the live generation its base owns the delta rows,
+        // and the sentinel excludes the absorbed files from every
+        // delta read until their TTL reap (see IndexStore's delta
+        // doc). Carried forward: the PREVIOUS generation's absorbed
+        // entries whose files are still on disk (not yet reaped) must
+        // stay excluded under the new generation too; fully-reaped
+        // entries are pruned here. A crash at any point leaves either
+        // the old generation live (this sentinel unborn — delta still
+        // served) or the new one (delta excluded) — never doubled rows.
+        val (dfs, ddp) = graft.Scratch.fs(spark,
+          graft.operators.IndexStore.deltaDirOf(indexDir, name))
+        val now = System.currentTimeMillis()
+        val carried =
+          absorbed.filter { case (n, _) =>
+            dfs.exists(new Path(ddp, n)) } ++
+          deltaNames.map(_ -> now).toMap
+        if (carried.nonEmpty)
+          graft.operators.IndexStore.stampFold(spark, shadow, carried)
         WriterLease.verify(spark, indexDir)
-        ParquetSink.swapInto(fs, shadow, new Path(dir))
-        graft.operators.IndexStore.healFold(spark, indexDir, name)
+        Generations.commit(spark, dir, shadow)
         (before, files(0))
       }
       val codes = one("codes")
@@ -396,13 +422,14 @@ object Maintenance {
       graft.operators.IndexStore.synchronized {
       import org.apache.spark.sql.functions.col
       val dir = s"$listsDir/lists"
-      val (fs, _) = graft.Scratch.fs(spark, dir)
       def files(): Int = {
-        val st = fs.globStatus(new Path(dir + "/cell=*/*.parquet"))
+        val cur = Generations.resolve(spark, dir)
+        val (fs, _) = graft.Scratch.fs(spark, cur)
+        val st = fs.globStatus(new Path(cur + "/cell=*/*.parquet"))
         if (st == null) 0 else st.length
       }
       val before = files()
-      val df = spark.read.parquet(dir)
+      val df = spark.read.parquet(Generations.resolve(spark, dir))
       // zero-row guard (same class as compact's totalFiles==0 skip and
       // compactIngestIndexes' full.isEmpty branch): a partitionBy
       // write of zero rows emits NO part files, and swapping that
@@ -411,11 +438,12 @@ object Maintenance {
       // only fires past a files-per-cell threshold), but this is a
       // public maintenance entry callable on foreign-written layouts.
       if (before == 0 || df.isEmpty) return (before, before)
-      val shadow = new Path(dir + "__compact")
+      val shadow = Generations.shadowFor(spark, dir)
       df.repartition(col("cell")).write.mode(SaveMode.Overwrite)
-        .partitionBy("cell").parquet(shadow.toString)
+        .partitionBy("cell").parquet(shadow)
       WriterLease.verify(spark, listsDir)
-      ParquetSink.swapInto(fs, shadow, new Path(dir))
+      // retained-generation commit (reader snapshot isolation)
+      Generations.commit(spark, dir, shadow)
       (before, files())
       }
     }

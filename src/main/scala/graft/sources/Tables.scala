@@ -13,7 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    // generation-resolved (identity for never-swapped tables): a
+    // corpus table that retention/compaction has rewritten serves its
+    // newest committed generation — see [[Generations]]
+    else spark.read.parquet(
+      Generations.resolve(spark, s"$sfDir/$name.parquet"))
 
   /** The events table carries a parquet TIMESTAMP(NANOS) column, which
     * Spark 4 rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long
@@ -32,7 +36,8 @@ object Tables {
     // in this engine routes through this loader (which normalizes),
     // so the trade is deliberate and documented rather than hidden.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventTs(spark.read.parquet(s"$sfDir/events.parquet"))
+    normalizeEventTs(spark.read.parquet(
+      Generations.resolve(spark, s"$sfDir/events.parquet")))
   }
 
   /** STREAMING read of the same events table (file source): identical

@@ -207,6 +207,18 @@ object SqlSink {
       if (df.columns.sameElements(trimmedNames)) df
       else df.toDF(trimmedNames.toIndexedSeq: _*)
     Validations.requireUniqueColumnNames(dfT)
+    // dtype-override keys get the same trim-collision discipline as
+    // frame columns: "a" and "a " collapsing via Map last-wins would
+    // silently drop one override at the very boundary where colliding
+    // COLUMNS are refused with DoubleColumnNamesError (ADVICE r16)
+    val dtypeTrimmed = cfg0.dtypes.keys.toSeq.map(_.trim)
+    if (dtypeTrimmed.distinct.size != dtypeTrimmed.size) {
+      val dups = dtypeTrimmed.groupBy(identity).collect {
+        case (k, vs) if vs.size > 1 => k }
+      throw graft.checks.DoubleColumnNamesError(
+        s"dtype override keys collide after trimming: " +
+          dups.mkString(", "))
+    }
     val cfg = cfg0.copy(idField = cfg0.idField.map(_.trim),
       dtypes = cfg0.dtypes.map { case (k, v) => k.trim -> v })
     Validations.requireIdField(cfg.method, cfg.idField)

@@ -55,16 +55,24 @@ object IngestCommit {
   def markerPath(corpusDir: String): String = corpusDir + "__commit"
 
   /** Fully-qualified dir root + "/" — the prefix both the listing and
-    * `_metadata.file_path` rows reduce to relative paths against. */
+    * `_metadata.file_path` rows reduce to relative paths against.
+    * Generation-resolved: a dir that compaction/retention migrated to
+    * the retained-generation layout lists/reads its newest committed
+    * generation, and GC of retired generations can never invalidate a
+    * marker that vouched for current files (see
+    * [[graft.sources.Generations]]). */
   def qualifiedBase(spark: SparkSession, dir: String): String = {
-    val (fs, root) = graft.Scratch.fs(spark, dir)
+    val (fs, root) = graft.Scratch.fs(spark,
+      graft.sources.Generations.resolve(spark, dir))
     fs.makeQualified(root).toString + "/"
   }
 
   /** Data files under an index dir as (relative path -> length);
-    * hidden/marker files excluded. Missing dir → empty. */
+    * hidden/marker files excluded. Missing dir → empty.
+    * Generation-resolved (see [[qualifiedBase]]). */
   def listing(spark: SparkSession, dir: String): Map[String, Long] = {
-    val (fs, root) = graft.Scratch.fs(spark, dir)
+    val (fs, root) = graft.Scratch.fs(spark,
+      graft.sources.Generations.resolve(spark, dir))
     if (!fs.exists(root)) return Map.empty
     val base = fs.makeQualified(root).toString + "/"
     graft.Scratch.walkFiles(fs, root)
@@ -116,7 +124,9 @@ object IngestCommit {
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
     val base = qualifiedBase(spark, dir)
-    spark.read.option("basePath", dir).schema(schema)
+    spark.read
+      .option("basePath", graft.sources.Generations.resolve(spark, dir))
+      .schema(schema)
       .parquet(files.toSeq.sorted.map(base + _): _*)
   }
 

@@ -293,7 +293,10 @@ object StreamOps {
         if (empty)
           Dedup.cleanIncrement(batch, batch.limit(0), threshold)
         else {
-          val corpus = spark.read.parquet(corpusDir)
+          // generation-resolved (identity until a retention forget /
+          // compaction migrates the table — see Generations)
+          val corpus = spark.read.parquet(
+            graft.sources.Generations.resolve(spark, corpusDir))
           val (shFrame, bandsFrame) =
             if (mkValid) {
               val m = mk.get
@@ -344,12 +347,14 @@ object StreamOps {
                 if (shBefore.isEmpty)
                   IngestCommit.readFiles(spark, shDir, Nil,
                     IngestCommit.shSchema(false))
-                else spark.read.parquet(shDir)
+                else spark.read.parquet(
+                  graft.sources.Generations.resolve(spark, shDir))
               val bandsFull =
                 if (bandsBefore.isEmpty)
                   IngestCommit.readFiles(spark, bandsDir, Nil,
                     IngestCommit.bandsSchema)
-                else spark.read.parquet(bandsDir)
+                else spark.read.parquet(
+                  graft.sources.Generations.resolve(spark, bandsDir))
               (shFull.join(committed, Seq("doc_id"), "left_semi"),
                bandsFull.join(committed, Seq("doc_id"), "left_semi"))
             }
@@ -388,22 +393,30 @@ object StreamOps {
       // corpus lease across prior work (retention pipelines, specs)
       // re-enters here, and then this is the span's first real fence.
       graft.sources.WriterLease.verify(spark, corpusDir)
+      // append targets resolved INSIDE the lease (the Generations
+      // appender contract): a compaction/forget that migrated any of
+      // these dirs to the generation layout serialized with this
+      // batch on the same lease, so the resolution cannot go stale
+      // within the span
+      val shCur = graft.sources.Generations.resolve(spark, shDir)
+      val bandsCur = graft.sources.Generations.resolve(spark, bandsDir)
+      val corpusCur = graft.sources.Generations.resolve(spark, corpusDir)
       // skip writes for an empty frame: partitionBy with zero rows
       // writes NO part files, leaving a footer-less dir every later
       // full-dir read would throw on (bands' 16-rows-per-doc means
       // empty sh == empty bands)
       if (!admittedSh.isEmpty) {
-        if (legacySh) admittedSh.write.mode(mode).parquet(shDir)
+        if (legacySh) admittedSh.write.mode(mode).parquet(shCur)
         else
           // one file per touched pfx dir (the repartition co-locates
           // each bucket in one task); the pfx layout is what lets the
           // exact-verify join prune the heavy shingle scan to candidate
           // directories (Dedup.crossNearDupIdsIndexed)
           Dedup.withShPfx(admittedSh).repartition(col("pfx"))
-            .write.mode(mode).partitionBy("pfx").parquet(shDir)
-        Dedup.minhashBands(admittedSh).write.mode(mode).parquet(bandsDir)
+            .write.mode(mode).partitionBy("pfx").parquet(shCur)
+        Dedup.minhashBands(admittedSh).write.mode(mode).parquet(bandsCur)
       }
-      admitted.write.mode(mode).parquet(corpusDir)
+      admitted.write.mode(mode).parquet(corpusCur)
       // stamp AFTER the corpus append: this batch's docs are now
       // committed, so its index files (the before/after listing diff)
       // join the marker base — which is the valid marker PLUS the
@@ -419,7 +432,9 @@ object StreamOps {
         if (empty) (Map.empty[String, Long], Map.empty[String, Long])
         else if (mkValid) mkResolved.get
         else {
-          val committedNow = spark.read.parquet(corpusDir).select("doc_id")
+          val committedNow = spark.read.parquet(
+            graft.sources.Generations.resolve(spark, corpusDir))
+            .select("doc_id")
           val shPool = oneLayout(shAfter)
           (IngestCommit.committedListing(spark, shDir, shPool,
              IngestCommit.shSchema(
@@ -536,7 +551,8 @@ object StreamOps {
       } else {
         if (!IndexStore.hasIndex(spark, idxDir))
           IndexStore.ensure(spark, corpusDir) // crashed bootstrap replay
-        val corpusIds = spark.read.parquet(table).select("vec_id")
+        val corpusIds = spark.read.parquet(
+          graft.sources.Generations.resolve(spark, table)).select("vec_id")
         val fresh = graft.Materialize(
           b.join(corpusIds, Seq("vec_id"), "left_anti"))
         if (!fresh.isEmpty) {
@@ -572,8 +588,9 @@ object StreamOps {
           // sink holds one lease at a time, so no cycle)
           graft.sources.WriterLease.withWritePatient(spark, corpusDir,
               "ingest") {
+            // resolved inside the lease (Generations appender contract)
             fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
-              .parquet(table)
+              .parquet(graft.sources.Generations.resolve(spark, table))
           }
           // bound the delta buffer: every reader scans the delta
           // UNPRUNED (that's the price of O(1)-file appends)
@@ -697,7 +714,8 @@ object StreamOps {
       } else {
         if (!IndexStore.hasIndex(spark, idxDir))
           IndexStore.ensure(spark, corpusDir) // crashed bootstrap replay
-        val corpusIds = spark.read.parquet(table).select("vec_id")
+        val corpusIds = spark.read.parquet(
+          graft.sources.Generations.resolve(spark, table)).select("vec_id")
         val fresh = graft.Materialize(
           b.join(corpusIds, Seq("vec_id"), "left_anti"))
         if (!fresh.isEmpty) {
@@ -766,8 +784,9 @@ object StreamOps {
             // AFTER it reads the appended rows as survivors.
             graft.sources.WriterLease.withWritePatient(spark, corpusDir,
                 "ingest") {
+              // resolved inside the lease (Generations appender contract)
               admitted.write.mode(org.apache.spark.sql.SaveMode.Append)
-                .parquet(table)
+                .parquet(graft.sources.Generations.resolve(spark, table))
             }
             // same delta-fold cadence as the unscreened sink (the
             // veclists sidecar has its own files-per-cell policy above)

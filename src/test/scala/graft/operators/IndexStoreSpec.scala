@@ -600,7 +600,9 @@ class IndexStoreSpec extends SparkSpec {
         IndexStore.appendBatch(spark, idxDir, b)
       }
       def maxFilesPerCell(sub: String): Int =
-        new java.io.File(s"$idxDir/$sub").listFiles()
+        // current generation only (the fold commits retained gens)
+        new java.io.File(graft.sources.Generations.resolve(spark,
+            s"$idxDir/$sub")).listFiles()
           .filter(_.getName.startsWith("cell="))
           .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
       // appends buffer in the delta (one file per append), never as
@@ -648,7 +650,9 @@ class IndexStoreSpec extends SparkSpec {
         IndexStore.appendBatch(spark, idxDir, b)
       }
       def maxFilesPerCell(sub: String): Int =
-        new java.io.File(s"$idxDir/$sub").listFiles()
+        // current generation only (the fold commits retained gens)
+        new java.io.File(graft.sources.Generations.resolve(spark,
+            s"$idxDir/$sub")).listFiles()
           .filter(_.getName.startsWith("cell="))
           .map(_.listFiles().count(_.getName.endsWith(".parquet"))).max
       // appends land in the delta buffer; the fold is compaction's job
@@ -723,8 +727,9 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
-  test("a crash between the fold's swap and its delta delete never " +
-    "doubles rows: the _fold sentinel heals on the next read") {
+  test("delta fold retains the absorbed file for in-flight readers: " +
+    "excluded from every read at once, never doubled, reaped only " +
+    "after the TTL") {
     val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
     val corpus = writeCorpus(all.filter(col("vec_id") < 350))
     val idxDir = IndexStore.dirFor(spark, corpus)
@@ -735,35 +740,35 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.appendBatch(spark, idxDir, b)
       val names = IndexStore.deltaFileNames(spark, idxDir, "codes")
       assert(names.size === 1)
-      // snapshot the delta file, fold, then forge the crash window:
-      // the swapped base already owns the rows, the delta file is
-      // back, and the sentinel lists it
       val deltaFile = s"$idxDir/codes_delta/${names.head}"
       val (fs, dp) = graft.Scratch.fs(spark, deltaFile)
-      // snapshot OUTSIDE the delta dir (anything inside it would be
-      // absorbed by the fold)
-      val snap = new org.apache.hadoop.fs.Path(
-        java.nio.file.Files.createTempDirectory("fold_snap").toString +
-          "/" + names.head)
-      org.apache.hadoop.fs.FileUtil.copy(fs, dp, fs, snap, false,
-        spark.sparkContext.hadoopConfiguration)
       graft.sources.Maintenance.compactAnnIndex(spark, idxDir)
+      // the fold committed a new base generation that owns the delta
+      // rows; the absorbed FILE stays on disk for the TTL (a scan that
+      // planned base ∪ delta splits keeps every file) but leaves the
+      // served set immediately — reads are explicit-file-list, so the
+      // retained file can never double rows
       assert(IndexStore.deltaFileNames(spark, idxDir, "codes").isEmpty)
-      fs.rename(snap, dp)
-      val (mfs, mp) = graft.Scratch.fs(spark, s"$idxDir/codes/_fold")
-      val out = mfs.create(mp, true)
-      try out.write(names.head.getBytes("UTF-8")) finally out.close()
-      // an unguarded union would now read the appended rows TWICE
-      // (base post-fold + resurrected delta); healFold must delete the
-      // listed file before the delta leg is planned
+      assert(fs.exists(dp),
+        "absorbed delta file must be TTL-retained, not deleted at fold")
       val n = IndexStore.withDeltaOf(spark, idxDir, "codes")(identity)
         .count()
       assert(n === 425L * Similarity.pqSubspaces,
-        "fold crash window doubled codes rows")
-      assert(!mfs.exists(mp), "sentinel must be cleared by the heal")
-      assert(IndexStore.deltaFileNames(spark, idxDir, "codes").isEmpty)
+        "retained absorbed file must not double codes rows")
       assert(!IndexStore.ensure(spark, corpus).builtNow,
-        "healed state must validate without a rebuild")
+        "folded state must validate without a rebuild")
+      // past the TTL the next delta listing reaps the file physically
+      spark.conf.set("spark.graft.gen.ttlMs", "0")
+      try {
+        assert(IndexStore.deltaFileNames(spark, idxDir, "codes").isEmpty)
+        assert(!fs.exists(dp),
+          "expired absorbed delta file must be reaped")
+      } finally spark.conf.unset("spark.graft.gen.ttlMs")
+      // the reap invalidates the token in the CONSERVATIVE direction
+      // only: one full revalidation, never a rebuild
+      assert(!IndexStore.ensure(spark, corpus).builtNow,
+        "reap must revalidate, not rebuild")
+      assert(rows(IndexStore.q69KnnIvfPqIdx(spark, corpus)).nonEmpty)
     } finally {
       deleteDir(idxDir)
       deleteDir(corpus)

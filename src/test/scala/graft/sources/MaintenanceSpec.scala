@@ -86,7 +86,9 @@ class MaintenanceSpec extends SparkSpec {
       .agg(sum(col("id")), count(lit(1))).head().toSeq
     Maintenance.compact(spark, dir, 300)
     def filesIn(p: Int): Int =
-      new java.io.File(s"$dir/part=$p").listFiles()
+      // current generation (compact commits retained gens)
+      new java.io.File(
+          s"${Generations.resolve(spark, dir)}/part=$p").listFiles()
         .count(_.getName.endsWith(".parquet"))
     // salting is approximate (hash collisions can merge two groups in
     // one task) — ≥ 2 proves the partition was subdivided at all,
@@ -215,11 +217,13 @@ class MaintenanceSpec extends SparkSpec {
       .agg(sum(col("id")), count(lit(1))).head().toSeq
     val (nBefore, nAfter) = Maintenance.compact(spark, dir, 1000)
     assert(nBefore > 6 && nAfter <= 6, s"$nBefore -> $nAfter")
-    // both levels survive, in their original nesting order
-    val l1 = new java.io.File(dir).listFiles().map(_.getName)
+    // both levels survive, in their original nesting order (in the
+    // committed generation — compact retains the old one until TTL)
+    val cur = Generations.resolve(spark, dir)
+    val l1 = new java.io.File(cur).listFiles().map(_.getName)
       .filter(_.startsWith("p1=")).sorted
     assert(l1.toSeq === Seq("p1=0", "p1=1"))
-    val l2 = new java.io.File(s"$dir/p1=0").listFiles().map(_.getName)
+    val l2 = new java.io.File(s"$cur/p1=0").listFiles().map(_.getName)
       .filter(_.startsWith("p2=")).sorted
     assert(l2.toSeq === Seq("p2=0", "p2=1", "p2=2"))
     val q = spark.read.parquet(dir)
@@ -260,15 +264,18 @@ class MaintenanceSpec extends SparkSpec {
       Maintenance.compactIngestIndexes(spark, corpusDir)
     assert(shDropped === 1L)      // dup + orphan dropped, doc 3 rebuilt
     assert(bandsDropped === 16L)  // 32 debris bands out, 16 rebuilt in
-    val shIds = spark.read.parquet(corpusDir + "__sh")
+    val shIds = spark.read
+      .parquet(Generations.resolve(spark, corpusDir + "__sh"))
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(shIds === Seq(1L, 2L, 3L))
-    val bandCounts = spark.read.parquet(corpusDir + "__bands")
+    val bandCounts = spark.read
+      .parquet(Generations.resolve(spark, corpusDir + "__bands"))
       .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
     assert(bandCounts === Map(1L -> 16L, 2L -> 16L, 3L -> 16L))
     // the rebuilt rows are byte-identical to a from-scratch index:
     // lockstep means a future near-dup of doc 3 is screened again
-    val rebuilt = spark.read.parquet(corpusDir + "__sh")
+    val rebuilt = spark.read
+      .parquet(Generations.resolve(spark, corpusDir + "__sh"))
       .filter(col("doc_id") === 3L).select("sh")
       .as[Seq[String]].head()
     val expected = Dedup.shingleIndex(corpus.filter(col("doc_id") === 3L))
