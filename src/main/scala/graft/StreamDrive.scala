@@ -96,8 +96,12 @@ private[graft] object StreamDrive {
       path: String, idCol: String): Array[Long] = {
     var left = 5
     while (true) {
-      try return spark.read.parquet(path).select(idCol)
-        .collect().map(_.getLong(0))
+      // generation-resolved INSIDE the retry loop: a concurrent
+      // forget/compaction can commit a new generation between
+      // attempts, and the point of this reader is the live table
+      try return spark.read
+        .parquet(graft.sources.Generations.resolve(spark, path))
+        .select(idCol).collect().map(_.getLong(0))
       catch { case e: Throwable if left > 0 =>
         left -= 1; Thread.sleep(300)
       }

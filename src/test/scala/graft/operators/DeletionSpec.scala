@@ -290,7 +290,8 @@ class DeletionSpec extends SparkSpec {
       // sanity: a near-dup of doc 1 is screened out while 1 stands
       ms.addData(Seq((3L, textA + " again", "en")))
       q.processAllAvailable()
-      assert(docIds(spark.read.parquet(corpusDir)) == Set(1L, 2L))
+      assert(docIds(spark.read.parquet(
+        graft.sources.Generations.resolve(spark, corpusDir))) == Set(1L, 2L))
       // DELETE doc 1 through the real lifecycle (the docsPath resolver
       // lets deleteDocs operate on the streaming corpus layout): the
       // corpus rewrite invalidates the ingest marker's file-identity
@@ -298,14 +299,16 @@ class DeletionSpec extends SparkSpec {
       // semi-join — the ghost __sh/__bands rows of doc 1 become
       // invisible BY DESIGN, not by a separate index delete
       LexIndex.deleteDocs(spark, corpusDir, Seq(1L).toDF("doc_id"))
-      assert(docIds(spark.read.parquet(corpusDir)) == Set(2L))
+      assert(docIds(spark.read.parquet(
+        graft.sources.Generations.resolve(spark, corpusDir))) == Set(2L))
       // a near-dup of the DELETED content must now be admitted — a
       // phantom rejection here would mean deleted content still
       // suppresses future ingest forever
       ms.addData(Seq((4L, textA + " again", "en")))
       q.processAllAvailable()
       assert(q.exception.isEmpty, s"stream died: ${q.exception}")
-      assert(docIds(spark.read.parquet(corpusDir)) == Set(2L, 4L),
+      assert(docIds(spark.read.parquet(
+        graft.sources.Generations.resolve(spark, corpusDir))) == Set(2L, 4L),
         "deleted content phantom-rejected its re-admission")
       // and the lexical side serves the survivors + the re-admission,
       // never the deleted doc

@@ -212,10 +212,13 @@ class IngestScreenSpec extends SparkSpec {
         batch.write.mode("append").parquet(s"$corpus/embeddings.parquet")
       }
       val (fs, _) = graft.Scratch.fs(spark, vlDir)
+      // current generation (compactVecLists commits retained gens)
+      def listsCur(): String =
+        graft.sources.Generations.resolve(spark, s"$vlDir/lists")
       def files(): Int = fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$vlDir/lists/cell=*/*.parquet")).length
+        s"${listsCur()}/cell=*/*.parquet")).length
       def rows(): Map[Long, (Double, Long)] =
-        spark.read.parquet(s"$vlDir/lists")
+        spark.read.parquet(listsCur())
           .select(col("vec_id"), col("nrm"),
             col("cell").cast("long"))
           .as[(Long, Double, Long)].collect()

@@ -232,10 +232,13 @@ class LexIndexSpec extends SparkSpec {
       assert(after < before, s"no consolidation ($before -> $after)")
       assert(rows(LexIndex.q74Bm25TopKIdx(spark, corpus)) === want)
       // df partials merged: at most one row per term again
-      val dups = spark.read.parquet(s"$idxDir/df")
+      val dups = spark.read.parquet(
+          graft.sources.Generations.resolve(spark, s"$idxDir/df"))
         .groupBy(col("token")).count().filter(col("count") > 1)
       assert(dups.isEmpty, "df still carries unmerged partials")
-      assert(spark.read.parquet(s"$idxDir/stats").count() === 1)
+      assert(spark.read.parquet(
+        graft.sources.Generations.resolve(spark, s"$idxDir/stats"))
+        .count() === 1)
       // the re-stamped token keeps the index serving without rebuild
       assert(!LexIndex.ensure(spark, corpus).builtNow)
     } finally {
