@@ -439,9 +439,22 @@ object Bench {
       if (hostFactor <= 0) ""
       else {
         val unresolved = xrunFlags.count(_._2._3 > xrunFlagFactor)
-        s""","xrun_flags":${xrunFlags.size},"xrun_unresolved":$unresolved"""
+        // host_factor on the STDOUT tail (VERDICT r16 #3): the
+        // driver's single-run artifact cannot re-run, but it CAN carry
+        // its own context — this run's median med/ref ratio vs the
+        // committed clean record. A contaminated driver window then
+        // self-identifies to any reader (r16's raw tail read 1.35×
+        // uniform vs a 0-flag spread of the same HEAD, and only the
+        // spread file said so).
+        s""","host_factor":${f3(hostFactor)},""" +
+          s""""xrun_flags":${xrunFlags.size},"xrun_unresolved":$unresolved"""
       }
-    println(s"""{"noise":{"contaminated":${contaminated.size}$worst$readj$xrunNote$idxSecsField$basisField,"spread":${Json.str(spreadPath)}}}""")
+    // "flags" = within-run contaminated + unresolved cross-run flags —
+    // the one number a reader checks before trusting the median line
+    val flagsTotal = contaminated.size +
+      (if (hostFactor <= 0) 0
+       else xrunFlags.count(_._2._3 > xrunFlagFactor))
+    println(s"""{"noise":{"contaminated":${contaminated.size},"flags":$flagsTotal$worst$readj$xrunNote$idxSecsField$basisField,"spread":${Json.str(spreadPath)}}}""")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors

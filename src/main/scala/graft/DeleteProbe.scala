@@ -14,12 +14,23 @@ import org.apache.spark.sql.functions._
   * killMod picks the kill set (vec_id % killMod == 3): size ≈ N/mod —
   * choose a mod that keeps nlistFor(survivors) == nlistFor(N) to
   * exercise the incremental (no-rebuild) path.
+  *
+  * Read-amplification leg (VERDICT r16 #6): `serve_clean_sec` times
+  * the same serve BEFORE any tombstone exists, so
+  * `serve_tombstoned_sec − serve_clean_sec` is the standing pre-fold
+  * premium of the pending-tombstone anti-joins. Run it at two corpus
+  * sizes with the SAME standing tombstone count (a fold threshold − 1,
+  * the worst state a foldAtTombstones policy lets stand — the
+  * `killCount` arg sizes the kill set directly) and the premium's N
+  * dependence is a fitted number, not a one-off.
+  *
+  *   sbt "runMain graft.DeleteProbe /tmp/sf16ann count=255"
   */
 object DeleteProbe {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: DeleteProbe <sfDir> [killMod]")
+    require(args.nonEmpty,
+      "usage: DeleteProbe <sfDir> [killMod | count=T]")
     val sfDir = args(0)
-    val killMod = if (args.length > 1) args(1).toInt else 142
     val spark = GraftSession.local("graft-deleteprobe")
     import operators.IndexStore
     def timed[A](body: => A): (A, Double) = {
@@ -28,20 +39,42 @@ object DeleteProbe {
       (a, (System.nanoTime() - t0) / 1e9)
     }
     val info0 = IndexStore.ensure(spark, sfDir)
+    // count=T sizes the kill set exactly (the standing-state leg);
+    // a bare integer keeps the legacy killMod framing
+    val killCount = args.drop(1).collectFirst {
+      case a if a.startsWith("count=") => a.stripPrefix("count=").toLong
+    }
+    val killMod = killCount match {
+      case Some(t) => math.max(2L, info0.n / math.max(1L, t))
+      case None => if (args.length > 1) args(1).toLong else 142L
+    }
     val kills = graft.sources.Tables.load(spark, sfDir, "embeddings")
       .filter(col("vec_id") % killMod === 3).select(col("vec_id"))
     val killSet = kills.collect().map(_.getLong(0)).toSet
     import spark.implicits._
+    // clean-serve baseline BEFORE any tombstone exists — the reference
+    // the pre-fold premium is measured against (same plan, same host
+    // window, zero pending tombstones). Median of 3: single serves at
+    // probe scale swing under co-tenant steal.
+    val serveCleanSec = {
+      val ts = (1 to 3).map(_ => timed(
+        IndexStore.queryIvfPq(spark, sfDir, info0).count())._2).sorted
+      ts(1)
+    }
     val (st, delSec) = timed(IndexStore.deleteBatch(spark, sfDir,
       killSet.toSeq.toDF("vec_id")))
     val (info1, ensSec) = timed(IndexStore.ensure(spark, sfDir))
     require(!info1.builtNow, "ensure rebuilt after an inside-boundary " +
       "delete — the folded validation is broken at this scale")
     def leakFree(tag: String): Double = {
-      val (leaks, s) = timed(IndexStore.queryIvfPq(spark, sfDir, info1)
-        .filter(col("neighbor_id").isin(killSet.toSeq: _*)).count())
-      require(leaks == 0, s"$tag served $leaks deleted neighbor(s)")
-      s
+      // median of 3, matching the clean baseline's basis
+      val ts = (1 to 3).map { _ =>
+        val (leaks, s) = timed(IndexStore.queryIvfPq(spark, sfDir, info1)
+          .filter(col("neighbor_id").isin(killSet.toSeq: _*)).count())
+        require(leaks == 0, s"$tag served $leaks deleted neighbor(s)")
+        s
+      }.sorted
+      ts(1)
     }
     val serve1 = leakFree("pre-fold")
     val ((_, foldSec)) = timed(
@@ -53,6 +86,7 @@ object DeleteProbe {
     def f(v: Double) = Json.f3(v)
     println(s"""{"probe":"deletescale","sf":${Json.str(sfDir)},""" +
       s""""n":${info0.n},"killed":${st.tombstoned},""" +
+      s""""serve_clean_sec":${f(serveCleanSec)},""" +
       s""""delete_sec":${f(delSec)},"ensure_folded_sec":${f(ensSec)},""" +
       s""""serve_tombstoned_sec":${f(serve1)},"fold_sec":${f(foldSec)},""" +
       s""""ensure_postfold_sec":${f(ens2Sec)},""" +

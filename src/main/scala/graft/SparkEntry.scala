@@ -53,6 +53,7 @@ object SparkEntry {
     "q36_knn_lsh"          -> (Similarity.q36KnnLsh _),
     "q41_knn_ivf"          -> (Similarity.q41KnnIvf _),
     "q40_media_meta"       -> (Multimodal.q40MediaMeta _),
+    "q83_image_dedup"      -> (Multimodal.q83ImageDedup _),
     "q24_top_tokens"       -> (Advanced.q24TopTokens _),
     "q39_sessions"         -> (Advanced.q39Sessions _),
     "q25_percentiles"      -> (Advanced.q25Percentiles _),
@@ -539,6 +540,36 @@ object SparkEntry {
         |  CAST((octet_length(encode(text)) * 3) % 480 AS INT) AS height,
         |  substr(md5(text), 1, 16) AS content_hash
         |FROM documents ORDER BY media_id""".stripMargin,
+    // q83: the Spark side derives each image's dHash through a REAL
+    // PNG encode -> decode -> pixel walk; PNG is lossless, so the
+    // decoded grid equals Multimodal.synthPixel's arithmetic, which
+    // this oracle mirrors verbatim. The all-pairs Hamming join is the
+    // EXACT baseline the banded join must match (tau=2 < 4 bands =>
+    // banding is exhaustive by pigeonhole), so the compare is
+    // hash-exact, not recall-floored.
+    "q83_image_dedup" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, r1.x, r2.y,
+        |    ((((d.doc_id % 50) + 1) * (r1.x * 11 + r2.y * 29 + 7)
+        |      + r1.x * r2.y * (((d.doc_id % 50) % 13) + 1)
+        |      + CASE WHEN r1.x = 8 AND r2.y = d.doc_id % 8
+        |             THEN 97 ELSE 0 END) % 251) AS v
+        |  FROM documents d, range(9) r1(x), range(8) r2(y)),
+        |h AS (
+        |  SELECT a.doc_id,
+        |    bit_or(CASE WHEN a.v > b.v
+        |      THEN (1::BIGINT << CAST(a.y * 8 + a.x AS INT))
+        |      ELSE 0::BIGINT END) AS dhash
+        |  FROM px a JOIN px b
+        |    ON a.doc_id = b.doc_id AND b.x = a.x + 1 AND b.y = a.y
+        |  WHERE a.x < 8 AND a.y * 8 + a.x <= 62 GROUP BY a.doc_id),
+        |dropped AS (
+        |  SELECT DISTINCT hi.doc_id
+        |  FROM h hi JOIN h lo ON lo.doc_id < hi.doc_id
+        |    AND bit_count(xor(hi.dhash, lo.dhash)) <= 2)
+        |SELECT doc_id, dhash FROM h
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
     "q24_top_tokens" ->
       s"""SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest($toksSql) AS token FROM documents) t

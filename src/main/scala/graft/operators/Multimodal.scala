@@ -422,6 +422,141 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  // --- image near-duplicate dedup (q83) --------------------------------------
+  //
+  // The one LLM-pipeline dedup modality the engine did not cover
+  // (VERDICT r16 #5): perceptual-hash image dedup. dHash — the
+  // classic difference hash: downsample to a (w+1)×h grayscale grid,
+  // bit k = pixel(x,y) brighter than its right neighbor — is pure
+  // integer math over decoded pixels, so the whole pipeline is
+  // engine-portable: the Spark side goes through REAL
+  // javax.imageio PNG encode → decode → pixel extraction (the
+  // production plumbing), while the DuckDB oracle recomputes the same
+  // grid values arithmetically (PNG is lossless, so decoded pixels ==
+  // synthesized pixels, bit for bit).
+  //
+  // Candidate generation is the q31 banded-LSH shape: the 64-bit
+  // dHash splits into 4 × 16-bit bands; a pair collides iff SOME band
+  // matches exactly. With the verify threshold τ = imgDupBits = 2 and
+  // 4 bands this is EXHAUSTIVE by pigeonhole (τ < bands ⇒ ≤ τ
+  // differing bits cannot touch every band), so the banded survivors
+  // equal the exact all-pairs answer — hash-gated against a DuckDB
+  // O(N²) oracle, no recall floor needed. At 100 TB the band join is
+  // the scale path: shuffle keys are (band, 16-bit value), candidate
+  // work ∝ colliding pairs, never N².
+
+  /** Synthetic-image grid: 9 wide × 8 tall ⇒ 8×8 = 64 dHash bits. */
+  val imgW = 9
+  val imgH = 8
+  /** Planted near-dup group count (doc_id % imgGroups shares a base
+    * pattern; each doc perturbs ONE last-column pixel ⇒ ≤ 1 differing
+    * dHash bit per doc, ≤ 2 per same-group pair). */
+  val imgGroups = 50
+  /** Exact Hamming verify threshold — MUST stay < the band count (4)
+    * for the banding to be exhaustive (see the section doc). */
+  val imgDupBits = 2
+
+  /** The deterministic grayscale value of grid cell (x, y) for the
+    * image of `docId` — the ONE pixel definition, mirrored verbatim in
+    * q83's oracle SQL. Positive integer math only (both engines agree
+    * on % for positive operands). */
+  private[operators] def synthPixel(docId: Long, x: Int, y: Int): Int = {
+    val g = docId % imgGroups
+    val perturb = if (x == imgW - 1 && y == docId % imgH) 97L else 0L
+    (((g + 1) * (x * 11 + y * 29 + 7) + x * y * ((g % 13) + 1) + perturb)
+      % 251).toInt
+  }
+
+  /** Documents rendered as REAL PNG images of their synthetic pixel
+    * grids — the testdata carries no binary image column, so the
+    * corpus is derived deterministically (the q40 pattern, image
+    * form): partition-batched javax.imageio encode, one encoder pass
+    * per row, no driver collect. */
+  def imagesFromDocuments(spark: SparkSession, sfDir: String)
+      : Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = new java.awt.image.BufferedImage(
+            imgW, imgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < imgH) {
+            var x = 0
+            while (x < imgW) {
+              val v = synthPixel(id, x, y)
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRecord(id, "image/png", bos.toByteArray)
+        }
+      }
+  }
+
+  /** 63-bit dHash of a decoded image: bit (y·8 + x) set iff grid cell
+    * (x, y) is brighter than (x+1, y); the (7,7) comparison (bit 63)
+    * is dropped so the hash packs into a BIGINT both engines can
+    * shift into (DuckDB range-checks `1 << 63`). Undecodable or
+    * wrong-shape payloads mark with None (mark-don't-throw). */
+  private[operators] def dhashOf(payload: Array[Byte]): Option[Long] =
+    readImage(payload).filter(i =>
+      i.getWidth == imgW && i.getHeight == imgH).map { img =>
+      def gray(x: Int, y: Int): Int = img.getRGB(x, y) & 0xff
+      var bits = 0L
+      var y = 0
+      while (y < imgH) {
+        var x = 0
+        while (x < imgW - 1) {
+          val k = y * 8 + x
+          if (k <= 62 && gray(x, y) > gray(x + 1, y)) bits |= 1L << k
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
+  /** (media_id, dhash) via the REAL decode path; undecodable rows are
+    * dropped with a mark (they can neither duplicate nor be
+    * duplicated — same one-sided rule as the invalid-norm vectors). */
+  def imageDhash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(it =>
+        it.flatMap(r => Option(r.payload).flatMap(dhashOf)
+          .map(h => (r.media_id, h))))
+      .toDF("doc_id", "dhash")
+  }
+
+  /** q83: image near-duplicate dedup — survivors of the dHash keeper
+    * rule (drop every image with a LOWER-id partner within
+    * [[imgDupBits]] Hamming bits). Banded candidate join + in-join
+    * exact verify; exhaustive at this (τ, bands) pair, so hash-exact
+    * vs the oracle's all-pairs SQL. */
+  def q83ImageDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = imageDhash(imagesFromDocuments(spark, sfDir))
+    val bands = h.select(col("doc_id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dhash"), 16 * b)
+            .bitwiseAND(lit(0xffffL)).as("bv"))): _*)).as("bk"))
+      .select(col("doc_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val dropped = bands.select(col("doc_id").as("a"),
+        col("dhash").as("ha"), col("band"), col("bv"))
+      .join(bands.select(col("doc_id").as("b"), col("dhash").as("hb"),
+        col("band"), col("bv")), Seq("band", "bv"))
+      .filter(col("a") < col("b") &&
+        bit_count(col("ha").bitwiseXOR(col("hb"))) <= imgDupBits)
+      .select(col("b").as("doc_id")).distinct()
+    h.join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** q40: metadata extraction over the binary payload column, expressed
     * in pure column functions (the oracle-checkable subset of the
     * non-image decode path — same deterministic dimension formulas,

@@ -109,9 +109,19 @@ object Generations {
   /** A fresh hidden shadow dir INSIDE `root` for the next generation's
     * rewrite. Inside the root (not a sibling) so commit is a same-dir
     * rename — atomic on every FS that matters — and so naive readers
-    * of the root never see it (dot prefix). */
+    * of the root never see it (dot prefix).
+    *
+    * SINGLE-FILE live tables (the reference's blob layout — one
+    * parquet OBJECT at the path) cannot hold generations inside
+    * themselves: their shadow goes to a hidden sibling in the parent,
+    * and [[commit]] falls back to the legacy recoverable swap — the
+    * one rewrite that converts the table to the directory layout
+    * (retained generations apply from the NEXT rewrite on). */
   def shadowFor(spark: SparkSession, dir: String): String = {
     val (fs, root) = graft.Scratch.fs(spark, dir)
+    if (fs.exists(root) && !fs.getFileStatus(root).isDirectory)
+      return new Path(root.getParent,
+        TmpPre + java.util.UUID.randomUUID().toString).toString
     fs.mkdirs(root)
     new Path(root, TmpPre + java.util.UUID.randomUUID().toString).toString
   }
@@ -125,6 +135,15 @@ object Generations {
   def commit(spark: SparkSession, dir: String, shadow: String): String = {
     val (fs, root) = graft.Scratch.fs(spark, dir)
     val sp = new Path(shadow)
+    if (fs.exists(root) && !fs.getFileStatus(root).isDirectory) {
+      // single-file live table (see shadowFor): legacy recoverable
+      // swap — rename the file aside, the shadow dir in, delete the
+      // old copy. In-flight readers of the ONE file can break across
+      // this first conversion (documented trade of the blob layout);
+      // every later rewrite of the now-directory table is generational.
+      ParquetSink.swapInto(fs, sp, root)
+      return dir
+    }
     val next = gens(fs, root).lastOption.map(_._1 + 1).getOrElse(1L)
     val target = new Path(root, s"$Pre$next")
     // checked like swapInto/promote: a silent false would strand the

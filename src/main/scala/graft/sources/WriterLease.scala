@@ -134,7 +134,21 @@ final class StaleWriterException(msg: String)
 object WriterLease {
 
   /** Lease liveness TTL. A holder missing `ttlMs` of heartbeats
-    * (ttl/4 cadence ⇒ 4 consecutive misses) is presumed dead. */
+    * (ttl/4 cadence ⇒ 4 consecutive misses) is presumed dead.
+    *
+    * SIZING (VERDICT r16 #7): the heartbeat is a daemon thread, so
+    * the one legitimate way a LIVE holder misses 4 renewals is a
+    * whole-JVM stall — a driver full-GC pause, a VM freeze. Size the
+    * TTL ABOVE the worst pause your heap can produce (a 100 TB
+    * driver with a large old gen can pause tens of seconds; the
+    * 120 s default absorbs that, a small-heap test JVM can run far
+    * lower). The discipline stays SAFE when mis-sized — a takeover
+    * during a pause poisons the sleeper's handle and its next fence
+    * aborts the batch loudly (WriterLeaseSpec's sink end-to-end test
+    * pins batch-fails-loudly + checkpoint-replay-converges) — but
+    * every such event turns one pause into one aborted-and-replayed
+    * batch, so a TTL below the real pause ceiling trades availability,
+    * never correctness. */
   def ttlMs: Long =
     java.lang.Long.getLong("graft.lease.ttlMs", 120000L)
 

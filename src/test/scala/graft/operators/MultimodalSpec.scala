@@ -439,4 +439,43 @@ class MultimodalSpec extends SparkSpec {
     // ASCII-only fixture text → md5(bytes) == md5(utf8 string)
     assert(feats.toSeq === q40.toSeq)
   }
+
+  test("q83 pipeline: PNG encode→decode round-trips the synthetic " +
+    "pixels exactly, and the banded join equals the exact all-pairs " +
+    "answer (exhaustive at tau=2 under 4 bands)") {
+    import spark.implicits._
+    // decoded dHash == the arithmetic dHash straight off synthPixel —
+    // the lossless-PNG premise that makes the DuckDB oracle sound
+    def arithmeticDhash(id: Long): Long = {
+      var bits = 0L
+      for (y <- 0 until Multimodal.imgH; x <- 0 until Multimodal.imgW - 1) {
+        val k = y * 8 + x
+        if (k <= 62 && Multimodal.synthPixel(id, x, y) >
+            Multimodal.synthPixel(id, x + 1, y)) bits |= 1L << k
+      }
+      bits
+    }
+    val hashes = Multimodal
+      .imageDhash(Multimodal.imagesFromDocuments(spark, sfDir))
+      .as[(Long, Long)].collect().toMap
+    assert(hashes.nonEmpty)
+    hashes.foreach { case (id, h) =>
+      assert(h === arithmeticDhash(id),
+        s"doc $id: decoded dHash diverged from the pixel arithmetic")
+    }
+    // exact all-pairs keeper (small fixture) == the banded survivors
+    val ids = hashes.keys.toSeq.sorted
+    val exactDropped = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <=
+        Multimodal.imgDupBits
+    } yield b).toSet
+    val survivors = Multimodal.q83ImageDedup(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors === (ids.toSet -- exactDropped),
+      "banded survivors diverged from the exact all-pairs answer")
+    // the fixture actually plants near-dups — a vacuous corpus would
+    // make the equality above prove nothing
+    assert(exactDropped.nonEmpty)
+  }
 }

@@ -182,6 +182,24 @@ class PlanCheckSpec extends SparkSpec {
     }
   }
 
+  test("q83 image dedup is window-free and cartesian-free: banded " +
+    "equality join + aggregate keeper only") {
+    // dHash values have hot collisions at corpus scale (boilerplate
+    // images — solid banners, blank thumbnails — share one hash), so
+    // the keeper must never plan a Window over the hash, and the
+    // candidate stage must stay a (band, value) equality join — any
+    // nested-loop/cartesian here is the all-pairs shape the banding
+    // exists to remove
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = Multimodal.q83ImageDedup(spark, sfDir)
+    val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.isEmpty, "q83 plans a Window")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "q83's candidate stage is not an equality join")
+  }
+
   test("q19 per-group id sample is the bounded TopKAgg, not collect_list") {
     // collect_list buffers every id of a (source, lang) group before
     // slicing to 5 — an aggregation-buffer OOM at a billion-doc group.

@@ -283,4 +283,93 @@ class WriterLeaseSpec extends SparkSpec {
       assert(!exists(leaseFile(idxDir)), "lease not released")
     }
   }
+
+  test("sink end-to-end: a docs-ingest batch whose lease is taken over " +
+    "MID-SPAN (the paused-past-TTL holder) fails loudly, and the " +
+    "checkpoint replay converges after restart") {
+    // The GC-pause scenario (VERDICT r16 #7): a long driver pause can
+    // outlast graft.lease.ttlMs (4 missed heartbeat renewals), a
+    // contender then legitimately takes the lease over, and when the
+    // paused batch RESUMES it must abort at its next fence — never
+    // land the rest of its multi-write span over the new owner's
+    // state. Forged here by overwriting the sink's live lease with a
+    // foreign takeover line the moment the sink acquires it (the
+    // post-pause world state, without needing a real pause); the
+    // recovery contract is the streaming sink's own: loud batch
+    // failure, checkpoint not advanced, replay converges.
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("lease_sink_pause").toString + "/corpus"
+    val lexDir = graft.operators.LexIndex.dirFor(spark, corpusDir)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("lease_sink_pause_ckpt").toString
+    def mkDocs(lo: Int, hi: Int): Seq[(Long, String, String)] =
+      (lo until hi).map(i => (i.toLong,
+        s"document number $i carries enough distinct tokens " +
+          s"alpha$i beta$i gamma$i delta$i to index and shingle",
+        "en"))
+    val ms = MemoryStream[(Long, String, String)]
+    def startSink() = graft.streaming.StreamOps.incrementalIngestStream(
+        ms.toDF().toDF("doc_id", "text", "lang"), corpusDir)
+      .option("checkpointLocation", ckpt).start()
+    val q1 = startSink()
+    val stealer = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stole = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watcher = new Thread(() => {
+      val (fs, p) = graft.Scratch.fs(spark, leaseFile(corpusDir))
+      while (!stole.get()) {
+        if (stealer.get() && fs.exists(p)) {
+          try {
+            val line = new String(graft.Scratch.readSmallFile(fs, p),
+              "UTF-8")
+            if (!line.contains("foreign-owner")) {
+              writeForeign(corpusDir, epoch = 99)
+              stole.set(true)
+            }
+          } catch { case _: Throwable => () }
+        }
+        Thread.sleep(2)
+      }
+    }, "spec-lease-stealer")
+    watcher.setDaemon(true)
+    watcher.start()
+    try {
+      ms.addData(mkDocs(0, 40))
+      q1.processAllAvailable() // bootstrap, unstolen
+      stealer.set(true)
+      ms.addData(mkDocs(40, 440)) // big batch: a multi-second span
+      val failed =
+        try { q1.processAllAvailable(); false }
+        catch { case _: Throwable => true }
+      assert(stole.get(), "the watcher never saw the sink's lease — " +
+        "the forged takeover did not happen, the test proves nothing")
+      assert(failed && q1.exception.isDefined,
+        "a mid-span takeover must fail the batch LOUDLY (fence), " +
+          "never complete it over the new owner's store")
+      // the new owner's world: remove the forged lease (its holder is
+      // this spec) and restart from the same checkpoint — the replay
+      // re-delivers the failed batch and converges exactly once
+      val (fs, p) = graft.Scratch.fs(spark, leaseFile(corpusDir))
+      if (fs.exists(p)) fs.delete(p, false)
+      val q2 = startSink()
+      try {
+        q2.processAllAvailable()
+        assert(q2.exception.isEmpty, s"replay died: ${q2.exception}")
+        val docs = spark.read.parquet(
+          Generations.resolve(spark, corpusDir))
+        val ids = docs.select("doc_id").as[Long].collect().sorted
+        assert(ids.toSeq === (0L until 440L),
+          "replay did not converge to exactly the fed documents")
+        assert(docs.count() === 440L, "replay duplicated rows")
+      } finally q2.stop()
+    } finally {
+      stole.set(true) // stop the watcher either way
+      try q1.stop() catch { case _: Throwable => () }
+      Seq(lexDir).foreach { d =>
+        val (fs, p) = graft.Scratch.fs(spark, d)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
+  }
 }
