@@ -212,14 +212,20 @@ object ParquetSink {
           s"${cfg.base}/${cfg.schema}/${cfg.table}/${cfg.table}_${appendStamp()}.parquet"),
           overwrite = false)
       case Method.Append =>
-        writer(df, SaveMode.Append).parquet(path)
+        // generation-resolved (identity for a never-compacted table):
+        // a table Maintenance.compact migrated to the retained-
+        // generation layout takes appends INTO its live generation —
+        // rows landed at the root would be invisible to resolving
+        // readers and retired by the next GC
+        writer(df, SaveMode.Append).parquet(
+          Generations.resolve(spark, path))
       case Method.Upsert =>
         Validations.requireUniqueKeys(df, cfg.idField)
         if (!fs.exists(new Path(path))) {
           if (cfg.singleFile) writeSingleFile(df, new Path(path))
           else writer(df, SaveMode.Overwrite).parquet(path)
         } else {
-          val old = spark.read.parquet(path)
+          val old = spark.read.parquet(Generations.resolve(spark, path))
           // the OLD side must be key-unique too (the reference checks
           // only the new frame, utils.py:87-89 at export.py:412 — but
           // a prior append can land duplicate keys on disk, and the
@@ -239,7 +245,19 @@ object ParquetSink {
             // writeSingleFile stages into a tmp dir first, so the read
             // of `path` completes before the one-file replace
             writeSingleFile(merged, new Path(path))
+          } else if (Generations.hasGens(spark, path)) {
+            // the table is already generational (a maintenance
+            // compaction migrated it): keep the retained-generation
+            // discipline — a bare swapInto here would read stale
+            // generation-0 rows and DELETE the live generation with
+            // the root it renames aside
+            val shadow = Generations.shadowFor(spark, path)
+            writer(merged, SaveMode.Overwrite).parquet(shadow)
+            Generations.commit(spark, path, shadow)
           } else {
+            // reference-compatible layout: the legacy recoverable swap
+            // (old copy deleted, not retained — the documented blob
+            // overwrite semantics of this sink)
             val shadow = new Path(path + "__swap")
             writer(merged, SaveMode.Overwrite).parquet(shadow.toString)
             swapInto(fs, shadow, new Path(path))

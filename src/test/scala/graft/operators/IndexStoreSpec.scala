@@ -727,6 +727,52 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("a q69 candidate scan that planned its splits BEFORE " +
+    "compactAnnIndex completes correctly across the fold (reader " +
+    "snapshot isolation on the codes tables)") {
+    import java.util.concurrent.TimeUnit
+    val all = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val corpus = writeCorpus(all.filter(col("vec_id") < 350))
+    val idxDir = IndexStore.dirFor(spark, corpus)
+    try {
+      assert(IndexStore.ensure(spark, corpus).builtNow)
+      val b = all.filter(col("vec_id") >= 350 && col("vec_id") < 425)
+      b.write.mode("append").parquet(s"$corpus/embeddings.parquet")
+      IndexStore.appendBatch(spark, idxDir, b)
+      // the scan's snapshot: base cell files + the delta file, splits
+      // planned NOW — both get rewritten/absorbed by the fold below
+      val expected = 425L * Similarity.pqSubspaces
+      graft.sources.GenScanGate.reset()
+      val scan = IndexStore.withDeltaOf(spark, idxDir, "codes")(identity)
+        .select(col("vec_id")).as[Long]
+        .mapPartitions { it =>
+          graft.sources.GenScanGate.started.countDown()
+          graft.sources.GenScanGate.proceed.await(60, TimeUnit.SECONDS)
+          it
+        }
+      val fut = scala.concurrent.Future {
+        scan.count()
+      }(scala.concurrent.ExecutionContext.global)
+      assert(graft.sources.GenScanGate.started
+        .await(60, TimeUnit.SECONDS), "scan never started")
+      val (before, after) =
+        graft.sources.Maintenance.compactAnnIndex(spark, idxDir)
+      assert(after < before)
+      graft.sources.GenScanGate.proceed.countDown()
+      val got = scala.concurrent.Await.result(fut,
+        scala.concurrent.duration.Duration(120, "s"))
+      assert(got === expected,
+        "mid-fold codes scan lost rows — a planned split vanished")
+      // and the post-fold world serves the folded generation, same rows
+      assert(IndexStore.withDeltaOf(spark, idxDir, "codes")(identity)
+        .count() === expected)
+      assert(!IndexStore.ensure(spark, corpus).builtNow)
+    } finally {
+      deleteDir(idxDir)
+      deleteDir(corpus)
+    }
+  }
+
   test("delta fold retains the absorbed file for in-flight readers: " +
     "excluded from every read at once, never doubled, reaped only " +
     "after the TTL") {

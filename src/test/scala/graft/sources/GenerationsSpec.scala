@@ -139,6 +139,70 @@ class GenerationsSpec extends SparkSpec {
       .count() === expected.getLong(1))
   }
 
+  test("the reference-surface sink composes with a generational table: " +
+    "append lands in the live generation, upsert merges against it " +
+    "and commits the next one") {
+    import graft.checks.Validations.Method
+    val base = Files.createTempDirectory("graft_gen_sink").toString
+    val cfg0 = ParquetSink.Config(base, "t", "s", Method.Create,
+      idField = Seq("id"))
+    val path = ParquetSink.tablePath(cfg0)
+    ParquetSink.write(spark.range(100).select(col("id"),
+      (col("id") % 7).as("v")), cfg0)
+    // migrate to the generation layout via maintenance compaction
+    Maintenance.compact(spark, path, 1000)
+    assert(Generations.hasGens(spark, path))
+    // append: rows must land in (and read back from) the live gen
+    ParquetSink.write(spark.range(100, 150).select(col("id"),
+      lit(0L).as("v")), cfg0.copy(method = Method.Append))
+    val cur = Generations.resolve(spark, path)
+    assert(spark.read.parquet(cur).count() === 150)
+    // upsert: merges against the LIVE generation (the appended rows
+    // must be in the old side) and commits generation 2
+    ParquetSink.write(spark.range(140, 160).select(col("id"),
+      lit(9L).as("v")), cfg0.copy(method = Method.Upsert))
+    val cur2 = Generations.resolve(spark, path)
+    assert(cur2 != cur && cur2.contains("_gen_"))
+    val out = spark.read.parquet(cur2)
+    assert(out.count() === 160)
+    assert(out.filter(col("id") === 145 && col("v") === 9L).count() === 1)
+    assert(out.filter(col("id") === 120 && col("v") === 0L).count() === 1,
+      "upsert merged against a stale generation (lost an appended row)")
+  }
+
+  test("a single-FILE live table converts to the directory layout on " +
+    "its first retained-generation commit; later rewrites are " +
+    "generational") {
+    val parent = Files.createTempDirectory("graft_gen_file").toString
+    val table = s"$parent/t.parquet"
+    // one parquet OBJECT at the path (the blob layout)
+    val tmp = s"$parent/stage"
+    spark.range(80).select(col("id")).coalesce(1).write.parquet(tmp)
+    val (fs, _) = graft.Scratch.fs(spark, tmp)
+    val part = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(table))
+    assert(!fs.getFileStatus(new org.apache.hadoop.fs.Path(table))
+      .isDirectory)
+    // first rewrite: legacy swap converts file -> dir
+    val sh1 = Generations.shadowFor(spark, table)
+    spark.read.parquet(table).filter(col("id") < 60)
+      .repartition(1).write.parquet(sh1)
+    Generations.commit(spark, table, sh1)
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(table))
+      .isDirectory)
+    assert(Generations.resolve(spark, table) === table)
+    assert(spark.read.parquet(table).count() === 60)
+    // second rewrite: generational from here on
+    val sh2 = Generations.shadowFor(spark, table)
+    spark.read.parquet(Generations.resolve(spark, table))
+      .filter(col("id") < 40).repartition(1).write.parquet(sh2)
+    Generations.commit(spark, table, sh2)
+    assert(Generations.resolve(spark, table).endsWith("/_gen_1"))
+    assert(spark.read.parquet(Generations.resolve(spark, table))
+      .count() === 40)
+  }
+
   test("a documents scan survives a mid-scan retention forget; new " +
     "reads see the survivors") {
     val corpus = Files.createTempDirectory("graft_gen_forget").toString
