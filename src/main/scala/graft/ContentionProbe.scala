@@ -152,7 +152,8 @@ object ContentionProbe {
 
       // uncontended control: same forget shape, stream stopped
       q.stop()
-      val kills2 = spark.read.parquet(s"$corpusDir/embeddings.parquet")
+      val kills2 = spark.read.parquet(graft.sources.Generations
+          .resolve(spark, s"$corpusDir/embeddings.parquet"))
         .select("vec_id").as[Long].collect().filter(_ % 151 == 5)
       require(kills2.nonEmpty, "kill set 2 is empty")
       val tU = System.nanoTime()

@@ -235,18 +235,45 @@ object IndexStore {
 
   // --- meta ------------------------------------------------------------------
 
+  /** Read a tiny promoted-meta table with a BOUNDED retry over the
+    * promote's two-rename window: a read landing between "live renamed
+    * aside" and "shadow renamed in" sees a missing/partial dir for a
+    * few ms — concluding "absent" there would trigger a FULL rebuild
+    * of a healthy store. Genuine absence (no dir, no in-flight promote
+    * debris) returns None on the first attempt, as before. Shared by
+    * the ANN meta, the lexical meta and the veclists meta (identical
+    * promote discipline). */
+  private[operators] def readPromotedMeta[T](spark: SparkSession,
+      metaPath: String, tag: String)(read: => T): Option[T] = {
+    var left = 3
+    while (true) {
+      val (fs, p) = graft.Scratch.fs(spark, metaPath)
+      val midPromote = fs.exists(new org.apache.hadoop.fs.Path(
+        metaPath + "__shadow")) || fs.exists(new org.apache.hadoop.fs.Path(
+        metaPath + "__old"))
+      if (!fs.exists(p)) {
+        if (!midPromote || left == 0) return None
+      } else {
+        try return Some(read)
+        catch { case e: Throwable =>
+          if (left == 0) {
+            System.err.println(s"[$tag] unreadable meta at $metaPath: " +
+              s"${e.getMessage}; treating store as absent")
+            return None
+          }
+        }
+      }
+      left -= 1
+      Thread.sleep(100)
+    }
+    None
+  }
+
   private[operators] def readMeta(spark: SparkSession, dir: String)
       : Option[AnnIndexMeta] = {
-    val (fs, p) = graft.Scratch.fs(spark, s"$dir/meta")
-    if (!fs.exists(p)) None
-    else try {
-      import spark.implicits._
-      Some(spark.read.parquet(s"$dir/meta").as[AnnIndexMeta].head())
-    } catch { case e: Throwable =>
-      System.err.println(s"[annidx] unreadable meta at $dir: " +
-        s"${e.getMessage}; treating index as absent")
-      None
-    }
+    import spark.implicits._
+    readPromotedMeta(spark, s"$dir/meta", "annidx")(
+      spark.read.parquet(s"$dir/meta").as[AnnIndexMeta].head())
   }
 
   /** Shadow-write + promote of `<dir>/meta` (see [[graft.sources

@@ -113,16 +113,10 @@ object IngestScreen {
 
   private def readListsMeta(spark: SparkSession, dir: String)
       : Option[VecListsMeta] = {
-    val (fs, p) = graft.Scratch.fs(spark, s"$dir/meta")
-    if (!fs.exists(p)) None
-    else try {
-      import spark.implicits._
-      Some(spark.read.parquet(s"$dir/meta").as[VecListsMeta].head())
-    } catch { case e: Throwable =>
-      System.err.println(s"[annvl] unreadable meta at $dir: " +
-        s"${e.getMessage}; treating lists as absent")
-      None
-    }
+    import spark.implicits._
+    // bounded retry over the promote window — see readPromotedMeta
+    IndexStore.readPromotedMeta(spark, s"$dir/meta", "annvl")(
+      spark.read.parquet(s"$dir/meta").as[VecListsMeta].head())
   }
 
   private def writeListsMeta(spark: SparkSession, metaPath: String,

@@ -123,16 +123,10 @@ object LexIndex {
 
   private def readMeta(spark: SparkSession, dir: String)
       : Option[LexIndexMeta] = {
-    val (fs, p) = graft.Scratch.fs(spark, s"$dir/meta")
-    if (!fs.exists(p)) None
-    else try {
-      import spark.implicits._
-      Some(spark.read.parquet(s"$dir/meta").as[LexIndexMeta].head())
-    } catch { case e: Throwable =>
-      System.err.println(s"[lexidx] unreadable meta at $dir: " +
-        s"${e.getMessage}; treating index as absent")
-      None
-    }
+    import spark.implicits._
+    // bounded retry over the promote window — see readPromotedMeta
+    IndexStore.readPromotedMeta(spark, s"$dir/meta", "lexidx")(
+      spark.read.parquet(s"$dir/meta").as[LexIndexMeta].head())
   }
 
   private def writeMeta(spark: SparkSession, dir: String,

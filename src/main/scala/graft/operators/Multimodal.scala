@@ -538,7 +538,12 @@ object Multimodal {
     * exact verify; exhaustive at this (τ, bands) pair, so hash-exact
     * vs the oracle's all-pairs SQL. */
   def q83ImageDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val h = imageDhash(imagesFromDocuments(spark, sfDir))
+    // materialized: consumed three times (both sides of the band
+    // self-join + the final anti-join) — unmaterialized, the PNG
+    // encode→decode pipeline would re-run per consumer, tripling the
+    // dominant per-image cost
+    val h = graft.Materialize(
+      imageDhash(imagesFromDocuments(spark, sfDir)))
     val bands = h.select(col("doc_id"), col("dhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

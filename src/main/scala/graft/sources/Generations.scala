@@ -119,9 +119,21 @@ object Generations {
     * (retained generations apply from the NEXT rewrite on). */
   def shadowFor(spark: SparkSession, dir: String): String = {
     val (fs, root) = graft.Scratch.fs(spark, dir)
-    if (fs.exists(root) && !fs.getFileStatus(root).isDirectory)
+    if (fs.exists(root) && !fs.getFileStatus(root).isDirectory) {
+      // sibling shadows have no in-root GC pass to clean them — sweep
+      // the parent's EXPIRED `.gen_tmp_*` debris here (a fresh one can
+      // belong to a concurrent conversion of a SIBLING table, so age
+      // gates the sweep exactly like the in-root GC)
+      val ttl = ttlMs(spark)
+      val now = System.currentTimeMillis()
+      fs.listStatus(root.getParent).foreach { s =>
+        if (s.getPath.getName.startsWith(TmpPre) &&
+            now - s.getModificationTime > ttl)
+          fs.delete(s.getPath, true)
+      }
       return new Path(root.getParent,
         TmpPre + java.util.UUID.randomUUID().toString).toString
+    }
     fs.mkdirs(root)
     new Path(root, TmpPre + java.util.UUID.randomUUID().toString).toString
   }
