@@ -343,7 +343,8 @@ object LexIndex {
             // have outlasted a takeover or a concurrent delete that
             // already removed the ids — see IndexStore.deleteBatch)
             graft.sources.WriterLease.verify(spark, dir)
-            val stillPending = spark.read.parquet(table)
+            val stillPending = spark.read
+              .parquet(graft.sources.Generations.resolve(spark, table))
               .join(tids.hint("broadcast"), Seq("doc_id"), "left_semi")
               .limit(1).count()
             if (stillPending > 0)
