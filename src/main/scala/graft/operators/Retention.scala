@@ -45,7 +45,23 @@ import graft.sources.Tables
   * corpus-dir lease the indexed deletions use ([[forgetTableOnly]] —
   * VERDICT r15 #2), so "no index" never silently half-forgets and
   * never pushes the lease discipline onto the caller. Derived state
-  * that does not exist is simply not touched. */
+  * that does not exist is simply not touched.
+  *
+  * PHYSICAL-ERASURE LATENCY (the retained-generation trade, round
+  * 17): the corpus rewrite commits a survivor GENERATION and the
+  * pre-forget copy stays on disk — at its old paths, serving any
+  * scan that planned before the forget — until
+  * `spark.graft.gen.ttlMs` elapses and the next commit's GC (or an
+  * explicit [[graft.sources.Generations.gc]]) reaps it; index-side
+  * ghost rows additionally persist until the tombstone fold. So:
+  * LOGICAL erasure is immediate (no reader that starts after the
+  * forget can see the ids — every serve path resolves/anti-joins
+  * from that instant); PHYSICAL erasure is bounded by
+  * ttl + the fold cadence. A compliance deployment sizes the TTL to
+  * its erasure SLA (floor: its longest scan) and runs
+  * `forget(foldNow = true)` followed by a post-TTL
+  * `Generations.gc` on the corpus tables when the bound must be
+  * provable rather than eventual. */
 object Retention {
 
   /** Index-less forget for one corpus table: rewrite it minus `ids`

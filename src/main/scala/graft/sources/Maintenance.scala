@@ -409,6 +409,46 @@ object Maintenance {
       }
     }
 
+  /** Reap EXPIRED retired generations across every store of a corpus —
+    * the standing-maintenance form of the GC that otherwise rides each
+    * store's NEXT rewrite ([[Generations.gc]] fires at commit time, so
+    * a store that stops being rewritten would keep its last retired
+    * generation indefinitely; a compliance deployment also calls this
+    * after the TTL to make physical erasure provable rather than
+    * eventual — see [[graft.operators.Retention]]'s erasure-latency
+    * note). Each store's sweep runs under ITS writer lease (the
+    * Generations writer contract); stores/tables that do not exist
+    * contribute nothing. Deletes only state older than
+    * `spark.graft.gen.ttlMs` — never the live generation. Returns
+    * entries deleted. */
+  def gcGenerations(spark: SparkSession, corpusDir: String): Int = {
+    import graft.operators.{IndexStore, IngestScreen, LexIndex}
+    def sweep(leaseDir: String, tables: Seq[String]): Int = {
+      val live = tables.filter { t =>
+        val (fs, p) = graft.Scratch.fs(spark, t)
+        fs.exists(p)
+      }
+      if (live.isEmpty) 0
+      else WriterLease.withWrite(spark, leaseDir, "gen-gc") {
+        live.map(Generations.gc(spark, _)).sum
+      }
+    }
+    // corpus tables + the streaming dedup indexes share the corpus
+    // lease (the same key their writers hold); each persisted store's
+    // tables ride its own lease
+    sweep(corpusDir, Seq(
+        s"$corpusDir/documents.parquet", s"$corpusDir/embeddings.parquet",
+        corpusDir, s"${corpusDir}__sh", s"${corpusDir}__bands")) +
+      sweep(IndexStore.dirFor(spark, corpusDir),
+        Seq("codes", "rcodes").map(t =>
+          s"${IndexStore.dirFor(spark, corpusDir)}/$t")) +
+      sweep(LexIndex.dirFor(spark, corpusDir),
+        Seq("tf", "df", "stats").map(t =>
+          s"${LexIndex.dirFor(spark, corpusDir)}/$t")) +
+      sweep(IngestScreen.listsDir(spark, corpusDir),
+        Seq(s"${IngestScreen.listsDir(spark, corpusDir)}/lists"))
+  }
+
   /** Small-file compaction for the veclists sidecar
     * ([[graft.operators.IngestScreen]]): every appendLists lands a
     * part-file sliver into each touched `cell=` partition — exactly

@@ -139,6 +139,30 @@ class GenerationsSpec extends SparkSpec {
       .count() === expected.getLong(1))
   }
 
+  test("Maintenance.gcGenerations reaps a forgotten corpus's retired " +
+    "state past the TTL without touching the live generation") {
+    val corpus = Files.createTempDirectory("graft_gen_gcall").toString
+    val docsTable = s"$corpus/documents.parquet"
+    spark.range(100)
+      .select(col("id").as("doc_id"),
+        concat(lit("doc "), col("id")).as("text"))
+      .repartition(2).write.parquet(docsTable)
+    graft.operators.Retention.forget(spark, corpus,
+      docIds = Some(spark.range(10).select(col("id").as("doc_id"))))
+    // pre-TTL: generation 0 retained, nothing reaped
+    assert(Maintenance.gcGenerations(spark, corpus) === 0)
+    assert(rootNames(docsTable).exists(_.endsWith(".parquet")))
+    spark.conf.set("spark.graft.gen.ttlMs", "0")
+    try {
+      assert(Maintenance.gcGenerations(spark, corpus) > 0)
+      val names = rootNames(docsTable)
+      assert(!names.exists(_.endsWith(".parquet")),
+        "expired generation-0 files must be reaped")
+      assert(names.count(_.startsWith("_gen_")) === 1)
+      assert(Tables.load(spark, corpus, "documents").count() === 90)
+    } finally spark.conf.unset("spark.graft.gen.ttlMs")
+  }
+
   test("the reference-surface sink composes with a generational table: " +
     "append lands in the live generation, upsert merges against it " +
     "and commits the next one") {
