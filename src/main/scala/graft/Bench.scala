@@ -435,10 +435,14 @@ object Bench {
       .map { case (k, r) => s""","worst":${Json.str(s"$k:${f3(r)}x")}""" }
       .getOrElse("")
     val readj = s""","readjudicated":${adjudications.size}"""
+    // ONE evaluation of the unresolved-flag predicate, shared by the
+    // xrun note and the flags total — written twice they could drift
+    val xrunUnresolved =
+      if (hostFactor <= 0) 0
+      else xrunFlags.count(_._2._3 > xrunFlagFactor)
     val xrunNote =
       if (hostFactor <= 0) ""
       else {
-        val unresolved = xrunFlags.count(_._2._3 > xrunFlagFactor)
         // host_factor on the STDOUT tail (VERDICT r16 #3): the
         // driver's single-run artifact cannot re-run, but it CAN carry
         // its own context — this run's median med/ref ratio vs the
@@ -447,13 +451,12 @@ object Bench {
         // uniform vs a 0-flag spread of the same HEAD, and only the
         // spread file said so).
         s""","host_factor":${f3(hostFactor)},""" +
-          s""""xrun_flags":${xrunFlags.size},"xrun_unresolved":$unresolved"""
+          s""""xrun_flags":${xrunFlags.size},""" +
+          s""""xrun_unresolved":$xrunUnresolved"""
       }
     // "flags" = within-run contaminated + unresolved cross-run flags —
     // the one number a reader checks before trusting the median line
-    val flagsTotal = contaminated.size +
-      (if (hostFactor <= 0) 0
-       else xrunFlags.count(_._2._3 > xrunFlagFactor))
+    val flagsTotal = contaminated.size + xrunUnresolved
     println(s"""{"noise":{"contaminated":${contaminated.size},"flags":$flagsTotal$worst$readj$xrunNote$idxSecsField$basisField,"spread":${Json.str(spreadPath)}}}""")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")

@@ -48,9 +48,16 @@ object DeleteProbe {
       case Some(t) => math.max(2L, info0.n / math.max(1L, t))
       case None => if (args.length > 1) args(1).toLong else 142L
     }
+    // residue must be satisfiable at small mods (3 % 2 == 3 never is —
+    // a silently-empty kill set would emit killed=0 with meaningless
+    // timings), and the probe refuses an empty set loudly either way
+    val residue = 3L % killMod
     val kills = graft.sources.Tables.load(spark, sfDir, "embeddings")
-      .filter(col("vec_id") % killMod === 3).select(col("vec_id"))
+      .filter(col("vec_id") % killMod === residue).select(col("vec_id"))
     val killSet = kills.collect().map(_.getLong(0)).toSet
+    require(killSet.nonEmpty,
+      s"kill set is empty (n=${info0.n}, killMod=$killMod) — nothing " +
+        "to measure")
     import spark.implicits._
     // clean-serve baseline BEFORE any tombstone exists — the reference
     // the pre-fold premium is measured against (same plan, same host

@@ -40,10 +40,11 @@ import org.apache.spark.sql.SparkSession
   *    place at the root; they are retired (GC'd) only after the TTL.
   *  - '''GC''' (piggybacked on every commit, plus callable): a
   *    non-newest generation is deleted once its RETIREMENT — the
-  *    commit of its successor, approximated by the successor dir's
-  *    mtime — is older than `spark.graft.gen.ttlMs`. The newest
-  *    committed generation is never deleted. Stale `.gen_tmp_*` debris
-  *    (a crashed rewrite) falls under the same TTL.
+  *    commit of its successor, read off the successor's commit-time
+  *    `_committed` marker — is older than `spark.graft.gen.ttlMs`.
+  *    The newest committed generation is never deleted. Stale
+  *    `.gen_tmp_*` debris (a crashed rewrite) falls under the same
+  *    TTL, aged by its own last write.
   *
   * Contract: TTL must exceed the longest scan you run against the
   * store (default 30 min; a warehouse doing hours-long scans over
@@ -60,6 +61,11 @@ object Generations {
 
   private val Pre = "_gen_"
   private val TmpPre = ".gen_tmp_"
+  /** Commit-time stamp inside each generation dir (hidden from parquet
+    * reads): its mtime is the generation's COMMIT instant, which is
+    * what ages the predecessor — the dir's own mtime predates the
+    * commit by the whole post-write stretch. */
+  private val CommitMark = "_committed"
 
   /** Retirement TTL for non-newest generations (and crashed-shadow
     * debris). Size above the longest scan against swapped stores. */
@@ -119,21 +125,16 @@ object Generations {
     * (retained generations apply from the NEXT rewrite on). */
   def shadowFor(spark: SparkSession, dir: String): String = {
     val (fs, root) = graft.Scratch.fs(spark, dir)
-    if (fs.exists(root) && !fs.getFileStatus(root).isDirectory) {
-      // sibling shadows have no in-root GC pass to clean them — sweep
-      // the parent's EXPIRED `.gen_tmp_*` debris here (a fresh one can
-      // belong to a concurrent conversion of a SIBLING table, so age
-      // gates the sweep exactly like the in-root GC)
-      val ttl = ttlMs(spark)
-      val now = System.currentTimeMillis()
-      fs.listStatus(root.getParent).foreach { s =>
-        if (s.getPath.getName.startsWith(TmpPre) &&
-            now - s.getModificationTime > ttl)
-          fs.delete(s.getPath, true)
-      }
+    if (fs.exists(root) && !fs.getFileStatus(root).isDirectory)
+      // NO age-based sweep of sibling `.gen_tmp_*` debris here: a
+      // dir's mtime is its last direct-child CREATION, so a sibling
+      // table's in-flight conversion whose long write outlives the TTL
+      // would read as debris and be deleted under a different lease —
+      // losing a live rewrite. Crashed sibling shadows are inert
+      // hidden debris (one per crashed conversion, a rare event);
+      // operators remove them manually.
       return new Path(root.getParent,
         TmpPre + java.util.UUID.randomUUID().toString).toString
-    }
     fs.mkdirs(root)
     new Path(root, TmpPre + java.util.UUID.randomUUID().toString).toString
   }
@@ -164,6 +165,22 @@ object Generations {
       throw new java.io.IOException(
         s"generation commit: rename $sp -> $target returned false; " +
           "shadow left in place, previous generation still live")
+    // retirement stamp AT COMMIT TIME: the gen dir's own mtime is its
+    // last content write, which can predate this commit by the whole
+    // post-write stretch (a contended lease wait, compactIngestIndexes'
+    // shadow count scan) — aging the PREDECESSOR by that would reap it
+    // EARLY, resurrecting exactly the mid-scan file loss this layer
+    // removes. A hidden marker file is portable where setTimes is not;
+    // [[gc]] prefers it over the dir mtime.
+    try fs.create(new Path(target, CommitMark), true).close()
+    catch { case scala.util.control.NonFatal(e) =>
+      // conservative WRONG direction is unavailable here (no marker =
+      // dir mtime = possibly early reap) — say so loudly; the next
+      // fold's marker usually lands fine and bounds the exposure
+      System.err.println(s"[generations] could not stamp $CommitMark " +
+        s"in $target (${e.getMessage}); its predecessor may retire " +
+        "up to the rewrite duration early")
+    }
     gc(spark, dir)
     target.toString
   }
@@ -222,16 +239,29 @@ object Generations {
       .sortBy(s => epochOf(s.getPath.getName).get)
     var deleted = 0
     def expired(retiredAt: Long): Boolean = now - retiredAt > ttl
-    // retired generations: each non-newest gen, aged by its successor
+    // a generation's COMMIT time: the commit-time marker's mtime when
+    // present (the accurate source), else the dir's own mtime (legacy
+    // gens from before the marker, or a failed stamp — conservative in
+    // the EARLY direction by at most the rewrite duration, said loudly
+    // at stamp failure)
+    def committedAt(g: org.apache.hadoop.fs.FileStatus): Long =
+      try {
+        val mp = new Path(g.getPath, CommitMark)
+        if (fs.exists(mp)) fs.getFileStatus(mp).getModificationTime
+        else g.getModificationTime
+      } catch { case scala.util.control.NonFatal(_) =>
+        g.getModificationTime }
+    // retired generations: each non-newest gen, aged by its
+    // successor's COMMIT time
     if (gs.size >= 2) gs.sliding(2).foreach {
-      case Seq(g, succ) if expired(succ.getModificationTime) =>
+      case Seq(g, succ) if expired(committedAt(succ)) =>
         if (fs.delete(g.getPath, true)) deleted += 1
       case _ => ()
     }
     // legacy generation 0 — every non-hidden root entry (loose part
     // files, or a hive layout's k=v dirs) — retires when gen 1 does
     gs.headOption.foreach { first =>
-      if (expired(first.getModificationTime))
+      if (expired(committedAt(first)))
         entries.foreach { s =>
           val n = s.getPath.getName
           if (!n.startsWith("_") && !n.startsWith(".") &&

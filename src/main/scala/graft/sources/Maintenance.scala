@@ -433,15 +433,26 @@ object Maintenance {
         live.map(Generations.gc(spark, _)).sum
       }
     }
+    // TTL-expired ABSORBED delta files are part of the same retired
+    // state (their rows live in the folded base; the files persist
+    // for in-flight readers) — an idle store would otherwise keep a
+    // forgotten row's codes until its next delta read, defeating the
+    // provable-erasure recipe. deltaFileNames reaps as a side effect.
+    val idxDir = IndexStore.dirFor(spark, corpusDir)
+    val (ifs, ip) = graft.Scratch.fs(spark, idxDir)
+    if (ifs.exists(ip))
+      WriterLease.withWrite(spark, idxDir, "gen-gc") {
+        Seq("codes", "rcodes")
+          .foreach(t => IndexStore.deltaFileNames(spark, idxDir, t))
+      }
     // corpus tables + the streaming dedup indexes share the corpus
     // lease (the same key their writers hold); each persisted store's
     // tables ride its own lease
     sweep(corpusDir, Seq(
         s"$corpusDir/documents.parquet", s"$corpusDir/embeddings.parquet",
         corpusDir, s"${corpusDir}__sh", s"${corpusDir}__bands")) +
-      sweep(IndexStore.dirFor(spark, corpusDir),
-        Seq("codes", "rcodes").map(t =>
-          s"${IndexStore.dirFor(spark, corpusDir)}/$t")) +
+      sweep(idxDir,
+        Seq("codes", "rcodes").map(t => s"$idxDir/$t")) +
       sweep(LexIndex.dirFor(spark, corpusDir),
         Seq("tf", "df", "stats").map(t =>
           s"${LexIndex.dirFor(spark, corpusDir)}/$t")) +

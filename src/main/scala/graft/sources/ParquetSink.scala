@@ -54,6 +54,16 @@ object ParquetSink {
   def tablePath(cfg: Config): String =
     s"${cfg.base}/${cfg.schema}/${cfg.table}.parquet"
 
+  /** Writer-lease key for a table path — ONE rule shared with
+    * [[Maintenance.compact]] (a `<dir>/<table>.parquet` table leases
+    * the dir, a bare table dir leases itself), so this sink's
+    * append/upsert and a concurrent maintenance compaction of the
+    * same table serialize instead of racing a generation commit. */
+  private def leaseDirOf(path: String): String =
+    if (path.stripSuffix("/").endsWith(".parquet"))
+      new Path(path.stripSuffix("/")).getParent.toString
+    else path
+
   /** Replace directory `path` with `shadow`, leaving a complete copy on
     * disk at every instant: the live dir is renamed aside first, so a
     * crash between steps strands either the old data (recoverable at
@@ -212,19 +222,27 @@ object ParquetSink {
           s"${cfg.base}/${cfg.schema}/${cfg.table}/${cfg.table}_${appendStamp()}.parquet"),
           overwrite = false)
       case Method.Append =>
-        // generation-resolved (identity for a never-compacted table):
-        // a table Maintenance.compact migrated to the retained-
-        // generation layout takes appends INTO its live generation —
-        // rows landed at the root would be invisible to resolving
-        // readers and retired by the next GC
-        writer(df, SaveMode.Append).parquet(
-          Generations.resolve(spark, path))
+        // generation-resolved INSIDE the table's writer lease (the
+        // Generations appender contract — same lease key Maintenance
+        // .compact uses, so a concurrent compaction serializes): a
+        // lock-free resolve could land rows in a generation the racing
+        // compact just retired — invisible to resolving readers and
+        // physically reaped at the TTL. Identity (and one uncontended
+        // acquire) for a never-compacted table.
+        WriterLease.withWrite(spark, leaseDirOf(path), "append") {
+          writer(df, SaveMode.Append).parquet(
+            Generations.resolve(spark, path))
+        }
       case Method.Upsert =>
         Validations.requireUniqueKeys(df, cfg.idField)
         if (!fs.exists(new Path(path))) {
           if (cfg.singleFile) writeSingleFile(df, new Path(path))
           else writer(df, SaveMode.Overwrite).parquet(path)
-        } else {
+        } else if (!cfg.singleFile) {
+          // read-merge-commit under the SAME lease (see Append): the
+          // read of the live generation and the commit of the next
+          // one must not straddle a concurrent compaction
+          WriterLease.withWrite(spark, leaseDirOf(path), "upsert") {
           val old = spark.read.parquet(Generations.resolve(spark, path))
           // the OLD side must be key-unique too (the reference checks
           // only the new frame, utils.py:87-89 at export.py:412 — but
@@ -241,11 +259,7 @@ object ParquetSink {
                 s"before upserting (${e.getMessage})")
           }
           val merged = Upsert.upsert(df, old, cfg.idField)
-          if (cfg.singleFile) {
-            // writeSingleFile stages into a tmp dir first, so the read
-            // of `path` completes before the one-file replace
-            writeSingleFile(merged, new Path(path))
-          } else if (Generations.hasGens(spark, path)) {
+          if (Generations.hasGens(spark, path)) {
             // the table is already generational (a maintenance
             // compaction migrated it): keep the retained-generation
             // discipline — a bare swapInto here would read stale
@@ -262,6 +276,23 @@ object ParquetSink {
             writer(merged, SaveMode.Overwrite).parquet(shadow.toString)
             swapInto(fs, shadow, new Path(path))
           }
+          }
+        } else {
+          // single-file (blob) layout: one OBJECT, no generations —
+          // the reference's single-writer blob semantics; the old-side
+          // uniqueness check matches the directory path above
+          val old = spark.read.parquet(path)
+          try Validations.requireUniqueKeys(old, cfg.idField)
+          catch { case e: graft.checks.UpsertError =>
+            throw graft.checks.UpsertError(
+              s"existing table at $path violates key uniqueness — a " +
+                "prior append landed duplicate keys; deduplicate " +
+                s"before upserting (${e.getMessage})")
+          }
+          // writeSingleFile stages into a tmp dir first, so the read
+          // of `path` completes before the one-file replace
+          writeSingleFile(Upsert.upsert(df, old, cfg.idField),
+            new Path(path))
         }
     }
     true
