@@ -5,6 +5,18 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
+/** [[IndexStore.appendBatch]]'s refusal of a batch that re-adds a
+  * TOMBSTONED (deleted, not yet folded) vec_id. Its prescribed
+  * recovery differs from every other refusal — the FOLD
+  * ([[graft.sources.Maintenance.compactAnnIndex]]), not an ensure()
+  * that would validate the refusing state and hand a retry the same
+  * refusal forever — so the streaming sinks dispatch on this TYPE;
+  * a message-substring dispatch broke silently on any rewording
+  * (review r17). Extends IllegalStateException so existing catch
+  * clauses keep working. */
+final class TombstonedReAddException(msg: String)
+  extends IllegalStateException(msg)
+
 /** One row of `<indexDir>/meta` — corpus identity + the dial values
   * the persisted artifacts were built under (see
   * [[IndexStore.ensure]]'s freshness contract). Top-level, not nested
@@ -985,7 +997,7 @@ object IndexStore {
         .join(t.select(col("vec_id")).hint("broadcast"),
           Seq("vec_id"), "left_semi")
         .limit(1).count()
-      if (hit > 0) throw new IllegalStateException(
+      if (hit > 0) throw new TombstonedReAddException(
         s"batch re-adds tombstoned (deleted) vec_id(s) at $dir — " +
           "re-adding a deleted id is legal only after a compaction " +
           "folds its tombstone (Maintenance.compactAnnIndex)")

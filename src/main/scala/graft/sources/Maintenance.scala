@@ -42,9 +42,18 @@ object Maintenance {
     // instead of silently deleting a just-landed append with the
     // swapped-away dir. Standing tables nobody appends to pay one
     // uncontended acquire.
+    val stripped = path.stripSuffix("/")
     val leaseDir =
-      if (path.stripSuffix("/").endsWith(".parquet"))
-        new Path(path.stripSuffix("/")).getParent.toString
+      if (stripped.endsWith(".parquet"))
+        new Path(stripped).getParent.toString
+      // the streaming dedup sidecars (`<corpus>__sh`/`__bands`) are
+      // written by the docs sink UNDER THE CORPUS LEASE — compacting
+      // one must take that same key, or this rewrite could retire the
+      // generation a mid-span batch is appending into (review r17;
+      // compactIngestIndexes already leases the corpus dir)
+      else if (stripped.endsWith("__sh")) stripped.stripSuffix("__sh")
+      else if (stripped.endsWith("__bands"))
+        stripped.stripSuffix("__bands")
       else path
     WriterLease.withWrite(spark, leaseDir, "compact") {
     val (fs, root) = graft.Scratch.fs(spark, path)

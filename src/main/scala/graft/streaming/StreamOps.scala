@@ -237,6 +237,19 @@ object StreamOps {
       val (shDir, bandsDir) = (corpusDir + "__sh", corpusDir + "__bands")
       val (mfs, marker) = graft.Scratch.fs(spark, corpusDir + "/_SUCCESS")
       val empty = !mfs.exists(marker)
+      // CONCURRENT-REWRITE NOTE (review r17): the listings/reads below
+      // resolve to the newest committed generation at THEIR call time,
+      // so a cross-JVM rewrite (retention deleteDocs, sidecar
+      // compaction) that commits mid-batch leaves this batch's admit
+      // decisions computed against a retired-but-complete snapshot.
+      // That is SAFE one-sidedly for every rewrite this engine
+      // performs on these dirs: deletions only REMOVE docs (a batch
+      // screened against the pre-delete corpus can over-drop — a legal
+      // serialization of concurrent ops — never admit a duplicate,
+      // since the post-delete doc set is a subset), and compactions
+      // are content-preserving (decisions unchanged). The one
+      // NON-one-sided decision is the sh LAYOUT probe — re-derived
+      // inside the lease below, where it can no longer go stale.
       // pre-batch file listings: they feed (a) marker validation, (b)
       // this batch's own-new-files diff for the marker stamp, (c) the
       // legacy-layout probe. Driver-side listStatus — milliseconds,
@@ -361,6 +374,18 @@ object StreamOps {
           Dedup.cleanIncrementIndexed(batch,
             corpus.select("fp"), bandsFrame, shFrame, threshold)
         })
+      // an EMPTY admission must not BOOTSTRAP (review r17, the vec
+      // sinks' standing rule applied here): a zero-row Overwrite
+      // writes a schema-bearing-file-less corpus dir WITH _SUCCESS, so
+      // every later batch reads empty=false, fails schema inference on
+      // the file-less dir, and the stream wedges until manual cleanup.
+      // Post-bootstrap an empty admission still runs the span (the
+      // marker stamp below is the heal for a crashed predecessor).
+      if (empty && admitted.isEmpty) {
+        System.err.println(s"[docingest] empty first batch at " +
+          s"$corpusDir — bootstrap deferred to the first batch with " +
+          "admitted rows")
+      } else {
       val admittedSh = graft.Materialize(Dedup.shingleIndex(admitted))
       val mode = if (empty) org.apache.spark.sql.SaveMode.Overwrite
         else org.apache.spark.sql.SaveMode.Append
@@ -401,12 +426,22 @@ object StreamOps {
       val shCur = graft.sources.Generations.resolve(spark, shDir)
       val bandsCur = graft.sources.Generations.resolve(spark, bandsDir)
       val corpusCur = graft.sources.Generations.resolve(spark, corpusDir)
+      // the LAYOUT decision re-derived INSIDE the lease (review r17):
+      // legacySh from the pre-lease listing could be stale across a
+      // concurrent compactIngestIndexes that committed a
+      // pfx-partitioned generation — writing FLAT files into it would
+      // wedge the full-dir fallback read with "conflicting directory
+      // structures". One listStatus of the resolved generation; admit
+      // decisions above stay on their (one-sided-safe) snapshot.
+      val shNow = IngestCommit.listing(spark, shDir)
+      val legacyShNow =
+        shNow.nonEmpty && !shNow.keys.exists(_.startsWith("pfx="))
       // skip writes for an empty frame: partitionBy with zero rows
       // writes NO part files, leaving a footer-less dir every later
       // full-dir read would throw on (bands' 16-rows-per-doc means
       // empty sh == empty bands)
       if (!admittedSh.isEmpty) {
-        if (legacySh) admittedSh.write.mode(mode).parquet(shCur)
+        if (legacyShNow) admittedSh.write.mode(mode).parquet(shCur)
         else
           // one file per touched pfx dir (the repartition co-locates
           // each bucket in one task); the pfx layout is what lets the
@@ -432,8 +467,11 @@ object StreamOps {
         if (empty) (Map.empty[String, Long], Map.empty[String, Long])
         else if (mkValid) mkResolved.get
         else {
-          val committedNow = spark.read.parquet(
-            graft.sources.Generations.resolve(spark, corpusDir))
+          // corpusCur, not a re-resolve: inside the lease the
+          // resolution cannot move, and the fence above already
+          // pinned it — re-deriving it would force a reader to
+          // re-prove the invariant
+          val committedNow = spark.read.parquet(corpusCur)
             .select("doc_id")
           val shPool = oneLayout(shAfter)
           (IngestCommit.committedListing(spark, shDir, shPool,
@@ -490,6 +528,7 @@ object StreamOps {
           LexIndex.ensure(spark, corpusDir)
           ()
         }
+      }
       }
       ()
     }
@@ -551,8 +590,15 @@ object StreamOps {
       } else {
         if (!IndexStore.hasIndex(spark, idxDir))
           IndexStore.ensure(spark, corpusDir) // crashed bootstrap replay
-        val corpusIds = spark.read.parquet(
-          graft.sources.Generations.resolve(spark, table)).select("vec_id")
+        // generation-resolved at read time; a concurrent rewrite
+        // committing mid-batch leaves `fresh` decided on the
+        // pre-rewrite snapshot, which is one-sided-SAFE for every
+        // rewrite this table sees (deletions shrink the id set — the
+        // anti-join can over-drop a racing resend, a legal
+        // serialization, never double-insert; compactions preserve
+        // content) — see the docs sink's concurrent-rewrite note
+        val corpusIds = spark.read.parquet(graft.sources.Generations
+          .resolve(spark, table)).select("vec_id")
         val fresh = graft.Materialize(
           b.join(corpusIds, Seq("vec_id"), "left_anti"))
         if (!fresh.isEmpty) {
@@ -576,7 +622,11 @@ object StreamOps {
               // a crash loop), the others need ensure()'s rebuild.
               System.err.println(s"[vecingest] appendBatch refused " +
                 s"(${e.getMessage}); recovering once and retrying")
-              if (e.getMessage != null && e.getMessage.contains("tombstoned"))
+              // TYPED dispatch (review r17): the tombstone refusal's
+              // recovery is the FOLD; a message-substring match broke
+              // silently on any rewording — and routed to ensure(),
+              // which validates the refusing state, it crash-loops
+              if (e.isInstanceOf[graft.operators.TombstonedReAddException])
                 graft.sources.Maintenance.compactAnnIndex(spark, idxDir)
               else IndexStore.ensure(spark, corpusDir)
               IndexStore.appendBatch(spark, idxDir, fresh,
@@ -714,8 +764,10 @@ object StreamOps {
       } else {
         if (!IndexStore.hasIndex(spark, idxDir))
           IndexStore.ensure(spark, corpusDir) // crashed bootstrap replay
-        val corpusIds = spark.read.parquet(
-          graft.sources.Generations.resolve(spark, table)).select("vec_id")
+        // generation-resolved at read time; stale-snapshot decisions
+        // are one-sided-safe — see the unscreened sink's note
+        val corpusIds = spark.read.parquet(graft.sources.Generations
+          .resolve(spark, table)).select("vec_id")
         val fresh = graft.Materialize(
           b.join(corpusIds, Seq("vec_id"), "left_anti"))
         if (!fresh.isEmpty) {
@@ -763,8 +815,8 @@ object StreamOps {
                 // torn-beyond-repair indexes pay one ensure()
                 System.err.println(s"[vecingest] appendBatch refused " +
                   s"(${e.getMessage}); recovering once and retrying")
-                if (e.getMessage != null &&
-                    e.getMessage.contains("tombstoned"))
+                // typed dispatch — see the unscreened sink's note
+                if (e.isInstanceOf[graft.operators.TombstonedReAddException])
                   graft.sources.Maintenance.compactAnnIndex(spark, idxDir)
                 else IndexStore.ensure(spark, corpusDir)
                 IndexStore.appendBatch(spark, idxDir, admitted)
