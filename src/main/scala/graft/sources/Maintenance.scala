@@ -55,17 +55,28 @@ object Maintenance {
       else if (stripped.endsWith("__bands"))
         stripped.stripSuffix("__bands")
       else path
+    // 0/negative would otherwise shatter the rewrite (ceil(n/0) →
+    // Int.MaxValue shuffle partitions) or silently collapse every
+    // partition to one file — refuse at entry with the actionable why
+    require(targetRowsPerFile > 0,
+      s"compact: targetRowsPerFile must be positive (got " +
+        s"$targetRowsPerFile)")
     WriterLease.withWrite(spark, leaseDir, "compact") {
     val (fs, root) = graft.Scratch.fs(spark, path)
-    // count parts RECURSIVELY so partitioned layouts report honestly
-    // (a top-level glob reads a hive table as "0 files");
-    // current-generation only, so retired copies don't count
-    def parquetFiles(): Int =
-      Generations.walkCurrentFiles(fs, root).count { s =>
+    // ONE recursive current-generation listing serves the bucket
+    // probe and the before count (a full tree walk is the dominant
+    // metadata cost on object stores — the quiesced-under-lease tree
+    // cannot change between the two uses); partitioned layouts report
+    // honestly (a top-level glob reads a hive table as "0 files") and
+    // retired generations don't count
+    def currentParquet() =
+      Generations.walkCurrentFiles(fs, root).filter { s =>
         val nm = s.getPath.getName
         s.isFile && nm.endsWith(".parquet") && !nm.startsWith("_") &&
           !nm.startsWith(".")
       }
+    val filesNow = currentParquet()
+    def parquetFiles(): Int = currentParquet().size
     // refuse a BUCKETED table's directory (e.g. graft.operators
     // .Layout's catalog tables): bucket membership is encoded in the
     // part-file NAMES (`..._00003.c000...` — underscore + bucket id),
@@ -77,20 +88,17 @@ object Maintenance {
     // re-running their Layout writer (repartition(buckets, key) +
     // bucketBy), which preserves the name encoding.
     val bucketPattern = java.util.regex.Pattern.compile("_\\d{5}\\.c\\d{3}")
-    def firstBucketFile(): Option[String] =
-      Generations.walkCurrentFiles(fs, root).collectFirst {
-        case s if s.getPath.getName.endsWith(".parquet") &&
-            bucketPattern.matcher(s.getPath.getName).find() =>
-          s.getPath.getName
-      }
-    firstBucketFile().foreach { nm =>
+    filesNow.collectFirst {
+      case s if bucketPattern.matcher(s.getPath.getName).find() =>
+        s.getPath.getName
+    }.foreach { nm =>
       throw new IllegalArgumentException(
         s"compact: $path holds bucketed part files (e.g. $nm) — " +
           "rewriting would break the catalog's bucket-to-file name " +
           "mapping; compact a bucketed table by re-running its " +
           "bucketed writer instead")
     }
-    val before = parquetFiles()
+    val before = filesNow.size
     // read + partition-detect the CURRENT generation; the rewrite
     // commits as the next one (retained-generation swap — in-flight
     // scans keep their planned files, see [[Generations]])
@@ -253,6 +261,10 @@ object Maintenance {
         // that cannot retain a generation (absence is the committed
         // state); a scan racing this empty-index edge fails and
         // retries — bounded by the edge being an all-blank corpus.
+        // FENCED like every visible write here (review r17): a
+        // compactor stalled past TTL and taken over must not wipe the
+        // index rows the new owner's sink has since committed
+        WriterLease.verify(spark, corpusDir)
         val (fs, target) = graft.Scratch.fs(spark, dir)
         if (fs.exists(target)) fs.delete(target, true)
         before
@@ -294,17 +306,20 @@ object Maintenance {
     // is committed, so the fresh listings ARE the commit marker (the
     // old marker's file entries died with the swap; without a re-stamp
     // every later batch would pay the fallback semi-join).
-    // Re-fence before the stamp, OUTSIDE IngestCommit.write's
-    // swallow-all (StreamOps' marker discipline): a compactor fenced
-    // after its swaps must not stamp a marker built from listings
-    // that now include a new owner's UNCOMMITTED in-flight files —
-    // that marker would vouch for orphan rows as committed
+    // Listings BEFORE the re-fence (review r17): the fence exists so a
+    // compactor taken over after its swaps cannot stamp a marker that
+    // vouches for a new owner's uncommitted in-flight files — which
+    // requires the listing WALKS to complete before the verify, or a
+    // takeover landing during the walks (seconds on an object store)
+    // would slip its files into an already-fenced stamp. The stamp
+    // itself stays OUTSIDE IngestCommit.write's swallow-all
+    // (StreamOps' marker discipline): a fenced write aborts loudly.
+    val marker = graft.streaming.IngestCommit.Marker(
+      graft.streaming.IngestCommit.listing(spark, corpusDir + "__sh"),
+      graft.streaming.IngestCommit.listing(spark, corpusDir + "__bands"),
+      graft.streaming.IngestCommit.listing(spark, corpusDir))
     WriterLease.verify(spark, corpusDir)
-    graft.streaming.IngestCommit.write(spark, corpusDir,
-      graft.streaming.IngestCommit.Marker(
-        graft.streaming.IngestCommit.listing(spark, corpusDir + "__sh"),
-        graft.streaming.IngestCommit.listing(spark, corpusDir + "__bands"),
-        graft.streaming.IngestCommit.listing(spark, corpusDir)))
+    graft.streaming.IngestCommit.write(spark, corpusDir, marker)
     (shDropped, bandsDropped)
   }
 
@@ -351,6 +366,11 @@ object Maintenance {
       val dropIds = graft.operators.IndexStore
         .tombstoneFrame(spark, indexDir)
         .map(_.select(col("vec_id")).distinct())
+      // set when a table's physical fold was skipped (all rows
+      // tombstoned): the meta fold below must then NOT run — clearing
+      // the sidecar while the ghost rows are still on disk would let
+      // every reader serve them
+      var skippedFold = false
       def one(name: String): (Int, Int) = {
         val dir = s"$indexDir/$name"
         // delta files count as part files here: folding them away IS
@@ -381,6 +401,22 @@ object Maintenance {
           .withDeltaOf(spark, indexDir, name)(identity)
         val df = dropIds.fold(df0)(t =>
           df0.join(t.hint("broadcast"), Seq("vec_id"), "left_anti"))
+        // zero-row guard (the sibling compactions' standing rule,
+        // review r17): a partitionBy write of ZERO rows emits no
+        // schema-bearing part files, and committing that shell as the
+        // live generation would make every later codes read throw.
+        // Reachable when tombstones cover every indexed row while an
+        // invalid-norm row keeps the corpus-table rewrite legal — skip
+        // the fold; the sidecar's anti-join keeps serving correct and
+        // the next rebuild converges physically.
+        if (df.isEmpty) {
+          System.err.println(s"[annidx] fold skipped at $dir: every " +
+            "row is tombstoned — a zero-row rewrite would commit an " +
+            "unreadable generation; the tombstone anti-join keeps " +
+            "serving exact until a rebuild")
+          skippedFold = true
+          return (before, before)
+        }
         val shadow = Generations.shadowFor(spark, dir)
         df.repartition(col("cell")).write.mode(SaveMode.Overwrite)
           .partitionBy("cell").parquet(shadow)
@@ -411,8 +447,9 @@ object Maintenance {
       val rcodes = one("rcodes")
       // AFTER both swaps: meta folds the sidecar and the sidecar
       // clears (crash windows converge by ensure-rebuild — see
-      // IndexStore.foldTombstonesIntoMeta)
-      if (dropIds.nonEmpty)
+      // IndexStore.foldTombstonesIntoMeta). Never after a skipped
+      // physical fold (see skippedFold).
+      if (dropIds.nonEmpty && !skippedFold)
         graft.operators.IndexStore.foldTombstonesIntoMeta(spark, indexDir)
       (codes._1 + rcodes._1, codes._2 + rcodes._2)
       }
@@ -442,26 +479,37 @@ object Maintenance {
         live.map(Generations.gc(spark, _)).sum
       }
     }
-    // TTL-expired ABSORBED delta files are part of the same retired
-    // state (their rows live in the folded base; the files persist
-    // for in-flight readers) — an idle store would otherwise keep a
-    // forgotten row's codes until its next delta read, defeating the
-    // provable-erasure recipe. deltaFileNames reaps as a side effect.
+    // the ANN store's sweep also reaps TTL-expired ABSORBED delta
+    // files (part of the same retired state: their rows live in the
+    // folded base, the files persist for in-flight readers — an idle
+    // store would otherwise keep a forgotten row's codes until its
+    // next delta read, defeating the provable-erasure recipe;
+    // deltaFileNames reaps as a side effect). ONE lease hold covers
+    // the reap and the generation GC — two back-to-back acquisitions
+    // would pay an extra create-exclusive round-trip and let another
+    // writer interleave for no benefit.
     val idxDir = IndexStore.dirFor(spark, corpusDir)
-    val (ifs, ip) = graft.Scratch.fs(spark, idxDir)
-    if (ifs.exists(ip))
-      WriterLease.withWrite(spark, idxDir, "gen-gc") {
+    val idxDeleted = {
+      val (ifs, ip) = graft.Scratch.fs(spark, idxDir)
+      if (!ifs.exists(ip)) 0
+      else WriterLease.withWrite(spark, idxDir, "gen-gc") {
         Seq("codes", "rcodes")
           .foreach(t => IndexStore.deltaFileNames(spark, idxDir, t))
+        Seq("codes", "rcodes").map(t => s"$idxDir/$t")
+          .filter { t =>
+            val (fs, p) = graft.Scratch.fs(spark, t)
+            fs.exists(p)
+          }
+          .map(Generations.gc(spark, _)).sum
       }
+    }
     // corpus tables + the streaming dedup indexes share the corpus
     // lease (the same key their writers hold); each persisted store's
     // tables ride its own lease
-    sweep(corpusDir, Seq(
+    idxDeleted +
+      sweep(corpusDir, Seq(
         s"$corpusDir/documents.parquet", s"$corpusDir/embeddings.parquet",
         corpusDir, s"${corpusDir}__sh", s"${corpusDir}__bands")) +
-      sweep(idxDir,
-        Seq("codes", "rcodes").map(t => s"$idxDir/$t")) +
       sweep(LexIndex.dirFor(spark, corpusDir),
         Seq("tf", "df", "stats").map(t =>
           s"${LexIndex.dirFor(spark, corpusDir)}/$t")) +
@@ -489,6 +537,13 @@ object Maintenance {
         if (st == null) 0 else st.length
       }
       val before = files()
+      // zero-FILE guard FIRST, before constructing the read (review
+      // r17): rebuildLists at n=0 legitimately writes a marker-only
+      // store with NO lists table, and an eager spark.read.parquet of
+      // that path throws before any later guard could run — a public
+      // maintenance entry must no-op on engine-written states, not
+      // crash on them
+      if (before == 0) return (before, before)
       val df = spark.read.parquet(Generations.resolve(spark, dir))
       // zero-row guard (same class as compact's totalFiles==0 skip and
       // compactIngestIndexes' full.isEmpty branch): a partitionBy
@@ -497,7 +552,7 @@ object Maintenance {
       // throws on. Unreachable from the ensureLists policy path (it
       // only fires past a files-per-cell threshold), but this is a
       // public maintenance entry callable on foreign-written layouts.
-      if (before == 0 || df.isEmpty) return (before, before)
+      if (df.isEmpty) return (before, before)
       val shadow = Generations.shadowFor(spark, dir)
       df.repartition(col("cell")).write.mode(SaveMode.Overwrite)
         .partitionBy("cell").parquet(shadow)
