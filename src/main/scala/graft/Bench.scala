@@ -464,7 +464,17 @@ object Bench {
       .map { case (k, v) => Json.str(k) + ":" + Json.str(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$runsPerQuery,"queries":$qs,"errors":$errJson,"sf":${Json.str(sfDir)}}""")
+    // Self-identification fields live at the END of the totals line
+    // (VERDICT r17 #1): the driver keeps only the LAST 2000 chars of
+    // stdout, and the 83-query map alone overflows that window — a
+    // leading noise line (r17's placement) verifiably fell off the
+    // captured tail. The tail truncates the FRONT of the window, so
+    // trailing fields always survive; host_factor/flags here make a
+    // contended driver window self-identify in the artifact itself.
+    val tailStamp =
+      if (hostFactor <= 0) s""","flags":$flagsTotal"""
+      else s""","host_factor":${f3(hostFactor)},"flags":$flagsTotal"""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$runsPerQuery,"queries":$qs,"errors":$errJson,"sf":${Json.str(sfDir)}$tailStamp}""")
     spark.stop()
   }
 }

@@ -283,16 +283,23 @@ object DeletePipeline {
           concat(lit(correctionPrefix), col("text")).as("text"))
       // corpus FIRST (idempotent: only the rows a crashed attempt did
       // not land), index second — the docs-sink commit order
-      // generation-resolved read AND append: the erase leg's
-      // deleteDocs migrated the corpus table to the retained-
-      // generation layout, so survivors (and this append's target)
-      // live in the newest generation (see Generations)
-      val docsCur = graft.sources.Generations.resolve(spark, docsTable)
-      val missing = corr.join(
-        spark.read.parquet(docsCur).select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
-      if (!missing.isEmpty)
-        missing.write.mode(SaveMode.Append).parquet(docsCur)
+      // generation-resolved read AND append INSIDE the corpus writer
+      // lease (the Generations appender contract; ADVICE r17: the
+      // IndexStore.synchronized wrapper only serializes THIS JVM —
+      // two JVMs racing here could straddle a rewrite or double-run
+      // the anti-join+append). Both tables share the corpus lease key
+      // (leaseDirOf(<dir>/x.parquet) = <dir>, the docs-sink
+      // discipline); one hold covers both appends — uncontended in
+      // the common case, reentrant for the inner store calls
+      graft.sources.WriterLease.withWrite(spark, corpusDir,
+        "correct-append-docs") {
+        val cur = graft.sources.Generations.resolve(spark, docsTable)
+        val missing = corr.join(
+          spark.read.parquet(cur).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        if (!missing.isEmpty)
+          missing.write.mode(SaveMode.Append).parquet(cur)
+      }
       // full-set batch: the ledger fingerprint is then stable across
       // replays whatever subset the corpus append had landed
       LexIndex.appendBatch(spark, corpusDir, corr)
@@ -302,12 +309,16 @@ object DeletePipeline {
       // (same content ⇒ same codes, bit for bit)
       val corrV = srcVecs.filter(kill(col("vec_id")))
         .select(col("vec_id"), correctedVec.as("embedding"))
-      val vecsCur = graft.sources.Generations.resolve(spark, vecsTable)
-      val missingV = corrV.join(
-        spark.read.parquet(vecsCur).select(col("vec_id")),
-        Seq("vec_id"), "left_anti")
-      if (!missingV.isEmpty)
-        missingV.write.mode(SaveMode.Append).parquet(vecsCur)
+      // same lease discipline as the docs leg above
+      graft.sources.WriterLease.withWrite(spark, corpusDir,
+        "correct-append-vecs") {
+        val cur = graft.sources.Generations.resolve(spark, vecsTable)
+        val missingV = corrV.join(
+          spark.read.parquet(cur).select(col("vec_id")),
+          Seq("vec_id"), "left_anti")
+        if (!missingV.isEmpty)
+          missingV.write.mode(SaveMode.Append).parquet(cur)
+      }
       IndexStore.appendBatch(spark,
         IndexStore.dirFor(spark, corpusDir), corrV)
       stamp(spark, correctedMark)

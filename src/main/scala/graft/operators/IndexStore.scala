@@ -704,10 +704,32 @@ object IndexStore {
     info
   }
 
+  /** PER-STORE in-JVM monitor (VERDICT r17 #1): the store-level
+    * serve/mutate serialization that used to ride the ONE IndexStore
+    * object monitor now rides a monitor keyed by the store dir, so
+    * two threads of one JVM maintaining DIFFERENT stores (the sharded
+    * ingest's K shard bodies, the streaming sinks' several stores) no
+    * longer serialize each other — the cross-JVM arbiter was always
+    * the per-store [[graft.sources.WriterLease]]; this aligns the
+    * in-JVM one with it. Same-store callers keep exactly the old
+    * mutual exclusion (one canonical monitor object per dir string,
+    * trailing-slash-normalized — all callers obtain dirs from
+    * [[dirFor]]/listsDir, so the strings agree). The OBJECT monitor
+    * (`IndexStore.synchronized`) remains in use as a deliberate
+    * GLOBAL mutex for scratch-pipeline seeding (q78/q79–q82), which
+    * is cross-store by nature. */
+  private[graft] def monitorFor(dir: String): Object =
+    storeMonitors.computeIfAbsent(dir.stripSuffix("/"),
+      _ => new Object)
+
+  private val storeMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def ensureSync(spark: SparkSession, sfDir: String,
-      policy: Option[RebuildPolicy]): BuildInfo =
-    synchronized {
-      val dir = dirFor(spark, sfDir)
+      policy: Option[RebuildPolicy]): BuildInfo = {
+    val dir0 = dirFor(spark, sfDir)
+    monitorFor(dir0).synchronized {
+      val dir = dir0
       def cheapOk(m: AnnIndexMeta, tombN: Long): Boolean =
         dialsMatch(m) && m.nl == Similarity.nlistFor(m.n - tombN) &&
           !policy.exists(policyViolated(m, _))
@@ -781,6 +803,7 @@ object IndexStore {
           }
       }
     }
+  }
 
   /** [[RebuildPolicy.compactAtFilesPerCell]] + [[RebuildPolicy
     * .foldAtTombstones]] enforcement: glob the two codes tables'
@@ -806,10 +829,11 @@ object IndexStore {
     // concurrent compactAnnIndex holds the lease and blocks on the
     // monitor). No current monitor-holding caller passes a policy;
     // refuse loudly if one ever does rather than deadlock-by-timeout.
-    require(policy.isEmpty || !Thread.holdsLock(IndexStore),
+    require(policy.isEmpty || (!Thread.holdsLock(IndexStore) &&
+        !Thread.holdsLock(monitorFor(dir))),
       "policied ensure()/compactIfPolicied must not be called while " +
-        "holding the IndexStore monitor — lease-then-monitor is the " +
-        "required order (see compactAnnIndex)")
+        "holding the IndexStore monitor (global or this store's) — " +
+        "lease-then-monitor is the required order (see compactAnnIndex)")
     policy.filter(p => p.compactAtFilesPerCell < Int.MaxValue ||
         p.foldAtTombstones < Long.MaxValue).foreach { p =>
       def triggered(): (Boolean, Long) = {
@@ -954,9 +978,11 @@ object IndexStore {
   def appendBatch(spark: SparkSession, dir: String,
       batch: DataFrame, corpusScreened: Boolean = false): AppendStats =
     // lease OUTSIDE the monitor: a foreign holder's bounded wait must
-    // never block this JVM's readers (ensure/serve ride the monitor)
+    // never block this JVM's readers (ensure/serve ride the monitor).
+    // PER-STORE monitor (see monitorFor): appends to different stores
+    // — the sharded ingest's K shard bodies — run concurrently
     graft.sources.WriterLease.withWrite(spark, dir,
-        "append") { synchronized {
+        "append") { monitorFor(dir).synchronized {
     import graft.functions.VectorFunctions.dotD
     // dev-only phase timer (-Dgraft.prof.append=true): stderr deltas
     val profT = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
@@ -1348,17 +1374,30 @@ object IndexStore {
     * Generations TTL — no planned scan can still reference them under
     * the TTL contract. Idempotent, driver-side; entries for
     * already-gone files are inert (pruned at the next fold's
-    * carry-forward). */
+    * carry-forward). Called ONLY from lease-holding maintenance paths
+    * (gcGenerations / compactAnnIndex via `deltaFileNames(reap=true)`)
+    * — never from serve paths, which stay purely exclusion-based: a
+    * READER may lack write permission on the store, and a delete from
+    * an unfenced path would race the writer lease (ADVICE r17). Each
+    * delete is individually NonFatal-guarded: a permission error or a
+    * concurrent-reap race on one file must not fail the listing that
+    * triggered it — the entry stays for the next maintenance pass. */
   private def reapAbsorbedDelta(spark: SparkSession, dir: String,
       table: String, absorbed: Map[String, Long]): Unit = {
     if (absorbed.isEmpty) return
-    val cutoff =
-      System.currentTimeMillis() - graft.sources.Generations.ttlMs(spark)
+    val cutoff = System.currentTimeMillis() -
+      graft.sources.Generations.ttlMs(spark) -
+      graft.sources.Generations.skewMs(spark)
     val dd = deltaDirOf(dir, table)
     absorbed.foreach { case (n, at) =>
       if (at < cutoff) {
-        val (dfs, p) = graft.Scratch.fs(spark, s"$dd/$n")
-        if (dfs.exists(p)) dfs.delete(p, false)
+        try {
+          val (dfs, p) = graft.Scratch.fs(spark, s"$dd/$n")
+          if (dfs.exists(p)) dfs.delete(p, false)
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] absorbed-delta reap of $dd/$n " +
+            s"skipped: ${e.getMessage}")
+        }
       }
     }
   }
@@ -1379,11 +1418,18 @@ object IndexStore {
   /** Data file names currently SERVED from a table's delta dir:
     * on-disk files minus the current generation's absorbed set (their
     * rows live in the base since the fold; the files stay until the
-    * TTL — reaped here as a side effect). */
+    * TTL). `reap = true` additionally deletes TTL-expired absorbed
+    * files — pass it ONLY from a lease-holding maintenance path
+    * (gcGenerations, compactAnnIndex); serve paths (deltaFrame /
+    * withDeltaOf / marker probes) keep the default and stay purely
+    * exclusion-based, so a read-only client never issues a delete
+    * (ADVICE r17: an unguarded serve-path reap gave readers without
+    * write permission query FAILURES once an entry aged past TTL,
+    * and mutated the store outside any writer lease). */
   private[graft] def deltaFileNames(spark: SparkSession, dir: String,
-      table: String): Seq[String] = {
+      table: String, reap: Boolean = false): Seq[String] = {
     val absorbed = absorbedDelta(spark, dir, table)
-    reapAbsorbedDelta(spark, dir, table, absorbed)
+    if (reap) reapAbsorbedDelta(spark, dir, table, absorbed)
     val (fs, p) = graft.Scratch.fs(spark, deltaDirOf(dir, table))
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq
@@ -1568,7 +1614,7 @@ object IndexStore {
     val dir = dirFor(spark, sfDir)
     // lease outside the monitor — same ordering note as appendBatch
     graft.sources.WriterLease.withWrite(spark, dir, "delete") {
-    synchronized {
+    monitorFor(dir).synchronized {
     import graft.functions.VectorFunctions.dotD
     require(readMeta(spark, dir).nonEmpty,
       s"no index at $dir — ensure() before deleteBatch (deletion is " +
@@ -1845,6 +1891,57 @@ object IndexStore {
     * use [[queryIvfPqRes]] with a kept `info`. */
   def q70KnnIvfPqResIdx(spark: SparkSession, sfDir: String): DataFrame =
     queryIvfPqRes(spark, sfDir, ensure(spark, sfDir))
+
+  /** [[queryIvfPq]] with an EXPLICIT query batch — the sharded store's
+    * per-shard serve leg ([[Sharded]], VERDICT r17 #1): a hash-sharded
+    * corpus holds each query vector in exactly ONE shard, so every
+    * OTHER shard must serve queries it does not own. Same expressions
+    * as [[queryIvfPq]] (probe ranks → cell-pruned codes scan → ADC
+    * shortlist → exact re-rank); the re-rank frame is the shard's own
+    * table (query-id rows excluded) plus the caller's query rows, so
+    * no id appears twice and the returned cosines are exact.
+    * `queries` = (vec_id, embedding) with every vec_id < `maxQuery`;
+    * `maxQuery` must not exceed [[Similarity.knnQueries]] (pqLut's
+    * internal query filter). */
+  private[operators] def queryIvfPqFrom(spark: SparkSession,
+      shardDir: String, info: BuildInfo, queries: DataFrame,
+      kk: Int = Similarity.k,
+      maxQuery: Long = Similarity.knnQueries): DataFrame = {
+    import graft.functions.VectorFunctions.dotD
+    require(maxQuery <= Similarity.knnQueries,
+      "queryIvfPqFrom: maxQuery beyond the shared pqLut query filter")
+    val qRaw = queries.filter(col("vec_id") < maxQuery)
+      .select(col("vec_id"), col("embedding"))
+    if (info.n == 0)
+      // an empty shard contributes nothing — the merge's unit element,
+      // schema-identical to the served shape
+      return qRaw.limit(0).select(col("vec_id").as("query_id"),
+        col("vec_id").as("neighbor_id"), lit(0.0).as("cosine"),
+        lit(0).cast("int").as("rank"))
+    val dir = info.dir
+    val v = col("embedding").cast("array<double>")
+    val qe = qRaw
+      .select(col("vec_id"), v.as("v"), sqrt(dotD(v, v)).as("nrm"))
+      .filter(Similarity.validNorm)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val probes = Similarity.cellRanks(qe, cents)
+      .filter(col("cr") <= Similarity.nprobeFor(info.nl))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val probed0 = withDeltaOf(spark, dir, "codes")(
+      _.join(broadcast(probes), Seq("cell")))
+    val probed = tombstoneFrame(spark, dir).toSeq
+      .foldLeft(probed0)((d, t) =>
+        d.join(t.select(col("vec_id")), Seq("vec_id"), "left_anti"))
+    val lut = Similarity.pqLut(Similarity.subVectors(qe),
+      spark.read.parquet(s"$dir/codebook"))
+    val cand = Similarity.adcShortlist(probed, lut,
+      Seq("query_id", "sub", "code"), Similarity.shortlistFor(info.n))
+    val e = Tables.load(spark, shardDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") >= maxQuery)
+      .unionByName(qRaw)
+    Similarity.rerankTopK(e, cand, kk, maxQuery)
+  }
 
   /** SemDeDup-style embedding near-duplicate dedup served from the
     * PERSISTED IVF index — the scale path next to

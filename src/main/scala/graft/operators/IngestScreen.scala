@@ -162,8 +162,11 @@ object IngestScreen {
     * probe is a driver-side glob, no Spark job. */
   def ensureLists(spark: SparkSession, sfDir: String,
       info: IndexStore.BuildInfo,
-      compactAtFilesPerCell: Int = 0): Double = IndexStore.synchronized {
+      compactAtFilesPerCell: Int = 0): Double = {
     val dir = listsDir(spark, sfDir)
+    // per-store monitor (IndexStore.monitorFor): veclists stores of
+    // different corpora no longer serialize in-JVM
+    IndexStore.monitorFor(dir).synchronized {
     val m = IndexStore.readMeta(spark, info.dir).getOrElse(
       throw new IllegalStateException(
         s"no index meta at ${info.dir} — ensure() the index first"))
@@ -205,7 +208,7 @@ object IngestScreen {
         rebuildLists(spark, sfDir, info, m)
         (System.nanoTime() - t0) / 1e9
     }
-  }
+  } }
 
   /** In-flight-append sentinel under the lists dir: stamped BEFORE the
     * append's data writes, cleared after the marker — the window where
@@ -269,9 +272,10 @@ object IngestScreen {
   def appendLists(spark: SparkSession, sfDir: String,
       batch: DataFrame): Long = {
     val dir = listsDir(spark, sfDir)
-    // lease OUTSIDE the monitor (see IndexStore.appendBatch's note)
+    // lease OUTSIDE the monitor (see IndexStore.appendBatch's note);
+    // per-store monitor — see ensureLists
     graft.sources.WriterLease.withWrite(spark, dir, "append") {
-    IndexStore.synchronized {
+    IndexStore.monitorFor(dir).synchronized {
     import graft.functions.VectorFunctions.dotD
     val vm = readListsMeta(spark, dir).getOrElse(
       throw new IllegalStateException(

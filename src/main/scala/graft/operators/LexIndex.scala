@@ -286,7 +286,7 @@ object LexIndex {
     val dir = dirFor(spark, sfDir)
     // lease OUTSIDE the monitor (see IndexStore.appendBatch's note)
     graft.sources.WriterLease.withWrite(spark, dir, "delete") {
-    synchronized {
+    IndexStore.monitorFor(dir).synchronized {
     require(readMeta(spark, dir).nonEmpty,
       s"no lexical index at $dir — ensure() before deleteDocs " +
         "(deletion is index maintenance; an index-less corpus is a " +
@@ -467,9 +467,12 @@ object LexIndex {
     info
   }
 
-  private def ensureSync(spark: SparkSession, sfDir: String): BuildInfo =
-    synchronized {
-      val dir = dirFor(spark, sfDir)
+  private def ensureSync(spark: SparkSession, sfDir: String): BuildInfo = {
+    val dir0 = dirFor(spark, sfDir)
+    // per-store monitor (IndexStore.monitorFor, one shared registry):
+    // lexical stores of different corpora no longer serialize in-JVM
+    IndexStore.monitorFor(dir0).synchronized {
+      val dir = dir0
       def dialsOk(m: LexIndexMeta): Boolean =
         m.version == formatVersion && m.pfx_parts == pfxParts
       // served size is the effective corpus (meta minus pending
@@ -526,6 +529,7 @@ object LexIndex {
           }
       }
     }
+  }
 
   /** BM25 scores for `qterms` served from a VALIDATED index — the
     * query-many half of the lifecycle (one [[ensure]] buys the `info`
@@ -636,7 +640,7 @@ object LexIndex {
     val dir = dirFor(spark, sfDir)
     // lease OUTSIDE the monitor (see IndexStore.appendBatch's note)
     graft.sources.WriterLease.withWrite(spark, dir, "append") {
-    synchronized {
+    IndexStore.monitorFor(dir).synchronized {
     val m = readMeta(spark, dir).getOrElse(throw new IllegalStateException(
       s"no lexical index at $dir — ensure() before appendBatch()"))
     require(m.version == formatVersion && m.pfx_parts == pfxParts,
@@ -698,7 +702,7 @@ object LexIndex {
     val dir = dirFor(spark, sfDir)
     // lease OUTSIDE the monitor (see IndexStore.appendBatch's note)
     graft.sources.WriterLease.withWrite(spark, dir, "compact") {
-    synchronized {
+    IndexStore.monitorFor(dir).synchronized {
       val m = readMeta(spark, dir).getOrElse(return (0, 0))
       if (m.np == 0) return (0, 0)
       // a content-preserving rewrite may EXTEND a voucher, never

@@ -275,9 +275,26 @@ object Similarity {
     val h = (0 to radius).map(i =>
       choose(bits, i) * math.pow(p, bits - i) *
         math.pow(1 - p, i.toDouble)).sum
-    math.min(lshMaxTables, math.max(lshTables,
-      math.ceil(math.log(0.08) / math.log1p(-h)).toInt))
+    val needed = math.max(lshTables,
+      math.ceil(math.log(0.08) / math.log1p(-h)).toInt)
+    // the cap is a codegen-width ceiling, not a quality statement:
+    // when the MODEL itself says the capped count misses the 0.08
+    // target (≳10⁶ near-orthogonal vectors), say so at runtime
+    // instead of letting recall decay silently past the gate scales
+    // (ADVICE r17) — IVF×PQ (q69/q70) is the deployment path there
+    if (needed > lshMaxTables && lshCapWarned.add(bits)) {
+      val cappedMiss = math.pow(1 - h, lshMaxTables.toDouble)
+      System.err.println(f"[graft] lshTablesFor(bits=$bits): model " +
+        f"wants $needed tables, capped at $lshMaxTables — modeled " +
+        f"miss rate $cappedMiss%.2f exceeds the 0.08 target; the " +
+        "0.90 recall floor may not hold at this corpus scale. Use " +
+        "the IVF×PQ index (q69/q70) for corpora this large.")
+    }
+    math.min(lshMaxTables, needed)
   }
+
+  private val lshCapWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
   val dim = 64
 
@@ -663,8 +680,40 @@ object Similarity {
     * at that scale, and q36 documents the LSH trade honestly. */
   def q36KnnLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val e = emb(spark, sfDir)
-    rerankTopK(e, lshCandidates(e, lshBitsFor(e.count())))
+    rerankTopK(e, lshCandidates(e,
+      lshBitsFor(cachedCorpusCount(spark, sfDir, "embeddings", e))))
   }
+
+  /** Corpus size for the in-query ANN dials, cached by the table's
+    * FILE SIGNATURE — every current data file's (path, length, mtime)
+    * from one driver-side listing, no Spark job (ADVICE r17: q36 ran
+    * a full count() per call for a number that only moves when the
+    * table does). An appended/rewritten corpus changes its signature
+    * and re-counts; an unreadable signature falls back to counting. */
+  private[operators] def cachedCorpusCount(spark: SparkSession,
+      sfDir: String, table: String, df: DataFrame): Long = {
+    val path = s"$sfDir/$table.parquet"
+    val sig =
+      try {
+        val (fs, p) = graft.Scratch.fs(spark, path)
+        graft.sources.Generations.walkCurrentFiles(fs, p)
+          .map(s => s"${s.getPath}|${s.getLen}|${s.getModificationTime}")
+          .sorted.mkString("\n")
+      } catch { case scala.util.control.NonFatal(_) => null }
+    if (sig == null) df.count()
+    else {
+      val hit = corpusCountCache.get(path)
+      if (hit != null && hit._1 == sig) hit._2
+      else {
+        val n = df.count()
+        corpusCountCache.put(path, (sig, n))
+        n
+      }
+    }
+  }
+
+  private val corpusCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
 
   /** q36's candidate stage: distinct (query, neighbor) id pairs that
     * share a probed bucket in ≥ 1 table. Shared with LshProbe, which

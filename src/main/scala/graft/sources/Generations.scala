@@ -68,10 +68,38 @@ object Generations {
   private val CommitMark = "_committed"
 
   /** Retirement TTL for non-newest generations (and crashed-shadow
-    * debris). Size above the longest scan against swapped stores. */
-  def ttlMs(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.gen.ttlMs").map(_.toLong)
+    * debris). Size above the longest scan against swapped stores,
+    * PLUS a cross-host clock-skew margin: fold stamps and `_committed`
+    * marker mtimes are written by one host and compared against the
+    * reaping JVM's wall clock, so skew between them shortens the
+    * effective retention window by exactly the skew (ADVICE r17). On
+    * multi-host deployments either keep the TTL comfortably above
+    * longest-scan + worst skew, or set `spark.graft.gen.skewMs` and
+    * the expiry comparison subtracts it explicitly ([[skewMs]]).
+    * A TTL below 60 s is test-only territory — a production store
+    * with sub-minute retention silently reintroduces the mid-scan
+    * file loss this layer exists to remove, so it warns once. */
+  def ttlMs(spark: SparkSession): Long = {
+    val v = spark.conf.getOption("spark.graft.gen.ttlMs").map(_.toLong)
       .getOrElse(30L * 60 * 1000)
+    if (v < 60000L && lowTtlWarned.compareAndSet(false, true))
+      System.err.println(s"[generations] spark.graft.gen.ttlMs=$v is " +
+        "below the 60 s sanity floor — retained-generation reads are " +
+        "only isolated for scans shorter than the TTL (minus clock " +
+        "skew); sub-minute values are for tests")
+    v
+  }
+
+  private val lowTtlWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Cross-host clock-skew allowance subtracted from every expiry
+    * comparison (default 0: single-host, or skew priced into the TTL
+    * itself). A retired generation/absorbed delta file is reaped only
+    * once `now - retiredAt > ttlMs + skewMs`. */
+  def skewMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.gen.skewMs").map(_.toLong)
+      .getOrElse(0L)
 
   private def epochOf(name: String): Option[Long] =
     if (name.startsWith(Pre))
@@ -230,6 +258,7 @@ object Generations {
     val (fs, root) = graft.Scratch.fs(spark, dir)
     if (!fs.exists(root)) return 0
     val ttl = ttlMs(spark)
+    val skew = skewMs(spark)
     val now = System.currentTimeMillis()
     // ONE listing up front: ages come from these statuses, never from
     // a re-stat of an entry an earlier loop may have deleted
@@ -238,7 +267,7 @@ object Generations {
       .filter(s => s.isDirectory && epochOf(s.getPath.getName).nonEmpty)
       .sortBy(s => epochOf(s.getPath.getName).get)
     var deleted = 0
-    def expired(retiredAt: Long): Boolean = now - retiredAt > ttl
+    def expired(retiredAt: Long): Boolean = now - retiredAt > ttl + skew
     // a generation's COMMIT time: the commit-time marker's mtime when
     // present (the accurate source), else the dir's own mtime (legacy
     // gens from before the marker, or a failed stamp — conservative in
@@ -258,14 +287,25 @@ object Generations {
         if (fs.delete(g.getPath, true)) deleted += 1
       case _ => ()
     }
-    // legacy generation 0 — every non-hidden root entry (loose part
-    // files, or a hive layout's k=v dirs) — retires when gen 1 does
+    // legacy generation 0 — RECOGNIZABLE data entries only (loose
+    // *.parquet part files, or a hive layout's k=v dirs) — retires
+    // when gen 1 does. The filter is deliberate (ADVICE r17): an
+    // unrestricted sweep silently destroyed any foreign file an
+    // operator had placed inside a migrated table root; anything
+    // unrecognized is skipped LOUDLY instead
     gs.headOption.foreach { first =>
       if (expired(committedAt(first)))
         entries.foreach { s =>
           val n = s.getPath.getName
-          if (!n.startsWith("_") && !n.startsWith(".") &&
-              fs.delete(s.getPath, true)) deleted += 1
+          if (n.startsWith("_") || n.startsWith(".")) ()
+          else if ((s.isFile && n.endsWith(".parquet")) ||
+              (s.isDirectory && n.contains("="))) {
+            if (fs.delete(s.getPath, true)) deleted += 1
+          } else
+            System.err.println(s"[generations] legacy gen-0 sweep of " +
+              s"$root skipped foreign entry '$n' — not a *.parquet " +
+              "file or k=v partition dir; remove it manually if it " +
+              "is debris")
         }
     }
     // crashed-shadow debris, aged by its own last write

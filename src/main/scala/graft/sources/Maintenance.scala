@@ -356,7 +356,10 @@ object Maintenance {
     // lease OUTSIDE the monitor: a foreign holder's bounded wait must
     // never block this JVM's readers on the IndexStore lock
     WriterLease.withWrite(spark, indexDir, "compact") {
-      graft.operators.IndexStore.synchronized {
+      // per-store monitor (IndexStore.monitorFor): same-store readers
+      // and appends serialize as before; other stores' maintenance
+      // proceeds concurrently (the sharded ingest's fold cadence)
+      graft.operators.IndexStore.monitorFor(indexDir).synchronized {
       import org.apache.spark.sql.functions.col
       // deletion fold rides the same rewrite: tombstoned ids (ghost
       // rows excluded by every reader since their deleteBatch) are
@@ -395,7 +398,7 @@ object Maintenance {
         val absorbed = graft.operators.IndexStore
           .absorbedDelta(spark, indexDir, name)
         val deltaNames = graft.operators.IndexStore
-          .deltaFileNames(spark, indexDir, name)
+          .deltaFileNames(spark, indexDir, name, reap = true)
         val before = files(deltaNames.size)
         val df0 = graft.operators.IndexStore
           .withDeltaOf(spark, indexDir, name)(identity)
@@ -494,7 +497,8 @@ object Maintenance {
       if (!ifs.exists(ip)) 0
       else WriterLease.withWrite(spark, idxDir, "gen-gc") {
         Seq("codes", "rcodes")
-          .foreach(t => IndexStore.deltaFileNames(spark, idxDir, t))
+          .foreach(t =>
+            IndexStore.deltaFileNames(spark, idxDir, t, reap = true))
         Seq("codes", "rcodes").map(t => s"$idxDir/$t")
           .filter { t =>
             val (fs, p) = graft.Scratch.fs(spark, t)
@@ -527,7 +531,8 @@ object Maintenance {
     * Returns (files before, files after) for the `lists` table. */
   def compactVecLists(spark: SparkSession, listsDir: String): (Int, Int) =
     WriterLease.withWrite(spark, listsDir, "compact") {
-      graft.operators.IndexStore.synchronized {
+      // per-store monitor — see compactAnnIndex's note
+      graft.operators.IndexStore.monitorFor(listsDir).synchronized {
       import org.apache.spark.sql.functions.col
       val dir = s"$listsDir/lists"
       def files(): Int = {

@@ -564,11 +564,24 @@ object StreamOps {
   def vectorIngestStream(vecs: DataFrame, corpusDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      vecIngestBatch(batch.sparkSession, corpusDir,
+        dedupBatchDeterministic(batch))
+    }
+
+  /** One micro-batch of the unscreened vector sink against ONE corpus
+    * dir — the body [[vectorIngestStream]] always ran, extracted so
+    * the SHARDED sink ([[graft.operators.Sharded]], VERDICT r17 #1)
+    * can drive K of these concurrently against disjoint shard corpora,
+    * each under its own writer lease. `b` must already be
+    * per-vec_id-deduplicated ([[dedupBatchDeterministic]] — the
+    * sharded caller dedupes ONCE before splitting; shard routing is a
+    * pure function of vec_id, so the per-shard sub-batches stay
+    * key-unique). */
+  private[graft] def vecIngestBatch(spark: SparkSession,
+      corpusDir: String, b: DataFrame): Unit = {
       import graft.operators.IndexStore
-      val spark = batch.sparkSession
       val table = s"$corpusDir/embeddings.parquet"
       val idxDir = IndexStore.dirFor(spark, corpusDir)
-      val b = dedupBatchDeterministic(batch)
       val (fs, marker) = graft.Scratch.fs(spark, s"$table/_SUCCESS")
       if (b.isEmpty) {
         // an EMPTY batch must not bootstrap: a zero-row corpus write
@@ -648,7 +661,7 @@ object StreamOps {
         }
       }
       ()
-    }
+  }
 
   /** Delta-buffer fold cadence for the streaming vector sinks: fold
     * when a codes table's delta holds this many append files. At 64

@@ -803,12 +803,18 @@ class IndexStoreSpec extends SparkSpec {
         "retained absorbed file must not double codes rows")
       assert(!IndexStore.ensure(spark, corpus).builtNow,
         "folded state must validate without a rebuild")
-      // past the TTL the next delta listing reaps the file physically
+      // past the TTL: a SERVE-path listing still only excludes — it
+      // never deletes (ADVICE r17: a read-only client must not issue
+      // deletes, and a serve-path delete runs outside the writer
+      // lease); the physical reap belongs to lease-held maintenance
       spark.conf.set("spark.graft.gen.ttlMs", "0")
       try {
         assert(IndexStore.deltaFileNames(spark, idxDir, "codes").isEmpty)
+        assert(fs.exists(dp),
+          "a serve-path listing must exclude, never delete")
+        graft.sources.Maintenance.gcGenerations(spark, corpus)
         assert(!fs.exists(dp),
-          "expired absorbed delta file must be reaped")
+          "expired absorbed delta file must be reaped by maintenance")
       } finally spark.conf.unset("spark.graft.gen.ttlMs")
       // the reap invalidates the token in the CONSERVATIVE direction
       // only: one full revalidation, never a rebuild
