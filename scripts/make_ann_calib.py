@@ -194,8 +194,8 @@ if len(sys.argv) > 1 and sys.argv[1] == "--zipf":
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf4ann"
 factor = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-if factor not in (4, 16, 64):
-    sys.exit("factor must be 4, 16 or 64")
+if factor not in (4, 16, 64, 256):
+    sys.exit("factor must be 4, 16, 64 or 256")
 os.makedirs(out, exist_ok=True)
 con = duckdb.connect()
 
@@ -216,7 +216,7 @@ if factor == 4:
         2: "list_transform(e.embedding, x -> -x)",
         3: "list_transform(list_reverse(e.embedding), x -> -x)",
     }
-else:
+elif factor in (16, 64):
     # factor 16: 8 lag-8 circular shifts x negation; factor 64: 32
     # lag-2 shifts x negation. Any distinct-lag pair's cross-cosine is
     # the autocorrelation at that lag ~ N(0, 1/64); the one privileged
@@ -232,6 +232,28 @@ else:
         return (base if r < half
                 else f"list_transform({base}, x -> -x)")
     variants = {r: shifted(r) for r in range(factor)}
+else:
+    # factor 256 (the >=512k-vector radius-2 regime, VERDICT r17 #2):
+    # 64 dims only offer 64 distinct circular shifts, so the map
+    # family extends to shift x REVERSE x negate — all three are
+    # permutation/sign maps (orthogonal, distribution-preserving).
+    # Cross-cosine between any two distinct variants of one base
+    # vector is an (auto)correlation-like sum of +-v_i v_j terms at
+    # mismatched indexes ~ N(0, 1/64) for iid-ish coordinates; the
+    # privileged pairs (same shift+reverse, opposite sign: cosine -1)
+    # are harmless for top-k, same argument as factors 16/64.
+    def shifted256(r):
+        s = r % 64
+        rev = (r // 64) % 2 == 1
+        neg = r >= 128
+        base = ("e.embedding" if s == 0
+                else f"e.embedding[{s + 1}:64] || e.embedding[1:{s}]")
+        if rev:
+            base = f"list_reverse({base})"
+        if neg:
+            base = f"list_transform({base}, x -> -x)"
+        return base
+    variants = {r: shifted256(r) for r in range(factor)}
 selects = "\nUNION ALL\n".join(
     f"""SELECT e.vec_id + {r}*1000000 AS vec_id,
                {expr}::FLOAT[] AS embedding, e.label

@@ -28,16 +28,27 @@ object IngestProbe {
   private def f3(v: Double): String = Json.f3(v)
 
   final case class ScaleRun(label: String, corpusRows: Long,
-      bootstrapSec: Double, batchSecs: Seq[Double]) {
+      bootstrapSec: Double, batchSecs: Seq[Double],
+      batchRowsTotal: Long = 0L, bytesGrowth: Long = 0L) {
     def batchMed: Double = {
       val s = batchSecs.sorted
       if (s.isEmpty) -1.0 else s(s.size / 2)
     }
-    def json: String =
+    /** Headline capacity (VERDICT r17 #7): measured-batch rows and
+      * store-growth bytes over the summed measured window — the
+      * number a 100 TB deployment scale-projects from (bootstrap
+      * excluded: one-time build). */
+    def json: String = {
+      val tot = batchSecs.sum
+      val cap =
+        if (batchRowsTotal <= 0 || tot <= 0) ""
+        else s""","rows_per_sec":${f3(batchRowsTotal / tot)}""" +
+          s""","bytes_per_sec":${f3(bytesGrowth / tot)}"""
       s"""{"label":${Json.str(label)},"corpus_rows":$corpusRows,""" +
         s""""bootstrap_sec":${f3(bootstrapSec)},""" +
         s""""batch_sec":[${batchSecs.map(f3).mkString(",")}],""" +
-        s""""batch_med":${f3(batchMed)}}"""
+        s""""batch_med":${f3(batchMed)}$cap}"""
+    }
   }
 
   /** ln(tBig/tSmall)/ln(nBig/nSmall) over the first and last scale. */
@@ -77,6 +88,12 @@ object IngestProbe {
     def timed[A](body: => A): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
+    /** Store growth for the bytes/sec capacity line: sum of current
+      * file lengths under the store dirs (one recursive listing). */
+    def bytesUnder(paths: Seq[String]): Long = paths.map { d =>
+      val (fs, p) = Scratch.fs(spark, d)
+      if (!fs.exists(p)) 0L else Scratch.walkFiles(fs, p).map(_.getLen).sum
+    }.sum
     // barrier + decorrelating map: ONE implementation in
     // [[StreamDrive]] (shared with the contention harnesses — the
     // rationale docs live there)
@@ -90,17 +107,18 @@ object IngestProbe {
     /** Vector path: bootstrap = corpus write + index build (batch 1);
       * then fixed 500-vector batches, ids offset out of the corpus
       * range, embeddings negated+shifted so content is fresh too. */
-    def vecScale(label: String, srcDir: String): ScaleRun = {
+    def vecScale(label: String, srcDir: String,
+        batchSize: Int = 1000): ScaleRun = {
       val corpusDir = java.nio.file.Files
         .createTempDirectory(s"ingestprobe_vec_$label").toString + "/c"
       val idxDir = operators.IndexStore.dirFor(spark, corpusDir)
       val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
         .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-      // deployment-shaped batches: big enough that the batch's own
-      // encode dominates the per-batch fixed costs (the ~nlist
-      // per-cell file writes grow with √N and would otherwise read as
-      // a phantom corpus-size exponent at sliver-sized batches)
-      val batchSize = 1000
+      // deployment-shaped default batch size: big enough that the
+      // batch's own encode dominates the per-batch fixed costs (the
+      // ~nlist per-cell file writes grow with √N and would otherwise
+      // read as a phantom corpus-size exponent at sliver-sized
+      // batches); the capacity runs vary it (VERDICT r17 #7)
       // POSITION-based fresh ids from a 9e8 base: source-id+offset
       // schemes collide across batches on replicated corpora
       // (non-contiguous replica blocks), and a 1e7 base collides with
@@ -124,6 +142,7 @@ object IngestProbe {
           ms.addData(src.toSeq)
           awaitConsumed(q, before + src.length)
         }
+        val bytes0 = bytesUnder(Seq(corpusDir, idxDir))
         val batchSecs = batchData.map { b =>
           timed {
             val before = progressSum(q)
@@ -131,7 +150,9 @@ object IngestProbe {
             awaitConsumed(q, before + b.size)
           }
         }
-        ScaleRun(label, src.length.toLong, boot, batchSecs)
+        ScaleRun(label, src.length.toLong, boot, batchSecs,
+          batchData.map(_.size.toLong).sum,
+          bytesUnder(Seq(corpusDir, idxDir)) - bytes0)
       } finally {
         q.stop()
         deleteDir(idxDir); deleteDir(corpusDir)
@@ -146,14 +167,14 @@ object IngestProbe {
       * batch pays screen AND full admission — the claim under test is
       * that the screen's lists reads stay pruned to the probed cells
       * and per-batch cost stays ∝ batch. */
-    def svecScale(label: String, srcDir: String): ScaleRun = {
+    def svecScale(label: String, srcDir: String,
+        batchSize: Int = 1000): ScaleRun = {
       val corpusDir = java.nio.file.Files
         .createTempDirectory(s"ingestprobe_svec_$label").toString + "/c"
       val idxDir = operators.IndexStore.dirFor(spark, corpusDir)
       val vlDir = operators.IngestScreen.listsDir(spark, corpusDir)
       val src = spark.read.parquet(s"$srcDir/embeddings.parquet")
         .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-      val batchSize = 1000
       // position-based ids + per-batch decorrelation — see vecScale
       // and freshVec; every batch row must be genuinely ADMITTED or
       // the probe measures screening without the append path
@@ -174,6 +195,7 @@ object IngestProbe {
           ms.addData(src.toSeq)
           awaitConsumed(q, before + src.length)
         }
+        val bytes0 = bytesUnder(Seq(corpusDir, idxDir, vlDir))
         val batchSecs = batchData.map { b =>
           timed {
             val before = progressSum(q)
@@ -181,7 +203,9 @@ object IngestProbe {
             awaitConsumed(q, before + b.size)
           }
         }
-        ScaleRun(label, src.length.toLong, boot, batchSecs)
+        ScaleRun(label, src.length.toLong, boot, batchSecs,
+          batchData.map(_.size.toLong).sum,
+          bytesUnder(Seq(corpusDir, idxDir, vlDir)) - bytes0)
       } finally {
         q.stop()
         deleteDir(idxDir); deleteDir(vlDir); deleteDir(corpusDir)
@@ -192,13 +216,14 @@ object IngestProbe {
       * fixed 200-doc batches whose tokens live in a per-batch
       * namespace (no shingle overlap with the corpus → admitted, full
       * index append measured, not just the screen). */
-    def docScale(label: String, srcDir: String): ScaleRun = {
+    def docScale(label: String, srcDir: String,
+        batchSize: Int = 500): ScaleRun = {
       val corpusDir = java.nio.file.Files
         .createTempDirectory(s"ingestprobe_doc_$label").toString + "/c"
       val src = spark.read.parquet(s"$srcDir/documents.parquet")
         .select("doc_id", "text", "lang")
         .as[(Long, String, String)].collect()
-      val batchSize = 500 // deployment-shaped; see vecScale's note
+      // default 500: deployment-shaped; see vecScale's note
       // position-based ids — same collision rationale as vecScale
       val batchData = (0 until nBatches).map { i =>
         src.take(batchSize).zipWithIndex.map { case ((t, j)) =>
@@ -218,6 +243,7 @@ object IngestProbe {
           ms.addData(src.toSeq)
           awaitConsumed(q, before + src.length)
         }
+        val bytes0 = bytesUnder(Seq(corpusDir, corpusDir + "__sh", corpusDir + "__bands"))
         val batchSecs = batchData.map { b =>
           timed {
             val before = progressSum(q)
@@ -225,7 +251,9 @@ object IngestProbe {
             awaitConsumed(q, before + b.size)
           }
         }
-        ScaleRun(label, src.length.toLong, boot, batchSecs)
+        ScaleRun(label, src.length.toLong, boot, batchSecs,
+          batchData.map(_.size.toLong).sum,
+          bytesUnder(Seq(corpusDir, corpusDir + "__sh", corpusDir + "__bands")) - bytes0)
       } finally {
         q.stop()
         deleteDir(corpusDir + "__sh"); deleteDir(corpusDir + "__bands")
@@ -236,11 +264,21 @@ object IngestProbe {
     val vecRuns = scales.map { case (l, d) => vecScale(l, d) }
     val svecRuns = scales.map { case (l, d) => svecScale(l, d) }
     val docRuns = scales.map { case (l, d) => docScale(l, d) }
+    // capacity runs (VERDICT r17 #7): the SECOND batch size at the
+    // gate scale — together with the default-size runs above, each
+    // sink gets rows/sec + bytes/sec at two batch sizes, the headline
+    // figure a deployment scale-projects ingest capacity from
+    val capVec = vecScale("sf0.1_b2000", scales.head._2, 2000)
+    val capSvec = svecScale("sf0.1_b2000", scales.head._2, 2000)
+    val capDoc = docScale("sf0.1_b1000", scales.head._2, 1000)
     def fmtExp(e: Double): String = if (e.isNaN) "null" else f3(e)
     println(s"""{"metric":"ingestprobe","batches":$nBatches,""" +
       s""""vec":[${vecRuns.map(_.json).mkString(",")}],""" +
       s""""svec":[${svecRuns.map(_.json).mkString(",")}],""" +
       s""""docs":[${docRuns.map(_.json).mkString(",")}],""" +
+      s""""capacity":{"vec":[${vecRuns.head.json},${capVec.json}],""" +
+      s""""svec":[${svecRuns.head.json},${capSvec.json}],""" +
+      s""""docs":[${docRuns.head.json},${capDoc.json}]},""" +
       s""""exponent":{"vec":${fmtExp(exponent(vecRuns))},""" +
       s""""svec":${fmtExp(exponent(svecRuns))},""" +
       s""""docs":${fmtExp(exponent(docRuns))}}}""")

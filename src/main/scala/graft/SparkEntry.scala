@@ -121,6 +121,10 @@ object SparkEntry {
     // the NEW geometry ⇒ recall vs the exact top-k on the corrected
     // corpus + corrected-region recall (Verify.correctionGate)
     "q82_correction_ann"   -> (graft.operators.DeletePipeline.q82CorrectionAnn _),
+    // sharded store (concurrent-ingest layout), serve leg: K per-shard
+    // IVF×PQ probes + exact global top-k merge — approximate index ⇒
+    // recall vs the exact brute-force top-k (Verify.annFloors)
+    "q84_knn_sharded"      -> (graft.operators.Sharded.q84KnnSharded _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

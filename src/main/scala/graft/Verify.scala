@@ -37,7 +37,13 @@ object Verify {
     // artifacts (not the algorithm) are broken, e.g. a stale or torn
     // index dir serving wrong centroids
     "q69_knn_ivfpq_idx"     -> 0.55,
-    "q70_knn_ivfpq_res_idx" -> 0.55)
+    "q70_knn_ivfpq_res_idx" -> 0.55,
+    // sharded serve (q84): K per-shard IVF×PQ probes, exact merge —
+    // each shard trains its own quantizer on 1/K of the corpus, so
+    // the serving error stays the one IVF×PQ stage's; it inherits the
+    // same static floor (measured at the gate scales it tracks q69's
+    // characteristic — see SURVEY 8k)
+    "q84_knn_sharded"       -> 0.55)
   val annResidual = "q68_knn_ivfpq_res"
 
   /** q71 (index-backed embedding dedup) is gated on DROPPED-ID recall

@@ -76,8 +76,8 @@ object DeletePipeline {
   }
 
   /** Source-table identity term (count + order-free xor fingerprint)
-    * for a seed id. */
-  private def sourceId(df: DataFrame, fpExpr: String): String = {
+    * for a seed id. Shared with [[Sharded]] (same seed discipline). */
+  private[operators] def sourceId(df: DataFrame, fpExpr: String): String = {
     val r = df.agg(count(lit(1)), expr(s"bit_xor($fpExpr)")).head()
     s"${r.getLong(0)}|${if (r.isNullAt(1)) 0L else r.getLong(1)}"
   }
@@ -92,7 +92,7 @@ object DeletePipeline {
     *    kill set from the NEW corpus);
     *  - the seed marker is written AFTER the data (a crash between
     *    reseeds — the safe direction, q78's rule). */
-  private def ensureSeeded(spark: SparkSession, root: String,
+  private[operators] def ensureSeeded(spark: SparkSession, root: String,
       seedId: String, indexHomes: Seq[String])(dataPresent: => Boolean)(
       writeData: => Unit): Unit = {
     val (fs, seedP) = graft.Scratch.fs(spark, s"$root/_seed")

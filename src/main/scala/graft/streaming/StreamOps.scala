@@ -591,15 +591,31 @@ object StreamOps {
         // carries rows (post-bootstrap an empty batch is a no-op
         // anyway: `fresh` below would be empty)
         ()
-      } else if (!fs.exists(marker)) {
+      } else if (!fs.exists(marker) && {
         // bootstrap: first batch becomes the corpus, index built on it
-        // (corpus-dir lease: see the docs sink's span note)
-        graft.sources.WriterLease.withWritePatient(spark, corpusDir,
-            "ingest") {
-          b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(table)
+        // (corpus-dir lease: see the docs sink's span note). The
+        // marker is RE-PROBED inside the lease (the docs sink's
+        // in-lease re-resolution discipline): under a single feeder
+        // the outer probe alone was sound, but a SECOND feeder on the
+        // same store (the sharded layout's cross-feeder case, legal
+        // now that feeders may share shards) could pass the outer
+        // probe while this feeder's bootstrap Overwrite is in flight
+        // — and its own Overwrite would then DELETE the first batch's
+        // rows. Losing the race demotes this batch to the ordinary
+        // append path below (the `&& { ... }` evaluates to false).
+        val won = graft.sources.WriterLease.withWritePatient(spark,
+            corpusDir, "ingest") {
+          if (fs.exists(marker)) false
+          else {
+            b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(table)
+            true
+          }
         }
-        IndexStore.ensure(spark, corpusDir)
+        if (won) IndexStore.ensure(spark, corpusDir)
+        won
+      }) {
+        () // bootstrapped above
       } else {
         if (!IndexStore.hasIndex(spark, idxDir))
           IndexStore.ensure(spark, corpusDir) // crashed bootstrap replay
@@ -663,6 +679,22 @@ object StreamOps {
       ()
   }
 
+  /** SHARDED unscreened vector sink (VERDICT r17 #1): one stream,
+    * K concurrent per-shard sink bodies — [[graft.operators.Sharded
+    * .ingestVecBatch]] routes each micro-batch by a content-keyed
+    * hash of vec_id and runs [[vecIngestBatch]] against every shard's
+    * own corpus dir in parallel, each under that shard's own writer
+    * lease and in-JVM monitor. Same replay/crash contracts as the
+    * unsharded sink, per shard; serve through
+    * [[graft.operators.Sharded.knnTopK]] / `vecCorpus`. */
+  def shardedVectorIngestStream(vecs: DataFrame, root: String,
+      shards: Int = graft.operators.Sharded.defaultShards)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.operators.Sharded.ingestVecBatch(batch.sparkSession, root,
+        shards, batch)
+    }
+
   /** Delta-buffer fold cadence for the streaming vector sinks: fold
     * when a codes table's delta holds this many append files. At 64
     * the unpruned delta leg every reader pays stays ≤64 small files
@@ -686,7 +718,7 @@ object StreamOps {
     * streaming wider rows into the sinks keep their extra columns in
     * the corpus table, matching the pre-dedup contract (the index
     * itself only ever reads vec_id + embedding). */
-  private[streaming] def dedupBatchDeterministic(batch: DataFrame): DataFrame = {
+  private[graft] def dedupBatchDeterministic(batch: DataFrame): DataFrame = {
     val cols = batch.columns.toIndexedSeq
     batch.groupBy(col("vec_id").as("__gk"))
       .agg(max_by(struct(cols.map(col): _*),

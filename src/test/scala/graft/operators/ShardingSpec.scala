@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.streaming.StreamOps
+
+/** Sharded vector store (VERDICT r17 #1): K complete stores behind
+  * one root, rows routed by a content hash, concurrent per-shard
+  * ingest, union serve with an exact global top-k merge.
+  *
+  * What these tests pin:
+  *  - layout identity: shard count persists, a mismatching K is
+  *    refused (silent re-sharding would strand rows in shards readers
+  *    never consult);
+  *  - TWO CONCURRENT FEEDERS (disjoint id streams, the cross-feeder
+  *    contract) into one root: every fed id lands exactly once in the
+  *    union corpus, every shard's index validates, nothing deadlocks
+  *    — the lease/monitor claim the sharded layout exists for;
+  *  - replay idempotence: re-ingesting an already-committed batch is
+  *    a no-op (routing is content-keyed, per-shard sinks anti-join);
+  *  - the union serve stays correct across a shard's compaction
+  *    (per-shard maintenance composes with the union view);
+  *  - q84 (the gated serve) returns ≤ k ranked rows per query with
+  *    exact cosines, and its recall vs the exact brute-force top-k
+  *    clears the gate floor on the fixture corpus. */
+class ShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def deleteDir(path: String): Unit = {
+    val (fs, p) = graft.Scratch.fs(spark, path)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"shard_$tag").toString + "/s"
+
+  test("ensureShards persists K and refuses a mismatch") {
+    val root = freshRoot("layout")
+    try {
+      assert(Sharded.shardCount(spark, root).isEmpty)
+      assert(Sharded.ensureShards(spark, root, 4) === 4)
+      assert(Sharded.shardCount(spark, root) === Some(4))
+      assert(Sharded.ensureShards(spark, root, 4) === 4)
+      val e = intercept[IllegalArgumentException] {
+        Sharded.ensureShards(spark, root, 8)
+      }
+      assert(e.getMessage.contains("resharding"))
+    } finally deleteDir(root)
+  }
+
+  test("two concurrent feeders with disjoint id streams converge: " +
+    "every id exactly once in the union corpus, all shards validate, " +
+    "replay is a no-op") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot("feeders")
+    val k = 4
+    val shardHomes = (0 until k)
+      .map(i => IndexStore.dirFor(spark, Sharded.shardDir(root, i)))
+    val src = graft.sources.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    graft.StreamDrive.requireDecorrelated(4, src.head._2.length)
+    // feeder f (0/1) owns ids ≡ f under the FEEDER split; content is
+    // decorrelated per (feeder, batch) via the shared StreamDrive map
+    def mkBatch(feeder: Int, batch: Int): Seq[(Long, Array[Float])] =
+      src.take(150).zipWithIndex.map { case ((_, emb), j) =>
+        (800000000L + (j.toLong * 2 + feeder) + batch.toLong * 10000L,
+          graft.StreamDrive.freshVec(emb, feeder * 2 + batch))
+      }.toSeq
+
+    val ms0 = MemoryStream[(Long, Array[Float])]
+    val ms1 = MemoryStream[(Long, Array[Float])]
+    val q0 = StreamOps.shardedVectorIngestStream(
+        ms0.toDF().toDF("vec_id", "embedding"), root, k)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("shard_ckpt0").toString)
+      .start()
+    val q1 = StreamOps.shardedVectorIngestStream(
+        ms1.toDF().toDF("vec_id", "embedding"), root, k)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("shard_ckpt1").toString)
+      .start()
+    try {
+      // both feeders' batches in flight CONCURRENTLY, including the
+      // bootstrap race (both see an un-bootstrapped store)
+      val fed = (0 until 2).flatMap { batch =>
+        val b0 = mkBatch(0, batch)
+        val b1 = mkBatch(1, batch)
+        ms0.addData(b0)
+        ms1.addData(b1)
+        b0 ++ b1
+      }
+      q0.processAllAvailable()
+      q1.processAllAvailable()
+      val fedIds = fed.map(_._1)
+      assert(fedIds.distinct.size === fedIds.size) // harness sanity
+
+      val corpus = Sharded.vecCorpus(spark, root)
+        .select("vec_id").as[Long].collect()
+      assert(corpus.length === corpus.distinct.length,
+        "an id landed twice — a feeder's admission raced another's " +
+          "append on the same id (contract violation or lost lease)")
+      assert(corpus.toSet === fedIds.toSet,
+        s"union corpus diverged from the fed set: missing " +
+          s"${(fedIds.toSet -- corpus.toSet).take(3)}, extra " +
+          s"${(corpus.toSet -- fedIds.toSet).take(3)}")
+      // every bootstrapped shard validates WITHOUT a rebuild — a
+      // bootstrap race that lost rows would fail the identity check
+      (0 until k).foreach { i =>
+        val sd = Sharded.shardDir(root, i)
+        val (fs, p) = graft.Scratch.fs(spark, s"$sd/embeddings.parquet")
+        if (fs.exists(p))
+          assert(!IndexStore.ensure(spark, sd).builtNow,
+            s"shard $i failed validation after concurrent ingest")
+      }
+      // replay idempotence: a duplicate delivery of feeder 0's first
+      // batch (same content — the checkpoint replay shape) no-ops
+      Sharded.ingestVecBatch(spark, root, k,
+        mkBatch(0, 0).toDF("vec_id", "embedding"))
+      val after = Sharded.vecCorpus(spark, root)
+        .select("vec_id").as[Long].collect()
+      assert(after.sorted.toSeq === corpus.sorted.toSeq,
+        "replaying a committed batch changed the corpus")
+    } finally {
+      q0.stop(); q1.stop()
+      deleteDir(root)
+      shardHomes.foreach(deleteDir)
+    }
+  }
+
+  test("union serve survives a shard's compaction; q84 serves ranked " +
+    "exact cosines above the gate floor") {
+    val root = Sharded.ensureShardStore(spark, sfDir)
+    val k = Sharded.shardCount(spark, root).get
+    val served = Sharded.knnTopK(spark, root)
+    val rows = served.collect()
+    assert(rows.nonEmpty)
+    // ≤ k results per query, ranks contiguous from 1, cosine
+    // non-increasing within a query (the exact-merge order)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= Similarity.k)
+      val ranks = rs.map(_.getInt(3)).sorted.toSeq
+      assert(ranks === (1 to rs.length),
+        s"query $q ranks not contiguous: $ranks")
+      val cosByRank = rs.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      assert(cosByRank.zip(cosByRank.tail).forall { case (a, b) => a >= b },
+        s"query $q cosines not non-increasing")
+    }
+    // recall vs the exact brute-force top-k clears the q84 gate floor
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.q35KnnBrute(spark, sfDir))
+    val got = pairs(served)
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= graft.Verify.annFloors("q84_knn_sharded"),
+      s"sharded serve recall $recall below the gate floor")
+    // a shard's compaction (own lease, own generations) must not
+    // disturb the union view or the serve
+    val sd0 = (0 until k).map(Sharded.shardDir(root, _)).head
+    val before = Sharded.vecCorpus(spark, root).count()
+    graft.sources.Maintenance.compactAnnIndex(spark,
+      IndexStore.dirFor(spark, sd0))
+    assert(Sharded.vecCorpus(spark, root).count() === before)
+    assert(pairs(Sharded.knnTopK(spark, root)) === got,
+      "a content-preserving shard compaction changed the served top-k")
+  }
+}
