@@ -194,21 +194,34 @@ object Sharded {
     * corpus size; the heavy lifting stays inside each shard's pruned
     * probe. Queries = the union corpus's vec_id < knnQueries rows
     * (materialized once, not re-unioned per shard). */
-  def knnTopK(spark: SparkSession, root: String): DataFrame = {
-    val k = shardCount(spark, root).getOrElse(throw new IllegalStateException(
-      s"no sharded store at $root"))
-    val queries = graft.Materialize(vecCorpus(spark, root)
+  def knnTopK(spark: SparkSession, root: String): DataFrame =
+    knnTopKWith(spark, root, vecCorpus(spark, root)
       .filter(col("vec_id") < Similarity.knnQueries)
       .select(col("vec_id"), col("embedding")))
+
+  /** [[knnTopK]] with an EXPLICIT query batch — external query
+    * vectors against the sharded store (the probe mains use it with
+    * synthetic ids; a retrieval deployment with query vectors that
+    * are not corpus members uses it directly). `queries` =
+    * (vec_id, embedding) with every vec_id < `maxQuery`;
+    * `maxQuery` ≤ [[Similarity.knnQueries]] (the shared pqLut query
+    * filter — [[IndexStore.queryIvfPqFrom]] enforces it). */
+  def knnTopKWith(spark: SparkSession, root: String, queries: DataFrame,
+      kk: Int = Similarity.k,
+      maxQuery: Long = Similarity.knnQueries): DataFrame = {
+    val k = shardCount(spark, root).getOrElse(throw new IllegalStateException(
+      s"no sharded store at $root"))
+    val q = graft.Materialize(
+      queries.select(col("vec_id"), col("embedding")))
     val legs = liveShards(spark, root, k).map { sd =>
       IndexStore.queryIvfPqFrom(spark, sd,
-        IndexStore.ensure(spark, sd), queries)
+        IndexStore.ensure(spark, sd), q, kk, maxQuery)
     }
     require(legs.nonEmpty, s"sharded store at $root has no live shard")
     legs.reduce(_.unionByName(_))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg
-        .topkAgg(col("cosine"), col("neighbor_id"), Similarity.k)
+        .topkAgg(col("cosine"), col("neighbor_id"), kk)
         .as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), col("col.id").as("neighbor_id"),
