@@ -143,26 +143,11 @@ object Sharded {
     val b = graft.Materialize(
       graft.streaming.StreamOps.dedupBatchDeterministic(batch)
         .withColumn("__shard", shardOf(kk)))
-    val failures =
-      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val threads = (0 until kk).map { i =>
-      val t = new Thread(() => {
-        try graft.streaming.StreamOps.vecIngestBatch(spark,
-          shardDir(root, i),
-          b.filter(col("__shard") === i).drop("__shard"))
-        catch { case e: Throwable => failures.add(e) }
-      }, s"graft-shard-ingest-$i")
-      t.setDaemon(true)
-      t.start()
-      t
+    eachShardConcurrently(root, kk) { (i, sd) =>
+      graft.streaming.StreamOps.vecIngestBatch(spark, sd,
+        b.filter(col("__shard") === i).drop("__shard"))
     }
-    threads.foreach(_.join())
-    if (!failures.isEmpty) {
-      val first = failures.peek()
-      throw new RuntimeException(
-        s"sharded ingest batch failed in ${failures.size} of $kk " +
-          s"shard(s); first: ${first.getMessage}", first)
-    }
+    ()
   }
 
   /** Shard corpus dirs that have bootstrapped (first batch landed). */
@@ -228,6 +213,84 @@ object Sharded {
         col("col.score").as("cosine"),
         (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Run `body(i, shardDir)` for every shard concurrently (the
+    * ingest's thread pattern — per-shard leases + monitors make
+    * cross-shard work embarrassingly parallel); first failure fails
+    * the call loudly after all threads finish. */
+  private def eachShardConcurrently[T](root: String, k: Int)(
+      body: (Int, String) => T): Seq[T] = {
+    val out = new java.util.concurrent.ConcurrentHashMap[Int, T]()
+    val failures =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until k).map { i =>
+      val t = new Thread(() => {
+        try out.put(i, body(i, shardDir(root, i)))
+        catch { case e: Throwable => failures.add(e) }
+      }, s"graft-shard-task-$i")
+      t.setDaemon(true); t.start(); t
+    }
+    threads.foreach(_.join())
+    if (!failures.isEmpty)
+      throw new RuntimeException(s"sharded operation failed in " +
+        s"${failures.size} of $k shard(s); first: " +
+        failures.peek().getMessage, failures.peek())
+    (0 until k).flatMap(i => Option(out.get(i)))
+  }
+
+  /** Retention / right-to-be-forgotten over the SHARDED store —
+    * lifecycle parity with the unsharded layout ([[Retention
+    * .forget]]'s vec side): ids route to their shard by the same
+    * content hash ingest used, and each owning shard runs its own
+    * full deletion discipline (tombstones + corpus rewrite under the
+    * shard's lease, fold on request) concurrently with the others.
+    * Ids hashing to a never-bootstrapped shard cannot exist and are
+    * skipped. Idempotent per shard (absent ids no-op), so a replayed
+    * forget converges; a forget can run against live sharded ingest
+    * — per-shard leases serialize them shard by shard. */
+  def forget(spark: SparkSession, root: String, vecIds: DataFrame,
+      foldNow: Boolean = false): Retention.ForgetStats = {
+    val k = shardCount(spark, root).getOrElse(throw new IllegalStateException(
+      s"no sharded store at $root — nothing to forget"))
+    val ids = graft.Materialize(vecIds.select(col("vec_id")).distinct()
+      .withColumn("__shard", shardOf(k)))
+    val live = liveShards(spark, root, k).toSet
+    val stats = eachShardConcurrently(root, k) { (i, sd) =>
+      if (!live.contains(sd)) None
+      else {
+        val own = ids.filter(col("__shard") === i).drop("__shard")
+        if (own.isEmpty) None
+        else Some(Retention.forget(spark, sd, vecIds = Some(own),
+          foldNow = foldNow))
+      }
+    }.flatten
+    stats.foldLeft(Retention.ForgetStats(0, 0, 0, 0,
+      foldedLex = false, foldedAnn = false)) { (a, s) =>
+      Retention.ForgetStats(0, 0, a.vecsTombstoned + s.vecsTombstoned,
+        a.vecsRemovedFromCorpus + s.vecsRemovedFromCorpus,
+        foldedLex = false, foldedAnn = a.foldedAnn || s.foldedAnn)
+    }
+  }
+
+  /** Maintenance sweep over every live shard, concurrently: fold the
+    * delta buffers / tombstones out of each shard's ANN index and
+    * reap expired generations — the per-shard form of the unsharded
+    * compaction cadence ([[graft.sources.Maintenance
+    * .compactAnnIndex]]). */
+  def maintain(spark: SparkSession, root: String): Unit = {
+    val k = shardCount(spark, root).getOrElse(throw new IllegalStateException(
+      s"no sharded store at $root — nothing to maintain"))
+    val live = liveShards(spark, root, k).toSet
+    eachShardConcurrently(root, k) { (_, sd) =>
+      if (live.contains(sd)) {
+        val idx = IndexStore.dirFor(spark, sd)
+        if (IndexStore.hasIndex(spark, idx))
+          graft.sources.Maintenance.compactAnnIndex(spark, idx)
+        graft.sources.Generations.gc(spark, s"$sd/embeddings.parquet")
+      }
+    }
+    ()
   }
 
   private def shardStoreDirFor(spark: SparkSession, sfDir: String): String =

@@ -167,4 +167,61 @@ class ShardingSpec extends SparkSpec {
     assert(pairs(Sharded.knnTopK(spark, root)) === got,
       "a content-preserving shard compaction changed the served top-k")
   }
+
+  test("sharded forget: ids vanish from the union corpus AND the " +
+    "served top-k across their owning shards, a replay no-ops, " +
+    "foldNow folds, maintain sweeps every shard") {
+    val root = freshRoot("forget")
+    val k = 4
+    val shardHomes = (0 until k)
+      .map(i => IndexStore.dirFor(spark, Sharded.shardDir(root, i)))
+    try {
+      val src = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .select("embedding").as[Array[Float]].take(300)
+      val batch = src.zipWithIndex.map { case (e, j) =>
+        (810000000L + j, e)
+      }.toSeq
+      Sharded.ingestVecBatch(spark, root, k,
+        batch.toDF("vec_id", "embedding"))
+      val all = batch.map(_._1)
+      val doomed = all.filter(_ % 7 == 0)
+      assert(doomed.size > 10) // spread across shards by the hash
+      val st = Sharded.forget(spark, root, doomed.toDF("vec_id"))
+      assert(st.vecsRemovedFromCorpus === doomed.size.toLong,
+        s"expected ${doomed.size} removed, got $st")
+      val left = Sharded.vecCorpus(spark, root)
+        .select("vec_id").as[Long].collect().toSet
+      assert(left === all.toSet -- doomed.toSet,
+        "union corpus after forget diverged from the survivors")
+      // serve with the FORGOTTEN rows' own vectors as queries: their
+      // exact match (cosine 1) must no longer be served from any shard
+      val qdf = batch.filter(r => doomed.take(8).contains(r._1))
+        .zipWithIndex.map { case ((_, e), i) => (i.toLong, e) }
+        .toDF("vec_id", "embedding")
+      val served = Sharded.knnTopKWith(spark, root, qdf,
+        kk = 5, maxQuery = 8)
+      val leaked = served.select("neighbor_id").as[Long].collect()
+        .toSet intersect doomed.toSet
+      assert(leaked.isEmpty, s"forgotten ids still served: $leaked")
+      // replay converges: nothing left to remove
+      val again = Sharded.forget(spark, root, doomed.toDF("vec_id"))
+      assert(again.vecsRemovedFromCorpus === 0L &&
+        again.vecsTombstoned === 0L,
+        s"replayed forget was not a no-op: $again")
+      // foldNow: physical removal path runs per owning shard
+      val doomed2 = all.filter(i => i % 11 == 3 && i % 7 != 0)
+      val st2 = Sharded.forget(spark, root, doomed2.toDF("vec_id"),
+        foldNow = true)
+      assert(st2.vecsRemovedFromCorpus === doomed2.size.toLong)
+      assert(st2.foldedAnn, "foldNow did not fold any owning shard")
+      // maintenance sweep composes: serve still correct afterwards
+      Sharded.maintain(spark, root)
+      val fin = Sharded.vecCorpus(spark, root)
+        .select("vec_id").as[Long].collect().toSet
+      assert(fin === all.toSet -- doomed.toSet -- doomed2.toSet)
+    } finally {
+      deleteDir(root)
+      shardHomes.foreach(deleteDir)
+    }
+  }
 }
