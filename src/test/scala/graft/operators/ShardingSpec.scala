@@ -224,4 +224,65 @@ class ShardingSpec extends SparkSpec {
       shardHomes.foreach(deleteDir)
     }
   }
+
+  test("sharded forget races a LIVE sharded ingest batch: per-shard " +
+    "leases serialize them and both effects land — the committed kill " +
+    "set vanishes, the concurrent disjoint batch survives") {
+    val root = freshRoot("racefgt")
+    val k = 4
+    val shardHomes = (0 until k)
+      .map(i => IndexStore.dirFor(spark, Sharded.shardDir(root, i)))
+    try {
+      val src = graft.sources.Tables.load(spark, sfDir, "embeddings")
+        .select("embedding").as[Array[Float]].take(240)
+      def ids(base: Long, n: Int): Seq[Long] = (0 until n).map(base + _)
+      val b1 = ids(820000000L, 160).zip(src.take(160))
+      Sharded.ingestVecBatch(spark, root, k,
+        b1.toDF("vec_id", "embedding"))
+      // the kill set is COMMITTED (all of batch 1's multiples of 5)
+      // and the racing batch is DISJOINT from it, so the outcome is
+      // deterministic under ANY interleaving: forget removes exactly
+      // the kill set, ingest lands exactly batch 2 — the per-shard
+      // leases only decide the ORDER each shard applies them in
+      val doomed = b1.map(_._1).filter(_ % 5 == 0)
+      val b2 = ids(820500000L, 80).zip(src.drop(160))
+      val errs =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val tf = new Thread(() => {
+        try Sharded.forget(spark, root, doomed.toDF("vec_id"))
+        catch { case e: Throwable => errs.add(e) }
+      }, "race-forget")
+      val ti = new Thread(() => {
+        try Sharded.ingestVecBatch(spark, root, k,
+          b2.toDF("vec_id", "embedding"))
+        catch { case e: Throwable => errs.add(e) }
+      }, "race-ingest")
+      tf.start(); ti.start(); tf.join(); ti.join()
+      assert(errs.isEmpty, s"racing forget/ingest failed: " +
+        s"${Option(errs.peek()).map(_.getMessage)}")
+      val fin = Sharded.vecCorpus(spark, root)
+        .select("vec_id").as[Long].collect()
+      assert(fin.length === fin.distinct.length,
+        "a row landed twice under the race")
+      assert(fin.toSet ===
+        (b1.map(_._1).toSet -- doomed.toSet) ++ b2.map(_._1).toSet,
+        "racing forget+ingest did not serialize to the deterministic " +
+          "outcome")
+      // every shard still validates and the forgotten ids never serve
+      (0 until k).foreach { i =>
+        IndexStore.ensure(spark, Sharded.shardDir(root, i))
+      }
+      val qdf = b1.filter(r => doomed.take(6).contains(r._1))
+        .zipWithIndex.map { case ((_, e), i) => (i.toLong, e) }
+        .toDF("vec_id", "embedding")
+      val leaked = Sharded.knnTopKWith(spark, root, qdf,
+          kk = 5, maxQuery = 6)
+        .select("neighbor_id").as[Long].collect()
+        .toSet intersect doomed.toSet
+      assert(leaked.isEmpty, s"forgotten ids served after the race: $leaked")
+    } finally {
+      deleteDir(root)
+      shardHomes.foreach(deleteDir)
+    }
+  }
 }
