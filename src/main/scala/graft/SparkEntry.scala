@@ -125,6 +125,7 @@ object SparkEntry {
     // IVF×PQ probes + exact global top-k merge — approximate index ⇒
     // recall vs the exact brute-force top-k (Verify.annFloors)
     "q84_knn_sharded"      -> (graft.operators.Sharded.q84KnnSharded _),
+    "q85_pii_scrub"        -> (graft.operators.TextAnalysis.q85PiiScrub _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -966,6 +967,40 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY rrf DESC, id) AS INT) AS rnk
         |  FROM fus) t
         |WHERE rnk <= ${r.hybridK} ORDER BY query_id, rnk""".stripMargin
+    },
+    "q85_pii_scrub" -> {
+      val t = graft.operators.TextAnalysis
+      // the patterns interpolate from the SAME Scala constants the
+      // Spark query compiles, so both engines walk one automaton;
+      // DuckDB regexp_replace needs the explicit 'g' flag to match
+      // Spark's replace-all
+      s"""WITH a AS (SELECT doc_id,
+        |    text || ' Contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or +1-555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST((doc_id // 7) % 256 AS VARCHAR) || '.'
+        |      || CAST(doc_id % 254 + 1 AS VARCHAR) AS aug
+        |  FROM documents),
+        |s AS (SELECT doc_id, aug,
+        |    regexp_replace(regexp_replace(regexp_replace(aug,
+        |      '${t.piiEmailPat}', '<EMAIL>', 'g'),
+        |      '${t.piiPhonePat}', '<PHONE>', 'g'),
+        |      '${t.piiIpPat}', '<IP>', 'g') AS scrubbed
+        |  FROM a)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '${t.piiEmailPat}')) AS INT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(aug, '${t.piiPhonePat}')) AS INT)
+        |    AS n_phone,
+        |  CAST(len(regexp_extract_all(aug, '${t.piiIpPat}')) AS INT)
+        |    AS n_ip,
+        |  CAST(len(regexp_extract_all(scrubbed, '${t.piiEmailPat}'))
+        |    + len(regexp_extract_all(scrubbed, '${t.piiPhonePat}'))
+        |    + len(regexp_extract_all(scrubbed, '${t.piiIpPat}')) AS INT)
+        |    AS n_residual,
+        |  md5(scrubbed) AS scrub_md5
+        |FROM s ORDER BY doc_id""".stripMargin
     },
   )
 

@@ -406,4 +406,69 @@ object TextAnalysis {
         sum(col("wins")).as("n_windows"), sum(col("straddle")).as("n_straddle"))
       .orderBy(col("lang"))
   }
+
+  // ---- q85: PII scrubbing -------------------------------------------
+
+  /** PII patterns, written in the INTERSECTION of Java-regex and RE2
+    * syntax (character classes, bounded repeats, a plain group — no
+    * lookarounds, no backrefs) so the DuckDB oracle compiles the
+    * identical automaton and replace-all walks the same leftmost
+    * non-overlapping matches. */
+  private[graft] val piiEmailPat =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val piiPhonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private[graft] val piiIpPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** The deterministic PII augmentation both engines build before
+    * scrubbing: the synthetic corpus carries no natural PII (alpha
+    * words only), so an un-augmented scrub would gate nothing —
+    * instead each doc gains one email, one phone and one IPv4 derived
+    * from doc_id by integer-only, engine-portable arithmetic (the
+    * q15/q16 build-the-input-in-the-query discipline). */
+  private def piiAugment: Column = concat(
+    col("text"),
+    lit(" Contact user"), col("doc_id").cast("string"),
+    lit("@example.com or +1-555-"),
+    lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    lit(" from 10."),
+    (col("doc_id") % 256).cast("string"), lit("."),
+    expr("(doc_id div 7) % 256").cast("string"), lit("."),
+    ((col("doc_id") % 254) + 1).cast("string"))
+
+  /** q85: PII scrubbing — the redaction pass every public LLM
+    * training-data pipeline runs (C4/Dolma-style): emails, phone
+    * numbers and IPv4 addresses replaced with typed tokens, per-doc
+    * detection counts kept for corpus accounting, and a residual
+    * re-scan proving the scrub left nothing behind (n_residual must
+    * read 0 — the oracle recomputes it independently). Output is
+    * (doc_id, n_email, n_phone, n_ip, n_residual, md5(scrubbed)) —
+    * the md5 makes the full redacted text hash-comparable without
+    * shipping it.
+    *
+    * Scale shape: ONE scan of (doc_id, text), per-row codegen'd
+    * regexp expressions (no UDFs, no explode), no shuffle but the
+    * output sort — embarrassingly parallel at 100 TB; replacement
+    * order (email → phone → IP) is semantic, not cosmetic: earlier
+    * redactions insert no characters later patterns can match. */
+  def q85PiiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      col("aug"), piiEmailPat, "<EMAIL>"),
+      piiPhonePat, "<PHONE>"), piiIpPat, "<IP>")
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), piiAugment.as("aug"))
+      .withColumn("scrubbed", scrubbed)
+      .select(
+        col("doc_id"),
+        regexp_count(col("aug"), lit(piiEmailPat)).cast("int")
+          .as("n_email"),
+        regexp_count(col("aug"), lit(piiPhonePat)).cast("int")
+          .as("n_phone"),
+        regexp_count(col("aug"), lit(piiIpPat)).cast("int").as("n_ip"),
+        (regexp_count(col("scrubbed"), lit(piiEmailPat)) +
+          regexp_count(col("scrubbed"), lit(piiPhonePat)) +
+          regexp_count(col("scrubbed"), lit(piiIpPat))).cast("int")
+          .as("n_residual"),
+        md5(col("scrubbed")).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
 }
