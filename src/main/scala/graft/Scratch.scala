@@ -103,4 +103,23 @@ object Scratch {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
+
+  /** CONTENT-CHANGE witness for a parquet table dir from ONE
+    * driver-side listing — every current data file's (path, length,
+    * mtime), sorted (r18; extracted from Similarity's corpus-count
+    * cache so the seed-identity caches share one definition).
+    * Generation-aware (only the files a reader would see). None when
+    * the listing fails for any reason — callers must then fall back
+    * to scanning, never guess. A table whose signature is unchanged
+    * has byte-identical current files, so any pure function of its
+    * content (count, fingerprint) can be reused without a Spark job;
+    * an append/rewrite/compaction changes the signature and forces a
+    * recompute. */
+  def fileSignature(spark: SparkSession, path: String): Option[String] =
+    try {
+      val (f, p) = fs(spark, path)
+      Some(graft.sources.Generations.walkCurrentFiles(f, p)
+        .map(s => s"${s.getPath}|${s.getLen}|${s.getModificationTime}")
+        .sorted.mkString("\n"))
+    } catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -76,11 +76,45 @@ object DeletePipeline {
   }
 
   /** Source-table identity term (count + order-free xor fingerprint)
-    * for a seed id. Shared with [[Sharded]] (same seed discipline). */
+    * for a seed id. Shared with [[Sharded]] and [[EmbedPipeline]]
+    * (same seed discipline). */
   private[operators] def sourceId(df: DataFrame, fpExpr: String): String = {
     val r = df.agg(count(lit(1)), expr(s"bit_xor($fpExpr)")).head()
     s"${r.getLong(0)}|${if (r.isNullAt(1)) 0L else r.getLong(1)}"
   }
+
+  /** [[sourceId]] behind the table's FILE SIGNATURE (r18; the
+    * Similarity.cachedCorpusCount pattern, blessed for q36 in r17's
+    * advice close): every scratch-pipeline ensure (q78–q82, the
+    * sharded store) re-derives the source fingerprint PER CALL for a
+    * value that only moves when the table does — an O(corpus) scan
+    * job each, ~13 per bench across the family. One driver-side
+    * listing decides reuse; an appended/rewritten source changes its
+    * signature and re-scans; an unreadable signature falls back to
+    * the scan. The on-disk seed markers still carry the CONTENT
+    * fingerprint, so cross-JVM reseed semantics are unchanged — this
+    * only removes repeat scans within one JVM while the table holds
+    * still. */
+  private[operators] def cachedSourceId(spark: SparkSession, sfDir: String,
+      table: String, fpExpr: String): String = {
+    val path = s"$sfDir/$table.parquet"
+    def scan() = sourceId(Tables.load(spark, sfDir, table), fpExpr)
+    graft.Scratch.fileSignature(spark, path) match {
+      case None => scan()
+      case Some(sig) =>
+        val key = s"$path|$fpExpr"
+        val hit = sourceIdCache.get(key)
+        if (hit != null && hit._1 == sig) hit._2
+        else {
+          val v = scan()
+          sourceIdCache.put(key, (sig, v))
+          v
+        }
+    }
+  }
+
+  private val sourceIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** The ONE seed discipline both scratch pipelines (q79/q80's
     * delpipe, q81's corrpipe) run, so the reseed contract can never
@@ -134,8 +168,10 @@ object DeletePipeline {
     // otherwise the new delete stacks on the old one and the q79
     // oracle (which states only the NEW kill set) mismatches forever
     val seedId = s"graftdelpipe|1|$killMod|$killBucket|" +
-      sourceId(srcDocs, "xxhash64(doc_id, text)") + "|" +
-      sourceId(srcVecs, "xxhash64(vec_id, embedding)")
+      cachedSourceId(spark, sfDir, "documents", "xxhash64(doc_id, text)") +
+      "|" +
+      cachedSourceId(spark, sfDir, "embeddings",
+        "xxhash64(vec_id, embedding)")
     ensureSeeded(spark, root, seedId,
       Seq(LexIndex.dirFor(spark, corpusDir),
         IndexStore.dirFor(spark, corpusDir)))(
@@ -248,8 +284,10 @@ object DeletePipeline {
     val srcDocs = Tables.load(spark, sfDir, "documents")
     val srcVecs = Tables.load(spark, sfDir, "embeddings")
     val seedId = s"graftcorrpipe|2|$killMod|$killBucket|" +
-      sourceId(srcDocs, "xxhash64(doc_id, text)") + "|" +
-      sourceId(srcVecs, "xxhash64(vec_id, embedding)")
+      cachedSourceId(spark, sfDir, "documents", "xxhash64(doc_id, text)") +
+      "|" +
+      cachedSourceId(spark, sfDir, "embeddings",
+        "xxhash64(vec_id, embedding)")
     ensureSeeded(spark, root, seedId,
       Seq(LexIndex.dirFor(spark, corpusDir),
         IndexStore.dirFor(spark, corpusDir)))(

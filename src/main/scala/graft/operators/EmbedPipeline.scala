@@ -75,11 +75,12 @@ object EmbedPipeline {
       // (gate-scale cheap, linear scan at scale — same class as
       // ensure's own corpus identity scan); any mismatch reseeds from
       // scratch.
-      val idRow = all
-        .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id, embedding))"))
-        .head()
-      val seedId = s"graftembpipe|1|${idRow.getLong(0)}|" +
-        (if (idRow.isNullAt(1)) 0L else idRow.getLong(1))
+      // same "count|fp" term as DeletePipeline.sourceId, now behind
+      // the table's file signature (r18, cachedSourceId's doc): the
+      // per-call O(corpus) fingerprint scan reruns only when the
+      // source files actually change
+      val seedId = s"graftembpipe|1|" + DeletePipeline.cachedSourceId(
+        spark, sfDir, "embeddings", "xxhash64(vec_id, embedding)")
       val (fs, seedP) = graft.Scratch.fs(spark, s"$root/_seed")
       val seedCurrent = fs.exists(seedP) &&
         (try new String(graft.Scratch.readSmallFile(fs, seedP),

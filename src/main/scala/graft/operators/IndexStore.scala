@@ -63,7 +63,7 @@ private[operators] final case class AnnIndexMeta(version: Int, n: Long,
   *    expressions — IndexStoreSpec pins equality row for row.
   *  - [[appendBatch]] is the incremental-maintenance path: NEW vectors
   *    are assigned to the EXISTING cells/codebooks (one
-  *    [[Similarity.cellRanks]] + two [[Similarity.pqAssign]] passes
+  *    [[Similarity.homeCells]] + two [[Similarity.pqAssign]] passes
   *    over the batch — cost ∝ batch, no retrain) and appended to the
   *    codes tables. Replay-idempotent like the q59 ingest: already
   *    indexed vec_ids are anti-joined out, so a crashed-and-replayed
@@ -594,21 +594,29 @@ object IndexStore {
     val nl = Similarity.nlistFor(n)
     val e = Similarity.prepped(spark, sfDir).filter(Similarity.validNorm)
 
-    val cents = Similarity.kmeansCentroids(e, nl)
-    val ranks = Similarity.cellRanks(e, cents)
-    val home = ranks.filter(col("cr") === 1)
-      .select(col("vec_id"), col("cell"))
+    // the raw-vector PQ codebook chain is independent of the IVF
+    // centroid chain — overlap the two blocking Lloyd sequences on a
+    // second driver thread (r18, guide §2.6; identical computations,
+    // identical artifacts — q65's trainer does the same)
     val sv = Similarity.subVectors(e)
-    val cbook = Similarity.pqCodebook(sv)
+    val cbookT = Similarity.overlapped(Similarity.pqCodebook(sv))
+    val cents = Similarity.kmeansCentroids(e, nl)
+    // argmax aggregate, not the ranks window (r18) — row-identical,
+    // see Similarity.homeCells
+    val home = Similarity.homeCells(e, cents)
+    val cbook = cbookT()
     val codes = Similarity.pqAssign(sv, cbook)
       .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
       .join(home, Seq("vec_id"))
     val rsv = graft.Materialize(
       Similarity.residualSubVectors(e, home, cents))
+    // the residual-norm baseline only needs rsv — overlap its two
+    // aggregate jobs with the residual codebook's Lloyd chain
+    val baselineT = Similarity.overlapped(meanResNorm(rsv))
     val rcbook = Similarity.pqCodebook(rsv)
     val rcodes = Similarity.pqAssign(rsv, rcbook)
       .select(col("vec_id"), col("cell"), col("sub"), col("code"))
-    val baseline = meanResNorm(rsv)
+    val baseline = baselineT()
 
     // per-attempt-unique shadow: two builders (different JVMs share no
     // lock) must never interleave their parquet output inside one
@@ -1037,10 +1045,8 @@ object IndexStore {
     // change on an append, so a replayed row maps to the SAME cell —
     // which is what licenses the cell-pruned membership scan below.
     val cents = spark.read.parquet(s"$dir/centroids")
-    val home0 = Similarity.cellRanks(
-        pe0.select(col("vec_id"), col("v"), col("nrm")), cents)
-      .filter(col("cr") === 1)
-      .select(col("vec_id"), col("cell"))
+    val home0 = Similarity.homeCells(
+      pe0.select(col("vec_id"), col("v"), col("nrm")), cents)
     // Membership, and TORN-state detection. Codes are written before
     // rcodes, so after any crash:
     //   fresh = not in codes            → full append (codes + rcodes)
@@ -1241,7 +1247,7 @@ object IndexStore {
 
     val e = pe.filter(col("cls") =!= "m")
       .select(col("vec_id"), col("v"), col("nrm"))
-    // home0 covers pe0 ⊇ pe and cellRanks is deterministic — restrict
+    // home0 covers pe0 ⊇ pe and homeCells is deterministic — restrict
     // rather than recompute
     val home = home0.join(e.select(col("vec_id")), Seq("vec_id"),
       "left_semi")
@@ -1823,8 +1829,8 @@ object IndexStore {
     val dir = info.dir
     val qe = queryVecs(spark, sfDir, maxQuery)
     val cents = spark.read.parquet(s"$dir/centroids")
-    val probes = Similarity.cellRanks(qe, cents)
-      .filter(col("cr") <= Similarity.nprobeFor(info.nl))
+    val probes = Similarity.topCells(qe, cents,
+        Similarity.nprobeFor(info.nl))
       .select(col("vec_id").as("query_id"), col("cell"))
     // `exclude` (a vec_id frame) is soft-delete serving: excluded ids
     // leave the CANDIDATE stream before the shortlist, so rank-k is
@@ -1860,7 +1866,7 @@ object IndexStore {
   /** Residual IVF×PQ top-k from a VALIDATED index (see [[queryIvfPq]]
     * for the validate-once contract): residual codes + shared residual
     * codebook, exact per-(query, probed-cell) term recovered from
-    * [[Similarity.cellRanks]] exactly as q68 does. */
+    * [[Similarity.topCells]] exactly as q68 does. */
   def queryIvfPqRes(spark: SparkSession, sfDir: String,
       info: BuildInfo): DataFrame = {
     // see queryIvfPq: n=0 → the twin, free and identical by construction
@@ -1868,8 +1874,8 @@ object IndexStore {
     val dir = info.dir
     val qe = queryVecs(spark, sfDir)
     val cents = spark.read.parquet(s"$dir/centroids")
-    val probesCt = Similarity.cellRanks(qe, cents)
-      .filter(col("cr") <= Similarity.nprobeFor(info.nl))
+    val probesCt = Similarity.topCells(qe, cents,
+        Similarity.nprobeFor(info.nl))
       .join(broadcast(cents.select(col("cell"), col("cn"))), Seq("cell"))
       .select(col("vec_id").as("query_id"), col("cell"),
         (col("cd") + col("cn")).as("ct"))
@@ -1924,8 +1930,8 @@ object IndexStore {
       .select(col("vec_id"), v.as("v"), sqrt(dotD(v, v)).as("nrm"))
       .filter(Similarity.validNorm)
     val cents = spark.read.parquet(s"$dir/centroids")
-    val probes = Similarity.cellRanks(qe, cents)
-      .filter(col("cr") <= Similarity.nprobeFor(info.nl))
+    val probes = Similarity.topCells(qe, cents,
+        Similarity.nprobeFor(info.nl))
       .select(col("vec_id").as("query_id"), col("cell"))
     val probed0 = withDeltaOf(spark, dir, "codes")(
       _.join(broadcast(probes), Seq("cell")))
@@ -1954,7 +1960,7 @@ object IndexStore {
     *
     * Two stages, every join an equality join:
     *  1. PROBE: every corpus vector ranks the broadcast centroid table
-    *     ([[Similarity.cellRanks]] — the serving rule) and probes its
+    *     ([[Similarity.topCells]] — the serving rule) and probes its
     *     [[Similarity.nprobeFor]] cells. Candidate pairs are (probing
     *     vector, indexed vector) sharing a probed cell, normalized to
     *     (id_a < id_b) and distinct'ed — a pair is caught when EITHER
@@ -2033,8 +2039,12 @@ object IndexStore {
     // distinct dedupes ids, not pairs. Hot cells skew this join at
     // scale; cells are ~√N/0.7 wide by construction and AQE's skew
     // split handles the residual imbalance.
-    val probesV = Similarity.cellRanks(e, cents)
-      .filter(col("cr") <= np)
+    // bounded-top-k aggregate, not the ranks window (r18): this is the
+    // FULL-CORPUS probe pass (every vector probes its np cells), where
+    // the former window shuffled and sorted all N×nl scored rows —
+    // TopKAgg's map-side partials cap the exchange at N·np structs
+    // (see Similarity.topCells; row-identical)
+    val probesV = Similarity.topCells(e, cents, np)
       .select(col("vec_id").as("pid"), col("cell"))
       .join(e.select(col("vec_id").as("pid"), col("v").as("vp"),
         col("nrm").as("np_")), Seq("pid"))

@@ -287,10 +287,8 @@ object IngestScreen {
         sqrt(dotD(v, v)).as("nrm"))
       .filter(Similarity.validNorm)
     val cents = spark.read.parquet(s"$idxDir/centroids")
-    val home = Similarity.cellRanks(
-        pe.select(col("vec_id"), col("v"), col("nrm")), cents)
-      .filter(col("cr") === 1)
-      .select(col("vec_id"), col("cell"))
+    val home = Similarity.homeCells(
+      pe.select(col("vec_id"), col("v"), col("nrm")), cents)
     val withCell = pe.join(home, Seq("vec_id"))
     // replay no-op, pruned: the existing-ids scan joins on the
     // batch's own (few) cells first, so partition pruning reads only
@@ -372,8 +370,7 @@ object IngestScreen {
       broadcastProbes: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions.dotD
     val cents = spark.read.parquet(s"${info.dir}/centroids")
-    val probes = Similarity.cellRanks(batch, cents)
-      .filter(col("cr") <= np)
+    val probes = Similarity.topCells(batch, cents, np)
       .select(col("vec_id").as("pid"), col("cell"))
       .join(batch.select(col("vec_id").as("pid"), col("v").as("vp"),
         col("nrm").as("np_")), Seq("pid"))

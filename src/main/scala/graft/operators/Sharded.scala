@@ -308,7 +308,8 @@ object Sharded {
     val root = shardStoreDirFor(spark, sfDir)
     val src = Tables.load(spark, sfDir, "embeddings")
     val seedId = s"graftshard|1|$defaultShards|" +
-      DeletePipeline.sourceId(src, "xxhash64(vec_id, embedding)")
+      DeletePipeline.cachedSourceId(spark, sfDir, "embeddings",
+        "xxhash64(vec_id, embedding)")
     val homes = (0 until defaultShards)
       .map(i => IndexStore.dirFor(spark, shardDir(root, i)))
     DeletePipeline.ensureSeeded(spark, root, seedId, homes)(

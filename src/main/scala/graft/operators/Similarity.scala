@@ -490,6 +490,22 @@ object Similarity {
     // to prevent
     math.max(pqShortlist.toLong, math.min(Int.MaxValue.toLong, n / 5)).toInt
 
+  /** Launch an independent training chain on a second driver thread
+    * (r18, guide §2.6 — overlap independent jobs): Spark happily runs
+    * jobs from several driver threads at once, and the trainer chains
+    * here are sequences of small blocking materialize actions that
+    * leave most cores idle. Returns a join handle; `()` blocks and
+    * rethrows the chain's failure. The overlapped body must be
+    * independent of anything computed after launch (the caller's
+    * other chain) — same-value-or-throw either way, so results cannot
+    * depend on the interleaving. */
+  private[operators] def overlapped[T](body: => T): () => T = {
+    val fut = scala.concurrent.Future(body)(
+      scala.concurrent.ExecutionContext.global)
+    () => scala.concurrent.Await.result(fut,
+      scala.concurrent.duration.Duration.Inf)
+  }
+
   /** Lloyd's algorithm runs in EUCLIDEAN space over the unit vectors
     * û = v/‖v‖, so the nearest-cell rule is
     * argmin‖û−m‖² = argmax(dot(û,m) − ‖m‖²/2) = argmax(dot(v,m)/‖v‖ − ‖m‖²/2)
@@ -526,9 +542,16 @@ object Similarity {
     * hold slightly different Ns (raw vs validNorm-filtered) and a
     * caller-supplied N would fork the threshold between twins. */
   private[operators] def kmeansCentroids(e: DataFrame,
-      nl: Int = nlist): DataFrame = {
+      nl: Int = nlist, knownN: Option[Long] = None): DataFrame = {
     val cap = trainPerCell.toLong * nl
-    val n = e.count()
+    // knownN is an OPTIMIZATION seam for callers that already counted
+    // EXACTLY this frame for their own dials (q41/q61/q65/q68 count the
+    // validNorm-filtered corpus for nlistFor/shortlistFor — r18: that
+    // count job ran twice back to back); passing any other frame's
+    // count forks the sampling threshold between the twins, so callers
+    // holding a different N (IndexStore.build's raw-corpus identity
+    // count) must keep relying on the internal count.
+    val n = knownN.getOrElse(e.count())
     val eT =
       if (n <= cap) e
       else graft.Materialize(e.filter(
@@ -546,17 +569,37 @@ object Similarity {
       .select(col("vec_id").as("cell"),
         transform(col("v"), x => x / col("nrm")).as("cv")))
     cents = graft.Materialize(cents)
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cd").desc, col("cell"))
     for (_ <- 1 to lloydIters) {
+      // assignment argmax as ONE map-side-combinable max_by aggregate
+      // (r18, guide §2.3/§2.4): the former row_number window shuffled
+      // and sorted all N×nl scored rows; the hash aggregate partials
+      // collapse them to N rows before the exchange. The ordering key
+      // struct(cd, −cell) reproduces the window's (cd DESC, cell ASC)
+      // rule exactly and is unique per row (cell is unique within a
+      // vec_id group), so the argmax is deterministic — assignments
+      // are bit-identical to the window form.
       val assigned = eT.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
           cellScore.as("cd"))
-        .withColumn("cr", row_number().over(wCell))
-        .filter(col("cr") === 1)
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("v"), col("nrm"), col("cell")),
+          struct(col("cd"), (-col("cell")).as("nc"))).as("k"))
+        .select(col("k.v").as("v"), col("k.nrm").as("nrm"),
+          col("k.cell").as("cell"))
       // exact fixed-point per-dimension mean of the assigned UNIT
       // vectors (the q37 pattern): bit-identical at any parallelism,
-      // so the trained index is reproducible run to run
+      // so the trained index is reproducible run to run. The mean
+      // stays the explode + (cell,pos)/(cell) two-stage aggregation
+      // DELIBERATELY (r18 A/B): partial aggregation already collapses
+      // each map task's output to ≤ nl·dim rows before either
+      // exchange, so the explode never reaches a shuffle, and the
+      // measured alternative — [[dim]]=64 declarative sum columns in
+      // one aggregate, the pqCodebook shape — generated a wide enough
+      // update method to read ~15% SLOWER on q41 (the pqSubDim=8
+      // version of the same rewrite wins; 64 columns crosses the
+      // JIT-friendly width this corpus's guide lessons pinned for
+      // minhash at 64 CHEAP mins — these sums carry a division, floor
+      // and cast each).
       cents = graft.Materialize(withHalfNormSq(assigned
         .select(col("cell"), col("nrm"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
@@ -569,22 +612,57 @@ object Similarity {
     cents
   }
 
-  /** Coarse-quantizer cell ranks per vector: (vec_id, nrm, cell, cd,
-    * cr) — one row per (vector, cell). cr = 1 is the home cell
-    * (indexing side); cr ≤ [[nprobeFor]](nl) the probe cells of a
-    * query (5 at the fixture, growing with the cell count). One
-    * broadcast of the BOUNDED nlist-row centroid table (the standard
-    * dim-table shape) + one vec-partitioned window. Shared by
-    * [[q41KnnIvf]], [[q65KnnIvfPq]] and [[q68KnnIvfPqRes]], so every
-    * IVF consumer ranks cells under the same rule. */
-  private[operators] def cellRanks(e: DataFrame, cents: DataFrame): DataFrame = {
-    val wCell = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cd").desc, col("cell"))
+  /** Coarse-quantizer cell selection — every IVF consumer (q41/q65/
+    * q68, [[IndexStore]] build + serve, the veclists screen) ranks
+    * cells under ONE rule, (cd DESC, cell ASC) over the broadcast
+    * BOUNDED nlist-row centroid table. Until r18 this was a shared
+    * `cellRanks` row_number window over all N×nl scored rows; the two
+    * forms below keep its exact row semantics while collapsing the
+    * exchange to N (argmax) / N·depth (bounded top-k) rows with
+    * map-side partial aggregation — rank-everything-then-filter became
+    * aggregate-what-you-keep (guide §2.3/§2.4).
+    *
+    * Home (nearest) cell per vector: row-identical to the old
+    * `cellRanks(e, cents).filter(cr === 1).select(vec_id, cell)`, as
+    * ONE map-side-combinable max_by aggregate. The ordering key
+    * struct(cd, −cell) is the window's (cd DESC, cell ASC) rule and is
+    * unique per row (cell unique within a vec_id group), so the argmax
+    * is deterministic and bit-identical to the window's rank-1 row. */
+  private[operators] def homeCells(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("nrm"), col("cell"),
-        cellScore.as("cd"))
-      .withColumn("cr", row_number().over(wCell))
-  }
+      .select(col("vec_id"), col("cell"), cellScore.as("cd"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"),
+        struct(col("cd"), (-col("cell")).as("nc"))).as("cell"))
+
+  /** Top-`depth` cells per vector — row-identical to the old
+    * `cellRanks(e, cents).filter(cr <= depth)` (same columns, same cd,
+    * same cr numbering), via the bounded-buffer [[graft.functions
+    * .TopKAgg]] instead of a row_number window (r18, guide §2.3): at
+    * most `depth` (cd, cell) pairs per vector leave each map task, so
+    * the exchange carries ~N·depth compact structs instead of N×nl
+    * sorted rows — the same argument that moved [[rerankTopK]] off a
+    * window in round 8, applied to probe-cell selection. TopKAgg's
+    * (score DESC, id ASC) total order is exactly the window's
+    * (cd DESC, cell ASC); cells are unique within a vector, so the
+    * selection and order are deterministic. */
+  private[operators] def topCells(e: DataFrame, cents: DataFrame,
+      depth: Int): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("nrm"), col("cell"), cellScore.as("cd"))
+      // group on vec_id ALONE — nrm is constant within a vector (max
+      // = the value, bit-identical), and a (vec_id, nrm) group key
+      // would leave the aggregate hash-partitioned on BOTH columns,
+      // breaking exchange reuse for every downstream join on the id
+      // (q76's probe→batch join re-shuffled both sides; measured 1.5×
+      // on its serve min before this line)
+      .groupBy(col("vec_id"))
+      .agg(max(col("nrm")).as("nrm"),
+        graft.functions.TopKAgg
+          .topkAgg(col("cd"), col("cell"), depth).as("top"))
+      .select(col("vec_id"), col("nrm"), posexplode(col("top")))
+      .select(col("vec_id"), col("nrm"), col("col.id").as("cell"),
+        col("col.score").as("cd"), (col("pos") + 1).cast("int").as("cr"))
 
   def q41KnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
     // validNorm like every sibling trainer (q61/q65/q68, IndexStore
@@ -594,14 +672,16 @@ object Similarity {
     // into the NaN cell and the "ANN" probe degenerates to a full
     // corpus scan
     val e = prepped(spark, sfDir).filter(validNorm)
-    val nl = nlistFor(e.count())
+    val n = e.count()
+    val nl = nlistFor(n)
     val np = nprobeFor(nl)
-    val cents = kmeansCentroids(e, nl)
-    val scored = cellRanks(e, cents)
-    val indexed = scored.filter(col("cr") === 1)
-      .select(col("vec_id"), col("cell"))
-    val queries = scored
-      .filter(col("vec_id") < knnQueries && col("cr") <= np)
+    val cents = kmeansCentroids(e, nl, Some(n))
+    // index side via the argmax aggregate, query side via the bounded
+    // top-k aggregate (r18) — row-identical to the former shared
+    // cellRanks window filtered at cr==1 / cr<=np, without ranking all
+    // N×nl rows through one window sort (see homeCells/topCells docs)
+    val indexed = homeCells(e, cents)
+    val queries = topCells(e.filter(col("vec_id") < knnQueries), cents, np)
       .select(col("vec_id").as("query_id"), col("cell"))
     // candidates dedupe as BARE ID PAIRS (a vector can sit in several
     // probed cells of one query) and the exact score comes from the
@@ -693,13 +773,7 @@ object Similarity {
   private[operators] def cachedCorpusCount(spark: SparkSession,
       sfDir: String, table: String, df: DataFrame): Long = {
     val path = s"$sfDir/$table.parquet"
-    val sig =
-      try {
-        val (fs, p) = graft.Scratch.fs(spark, path)
-        graft.sources.Generations.walkCurrentFiles(fs, p)
-          .map(s => s"${s.getPath}|${s.getLen}|${s.getModificationTime}")
-          .sorted.mkString("\n")
-      } catch { case scala.util.control.NonFatal(_) => null }
+    val sig = graft.Scratch.fileSignature(spark, path).orNull
     if (sig == null) df.count()
     else {
       val hit = corpusCountCache.get(path)
@@ -793,17 +867,31 @@ object Similarity {
     * and the final encoding both route through here, so they cannot
     * drift apart. */
   private[operators] def pqAssign(sv: DataFrame, cents: DataFrame): DataFrame = {
-    val wSub = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("cd").desc, col("code"))
     // passthrough of ALL input columns (q68's residual table carries
     // its home cell through here — re-deriving it downstream would
     // cost an N-row join)
+    //
+    // r18 (guide §2.3/§2.4): argmin-as-max_by hash aggregate instead
+    // of the former row_number window — the window shuffled and sorted
+    // all N·subs·codes scored rows; the aggregate's map-side partials
+    // collapse them to N·subs rows before the exchange (a pqCodes=16×
+    // cut). struct(cd, −code) is the window's (cd DESC, code ASC)
+    // order, unique per row (codes are distinct within a (vec_id, sub)
+    // group), so the winning code is deterministic and bit-identical.
+    // Non-key input columns ride inside the max_by payload (they are
+    // constant within a group — each (vec_id, sub) carries ONE
+    // subvector), and the final select restores sv's exact column
+    // names and order.
+    val payload = sv.columns.filterNot(c => c == "vec_id" || c == "sub")
     sv.join(broadcast(cents), Seq("sub"))
-      .select(sv.columns.map(col) :+
+      .select(col("vec_id") +: col("sub") +: payload.map(col) :+
         col("code") :+ (dotD(col("sv"), col("cv")) - col("cn")).as("cd"): _*)
-      .withColumn("cr", row_number().over(wSub))
-      .filter(col("cr") === 1)
-      .select(sv.columns.map(col) :+ col("code"): _*)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max_by(struct(payload.map(col) :+ col("code"): _*),
+        struct(col("cd"), (-col("code")).as("nc"))).as("k"))
+      .select(sv.columns.map(c =>
+        if (c == "vec_id" || c == "sub") col(c)
+        else col(s"k.$c").as(c)) :+ col("k.code").as("code"): _*)
   }
 
   private[operators] def pqCodebook(sv: DataFrame): DataFrame = {
@@ -820,23 +908,31 @@ object Similarity {
     cents = graft.Materialize(cents)
     for (_ <- 1 to pqLloydIters) {
       val assigned = pqAssign(sv, cents)
+      // DECIMAL(38,0) accumulator, not long: component·1e6 terms
+      // summed over a whole code's members can exceed a long for
+      // large-magnitude (still finite-norm) data, and the ANSI sum
+      // would throw mid-build. 38 digits absorb any real corpus;
+      // the per-term integers are unchanged, so small-data
+      // centroids stay bit-identical (build path — one Lloyd pass
+      // per iter, not the per-query scan, so the decimal agg cost
+      // is amortized)
+      //
+      // r18 (guide §2.3): the mean runs as [[pqSubDim]] declarative
+      // decimal-sum columns in ONE hash aggregate over the assigned
+      // rows instead of the old explode-to-rows + two-stage
+      // (sub,code,pos)/(sub,code) aggregation — one fewer exchange per
+      // Lloyd round and pqSubDim× fewer shuffled values, with the
+      // per-element expression tree (floor(x·1e6) summed as DECIMAL,
+      // cast double /1e6 /count) unchanged and the sums
+      // order-independent, so codebooks stay bit-identical.
+      val sums = (0 until pqSubDim).map(i =>
+        sum(floor(col("sv")(i) * 1e6)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"s$i"))
       cents = graft.Materialize(withHalfNormSq(assigned
-        .select(col("sub"), col("code"), posexplode(col("sv")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        // DECIMAL(38,0) accumulator, not long: component·1e6 terms
-        // summed over a whole code's members can exceed a long for
-        // large-magnitude (still finite-norm) data, and the ANSI sum
-        // would throw mid-build. 38 digits absorb any real corpus;
-        // the per-term integers are unchanged, so small-data
-        // centroids stay bit-identical (build path — one Lloyd pass
-        // per iter, not the per-query scan, so the decimal agg cost
-        // is amortized)
-        .agg((sum(floor(col("col") * 1e6)
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-          .cast("double") / 1e6 / count(lit(1))).as("m"))
         .groupBy(col("sub"), col("code"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("sub"), col("code"), col("pm").getField("m").as("cv"))))
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .select(col("sub"), col("code"), array((0 until pqSubDim).map(i =>
+          col(s"s$i").cast("double") / 1e6 / col("cnt")): _*).as("cv"))))
     }
     cents
   }
@@ -934,13 +1030,16 @@ object Similarity {
     val raw = emb(spark, sfDir)
     val e = prepped(spark, sfDir).filter(validNorm)
     val sv = subVectors(e)
+    // the shortlist dial's corpus count is independent of the codebook
+    // chain — overlap it (r18, guide §2.6)
+    val nT = overlapped(e.count())
     val cents = pqCodebook(sv)
     // encode through the SAME assignment rule the training loop
     // converged under (pqAssign), emitted as the compact codes table
     val codes = pqAssign(sv, cents)
       .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
     val cand = adcShortlist(codes, pqLut(sv, cents),
-      Seq("sub", "code"), shortlistFor(e.count()))
+      Seq("sub", "code"), shortlistFor(nT()))
     rerankTopK(raw, cand)
   }
 
@@ -953,8 +1052,8 @@ object Similarity {
     * compressed 32×, where q41 re-ranks probed cells from full vectors
     * and q61 scans every vector's codes.
     *
-    * Composition is literal reuse: cells come from [[cellRanks]] (the
-    * same rule q41 ranks with), codes from [[pqCodebook]]/[[pqAssign]]
+    * Composition is literal reuse: cells come from [[homeCells]]/
+    * [[topCells]] (the same rule q41 ranks with), codes from [[pqCodebook]]/[[pqAssign]]
     * (the same rule q61 encodes with), and the scan is [[adcShortlist]]
     * with the probe join in front — codes join the broadcast (query,
     * cell) probe set on `cell`, so each codes row fans out only to the
@@ -969,18 +1068,29 @@ object Similarity {
     val e = prepped(spark, sfDir).filter(validNorm)
     val n = e.count()
     val nl = nlistFor(n)
-    val ranks = cellRanks(e, kmeansCentroids(e, nl))
-    val home = ranks.filter(col("cr") === 1).select(col("vec_id"), col("cell"))
-    val probes = ranks
-      .filter(col("vec_id") < knnQueries && col("cr") <= nprobeFor(nl))
-      .select(col("vec_id").as("query_id"), col("cell"))
+    // the PQ codebook's Lloyd chain is INDEPENDENT of the IVF centroid
+    // chain until the codes join below — overlap the two blocking
+    // materialize sequences on a second driver thread (r18, guide
+    // §2.6: actions are only sequential because the driver calls them
+    // sequentially; each chain's small jobs leave most cores idle).
+    // Identical computations, identical results — only the wall-clock
+    // interleaving changes.
     val sv = subVectors(e)
-    val cents = pqCodebook(sv)
-    val codes = pqAssign(sv, cents)
+    val cbookT = overlapped(pqCodebook(sv))
+    val cents = kmeansCentroids(e, nl, Some(n))
+    // argmax / bounded-top-k aggregates instead of one shared ranks
+    // window (r18) — see homeCells/topCells: row-identical, no N×nl
+    // window sort
+    val home = homeCells(e, cents)
+    val probes = topCells(e.filter(col("vec_id") < knnQueries), cents,
+        nprobeFor(nl))
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cbook = cbookT()
+    val codes = pqAssign(sv, cbook)
       .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
       .join(home, Seq("vec_id"))
     val probedCodes = codes.join(broadcast(probes), Seq("cell"))
-    val cand = adcShortlist(probedCodes, pqLut(sv, cents),
+    val cand = adcShortlist(probedCodes, pqLut(sv, cbook),
       Seq("query_id", "sub", "code"), shortlistFor(n))
     rerankTopK(raw, cand)
   }
@@ -989,30 +1099,32 @@ object Similarity {
     * its home-cell centroid, re-sliced into the PQ subspaces —
     * (vec_id, cell, nrm, sub, sv) with sv = (û − m_cell)[sub].
     *
-    * The element-wise subtraction runs at exploded (vec, pos) grain —
-    * plain codegen arithmetic against a broadcast (cell, pos, cm)
-    * table, never a zip_with/transform HOF (CodegenFallback) in the
-    * N-row path — and subvectors reassemble through the same
-    * sort-by-position struct pattern the Lloyd updates use. One
-    * N×[[dim]]-row pass at INDEX BUILD time only; queries never touch
-    * this path. */
+    * The element-wise subtraction is plain codegen'd GetArrayItem
+    * arithmetic against the broadcast whole-centroid array — never a
+    * zip_with/transform HOF (CodegenFallback) in the N-row path. One
+    * pass at INDEX BUILD time only; queries never touch this path. */
   private[operators] def residualSubVectors(e: DataFrame, home: DataFrame,
-      cents: DataFrame): DataFrame = {
-    val cvPos = cents.select(col("cell"), posexplode(col("cv")))
-      .toDF("cell", "pos", "cm")
+      cents: DataFrame): DataFrame =
+    // r18 (guide §2.3/§2.4): join the WHOLE 64-dim centroid array onto
+    // each vector row (cents is the bounded nl-row dim table, always
+    // broadcast) and build each 8-dim residual subvector as a direct
+    // array() of codegen'd GetArrayItem arithmetic. The former shape
+    // exploded every vector to N×dim (pos, x) rows, broadcast-joined a
+    // (cell, pos, cm) table at that grain, and re-assembled subvectors
+    // through a groupBy + array_sort(collect_list) — a full exchange
+    // of N×dim rows that this projection-only form removes outright
+    // (the one posexplode left fans each vector to its [[pqSubspaces]]
+    // subvector rows, exactly the old output grain). Per element the
+    // tree is unchanged — x/nrm − cm at the same positions, assembled
+    // in the same p order — so the residuals are bit-identical.
     e.join(home, Seq("vec_id"))
-      .select(col("vec_id"), col("cell"), col("nrm"), posexplode(col("v")))
-      .toDF("vec_id", "cell", "nrm", "pos", "x")
-      .join(broadcast(cvPos), Seq("cell", "pos"))
+      .join(broadcast(cents.select(col("cell"), col("cv"))), Seq("cell"))
       .select(col("vec_id"), col("cell"), col("nrm"),
-        (col("pos") / lit(pqSubDim)).cast("int").as("sub"),
-        struct(pmod(col("pos"), lit(pqSubDim)).as("p"),
-          (col("x") / col("nrm") - col("cm")).as("r")).as("pr"))
-      .groupBy(col("vec_id"), col("cell"), col("nrm"), col("sub"))
-      .agg(array_sort(collect_list(col("pr"))).as("prs"))
-      .select(col("vec_id"), col("cell"), col("nrm"), col("sub"),
-        col("prs").getField("r").as("sv"))
-  }
+        posexplode(array((0 until pqSubspaces).map(s =>
+          array((0 until pqSubDim).map(p =>
+            col("v")(s * pqSubDim + p) / col("nrm") -
+              col("cv")(s * pqSubDim + p)): _*)): _*)))
+      .toDF("vec_id", "cell", "nrm", "sub", "sv")
 
   /** q68: IVF×PQ with RESIDUAL encoding — the classic FAISS refinement
     * over [[q65KnnIvfPq]]: instead of quantizing û directly, quantize
@@ -1022,7 +1134,7 @@ object Similarity {
     *   cos(q, v) ≈ dot(q̂, m_cell)  +  Σ_sub LUT(q, sub, code_sub)
     *               └ exact, per probed cell ┘ └ ADC on the residual ┘
     *
-    * The first term is already computed by [[cellRanks]] (cd + cn
+    * The first term is already computed by [[topCells]] (cd + cn
     * recovers dot(q̂, m)); the second reuses [[pqLut]] verbatim against
     * the residual codebook — the LUT is cell-independent because the
     * residual codebook is shared, so its size stays queries × subs ×
@@ -1041,13 +1153,15 @@ object Similarity {
     val e = prepped(spark, sfDir).filter(validNorm)
     val n = e.count()
     val nl = nlistFor(n)
-    val cents = kmeansCentroids(e, nl)
-    val ranks = cellRanks(e, cents)
-    val home = ranks.filter(col("cr") === 1).select(col("vec_id"), col("cell"))
+    val cents = kmeansCentroids(e, nl, Some(n))
+    // argmax / bounded-top-k aggregates instead of one shared ranks
+    // window (r18) — see homeCells/topCells: row-identical, no N×nl
+    // window sort
+    val home = homeCells(e, cents)
     // exact per-(query, probed-cell) term: cd = dot(û, m) − ‖m‖²/2, so
     // dot(û, m) = cd + cn — no recomputation, just the cn join back
-    val probesCt = ranks
-      .filter(col("vec_id") < knnQueries && col("cr") <= nprobeFor(nl))
+    val probesCt = topCells(e.filter(col("vec_id") < knnQueries), cents,
+        nprobeFor(nl))
       .join(broadcast(cents.select(col("cell"), col("cn"))), Seq("cell"))
       .select(col("vec_id").as("query_id"), col("cell"),
         (col("cd") + col("cn")).as("ct"))
