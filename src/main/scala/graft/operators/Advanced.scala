@@ -204,11 +204,14 @@ object Advanced {
     val orders = Tables.load(spark, sfDir, "orders")
     val events = Tables.load(spark, sfDir, "events")
 
-    val keeper = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
-      .orderBy(col("o_orderkey"))
+    // keeper = min orderkey per (custkey, orderdate): one declarative
+    // min aggregate (r18, guide §2.3) — the former row_number window
+    // shuffled and sorted every order row for a rank-1 filter; the
+    // aggregate's map-side partials collapse to one row per group per
+    // task, and min(o_orderkey) IS the (o_orderkey ASC) rank-1 value.
     val r = orders
-      .withColumn("__rn", row_number().over(keeper))
-      .filter(col("__rn") === 1)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(min(col("o_orderkey")).as("o_orderkey"))
       .select(
         col("o_custkey").as("key"),
         col("o_orderdate").as("t"),

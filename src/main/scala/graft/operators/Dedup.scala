@@ -188,12 +188,23 @@ object Dedup {
     val d = Tables.load(spark, sfDir, "documents")
       .withColumn("tok_cnt", tokenCount(col("text")))
     val quality = d.filter(col("tok_cnt") >= 15)
-    val unique = exactDedup(
-      quality.withColumn("fp", fingerprint(col("text"))),
-      col("fp"), Seq(col("doc_id")))
-    val survivors = materialize(unique
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0))
+    // ONE materialized pass for the deduped corpus (r18): the keeper
+    // and the shingle table used to live on separate branches of the
+    // same lineage, so the final per-language aggregate re-ran the
+    // whole tokenize + fingerprint + dedup chain a second time (the
+    // round-11 two-consumer rule). Checkpointing the keeper output
+    // WITH its shingles and WITHOUT the raw text makes every
+    // downstream branch (near-dup pairs twice, the final aggregate) a
+    // cheap checkpoint read — one corpus tokenize per call instead of
+    // two. Same rows, same expressions, same result.
+    val unique = materialize(exactDedup(
+        quality.withColumn("fp", fingerprint(col("text"))),
+        col("fp"), Seq(col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("tok_cnt"),
+        shingles3(col("text")).as("sh")))
+    val survivors = unique
+      .select(col("doc_id"), col("sh"))
+      .filter(size(col("sh")) > 0)
     val drop = nearDupPairs(survivors, 0.5)
       .select(col("doc_b").as("doc_id")).distinct()
     unique.join(drop, Seq("doc_id"), "left_anti")
@@ -744,13 +755,18 @@ object Dedup {
     val d = Tables.load(spark, sfDir, "documents")
       .withColumn("tok_cnt", tokenCount(col("text")))
     val quality = d.filter(col("tok_cnt") >= 15)
-    val uniq = exactDedup(
-      quality.withColumn("fp", fingerprint(col("text"))),
-      col("fp"), Seq(col("doc_id")))
+    // one materialized tokenize+dedup+shingle pass, shared by every
+    // branch (pairs, contamination, the final sample aggregate) —
+    // q44's r18 restructure, same rows and expressions
+    val uniq = materialize(exactDedup(
+        quality.withColumn("fp", fingerprint(col("text"))),
+        col("fp"), Seq(col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("tok_cnt"),
+        shingles3(col("text")).as("sh")))
     // near-dup clusters among survivors: drop non-canonical members
-    val sh2 = materialize(uniq
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0))
+    val sh2 = uniq
+      .select(col("doc_id"), col("sh"))
+      .filter(size(col("sh")) > 0)
     val clusterDrop = connectedComponents(
       nearDupPairs(sh2, 0.5), "doc_a", "doc_b")
       .filter(col("vtx") =!= col("comp"))

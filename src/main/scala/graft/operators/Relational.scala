@@ -90,14 +90,24 @@ object Relational {
       .orderBy(col("r_name"))
   }
 
-  /** Top-3 orders per customer by total price (window / row_number). */
+  /** Top-3 orders per customer by total price. Bounded-buffer
+    * [[graft.functions.TopKAgg]] instead of a row_number window (r18,
+    * guide §2.3): the window shuffled AND sorted every order row only
+    * to discard all but 3 per customer; the aggregate's map-side
+    * partials cap the exchange at 3 (price, orderkey) pairs per
+    * customer per task. TopKAgg's (score DESC, id ASC) total order is
+    * exactly the window's (o_totalprice DESC, o_orderkey ASC) and
+    * orderkeys are unique — row-identical output, rank included. */
   def q5TopOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
     val ord = Tables.load(spark, sfDir, "orders")
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    ord.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    ord.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKAgg
+        .topkAgg(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 
@@ -179,18 +189,28 @@ object Relational {
 
   /** q2: TPC-H Q2-flavored argmin-per-group — for every part, the
     * supplier that has shipped it cheapest (min extended price,
-    * supplier key as deterministic tie-break). The window partitions on
-    * the high-cardinality part key (one shuffle, parallel per part) and
-    * the part/supplier dims broadcast onto the winner rows. */
+    * supplier key as deterministic tie-break), then the part/supplier
+    * dims broadcast onto the winner rows.
+    *
+    * The argmin is ONE declarative `min(struct(price, suppkey))` hash
+    * aggregate (r18, guide §2.3/§2.4): struct ordering is
+    * lexicographic, so the minimum IS the window's (price ASC, suppkey
+    * ASC) rank-1 row — and tied (price, suppkey) pairs carry identical
+    * payloads, so the result is deterministic without unique ids. The
+    * former row_number window shuffled AND sorted every lineitem row;
+    * the aggregate's map-side partials collapse the scan to one
+    * candidate row per part per task before the exchange — on the
+    * fact table, the single biggest shuffle cut available to the
+    * relational family at 100 TB. */
   def q2CheapestSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
     val part = Tables.load(spark, sfDir, "part")
     val supp = Tables.load(spark, sfDir, "supplier")
-    val w = Window.partitionBy(col("l_partkey"))
-      .orderBy(col("l_extendedprice"), col("l_suppkey"))
     li.select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("b"))
+      .select(col("l_partkey"), col("b.l_suppkey").as("l_suppkey"),
+        col("b.l_extendedprice").as("l_extendedprice"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("p_name"), col("s_name"),

@@ -199,10 +199,19 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotD(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // bounded top-k aggregate, not a row_number window (r18, guide
+    // §2.3): the window shuffled and sorted all N×queries scored rows;
+    // TopKAgg's map-side partials cap the exchange at k pairs per
+    // query per task. Same (cosine DESC, neighbor_id ASC) total order,
+    // unique ids ⇒ row-identical output (the recall gates' ground
+    // truth is unchanged).
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg
+        .topkAgg(col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col("query_id"), col("rank"))
   }
 
