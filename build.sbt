@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver json.loads whole lines from a 2000-char stdout TAIL.
+// sbt's default LoggedOutput prefixes every forked-run line with
+// "[info] " — which made the bench totals line unparseable in EVERY
+// round (BENCH_r01 tail: `[info] {"metric":...`). StdoutOutput passes
+// the forked JVM's stdout through raw (stderr stays stderr), and
+// showSuccess drops the trailing "[success] Total time: ..." line so
+// the final JSON line really is the last thing on stdout.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task —
+// lintUnused can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

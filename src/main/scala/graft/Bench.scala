@@ -197,6 +197,42 @@ object Bench {
     (samples, adjudications, hostFactor)
   }
 
+  /** Driver-tail totals line: same schema as the full line, per-query
+    * values as integer CENTISECONDS ("qunit":"cs"). The -1 error
+    * sentinel is preserved as -1 (never scaled — a consumer must not
+    * read -100 as a real duration). "sf" is the numeric scale factor
+    * when the dir name carries one ("sf0.1" → 0.1), else the short
+    * basename — the full line keeps the complete path. Keys sorted so
+    * the line is deterministic across runs. host_factor is NOT here
+    * (full line and noise line both carry it): at 85 names the cs
+    * rendering already sits ~1980 chars against the 2000-char window,
+    * and those 20 chars are the margin. If queries ever get slow
+    * enough (many ≥10 s → 4-digit cs) to overflow `maxLen`, the line
+    * degrades stepwise to DECISECONDS then whole SECONDS ("qunit"
+    * says which) rather than losing its head — a coarser number that
+    * parses beats a precise one that doesn't. With 85 names even the
+    * seconds rendering only exceeds the window when most queries run
+    * >=100 s (a multi-hour bench); then the coarsest line is emitted
+    * anyway as the least-truncated option. */
+  private[graft] def compactLine(results: Map[String, Double],
+      total: Double, sfDir: String, flags: Int,
+      maxLen: Int = 1995): String = {
+    val base = sfDir.stripSuffix("/").split('/').last
+    val num = base.stripPrefix("sf")
+    val sfJson =
+      if (num.matches("""[0-9]+(\.[0-9]+)?""")) num else Json.str(base)
+    def render(qunit: String, scale: Int): String = {
+      val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+        val n = if (v < 0) -1L else math.round(v * scale)
+        s"${Json.str(k)}:$n"
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${Json.f3(total)},"unit":"sec","qunit":"$qunit","queries":$qs,"sf":$sfJson,"flags":$flags}"""
+    }
+    val renderings =
+      Seq(render("cs", 100), render("ds", 10), render("s", 1))
+    renderings.find(_.length <= maxLen).getOrElse(renderings.last)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // clear any prior spread up front: if this run dies mid-bench, a
@@ -265,6 +301,28 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] veclists build failed: ${e.getMessage}")
         vlBuildErr = Some(Json.err(e))
+        None
+      }
+    // physical-layout rewrites (q57/q58/q62): same cold-rebuild
+    // contract as the index families above. These were the ONE
+    // ensure-once artifact family the bench did not prebuild — a
+    // driver-environment /tmp wipe then forced the bucketed-table
+    // write into a timed q57 run (BENCH_r18: 1.80 s at both core
+    // counts vs a 0.83 s clean median). The medians below now carry
+    // pure read-side serving; the write-side investment is its own
+    // layout_build_sec field.
+    var layoutBuildErr: Option[String] = None
+    val layoutBuildSec: Option[Double] =
+      if (!Seq("q57_bucket_join", "q58_partition_prune", "q62_zorder_skip")
+          .exists(SparkEntry.queries.contains)) None
+      else try {
+        deleteColdOrDie(spark, operators.Layout.dirFor(spark, sfDir))
+        val t0 = System.nanoTime()
+        operators.Layout.ensureAll(spark, sfDir)
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] layout build failed: ${e.getMessage}")
+        layoutBuildErr = Some(Json.err(e))
         None
       }
     // composed-lifecycle scratch pipelines (q79–q82): force the seed +
@@ -360,6 +418,7 @@ object Bench {
       indexBuildSec.map(s => s""","index_build_sec":${f3(s)}"""),
       lexBuildSec.map(s => s""","lex_index_build_sec":${f3(s)}"""),
       vlBuildSec.map(s => s""","veclists_build_sec":${f3(s)}"""),
+      layoutBuildSec.map(s => s""","layout_build_sec":${f3(s)}"""),
       delpipeBuildSec.map(s => s""","delpipe_build_sec":${f3(s)}"""),
       corrpipeBuildSec.map(s => s""","corrpipe_build_sec":${f3(s)}"""))
       .flatten.mkString
@@ -374,6 +433,11 @@ object Bench {
         .map(s => s""","veclists_build_sec":${f3(s)}""").getOrElse("") +
       vlBuildErr
         .map(m => s""","veclists_build_error":${Json.str(m)}""")
+        .getOrElse("") +
+      layoutBuildSec
+        .map(s => s""","layout_build_sec":${f3(s)}""").getOrElse("") +
+      layoutBuildErr
+        .map(m => s""","layout_build_error":${Json.str(m)}""")
         .getOrElse("") +
       delpipeBuildSec
         .map(s => s""","delpipe_build_sec":${f3(s)}""").getOrElse("") +
@@ -475,6 +539,17 @@ object Bench {
       if (hostFactor <= 0) s""","flags":$flagsTotal"""
       else s""","host_factor":${f3(hostFactor)},"flags":$flagsTotal"""
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":$runsPerQuery,"queries":$qs,"errors":$errJson,"sf":${Json.str(sfDir)}$tailStamp}""")
+    // LAST line: the driver-tail compact duplicate of the line above.
+    // The driver keeps only the final 2000 chars of stdout and
+    // json-parses whole lines; the full-fidelity line has been
+    // unparseable from that window since the suite passed ~70 queries
+    // (85 query names alone cost ~1,690 chars with JSON punctuation,
+    // so even integer-millisecond values overflow). Integer
+    // CENTISECOND values are the only faithful all-names encoding
+    // that fits (~1,950 chars); "qunit":"cs" marks the encoding and
+    // the full-precision seconds stay on the line above and in the
+    // spread file. Printed last so a line-based tail parser finds it.
+    println(compactLine(results, total, sfDir, flagsTotal))
     spark.stop()
   }
 }

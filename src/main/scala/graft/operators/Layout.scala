@@ -41,6 +41,40 @@ object Layout {
   private def layoutRoot(spark: SparkSession, sfDir: String): String =
     s"${graft.Scratch.layoutRoot(spark)}/${tag(sfDir)}"
 
+  /** The one directory holding every Layout artifact for `sfDir`
+    * (bucketed join tables, partitioned orders, z-ordered lineitem) —
+    * the bench deletes it for a COLD prebuild, same lifecycle contract
+    * as IndexStore.dirFor. */
+  def dirFor(spark: SparkSession, sfDir: String): String =
+    layoutRoot(spark, sfDir)
+
+  /** Build every layout artifact for `sfDir` up front. The bench calls
+    * this ONCE before its timing loop (after deleting [[dirFor]]), so
+    * the q57/q58/q62 medians carry pure read-side serving and the
+    * write-side investment is its own `layout_build_sec` field —
+    * without this, a wiped tmpdir (the driver environment's /tmp
+    * hygiene, BENCH_r18's q57 2.2×) lands the one-time rewrite inside
+    * a timed run. Also drops the stale catalog entries first: the
+    * bucketed-table ensure is keyed on tableExists, and a catalog
+    * entry surviving a deleted data dir would otherwise skip the
+    * rebuild and serve a missing-file scan. */
+  def ensureAll(spark: SparkSession, sfDir: String): Unit = {
+    Seq(s"orders_bkt_${tag(sfDir)}", s"lineitem_bkt_${tag(sfDir)}")
+      .foreach { tbl =>
+        if (spark.catalog.tableExists(tbl)) {
+          val (f, p) = graft.Scratch.fs(spark,
+            s"${layoutRoot(spark, sfDir)}/$tbl")
+          if (!f.exists(p)) spark.sql(s"DROP TABLE `$tbl`")
+        }
+      }
+    bucketedTable(spark, sfDir, "orders", "o_orderkey",
+      Seq("o_orderkey", "o_orderpriority"))
+    bucketedTable(spark, sfDir, "lineitem", "l_orderkey",
+      Seq("l_orderkey", "l_extendedprice", "l_discount"))
+    partitionedOrders(spark, sfDir)
+    zorderedLineitem(spark, sfDir)
+  }
+
   /** Number of buckets for the co-located join tables. Fixed, and the
     * SAME on both sides — equal bucket counts on the join key are what
     * let Spark plan the join with zero Exchange. Bucket count also caps

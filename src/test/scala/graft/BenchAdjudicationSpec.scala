@@ -163,4 +163,56 @@ class BenchAdjudicationSpec extends AnyFunSuite {
       _ => fail("must not re-run a 0.2 s median"))
     assert(flags.isEmpty)
   }
+
+  // --- driver-tail compact totals line (round 19) ---------------------
+  // The driver keeps only the LAST 2000 chars of stdout and json-parses
+  // whole lines. These tests pin the properties the fix depends on: the
+  // line fits that window with EVERY declared query name in it at
+  // realistic values, it degrades to deciseconds instead of overflowing
+  // at pathological values, and it is strict JSON a line parser accepts.
+
+  test("compactLine fits the driver's 2000-char tail window with all " +
+    "declared query names at r18-shaped values") {
+    // r18 shape: most queries sub-second, a 5.0 s worst case
+    val vals = SparkEntry.queries.keys.zipWithIndex.map { case (k, i) =>
+      k -> (if (i % 3 == 0) 3.662 else 0.877)
+    }.toMap
+    val line = Bench.compactLine(vals, 93.712, "/root/testdata/sf0.1", 4)
+    assert(line.length <= 1995, s"line is ${line.length} chars")
+    assert(line.contains("\"qunit\":\"cs\""))
+  }
+
+  test("compactLine degrades to a coarser unit rather than overflowing " +
+    "when every query is pathologically slow") {
+    // every query at 9.49 s: cs values are 3-digit (949) and the cs
+    // line would be ~2040 chars; the ds rendering (2-digit values)
+    // must win and fit
+    val slow = SparkEntry.queries.keys.map(_ -> 9.49).toMap
+    val ds = Bench.compactLine(slow, 806.65, "/root/testdata/sf0.1", 4)
+    assert(ds.length <= 1995, s"line is ${ds.length} chars")
+    assert(ds.contains("\"qunit\":\"ds\""))
+    // every query at 99.99 s (a multi-hour bench): even whole seconds
+    // cannot fit 85 names in the window — the coarsest rendering is
+    // emitted as the least-truncated option, never a mid-scale one
+    val worst = SparkEntry.queries.keys.map(_ -> 99.99).toMap
+    val line = Bench.compactLine(worst, 8499.15, "/root/testdata/sf0.1", 4)
+    assert(line.contains("\"qunit\":\"s\""))
+    assert(line.length < Bench.compactLine(worst, 8499.15,
+      "/root/testdata/sf0.1", 4, maxLen = 100000).length)
+  }
+
+  test("compactLine is one strict-JSON line with sorted keys, integer " +
+    "centiseconds, a preserved -1 error sentinel and numeric sf") {
+    val line = Bench.compactLine(
+      Map("q2_b" -> 0.877, "q1_a" -> 3.6625, "q3_err" -> -1.0),
+      4.539, "/root/testdata/sf0.1", 2)
+    assert(!line.contains("\n"))
+    assert(line ===
+      """{"metric":"total","value":4.539,"unit":"sec","qunit":"cs",""" +
+      """"queries":{"q1_a":366,"q2_b":88,"q3_err":-1},"sf":0.1,""" +
+      """"flags":2}""")
+    // non-numeric sf dir falls back to a quoted basename
+    val s2 = Bench.compactLine(Map("q" -> 1.0), 1.0, "/tmp/custom", 0)
+    assert(s2.contains(""""sf":"custom""""))
+  }
 }
