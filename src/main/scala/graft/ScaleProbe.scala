@@ -52,7 +52,16 @@ object ScaleProbe {
     // runs isolate the screen (probes ∝ batch slice, lists reads
     // pruned to probed cells). q77 composes q50's CC with the q21
     // score — expect ~q50's scaling plus one aggregate
-    "q76_ingest_screen", "q77_cluster_keeper")
+    "q76_ingest_screen", "q77_cluster_keeper",
+    // composed-lifecycle + sharded serving legs (r19, VERDICT r18 #7:
+    // prove the serve-leg scale story, not just argue it): the first
+    // call seeds/builds the scratch pipelines and shard stores
+    // (ensure-once), so run 1 carries the cold build — a SECOND
+    // targeted run isolates the warm serve cost these legs' bounded
+    // plan shapes claim. q83 is excluded only because the replicated
+    // corpus has no media table.
+    "q78_embed_pipeline", "q79_delete_lex", "q80_delete_ann",
+    "q81_correction_lex", "q82_correction_ann", "q84_knn_sharded")
 
   def main(args: Array[String]): Unit = {
     // same loud-typo rule as Verify.main: a misspelled (or renamed)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.ArgExtremumAgg.{maxByAgg, minByAgg}
 import graft.functions.TextFunctions._
 import graft.sources.Tables
 
@@ -53,8 +54,13 @@ object Dedup {
     * does) — pruning cannot reach below the packed struct. */
   def exactDedup(df: DataFrame, fp: Column, tieBreak: Seq[Column]): DataFrame = {
     val cols = df.columns.toSeq
+    // r19: typed minByAgg, not declarative min_by — the whole-row
+    // struct buffer made min_by SORT-aggregate (each task sorted its
+    // entire input by fingerprint just to keep one row per group); the
+    // typed buffer plans as ObjectHashAggregate, one compare per row
+    // (VERDICT r18 #6). Same values, same tie contract.
     df.groupBy(fp.as("__fp"))
-      .agg(min_by(struct(cols.map(col): _*), struct(tieBreak: _*)).as("__row"))
+      .agg(minByAgg(struct(cols.map(col): _*), struct(tieBreak: _*)).as("__row"))
       .select(cols.map(c => col(s"__row.`$c`").as(c)): _*)
   }
 
@@ -307,6 +313,37 @@ object Dedup {
     * when small and shuffles on the (high-cardinality) token key when
     * not. (History: naive all-pairs array_intersect 20 s at sf0.1 →
     * plain inverted index ~6 s → this.) */
+  /** PPjoin prefix of each doc's postings: the (n − ⌈t·n⌉ + 1) rarest
+    * tokens under the (freq, tok) total order, with their 1-based rank
+    * `pos` — (source, doc_id, n, pos, tok).
+    *
+    * r19 (VERDICT r18 #3): per-doc bounded aggregate instead of the
+    * former row_number window — the window EXCHANGED every posting on
+    * doc_id and then SORTED each partition by (doc_id, freq, tok) just
+    * to discard ~90% of rows at the rank filter. This form collects
+    * each doc's (freq, tok) pairs in one hash aggregate (the session's
+    * raised ObjectHashAggregate threshold keeps it hash-based at any
+    * group count), sorts ONLY within each doc's own array (tokens are
+    * unique per doc, so the struct sort order equals the window's
+    * (freq, tok) order exactly), and slices the prefix BEFORE the
+    * explode — value-identical rows, no partition-wide sort anywhere;
+    * the per-doc variable k that a fixed-k TopKAgg cannot express is
+    * just the slice length. DedupSpec pins both the plan shape (no
+    * WindowExec) and row-identity against the window form. */
+  private[operators] def jaccardPrefix(posting: DataFrame,
+      t: Double): DataFrame = {
+    val prefixLen = (col("n") - ceil(lit(t) * col("n")) + 1).cast("int")
+    posting
+      .groupBy(col("source"), col("doc_id"), col("n"))
+      .agg(array_sort(collect_list(struct(col("freq"), col("tok"))))
+        .as("fts"))
+      .select(col("source"), col("doc_id"), col("n"),
+        posexplode(slice(col("fts"), lit(1), prefixLen)))
+      .select(col("source"), col("doc_id"), col("n"),
+        (col("pos") + 1).cast("int").as("pos"),
+        col("col.tok").as("tok"))
+  }
+
   def q33SourceJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val t = 0.9
     val d = materialize(
@@ -320,16 +357,9 @@ object Dedup {
       .select(col("source"), col("doc_id"), size(col("ts")).as("n"),
         explode(col("ts")).as("tok"))
       .join(freq, "tok")
-    // keep each doc's prefix: the (n - ceil(t*n) + 1) rarest tokens
-    // under the (freq, tok) total order
-    val prefixLen = (col("n") - ceil(lit(t) * col("n")) + 1).cast("int")
     // materialized: the prefix index is self-joined below, and without
-    // this the freq-join + per-doc window would run once per branch
-    val prefix = materialize(posting
-      .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("tok"))))
-      .filter(col("pos") <= prefixLen)
-      .select(col("source"), col("doc_id"), col("n"), col("pos"), col("tok")))
+    // this the freq-join + per-doc prefix pass would run once per branch
+    val prefix = materialize(jaccardPrefix(posting, t))
     // POSITIONAL filter (the P in PPjoin), checked per candidate
     // generation: a pair first colliding at prefix positions (i, j) can
     // overlap on at most 1 + min(na−i, nb−j) tokens, which must reach
@@ -714,12 +744,23 @@ object Dedup {
       val nb = edges
         .join(labels.select(col("vtx").as("v"), col("comp").as("ncomp")), "v")
         .groupBy(col("u").as("vtx")).agg(min(col("ncomp")).as("best"))
+      // the moved count rides the materialize action itself
+      // (Dataset.observe → CollectMetrics, delivered by the eager
+      // checkpoint's own job): the former separate count() was one
+      // extra driver action per round (VERDICT r18 #4 — fold the
+      // convergence signal into the checkpoint)
+      val obs = new org.apache.spark.sql.Observation()
       val next = materialize(
         labels.join(nb, Seq("vtx"), "left")
           .select(col("vtx"),
             least(col("comp"), coalesce(col("best"), col("comp"))).as("comp"),
-            (col("best") < col("comp")).as("moved")))
-      changed = next.filter(col("moved")).count()
+            (col("best") < col("comp")).as("moved"))
+          .observe(obs,
+            sum(when(col("moved"), 1L).otherwise(0L)).as("moved")))
+      changed = obs.get("moved") match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
       labels = next.drop("moved")
       rounds += 1
     }
@@ -840,13 +881,22 @@ object Dedup {
         .agg(least(min(col("v")), col("u")).as("m"))
       // the (u, v, m(u)) join is the pass's workhorse — materialize it
       // once; the moved count, the rewire, and the center attachment
-      // are all cheap derivations of it
-      val joined = materialize(nb.join(m, "u"))
+      // are all cheap derivations of it. r19 (VERDICT r18 #4): the
+      // moved count rides the materialize action via Dataset.observe —
+      // the former separate count() cost one extra driver action per
+      // star pass (two per round)
       val dir = if (large) col("v") > col("u") else col("v") <= col("u")
       val movedCond =
         if (large) col("m") =!= col("u")
         else col("m") =!= col("u") && col("m") =!= col("v")
-      val moved = joined.filter(dir && movedCond).count()
+      val obs = new org.apache.spark.sql.Observation()
+      val joined = materialize(nb.join(m, "u")
+        .observe(obs,
+          sum(when(dir && movedCond, 1L).otherwise(0L)).as("moved")))
+      val moved = obs.get("moved") match {
+        case null => 0L
+        case x => x.asInstanceOf[Long]
+      }
       // keep each center attached to its min so components never split
       val out = joined.filter(dir)
         .select(col("v").as("u"), col("m").as("v"))
@@ -946,7 +996,8 @@ object Dedup {
           .as("score"))
     scored.groupBy(col("cluster_id"))
       .agg(
-        max_by(struct(col("doc_id"), col("score")),
+        // r19: typed maxByAgg (hash, not sort — see exactDedup)
+        maxByAgg(struct(col("doc_id"), col("score")),
           struct(col("score"), (-col("doc_id")).as("nid"))).as("k"),
         count(lit(1)).as("n_members"))
       .select(col("cluster_id"), col("k.doc_id").as("kept_id"),
@@ -1014,8 +1065,12 @@ object Dedup {
         array_join(slice(col("t"), col("seg_idx") * sw + 1, lit(sw)), " ")
           .as("seg"))
       .withColumn("fp", md5(col("seg")))
+    // r19: typed minByAgg (hash, not sort — see exactDedup). The
+    // ordering key is the unique (doc_id, seg_idx) prefix alone; seg
+    // is payload-only, exactly the "text rides along" contract above.
     val kept = segs.groupBy(col("fp"))
-      .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg"))).as("k"))
+      .agg(minByAgg(struct(col("doc_id"), col("seg_idx"), col("seg")),
+        struct(col("doc_id"), col("seg_idx"))).as("k"))
       .select(col("k.doc_id").as("doc_id"), col("k.seg_idx").as("seg_idx"),
         col("k.seg").as("seg"))
     // per-doc segment count DERIVED from the token array — exactly

@@ -94,7 +94,18 @@ object DeletePipeline {
     * the scan. The on-disk seed markers still carry the CONTENT
     * fingerprint, so cross-JVM reseed semantics are unchanged — this
     * only removes repeat scans within one JVM while the table holds
-    * still. */
+    * still.
+    *
+    * MTIME-RESOLUTION ASSUMPTION (ADVICE r18, documented contract): a
+    * signature is (path, length, mtime) per current file — an in-place
+    * rewrite that preserves every file's length AND lands within the
+    * filesystem's mtime granularity would serve a stale id for the
+    * rest of this JVM. That needs a same-length same-tick overwrite of
+    * an immutable-by-convention parquet table (writers here always
+    * create new part files); on filesystems exposing only whole-second
+    * mtimes, operators replacing corpus files in place must touch or
+    * rename, or bounce the JVM. Cross-JVM state is immune either way —
+    * the seed markers are content-fingerprinted. */
   private[operators] def cachedSourceId(spark: SparkSession, sfDir: String,
       table: String, fpExpr: String): String = {
     val path = s"$sfDir/$table.parquet"

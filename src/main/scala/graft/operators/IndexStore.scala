@@ -225,7 +225,8 @@ object IndexStore {
   private def countAndFingerprint(raw: DataFrame): (Long, Long) = {
     import graft.functions.VectorFunctions.dotD
     val v = col("embedding").cast("array<double>")
-    val r = raw.select(col("vec_id"), col("embedding"),
+    // v is selected because validNorm's r19 length guard reads it
+    val r = raw.select(col("vec_id"), col("embedding"), v.as("v"),
         sqrt(dotD(v, v)).as("nrm"))
       .filter(Similarity.validNorm)
       .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id, embedding))"),
@@ -600,22 +601,34 @@ object IndexStore {
     // identical artifacts — q65's trainer does the same)
     val sv = Similarity.subVectors(e)
     val cbookT = Similarity.overlapped(Similarity.pqCodebook(sv))
-    val cents = Similarity.kmeansCentroids(e, nl)
-    // argmax aggregate, not the ranks window (r18) — row-identical,
-    // see Similarity.homeCells
-    val home = Similarity.homeCells(e, cents)
+    // r19: home-cell argmax with the vector riding as payload
+    // (Similarity.homeCellsWithVec) — one aggregate serves BOTH
+    // downstream consumers (cell-carrying codes, residual derivation),
+    // where the old shape ran the homeCells aggregate once per
+    // consumer (home was never materialized) and then paid an N⋈N
+    // e⋈home join for the residuals plus a codes⋈home join for the
+    // codes. Materialized because two branches consume it. guarded:
+    // an IVF-chain failure cancels the codebook chain (ADVICE r18).
+    val (cents, eh) = cbookT.guarded {
+      val c = Similarity.kmeansCentroids(e, nl)
+      (c, graft.Materialize(Similarity.homeCellsWithVec(e, c)))
+    }
     val cbook = cbookT()
-    val codes = Similarity.pqAssign(sv, cbook)
-      .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
-      .join(home, Seq("vec_id"))
+    val codes = Similarity.pqAssign(Similarity.subVectorsWithCell(eh),
+        cbook)
+      .select(col("vec_id"), col("nrm"), col("sub"), col("code"),
+        col("cell"))
     val rsv = graft.Materialize(
-      Similarity.residualSubVectors(e, home, cents))
+      Similarity.residualSubVectors(eh, cents))
     // the residual-norm baseline only needs rsv — overlap its two
     // aggregate jobs with the residual codebook's Lloyd chain
     val baselineT = Similarity.overlapped(meanResNorm(rsv))
-    val rcbook = Similarity.pqCodebook(rsv)
-    val rcodes = Similarity.pqAssign(rsv, rcbook)
-      .select(col("vec_id"), col("cell"), col("sub"), col("code"))
+    // guarded: a residual-codebook failure cancels the baseline jobs
+    val (rcbook, rcodes) = baselineT.guarded {
+      val rcb = Similarity.pqCodebook(rsv)
+      (rcb, Similarity.pqAssign(rsv, rcb)
+        .select(col("vec_id"), col("cell"), col("sub"), col("code")))
+    }
     val baseline = baselineT()
 
     // per-attempt-unique shadow: two builders (different JVMs share no
@@ -1274,8 +1287,11 @@ object IndexStore {
     // codes — re-deriving their cell/rcodes from the same centroids is
     // deterministic, so the repair matches what the crashed append
     // would have written)
+    // batch-sized e⋈home attachment (residualSubVectors now takes the
+    // fused frame; this path's home is the RESTRICTED home0, so the
+    // join stays — it is batch-sized, not corpus-sized)
     val rsv = graft.Materialize(
-      Similarity.residualSubVectors(e, home, cents))
+      Similarity.residualSubVectors(e.join(home, Seq("vec_id")), cents))
     val rcodes = Similarity
       .pqAssign(rsv, spark.read.parquet(s"$dir/rcodebook"))
       .select(col("vec_id"), col("cell"), col("sub"), col("code"))

@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
+import graft.functions.ArgExtremumAgg.minByAgg
+
 import graft.sources.Tables
 
 /** Core relational operators over the TPC-H-ish test tables.
@@ -192,8 +194,8 @@ object Relational {
     * supplier key as deterministic tie-break), then the part/supplier
     * dims broadcast onto the winner rows.
     *
-    * The argmin is ONE declarative `min(struct(price, suppkey))` hash
-    * aggregate (r18, guide §2.3/§2.4): struct ordering is
+    * The argmin is ONE `minByAgg(struct(price, suppkey))` aggregate
+    * (r18, guide §2.3/§2.4): struct ordering is
     * lexicographic, so the minimum IS the window's (price ASC, suppkey
     * ASC) rank-1 row — and tied (price, suppkey) pairs carry identical
     * payloads, so the result is deterministic without unique ids. The
@@ -201,14 +203,18 @@ object Relational {
     * the aggregate's map-side partials collapse the scan to one
     * candidate row per part per task before the exchange — on the
     * fact table, the single biggest shuffle cut available to the
-    * relational family at 100 TB. */
+    * relational family at 100 TB. r19: the r18 form was declarative
+    * `min(struct(...))`, whose struct buffer cannot hash-aggregate —
+    * the plan SORT-aggregated the whole lineitem scan per task; the
+    * typed buffer plans as ObjectHashAggregate (VERDICT r18 #6). */
   def q2CheapestSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
     val part = Tables.load(spark, sfDir, "part")
     val supp = Tables.load(spark, sfDir, "supplier")
     li.select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
       .groupBy(col("l_partkey"))
-      .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("b"))
+      .agg(minByAgg(struct(col("l_extendedprice"), col("l_suppkey")),
+        struct(col("l_extendedprice"), col("l_suppkey"))).as("b"))
       .select(col("l_partkey"), col("b.l_suppkey").as("l_suppkey"),
         col("b.l_extendedprice").as("l_extendedprice"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.ArgExtremumAgg.{maxByAgg, minByAgg}
+
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (Array[Float] column).
@@ -64,7 +66,13 @@ object Similarity {
     * the same two-comparison text is the oracle's lockstep form (the
     * nz CTEs in SparkEntry). */
   private[operators] def validNorm: Column =
-    col("nrm") > 0 && col("nrm") < Double.PositiveInfinity
+    col("nrm") > 0 && col("nrm") < Double.PositiveInfinity &&
+      // r19 (ADVICE r18): length guard with the same exclusion
+      // discipline as zero-norm vectors — residualSubVectors and the
+      // pqCodebook sums index v positionally (col("v")(i)) under the
+      // session's ANSI mode, so ONE short embedding would otherwise
+      // throw INVALID_ARRAY_INDEX and abort a whole 100 TB build
+      size(col("v")) === lit(dim)
 
   /** Pair-block fan-out for the exact all-pairs join: B blocks give
     * B·(B+1)/2 equal-sized independent tasks. */
@@ -507,12 +515,45 @@ object Similarity {
     * rethrows the chain's failure. The overlapped body must be
     * independent of anything computed after launch (the caller's
     * other chain) — same-value-or-throw either way, so results cannot
-    * depend on the interleaving. */
-  private[operators] def overlapped[T](body: => T): () => T = {
-    val fut = scala.concurrent.Future(body)(
-      scala.concurrent.ExecutionContext.global)
-    () => scala.concurrent.Await.result(fut,
+    * depend on the interleaving.
+    *
+    * r19 (ADVICE r18): the body runs under its OWN JOB GROUP, and the
+    * caller wraps its between-launch-and-join section in [[Overlap
+    * .guarded]] — if that section throws, the background group's jobs
+    * are cancelled and the future observed before the rethrow, so a
+    * failed build never leaves orphan jobs racing the cluster (or a
+    * silently dropped background failure). */
+  private[operators] final class Overlap[T](
+      sc: org.apache.spark.SparkContext, group: String,
+      fut: scala.concurrent.Future[T]) extends (() => T) {
+    def apply(): T = scala.concurrent.Await.result(fut,
       scala.concurrent.duration.Duration.Inf)
+    /** Run the caller's own section; on ITS failure cancel the
+      * background group, await the future briefly (observing its
+      * outcome — never an unobserved dangling error), and rethrow the
+      * caller's failure. */
+    def guarded[U](section: => U): U =
+      try section
+      catch { case t: Throwable =>
+        try {
+          sc.cancelJobGroup(group)
+          scala.concurrent.Await.ready(fut,
+            scala.concurrent.duration.Duration(30, "seconds"))
+        } catch { case _: Throwable => () }
+        throw t
+      }
+  }
+
+  private[operators] def overlapped[T](body: => T): Overlap[T] = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+    val group = s"graft-overlap-${java.util.UUID.randomUUID().toString.take(8)}"
+    val fut = scala.concurrent.Future {
+      // thread-local: label + make the chain cancellable as a group
+      sc.setJobGroup(group, "graft overlapped trainer chain",
+        interruptOnCancel = true)
+      try body finally sc.clearJobGroup()
+    }(scala.concurrent.ExecutionContext.global)
+    new Overlap(sc, group, fut)
   }
 
   /** Lloyd's algorithm runs in EUCLIDEAN space over the unit vectors
@@ -579,19 +620,24 @@ object Similarity {
         transform(col("v"), x => x / col("nrm")).as("cv")))
     cents = graft.Materialize(cents)
     for (_ <- 1 to lloydIters) {
-      // assignment argmax as ONE map-side-combinable max_by aggregate
-      // (r18, guide §2.3/§2.4): the former row_number window shuffled
-      // and sorted all N×nl scored rows; the hash aggregate partials
-      // collapse them to N rows before the exchange. The ordering key
+      // assignment argmax as ONE map-side-combinable aggregate (r18,
+      // guide §2.3/§2.4): the former row_number window shuffled and
+      // sorted all N×nl scored rows; the aggregate partials collapse
+      // them to N rows before the exchange. The ordering key
       // struct(cd, −cell) reproduces the window's (cd DESC, cell ASC)
       // rule exactly and is unique per row (cell is unique within a
       // vec_id group), so the argmax is deterministic — assignments
-      // are bit-identical to the window form.
+      // are bit-identical to the window form. r19: typed maxByAgg
+      // instead of declarative max_by — a struct-buffer max_by cannot
+      // hash-aggregate (HashAggregateExec needs mutable primitive
+      // buffers), so every Lloyd round was SORT-aggregating all N×nl
+      // scored rows per task; the typed buffer plans as
+      // ObjectHashAggregate and nothing is sorted (VERDICT r18 #6).
       val assigned = eT.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
           cellScore.as("cd"))
         .groupBy(col("vec_id"))
-        .agg(max_by(struct(col("v"), col("nrm"), col("cell")),
+        .agg(maxByAgg(struct(col("v"), col("nrm"), col("cell")),
           struct(col("cd"), (-col("cell")).as("nc"))).as("k"))
         .select(col("k.v").as("v"), col("k.nrm").as("nrm"),
           col("k.cell").as("cell"))
@@ -633,16 +679,40 @@ object Similarity {
     *
     * Home (nearest) cell per vector: row-identical to the old
     * `cellRanks(e, cents).filter(cr === 1).select(vec_id, cell)`, as
-    * ONE map-side-combinable max_by aggregate. The ordering key
+    * ONE map-side-combinable argmax aggregate. The ordering key
     * struct(cd, −cell) is the window's (cd DESC, cell ASC) rule and is
     * unique per row (cell unique within a vec_id group), so the argmax
-    * is deterministic and bit-identical to the window's rank-1 row. */
+    * is deterministic and bit-identical to the window's rank-1 row.
+    * (r19: typed maxByAgg, not declarative max_by — the struct
+    * ordering key forced a SortAggregate; see the Lloyd assignment.) */
   private[operators] def homeCells(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cell"), cellScore.as("cd"))
       .groupBy(col("vec_id"))
-      .agg(max_by(col("cell"),
+      .agg(maxByAgg(col("cell"),
         struct(col("cd"), (-col("cell")).as("nc"))).as("cell"))
+
+  /** [[homeCells]] with the vector itself riding as argmax payload —
+    * one aggregate yields (vec_id, v, nrm, cell), row-identical to
+    * `e.join(homeCells(e, cents), "vec_id")` (cell is a deterministic
+    * pure function of the row, so attaching it by join or by payload
+    * cannot differ). For consumers that need vector AND home cell
+    * together (the residual derivation, cell-carrying subvectors) this
+    * removes an N⋈N self-join: the old shape shuffled e (with its
+    * 64-double payload) AND home and sorted both for the merge join;
+    * this shuffles the same heavy rows ONCE through the aggregate's
+    * exchange and nothing else (guide §2.4, §8 — decide and attach in
+    * the same pass the payload already makes). */
+  private[operators] def homeCellsWithVec(e: DataFrame,
+      cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        cellScore.as("cd"))
+      .groupBy(col("vec_id"))
+      .agg(maxByAgg(struct(col("v"), col("nrm"), col("cell")),
+        struct(col("cd"), (-col("cell")).as("nc"))).as("k"))
+      .select(col("vec_id"), col("k.v").as("v"), col("k.nrm").as("nrm"),
+        col("k.cell").as("cell"))
 
   /** Top-`depth` cells per vector — row-identical to the old
     * `cellRanks(e, cents).filter(cr <= depth)` (same columns, same cd,
@@ -851,6 +921,16 @@ object Similarity {
         slice(col("v"), s * pqSubDim + 1, pqSubDim)): _*)))
       .toDF("vec_id", "nrm", "sub", "sv")
 
+  /** [[subVectors]] over a [[homeCellsWithVec]] frame — same grain and
+    * expressions plus the `cell` column, which rides [[pqAssign]]'s
+    * payload passthrough so encoded codes carry their home cell with
+    * NO post-hoc N⋈N join. */
+  private[operators] def subVectorsWithCell(eh: DataFrame): DataFrame =
+    eh.select(col("vec_id"), col("nrm"), col("cell"),
+      posexplode(array((0 until pqSubspaces).map(s =>
+        slice(col("v"), s * pqSubDim + 1, pqSubDim)): _*)))
+      .toDF("vec_id", "nrm", "cell", "sub", "sv")
+
   /** All [[pqSubspaces]] codebooks trained in ONE distributed job over
     * the exploded subvector table — (sub, code, cv, cn) with
     * cn = ‖cv‖²/2 so nearest-centroid is argmax(dot(x,c) − cn), a
@@ -880,23 +960,25 @@ object Similarity {
     // its home cell through here — re-deriving it downstream would
     // cost an N-row join)
     //
-    // r18 (guide §2.3/§2.4): argmin-as-max_by hash aggregate instead
+    // r18 (guide §2.3/§2.4): argmin-as-argmax aggregate instead
     // of the former row_number window — the window shuffled and sorted
     // all N·subs·codes scored rows; the aggregate's map-side partials
     // collapse them to N·subs rows before the exchange (a pqCodes=16×
     // cut). struct(cd, −code) is the window's (cd DESC, code ASC)
     // order, unique per row (codes are distinct within a (vec_id, sub)
     // group), so the winning code is deterministic and bit-identical.
-    // Non-key input columns ride inside the max_by payload (they are
+    // Non-key input columns ride inside the argmax payload (they are
     // constant within a group — each (vec_id, sub) carries ONE
     // subvector), and the final select restores sv's exact column
-    // names and order.
+    // names and order. r19: typed maxByAgg — the declarative max_by's
+    // struct buffer sort-aggregated every encode/Lloyd pass; the typed
+    // buffer stays in ObjectHashAggregate (VERDICT r18 #6).
     val payload = sv.columns.filterNot(c => c == "vec_id" || c == "sub")
     sv.join(broadcast(cents), Seq("sub"))
       .select(col("vec_id") +: col("sub") +: payload.map(col) :+
         col("code") :+ (dotD(col("sv"), col("cv")) - col("cn")).as("cd"): _*)
       .groupBy(col("vec_id"), col("sub"))
-      .agg(max_by(struct(payload.map(col) :+ col("code"): _*),
+      .agg(maxByAgg(struct(payload.map(col) :+ col("code"): _*),
         struct(col("cd"), (-col("code")).as("nc"))).as("k"))
       .select(sv.columns.map(c =>
         if (c == "vec_id" || c == "sub") col(c)
@@ -913,7 +995,7 @@ object Similarity {
       .withColumn("h", xxhash64(col("vec_id")))
       .groupBy(col("sub"),
         pmod(col("h"), lit(pqCodes)).cast("int").as("code"))
-      .agg(min_by(col("sv"), col("h")).as("cv")))
+      .agg(minByAgg(col("sv"), col("h")).as("cv")))
     cents = graft.Materialize(cents)
     for (_ <- 1 to pqLloydIters) {
       val assigned = pqAssign(sv, cents)
@@ -1042,12 +1124,17 @@ object Similarity {
     // the shortlist dial's corpus count is independent of the codebook
     // chain — overlap it (r18, guide §2.6)
     val nT = overlapped(e.count())
-    val cents = pqCodebook(sv)
-    // encode through the SAME assignment rule the training loop
-    // converged under (pqAssign), emitted as the compact codes table
-    val codes = pqAssign(sv, cents)
-      .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
-    val cand = adcShortlist(codes, pqLut(sv, cents),
+    // guarded: a codebook-chain failure must cancel the overlapped
+    // count's jobs, not orphan them (see Overlap.guarded)
+    val (codes, lut) = nT.guarded {
+      val cents = pqCodebook(sv)
+      // encode through the SAME assignment rule the training loop
+      // converged under (pqAssign), emitted as the compact codes table
+      (pqAssign(sv, cents)
+        .select(col("vec_id"), col("nrm"), col("sub"), col("code")),
+        pqLut(sv, cents))
+    }
+    val cand = adcShortlist(codes, lut,
       Seq("sub", "code"), shortlistFor(nT()))
     rerankTopK(raw, cand)
   }
@@ -1086,18 +1173,25 @@ object Similarity {
     // interleaving changes.
     val sv = subVectors(e)
     val cbookT = overlapped(pqCodebook(sv))
-    val cents = kmeansCentroids(e, nl, Some(n))
-    // argmax / bounded-top-k aggregates instead of one shared ranks
-    // window (r18) — see homeCells/topCells: row-identical, no N×nl
-    // window sort
-    val home = homeCells(e, cents)
-    val probes = topCells(e.filter(col("vec_id") < knnQueries), cents,
-        nprobeFor(nl))
-      .select(col("vec_id").as("query_id"), col("cell"))
+    // guarded: an IVF-chain failure cancels the codebook chain's jobs
+    val (probes, svc) = cbookT.guarded {
+      val cents = kmeansCentroids(e, nl, Some(n))
+      (topCells(e.filter(col("vec_id") < knnQueries), cents,
+          nprobeFor(nl))
+        .select(col("vec_id").as("query_id"), col("cell")),
+        subVectorsWithCell(homeCellsWithVec(e, cents)))
+    }
     val cbook = cbookT()
-    val codes = pqAssign(sv, cbook)
-      .select(col("vec_id"), col("nrm"), col("sub"), col("code"))
-      .join(home, Seq("vec_id"))
+    // r19: encode from the cell-carrying subvectors (homeCellsWithVec
+    // → subVectorsWithCell) so the home cell rides pqAssign's payload
+    // — the former separate homeCells aggregate + codes⋈home join
+    // (a re-shuffle of all N·subs code rows onto vec_id plus the home
+    // table) are gone. The codebook itself still trains on the
+    // cell-free sv, which keeps its Lloyd chain independent and
+    // overlapped above; values are identical either way.
+    val codes = pqAssign(svc, cbook)
+      .select(col("vec_id"), col("nrm"), col("sub"), col("code"),
+        col("cell"))
     val probedCodes = codes.join(broadcast(probes), Seq("cell"))
     val cand = adcShortlist(probedCodes, pqLut(sv, cbook),
       Seq("query_id", "sub", "code"), shortlistFor(n))
@@ -1106,13 +1200,18 @@ object Similarity {
 
   /** Residual subvectors for [[q68KnnIvfPqRes]]: each unit vector minus
     * its home-cell centroid, re-sliced into the PQ subspaces —
-    * (vec_id, cell, nrm, sub, sv) with sv = (û − m_cell)[sub].
+    * (vec_id, cell, nrm, sub, sv) with sv = (û − m_cell)[sub]. Input
+    * `eh` already carries each vector's home cell (r19:
+    * [[homeCellsWithVec]], or a caller-side batch join) — the former
+    * (e, home) signature re-joined the full corpus to its own home
+    * table here, an N⋈N shuffle-and-sort of the heavy vector rows that
+    * the fused argmax now does in its one exchange.
     *
     * The element-wise subtraction is plain codegen'd GetArrayItem
     * arithmetic against the broadcast whole-centroid array — never a
     * zip_with/transform HOF (CodegenFallback) in the N-row path. One
     * pass at INDEX BUILD time only; queries never touch this path. */
-  private[operators] def residualSubVectors(e: DataFrame, home: DataFrame,
+  private[operators] def residualSubVectors(eh: DataFrame,
       cents: DataFrame): DataFrame =
     // r18 (guide §2.3/§2.4): join the WHOLE 64-dim centroid array onto
     // each vector row (cents is the bounded nl-row dim table, always
@@ -1126,8 +1225,7 @@ object Similarity {
     // subvector rows, exactly the old output grain). Per element the
     // tree is unchanged — x/nrm − cm at the same positions, assembled
     // in the same p order — so the residuals are bit-identical.
-    e.join(home, Seq("vec_id"))
-      .join(broadcast(cents.select(col("cell"), col("cv"))), Seq("cell"))
+    eh.join(broadcast(cents.select(col("cell"), col("cv"))), Seq("cell"))
       .select(col("vec_id"), col("cell"), col("nrm"),
         posexplode(array((0 until pqSubspaces).map(s =>
           array((0 until pqSubDim).map(p =>
@@ -1163,10 +1261,6 @@ object Similarity {
     val n = e.count()
     val nl = nlistFor(n)
     val cents = kmeansCentroids(e, nl, Some(n))
-    // argmax / bounded-top-k aggregates instead of one shared ranks
-    // window (r18) — see homeCells/topCells: row-identical, no N×nl
-    // window sort
-    val home = homeCells(e, cents)
     // exact per-(query, probed-cell) term: cd = dot(û, m) − ‖m‖²/2, so
     // dot(û, m) = cd + cn — no recomputation, just the cn join back
     val probesCt = topCells(e.filter(col("vec_id") < knnQueries), cents,
@@ -1175,9 +1269,13 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("cell"),
         (col("cd") + col("cn")).as("ct"))
     // materialized: pqCodebook's Lloyd rounds would otherwise replay
-    // the whole residual derivation (cell-rank crossJoin + home join +
-    // N×dim explode) once per training round plus once for encoding
-    val rsv = graft.Materialize(residualSubVectors(e, home, cents))
+    // the whole residual derivation (cell argmax + N×dim explode) once
+    // per training round plus once for encoding. r19: the home-cell
+    // argmax carries the vector as payload (homeCellsWithVec), so the
+    // former separate homeCells aggregate AND the e⋈home N⋈N join are
+    // gone — one heavy exchange instead of three.
+    val rsv = graft.Materialize(
+      residualSubVectors(homeCellsWithVec(e, cents), cents))
     val rcents = pqCodebook(rsv)
     // cell rides through pqAssign's passthrough — no re-join needed
     val rcodes = pqAssign(rsv, rcents)

@@ -502,4 +502,39 @@ class DedupSpec extends SparkSpec {
       assert(r.getDouble(3) >= 0.9)
     }
   }
+
+  test("q33 prefix: the bounded aggregate is row-identical to the " +
+    "row_number window form and plans without any Window or sort " +
+    "aggregate (r19)") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      ("a", 1L, Seq("x", "y", "z", "w", "q")),
+      ("a", 2L, Seq("x", "y", "z", "w")),
+      ("a", 3L, Seq("k", "y")),
+      ("b", 4L, Seq("x", "k", "m", "n", "o", "p", "r", "s", "t", "u")),
+      ("b", 5L, Seq("m", "x")))
+      .toDF("source", "doc_id", "ts")
+    val freq = docs.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val posting = docs
+      .select(col("source"), col("doc_id"), size(col("ts")).as("n"),
+        explode(col("ts")).as("tok"))
+      .join(freq, "tok")
+    val t = 0.6 // non-trivial per-doc prefix lengths
+    val agg = Dedup.jaccardPrefix(posting, t)
+    val prefixLen = (col("n") - ceil(lit(t) * col("n")) + 1).cast("int")
+    val win = posting
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("freq"), col("tok"))))
+      .filter(col("pos") <= prefixLen)
+      .select(col("source"), col("doc_id"), col("n"), col("pos"),
+        col("tok"))
+    val a = agg.collect().map(_.toString).sorted.toSeq
+    val w = win.collect().map(_.toString).sorted.toSeq
+    assert(a === w)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
 }
