@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.functions.ArgExtremumAgg.minByAgg
 
 import graft.sources.Tables
 
@@ -203,18 +202,22 @@ object Relational {
     * the aggregate's map-side partials collapse the scan to one
     * candidate row per part per task before the exchange — on the
     * fact table, the single biggest shuffle cut available to the
-    * relational family at 100 TB. r19: the r18 form was declarative
-    * `min(struct(...))`, whose struct buffer cannot hash-aggregate —
-    * the plan SORT-aggregated the whole lineitem scan per task; the
-    * typed buffer plans as ObjectHashAggregate (VERDICT r18 #6). */
+    * relational family at 100 TB. r19 A/B, typed-argmin REJECTED:
+    * `min(struct(...))`'s struct buffer cannot hash-aggregate, so this
+    * plans as SortAggregate — but the sorted rows are three narrow
+    * columns and the declarative compare runs inside codegen, while
+    * the typed single-slot buffer (ArgExtremumAgg, the form that won
+    * 2× on the WIDE-row dedup keepers) pays an interpreted struct
+    * ordering per row: measured 1.2-1.5× SLOWER here at sf0.1
+    * (iso min 1.51 s vs 0.91 s baseline, q28 host control). Narrow
+    * rows, cheap sort, hot compare — the opposite trade of q30/q83. */
   def q2CheapestSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.load(spark, sfDir, "lineitem")
     val part = Tables.load(spark, sfDir, "part")
     val supp = Tables.load(spark, sfDir, "supplier")
     li.select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
       .groupBy(col("l_partkey"))
-      .agg(minByAgg(struct(col("l_extendedprice"), col("l_suppkey")),
-        struct(col("l_extendedprice"), col("l_suppkey"))).as("b"))
+      .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("b"))
       .select(col("l_partkey"), col("b.l_suppkey").as("l_suppkey"),
         col("b.l_extendedprice").as("l_extendedprice"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
